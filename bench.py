@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Execution is measured end-to-end per query with a noop sink (full plan
+runs, nothing is collected to the driver). A warmup query runs first so
+JVM/codegen startup is not attributed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import chess_pos_db_spark as engine
+from chess_pos_db_spark.session import get_spark
+
+HEADLINE = [
+    "agg_groupcount",
+    "agg_rollup",
+    "filter_range",
+    "join_broadcast_lookup",
+    "join_sortmerge",
+    "join_dim_chain",
+    "join_asof",
+    "win_topk_per_group",
+    "win_lag_lead",
+    "sort_topk",
+    "sort_merge_compact",
+    "set_distinct",
+    "dedup_exact_groups",
+    "dedup_minhash_cluster",
+    "dedup_simhash",
+    "similarity_topk",
+    "text_token_stats",
+    "stream_session",
+    "udtf_expand",
+]
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("chess_pos_db_spark-bench")
+    queries = engine.get_queries()
+
+    # Warmup: exercise session init, parquet footer reads, codegen.
+    _run(queries["agg_groupcount"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        _run(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
+    sys.exit(0)

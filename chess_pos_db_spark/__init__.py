@@ -1,0 +1,24 @@
+"""PySpark-native analytics engine with the query and data-processing
+capabilities of Sopel97/chess_pos_db, rebuilt Spark-first.
+
+Public surface:
+- ``get_queries()`` / ``get_oracles()`` — the driver-contract registry
+  (every SURVEY.md §2 operator with its DuckDB oracle SQL);
+- ``session.get_spark()`` — configured SparkSession factory;
+- ``tables.t()`` — fixture loaders.
+"""
+
+from __future__ import annotations
+
+from . import registry
+from .registry import ORACLES, QUERIES
+
+
+def get_queries():
+    registry.load_all()
+    return dict(QUERIES)
+
+
+def get_oracles():
+    registry.load_all()
+    return dict(ORACLES)

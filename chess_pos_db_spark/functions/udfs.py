@@ -1,0 +1,124 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.10, X1–X4).
+
+The reference's chess functions (FEN→key, SAN parse, game→positions
+explode) are compiled-in C++; our engine exposes the same extension
+points as Arrow-vectorized Pandas UDFs:
+
+- X1 scalar: `@pandas_udf` over batches (the FEN→key shape);
+- X2 grouped agg: `@pandas_udf` returning one scalar per group (the
+  entry-combine shape);
+- X3 UDTF: `mapInPandas` — one input row → N output rows (the
+  game→positions import explode, reference `Database::import`);
+- X4 grouped map: `applyInPandas` — per-group normalization.
+
+These are the SLOW path by design: everything expressible as built-ins
+lives in operators/ and functions/scalar.py; this module proves the
+extension surface with oracle-verified semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..registry import register
+from ..tables import t
+
+
+# X1 — vectorized scalar pandas UDF. (DataType objects, not DDL strings:
+# string return types require an active SparkContext at decoration time.)
+@pandas_udf(T.DoubleType())
+def _affine(s: pd.Series) -> pd.Series:
+    return s * 2.0 + 1.0
+
+
+@register(
+    "udf_scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_quantity * 2.0 + 1.0 AS qty_affine
+FROM lineitem
+""",
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", _affine("l_quantity").alias("qty_affine")
+    )
+
+
+# X2 — grouped-aggregate pandas UDF (custom combine, the reference's
+# per-format entry merge function generalized).
+@pandas_udf(T.DoubleType())
+def _span(v: pd.Series) -> float:
+    return float(v.max() - v.min())
+
+
+@register(
+    "udaf_grouped",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(MAX(l_extendedprice) - MIN(l_extendedprice), 2) AS price_span
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(_span("l_extendedprice"), 2).alias("price_span")
+    )
+
+
+# X3 — UDTF via mapInPandas: one document row → one row per token
+# (the game→positions explode of the import pipeline).
+def _tokenize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        toks = pdf["text"].str.split(" ")
+        out = pdf[["doc_id"]].copy()
+        out["token"] = toks
+        yield out.explode("token", ignore_index=True)
+
+
+@register(
+    "udtf_expand",
+    oracle="""
+SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+FROM documents
+""",
+)
+def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(_tokenize_batches, schema="doc_id long, token string")
+
+
+# X4 — grouped-map applyInPandas: z-score normalization per group
+# (north-star embedding/feature normalization shape).
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    v = pdf["value"]
+    mean, std = v.mean(), v.std()  # ddof=1, matches STDDEV_SAMP
+    out = pdf[["event_id", "event_type"]].copy()
+    out["norm_value"] = ((v - mean) / std).round(4)
+    return out
+
+
+@register(
+    "grouped_map_normalize",
+    oracle="""
+SELECT event_id, event_type,
+       ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+             / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 4) AS norm_value
+FROM events
+""",
+)
+def grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return e.groupBy("event_type").applyInPandas(
+        _normalize, schema="event_id long, event_type string, norm_value double"
+    )

@@ -1,0 +1,120 @@
+"""Similarity search over embeddings (SURVEY.md §2.11 N3).
+
+Brute-force cosine top-k is the verified baseline: the query vector is
+broadcast, the dot product runs as higher-order array functions
+(`zip_with` + `aggregate`) entirely JVM-side — no UDF, no collect of
+the corpus. At 100 TB the same plan holds: broadcast the probe set,
+scan the corpus once, TakeOrderedAndProject the top-k.
+
+The LSH-bucketed variant (random-hyperplane signatures from fixed-seed
+pseudo-random vectors) restricts candidates to matching sign-buckets —
+the IVF-style scale path. Deterministic; rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import t
+
+_QUERY_VEC_ID = 0
+_TOP_K = 10
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a, b):
+    """Cosine similarity between two array<float>/array<double> columns."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+@register(
+    "similarity_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+scored AS (
+    SELECT e.vec_id,
+           SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)) AS dot,
+           SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS na,
+           SUM(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)) AS nb
+    FROM embeddings e, q, GENERATE_SERIES(1, 64) AS t(i)
+    GROUP BY e.vec_id
+)
+SELECT vec_id, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cos_sim
+FROM scored
+ORDER BY ROUND(dot / (SQRT(na) * SQRT(nb)), 6) DESC, vec_id
+LIMIT {_TOP_K}
+""",
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(_TOP_K)
+
+
+# --- scale path: sign-LSH bucketing -----------------------------------------
+
+_N_PLANES = 8
+_DIMS = 64
+
+
+def _plane(plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-0.5, 0.5)^_DIMS.
+
+    Derived driver-side from md5(plane:dim) — no RNG state, identical
+    across executors and runs; shipped as an array literal so the
+    per-row work is one zip_with+aggregate instead of a 64-term
+    expression tree (which bloats codegen).
+    """
+    import hashlib
+
+    out = []
+    for d in range(_DIMS):
+        h = hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:8]
+        out.append(int(h, 16) / 2**32 - 0.5)
+    return out
+
+
+def sign_lsh_bucket(vec_col) -> "F.Column":
+    """_DIMS-dim embedding → _N_PLANES-bit sign bucket id (BIGINT)."""
+    bucket = F.lit(0).cast("long")
+    for p in range(_N_PLANES):
+        plane_arr = F.array(*[F.lit(x) for x in _plane(p)])
+        dot = _dot(vec_col, plane_arr)
+        bit = F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + F.shiftleft(bit, p)
+    return bucket
+
+
+@register("similarity_ann_lsh")  # rows-only: ANN recall is not oracle-exact
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k restricted to the query's sign-LSH bucket (ANN scale path)."""
+    emb = t(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", "embedding", sign_lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    q = bucketed.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("q_bucket")
+    )
+    scored = (
+        bucketed.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(_TOP_K)

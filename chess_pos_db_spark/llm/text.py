@@ -1,0 +1,133 @@
+"""Text analysis operators (SURVEY.md §2.11 N4 / A11 / F14).
+
+Token ops are pure built-ins (`split`/`explode`/`size`); nothing here
+touches Python in the row path, so the same plan whole-stage-codegens
+at 100 TB. The tokenizer is a literal single-space split to stay
+bit-identical with the DuckDB oracle's STRING_SPLIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import t
+
+_STOPWORDS = ("the", "a", "of", "and")
+
+
+# N4/A11 — per-language token statistics.
+@register(
+    "text_token_stats",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT)               AS total_tokens,
+       CAST(COUNT(DISTINCT token) AS BIGINT)  AS distinct_tokens,
+       ROUND(COUNT(*) * 1.0 / COUNT(DISTINCT doc_id), 4) AS avg_tokens_per_doc
+FROM tok
+GROUP BY lang
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    return tok.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("total_tokens"),
+        F.countDistinct("token").alias("distinct_tokens"),
+        F.round(F.count("*") / F.countDistinct("doc_id"), 4).alias(
+            "avg_tokens_per_doc"
+        ),
+    )
+
+
+# Quality scoring: length / token-length / stopword-ratio heuristics.
+@register(
+    "text_quality",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+    FROM documents
+),
+stats AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(LENGTH(token)), 4) AS avg_token_len,
+           ROUND(SUM(CASE WHEN token IN {_STOPWORDS!r} THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS stopword_ratio
+    FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(LENGTH(d.text) AS BIGINT) AS n_chars,
+       s.n_tokens, s.avg_token_len, s.stopword_ratio
+FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    stats = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(F.length("token")), 4).alias("avg_token_len"),
+        F.round(
+            F.sum(F.when(F.col("token").isin(*_STOPWORDS), 1).otherwise(0))
+            / F.count("*"),
+            4,
+        ).alias("stopword_ratio"),
+    )
+    return docs.select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    ).join(stats, "doc_id")
+
+
+# Document fingerprint: order-insensitive content hash (md5 of the sorted
+# token list) — the cheap exact-dup fingerprint that survives token
+# reordering; cross-engine reproducible.
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       MD5(ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(text, ' ')), ' ')) AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.split("text", " ")))).alias(
+            "fingerprint"
+        ),
+    )
+
+
+# Language-ID heuristic (n-gram/stopword scoring). The fixture's `lang`
+# column is ground truth; the heuristic scores docs by stopword hit-rate —
+# a deterministic built-in-only pipeline, checked rows-only since the
+# heuristic itself is the operator under test.
+@register("text_lang_id")  # rows-only
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    scored = tok.groupBy("doc_id", "lang").agg(
+        F.round(
+            F.sum(F.when(F.col("token").isin(*_STOPWORDS), 1).otherwise(0))
+            / F.count("*"),
+            4,
+        ).alias("en_score")
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        (F.col("en_score") > 0.02).alias("looks_english"),
+    )

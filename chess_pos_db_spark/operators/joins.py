@@ -1,0 +1,360 @@
+"""Join operators (SURVEY.md §2.3, J1–J10).
+
+The reference's core read op is a batch point-lookup: a small probe set
+(positions + children) binary-searched against every sorted run
+(`executeQuery` + sparse index). In Spark that is a broadcast hash
+join of the probe set against the fact table — the probe side is tiny,
+so no shuffle of the fact table happens and parquet min/max pruning
+plays the role of the sparse index.
+
+Scale notes:
+- dimension joins broadcast explicitly (`F.broadcast`) — at 100 TB the
+  fact table must never shuffle for a 25-row nation table;
+- the big-big join (orders⋈lineitem) is left to sort-merge; with both
+  sides bucketed by the join key (plans/layout.py) it becomes
+  shuffle-free;
+- the as-of join composes range-join + per-probe top-1 window, the
+  standard Spark formulation when no native as-of exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..tables import t
+
+# Probe keys used by the point-lookup queries; exist at every sf
+# (o_orderkey starts at 1) and include misses for the outer variant.
+_PROBE_KEYS = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377, 610, 987]
+_PROBE_KEYS_WITH_MISSES = _PROBE_KEYS + [-1, -2, 10**12]
+
+
+def _probe_df(spark: SparkSession, keys) -> DataFrame:
+    schema = T.StructType([T.StructField("probe_key", T.LongType(), False)])
+    return spark.createDataFrame([(int(k),) for k in keys], schema)
+
+
+def _sql_values(keys) -> str:
+    return ", ".join(f"({k})" for k in keys)
+
+
+# J1 — batch point-lookup probe join (the reference's core read path).
+@register(
+    "join_broadcast_lookup",
+    oracle=f"""
+SELECT p.probe_key,
+       CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines,
+       ROUND(SUM(l.l_extendedprice), 2)    AS sum_price
+FROM (VALUES {_sql_values(_PROBE_KEYS)}) AS p(probe_key)
+JOIN lineitem l ON l.l_orderkey = p.probe_key
+GROUP BY p.probe_key
+""",
+)
+def join_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    probes = _probe_df(spark, _PROBE_KEYS)
+    return (
+        li.join(F.broadcast(probes), li.l_orderkey == probes.probe_key)
+        .groupBy("probe_key")
+        .agg(
+            F.count("l_orderkey").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+# J2 — big-big equi-join (sorted/merge range scan in the reference; with
+# bucketed layout this is a shuffle-free sort-merge join).
+@register(
+    "join_sortmerge",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT)                          AS n_lines,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+# J3 — dimension chain (entries → game header → player dims in the
+# reference: first/last game id resolved via StorageHeader lookup).
+@register(
+    "join_dim_chain",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       CAST(COUNT(*) AS BIGINT)        AS n_lines,
+       ROUND(SUM(l.l_extendedprice), 2) AS sum_price
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def join_dim_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+# J4 — explode + join (child-move expansion: movegen produces child arrays,
+# each child key probed; here: tokenize → explode → probe a broadcast dim).
+@register(
+    "explode_join",
+    oracle="""
+SELECT token,
+       CAST(COUNT(*) AS BIGINT)                 AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT)   AS n_docs
+FROM (
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+    FROM documents
+)
+WHERE token IN ('spark', 'table', 'query', 'join')
+GROUP BY token
+""",
+)
+def explode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    dim = spark.createDataFrame(
+        [("spark",), ("table",), ("query",), ("join",)],
+        T.StructType([T.StructField("token", T.StringType(), False)]),
+    )
+    return (
+        tokens.join(F.broadcast(dim), "token")
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+# J5 — self-join (retractions: resolve the predecessor entry of each
+# position; here: next line number within the same order).
+@register(
+    "self_join",
+    oracle="""
+SELECT a.l_orderkey, a.l_linenumber,
+       a.l_quantity AS qty, b.l_quantity AS next_qty
+FROM lineitem a
+JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+""",
+)
+def self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    a = li.alias("a")
+    b = li.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+    ).select(
+        F.col("a.l_orderkey").alias("l_orderkey"),
+        F.col("a.l_linenumber").alias("l_linenumber"),
+        F.col("a.l_quantity").alias("qty"),
+        F.col("b.l_quantity").alias("next_qty"),
+    )
+
+
+# J6 — semi-join ("is this position present at all?").
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# J7 — anti-join (positions never reached / customers without matching
+# orders).
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# J8 — left-outer probe (children with zero games are still listed in the
+# explorer response; missing probes surface as NULL counts).
+@register(
+    "join_left_outer",
+    oracle=f"""
+SELECT p.probe_key, CAST(agg.n_lines AS BIGINT) AS n_lines
+FROM (VALUES {_sql_values(_PROBE_KEYS_WITH_MISSES)}) AS p(probe_key)
+LEFT JOIN (
+    SELECT l_orderkey, COUNT(*) AS n_lines
+    FROM lineitem GROUP BY l_orderkey
+) agg ON agg.l_orderkey = p.probe_key
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    probes = _probe_df(spark, _PROBE_KEYS_WITH_MISSES)
+    agg = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    return probes.join(agg, probes.probe_key == agg.l_orderkey, "left_outer").select(
+        "probe_key", "n_lines"
+    )
+
+
+# J9 — theta / range join (events bucketed into ad-hoc time ranges; the
+# small range dim is broadcast so the non-equi condition is a broadcast
+# nested-loop, not a cartesian shuffle).
+_RANGES = [
+    ("w1", "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
+    ("w2", "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+    ("w3", "2024-01-15 00:00:00", "2024-01-22 00:00:00"),
+    ("w4", "2024-01-22 00:00:00", "2024-02-01 00:00:00"),
+]
+
+
+@register(
+    "join_range_theta",
+    oracle="""
+SELECT r.wname,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(e.value), 2)   AS sum_value
+FROM (VALUES
+    ('w1', TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-08 00:00:00'),
+    ('w2', TIMESTAMP '2024-01-08 00:00:00', TIMESTAMP '2024-01-15 00:00:00'),
+    ('w3', TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-22 00:00:00'),
+    ('w4', TIMESTAMP '2024-01-22 00:00:00', TIMESTAMP '2024-02-01 00:00:00')
+) AS r(wname, wstart, wend)
+JOIN events e ON e.ts >= r.wstart AND e.ts < r.wend
+GROUP BY r.wname
+""",
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    schema = T.StructType(
+        [
+            T.StructField("wname", T.StringType(), False),
+            T.StructField("wstart", T.StringType(), False),
+            T.StructField("wend", T.StringType(), False),
+        ]
+    )
+    ranges = spark.createDataFrame(_RANGES, schema).select(
+        "wname",
+        F.col("wstart").cast("timestamp").alias("wstart"),
+        F.col("wend").cast("timestamp").alias("wend"),
+    )
+    return (
+        e.join(
+            F.broadcast(ranges),
+            (e.ts >= ranges.wstart) & (e.ts < ranges.wend),
+        )
+        .groupBy("wname")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# J10 — as-of join: for every purchase event, the latest click by the same
+# user at or before the purchase. Formulated as range join + top-1 window
+# (deterministic tie-breaks on ts then event_id).
+@register(
+    "join_asof",
+    oracle="""
+SELECT purchase_id, user_id, purchase_ts, click_ts, click_id
+FROM (
+    SELECT p.event_id   AS purchase_id,
+           p.user_id    AS user_id,
+           p.ts         AS purchase_ts,
+           c.ts         AS click_ts,
+           c.event_id   AS click_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST
+           ) AS rn
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+WHERE rn = 1
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user_id) & (c.click_ts <= p.purchase_ts),
+        "left_outer",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("click_ts").desc_nulls_last(), F.col("click_id").desc_nulls_last()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "user_id", "purchase_ts", "click_ts", "click_id")
+    )

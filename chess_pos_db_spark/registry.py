@@ -1,0 +1,65 @@
+"""Query registry: the single source of truth for the driver contract.
+
+Every operator from SURVEY.md §2 that is driver-checked registers here as
+a named query (PySpark callable) plus, when SQL-expressible, the
+equivalent DuckDB oracle SQL. ``__spark_entry__.py`` re-exports these.
+
+Oracle discipline (see FIXTURES.md):
+- alias every computed column identically on both sides;
+- the driver's value-hash is order-insensitive but column names are
+  sorted before hashing, so names must match exactly;
+- double-typed aggregates are rounded on BOTH sides so float summation
+  order cannot flip the hash;
+- DuckDB `SUM(INTEGER)` returns HUGEINT → always CAST to BIGINT in the
+  oracle; Spark `count()` and DuckDB `COUNT(*)` are both BIGINT.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None):
+    """Register a driver query; ``oracle=None`` → rows-only check."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_LOADED = False
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from .operators import aggregates  # noqa: F401
+    from .operators import filters  # noqa: F401
+    from .operators import joins  # noqa: F401
+    from .operators import windows  # noqa: F401
+    from .operators import sorts  # noqa: F401
+    from .operators import setops  # noqa: F401
+    from .functions import scalar  # noqa: F401
+    from .functions import udfs  # noqa: F401
+    from .llm import dedup  # noqa: F401
+    from .llm import similarity  # noqa: F401
+    from .llm import text  # noqa: F401
+    from .streaming import windows as stream_windows  # noqa: F401
+
+    _LOADED = True

@@ -1,0 +1,42 @@
+"""SparkSession factory with scale-aware defaults.
+
+Design notes (100 TB posture):
+- AQE on: runtime coalescing, skew-join splitting, dynamic broadcast
+  selection replace hand-tuned partition counts on a real cluster.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count for
+  fixture scale; on a cluster this is superseded by AQE's coalescing
+  (initialPartitionNum would be sized to ~2-3x total cores).
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle (duckdb timestamps are UTC-naive).
+- Arrow enabled: every pandas interchange (createDataFrame, toPandas,
+  pandas UDFs) is vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "chess_pos_db_spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos
+        # timestamp type, so read as epoch-nanos LONG and convert in the
+        # loader (tables.t) — matches DuckDB's truncate-to-micros read.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,43 @@
+"""Fixture table loaders.
+
+All driver queries receive ``(spark, sf_dir)`` and read the parquet
+tables below. Reading through one helper keeps the scan declarative so
+Catalyst can push filters/column pruning into the parquet scan; no
+schema inference happens (parquet carries its schema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (lazy parquet scan)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table: {name}")
+    if name == "events":
+        # Set defensively here as well: the driver's own SparkSession may
+        # not carry the session.py config.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the file, surfaced as epoch-nanos LONG
+        # via spark.sql.legacy.parquet.nanosAsLong. Integer DIV keeps full
+        # precision (double division would lose bits at 1e18); truncation
+        # toward zero matches DuckDB's nanos→micros read.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
