@@ -1,0 +1,126 @@
+"""Multimodal binary-column operators (SURVEY.md §2.11 N5).
+
+Images/audio/video are opaque `BinaryType` columns with typed metadata
+(the same philosophy as the reference's CompressedPosition: an opaque
+fixed encoding plus interpretable key columns). The Spark-side
+plumbing — schema, Arrow batch shape, mapInPandas signatures,
+partition sizing — is real and tested; the codec itself is stubbed
+behind `decode_image`, because no image/audio libraries exist in this
+container. Swapping in a real decoder (PIL/librosa/ffmpeg) changes ONE
+function.
+
+Scale notes: featurization streams per Arrow batch (`mapInPandas`), so
+peak memory is one batch of blobs per core, never a partition of
+decoded media; `spark.sql.files.maxPartitionBytes` (and
+`maxRecordsPerBatch`) size the batches. Blobs should live in their own
+column family (parquet column) so metadata-only queries never read
+bytes — column pruning gives that for free.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("blob", T.BinaryType(), False),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("content_digest", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def decode_image(blob: bytes) -> np.ndarray:
+    """STUB — no imaging libraries in this container.
+
+    A real deployment replaces this body with e.g. PIL.Image.open.
+    The deterministic fake derives a pseudo-pixel array from the blob
+    bytes so downstream plumbing (shapes, dtypes, batching) is
+    exercised honestly.
+    """
+    h = hashlib.sha256(blob).digest()
+    arr = np.frombuffer((h * 8)[:256], dtype=np.uint8).astype(np.float32)
+    return arr.reshape(16, 16)
+
+
+def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic fake media table (fixtures carry no binary column)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        blob = struct.pack("<q", i) * (8 + i % 5)
+        rows.append(
+            (
+                i,
+                kind,
+                16 if kind == "image" else None,
+                16 if kind == "image" else None,
+                1000 * (i % 7) if kind != "image" else None,
+                bytearray(blob),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out_rows = []
+        for _, row in pdf.iterrows():
+            blob = bytes(row["blob"])
+            pixels = decode_image(blob)  # stubbed codec
+            # 16-bin intensity histogram as the feature vector
+            hist, _ = np.histogram(pixels, bins=16, range=(0, 256))
+            feat = (hist / max(1, pixels.size)).astype(np.float32)
+            out_rows.append(
+                {
+                    "media_id": row["media_id"],
+                    "kind": row["kind"],
+                    "n_bytes": len(blob),
+                    "content_digest": hashlib.sha256(blob).hexdigest(),
+                    "feature": feat.tolist(),
+                }
+            )
+        yield pd.DataFrame(out_rows)
+
+
+def featurize(media: DataFrame) -> DataFrame:
+    """Media table → per-item feature rows (Arrow-batched mapInPandas)."""
+    return media.mapInPandas(_featurize_batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video → sampled frame timestamps (explode of a generated range):
+    the video analogue of the game→positions import explode. Pure
+    built-ins; the per-frame decode would chain featurize() after."""
+    vids = media.filter(F.col("kind") == "video").filter(
+        F.col("duration_ms") > 0
+    )
+    return vids.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

@@ -1,0 +1,94 @@
+"""Physical layout & compaction jobs (SURVEY.md §2.1 S5/S8, §2.6 O2, §4 Φ1/Φ5).
+
+The reference's storage engine is: immutable sorted-by-key runs of
+fixed-width entries + a sparse in-memory index per run, compacted by an
+aggregate-combining k-way merge (`ext::Merger`, the `merge` command),
+tracked by a directory manifest. The Spark-native equivalents:
+
+- sorted run      → Parquet written `repartitionByRange(key)` +
+                    `sortWithinPartitions(key)`; row-group min/max
+                    stats ARE the sparse index (predicate pushdown
+                    prunes row groups the way the binary search pruned
+                    blocks);
+- k-way merge     → read all runs (UNION ALL) → `groupBy(key...).agg`
+                    (equal-key combining) → sorted rewrite. Multi-pass
+                    planning, spill, and open-file budgets are the
+                    shuffle's problem, not ours;
+- manifest        → `_meta.json` sidecar with format name/version and
+                    the key/agg spec.
+
+At 100 TB: range partitioning keeps each output file key-clustered so
+point-lookup joins prune partitions; `partitions` should be sized so
+each output file lands near the row-group sweet spot (~128 MB–1 GB).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "_meta.json"
+FORMAT_NAME = "spark-sorted-runs"
+FORMAT_VERSION = 1
+
+
+def write_sorted_run(
+    df: DataFrame,
+    path: str,
+    key: Sequence[str],
+    partitions: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Write `df` as a key-clustered sorted run (reference: store())."""
+    (
+        df.repartitionByRange(partitions, *[F.col(k) for k in key])
+        .sortWithinPartitions(*key)
+        .write.mode(mode)
+        .parquet(path)
+    )
+    _write_manifest(path, key)
+
+
+def compact_runs(
+    spark: SparkSession,
+    run_paths: Sequence[str],
+    out_path: str,
+    key: Sequence[str],
+    agg_spec: dict[str, str],
+    partitions: int = 32,
+) -> DataFrame:
+    """Aggregate-combining merge of N sorted runs → one sorted run.
+
+    `agg_spec` maps column → one of sum|min|max (the reference's entry
+    combine: cnt/elo_diff_sum are summed, first_game_id min'd,
+    last_game_id max'd). Returns the compacted DataFrame (lazily
+    re-readable from `out_path`).
+    """
+    fns = {"sum": F.sum, "min": F.min, "max": F.max}
+    runs = [spark.read.parquet(p) for p in run_paths]
+    union = runs[0]
+    for r in runs[1:]:
+        union = union.unionByName(r)
+    aggs = [fns[how](c).alias(c) for c, how in agg_spec.items()]
+    merged = union.groupBy(*key).agg(*aggs)
+    write_sorted_run(merged, out_path, key, partitions=partitions)
+    return spark.read.parquet(out_path)
+
+
+def _write_manifest(path: str, key: Sequence[str]) -> None:
+    manifest = {
+        "format": FORMAT_NAME,
+        "version": FORMAT_VERSION,
+        "sort_key": list(key),
+    }
+    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f)
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST_NAME)) as f:
+        return json.load(f)

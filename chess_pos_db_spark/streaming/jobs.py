@@ -1,0 +1,130 @@
+"""Structured Streaming jobs (SURVEY.md §2.9 T1/T5/T6/T7).
+
+The reference's `append` command is micro-batching avant la lettre:
+new game files arrive, each import writes new sorted runs, queries see
+the union, `merge` compacts. The streaming jobs here reproduce that
+architecture natively:
+
+- `read_events_stream`      — file-source stream over events parquet
+                              (T1 incremental ingest);
+- `run_available_now`       — drive a streaming query to completion
+                              synchronously (Trigger.AvailableNow) into
+                              a memory sink, for batch-equivalence
+                              checks;
+- `incremental_ingest`      — foreachBatch: each micro-batch is
+                              pre-aggregated and appended as a new run;
+                              `compact` (plans/layout.py) then merges
+                              runs — exactly append+merge (T7 stateful
+                              upsert, reference-style);
+- watermarking + streaming dedup helpers (T5/T6).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans import layout
+
+# Schema of an engine-written events directory (ts is a real timestamp;
+# the TIMESTAMP_NANOS quirk applies only to the driver's original
+# fixture file, which tables.t() normalizes on batch read).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream over an events directory, one file per
+    micro-batch (the reference's one-import-per-new-file cadence)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Run a streaming result to completion; return the sink contents."""
+    name = f"sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def with_watermark(e: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """T5 — bound state/late data; identical expression batch-side is a
+    no-op, which the equivalence test exploits."""
+    return e.withWatermark("ts", delay)
+
+
+def dedup_stream(e: DataFrame) -> DataFrame:
+    """T6 — streaming exactly-once emission per event_id."""
+    return e.dropDuplicates(["event_id"])
+
+
+def incremental_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    runs_dir: str,
+    compacted_dir: str,
+) -> DataFrame:
+    """T1+T7: reference append+merge as a streaming job.
+
+    Each micro-batch is pre-aggregated (the import buffer combine) and
+    appended as a new sorted run; after the stream drains, runs are
+    compacted into one sorted table. Returns the compacted DataFrame.
+    """
+    events = read_events_stream(spark, src_dir)
+
+    def store_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        agg = batch_df.groupBy("user_id", "event_type").agg(
+            F.count("*").alias("cnt"),
+            F.sum("value").alias("sum_value"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        (
+            agg.repartitionByRange(4, "user_id", "event_type")
+            .sortWithinPartitions("user_id", "event_type")
+            .write.mode("append")
+            .parquet(runs_dir)
+        )
+
+    q = (
+        events.writeStream.foreachBatch(store_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", runs_dir + "_chk")
+        .start()
+    )
+    q.awaitTermination()
+
+    return layout.compact_runs(
+        spark,
+        [runs_dir],
+        compacted_dir,
+        key=["user_id", "event_type"],
+        agg_spec={
+            "cnt": "sum",
+            "sum_value": "sum",
+            "first_event": "min",
+            "last_event": "max",
+        },
+        partitions=4,
+    )

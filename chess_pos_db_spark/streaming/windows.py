@@ -21,20 +21,12 @@ from ..registry import register
 from ..tables import t
 
 
-# T2 — tumbling window aggregation.
-@register(
-    "stream_tumbling",
-    oracle="""
-SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS window_start,
-       event_type,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 2)     AS sum_value
-FROM events
-GROUP BY 1, 2
-""",
-)
-def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
+# Shared transformations: each takes an events DataFrame (batch OR
+# streaming — the expressions are identical, which is the point of the
+# batch-stream equivalence tests in tests/test_streaming.py).
+
+
+def tumbling_counts(e: DataFrame) -> DataFrame:
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -48,6 +40,50 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def sliding_counts(e: DataFrame) -> DataFrame:
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def session_stats(e: DataFrame) -> DataFrame:
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# T2 — tumbling window aggregation.
+@register(
+    "stream_tumbling",
+    oracle="""
+SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2)     AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(t(spark, sf_dir, "events"))
 
 
 # T3 — sliding window aggregation (1 h window, 15 min slide → every event
@@ -70,15 +106,7 @@ GROUP BY window_start
 """,
 )
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
-    )
+    return sliding_counts(t(spark, sf_dir, "events"))
 
 
 # T4 — session window (30 min gap) per user. Spark's session_window end =
@@ -111,18 +139,4 @@ GROUP BY user_id, session_id
 """,
 )
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-            "sum_value",
-        )
-    )
+    return session_stats(t(spark, sf_dir, "events"))

@@ -1,0 +1,50 @@
+"""Multimodal plumbing tests (N5): binary columns survive the Arrow
+round-trip, featurization is deterministic and batch-shaped correctly,
+frame sampling explodes as expected."""
+
+from __future__ import annotations
+
+from chess_pos_db_spark.llm import multimodal as mm
+
+
+def test_featurize_schema_and_determinism(spark):
+    media = mm.synthetic_media(spark, n=32)
+    feats = mm.featurize(media)
+    rows1 = {r["media_id"]: r for r in feats.collect()}
+    rows2 = {r["media_id"]: r for r in mm.featurize(media).collect()}
+    assert len(rows1) == 32
+    for mid, r in rows1.items():
+        assert len(r["feature"]) == 16
+        assert abs(sum(r["feature"]) - 1.0) < 1e-5  # normalized histogram
+        assert len(r["content_digest"]) == 64
+        assert rows2[mid]["content_digest"] == r["content_digest"]
+        assert rows2[mid]["feature"] == r["feature"]
+
+
+def test_blob_binary_roundtrip(spark, tmp_path):
+    media = mm.synthetic_media(spark, n=12)
+    path = str(tmp_path / "media")
+    media.write.parquet(path)
+    back = spark.read.parquet(path)
+    a = {r["media_id"]: bytes(r["blob"]) for r in media.collect()}
+    b = {r["media_id"]: bytes(r["blob"]) for r in back.collect()}
+    assert a == b
+
+
+def test_frame_sample(spark):
+    media = mm.synthetic_media(spark, n=30)
+    frames = mm.frame_sample(media, every_ms=1000)
+    rows = frames.collect()
+    # every sampled ts is a multiple of the stride within duration
+    vids = {
+        r["media_id"]: r["duration_ms"]
+        for r in media.filter("kind = 'video' AND duration_ms > 0").collect()
+    }
+    got = {}
+    for r in rows:
+        assert r["frame_ts_ms"] % 1000 == 0
+        assert r["frame_ts_ms"] < vids[r["media_id"]]
+        got.setdefault(r["media_id"], 0)
+        got[r["media_id"]] += 1
+    for mid, dur in vids.items():
+        assert got[mid] == (dur + 999) // 1000
