@@ -1,0 +1,624 @@
+"""Chess rules kernel: board state, legal move generation, FEN, SAN,
+position keys, reverse-move packing, position compression.
+
+Functional parity targets in the reference (all †, see SURVEY.md
+provenance): `src/chess/Position.h/.cpp` (board state, FEN,
+CompressedPosition), `src/chess/MoveGenerator.h` (legal movegen),
+`src/chess/San.h/.cpp` (SAN parse/format), `src/chess/Zobrist.h`
+(position hashing), format headers' `PackedReverseMove` (~27-bit
+packed move).
+
+Pure Python by design: this module runs inside Arrow-batched
+`mapInPandas` workers (the import explode and probe building), never
+row-at-a-time inside a SQL expression. Representation is 0x88 mailbox
+(128-slot list): off-board detection is `sq & 0x88`, attack deltas are
+plain integer offsets.
+
+Everything here is deterministic: zobrist tables derive from a fixed
+splitmix64 seed, so pos_key values are stable across sessions,
+executors, and reruns (a hard requirement — keys are join/storage
+keys).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator, Optional
+
+# --- squares -----------------------------------------------------------------
+
+FILES = "abcdefgh"
+RANKS = "12345678"
+
+
+def sq(file: int, rank: int) -> int:
+    return rank * 16 + file
+
+
+def sq_file(s: int) -> int:
+    return s & 7
+
+
+def sq_rank(s: int) -> int:
+    return s >> 4
+
+
+def sq_name(s: int) -> str:
+    return FILES[sq_file(s)] + RANKS[sq_rank(s)]
+
+
+def parse_sq(name: str) -> int:
+    return sq(FILES.index(name[0]), RANKS.index(name[1]))
+
+
+def on_board(s: int) -> bool:
+    return not (s & 0x88)
+
+
+# 0..63 index for zobrist/compression (rank-major, a1=0)
+def sq64(s: int) -> int:
+    return sq_rank(s) * 8 + sq_file(s)
+
+
+# --- pieces ------------------------------------------------------------------
+
+WHITE, BLACK = "w", "b"
+PIECE_CHARS = "PNBRQKpnbrqk"
+
+
+def piece_color(p: str) -> str:
+    return WHITE if p.isupper() else BLACK
+
+
+KNIGHT_DELTAS = (-33, -31, -18, -14, 14, 18, 31, 33)
+KING_DELTAS = (-17, -16, -15, -1, 1, 15, 16, 17)
+BISHOP_DELTAS = (-17, -15, 15, 17)
+ROOK_DELTAS = (-16, -1, 1, 16)
+
+
+# --- moves -------------------------------------------------------------------
+
+# flags
+F_QUIET = 0
+F_CAPTURE = 1
+F_DOUBLE_PUSH = 2
+F_EP = 3
+F_CASTLE_K = 4
+F_CASTLE_Q = 5
+
+
+@dataclass(frozen=True)
+class Move:
+    from_sq: int
+    to_sq: int
+    piece: str
+    promo: str = ""  # 'q','r','b','n' (lowercase) or ''
+    flag: int = F_QUIET
+
+    def uci(self) -> str:
+        return sq_name(self.from_sq) + sq_name(self.to_sq) + self.promo
+
+
+# Packed reverse-move layout (reference: PackedReverseMove, ~27 bits):
+#   bits 0-6   from square (0x88 index fits in 7 bits)
+#   bits 7-13  to square
+#   bits 14-16 promo code (0 none, 1 n, 2 b, 3 r, 4 q)
+#   bits 17-19 flag
+_PROMO_CODE = {"": 0, "n": 1, "b": 2, "r": 3, "q": 4}
+_PROMO_FROM_CODE = {v: k for k, v in _PROMO_CODE.items()}
+
+NO_REVERSE_MOVE = -1  # first position of a game has no incoming move
+
+
+def pack_move(m: Move) -> int:
+    return (
+        m.from_sq
+        | (m.to_sq << 7)
+        | (_PROMO_CODE[m.promo] << 14)
+        | (m.flag << 17)
+    )
+
+
+def unpack_move(packed: int, piece: str = "?") -> Move:
+    return Move(
+        from_sq=packed & 0x7F,
+        to_sq=(packed >> 7) & 0x7F,
+        piece=piece,
+        promo=_PROMO_FROM_CODE[(packed >> 14) & 0x7],
+        flag=(packed >> 17) & 0x7,
+    )
+
+
+# --- zobrist -----------------------------------------------------------------
+
+
+def _splitmix64(state: int) -> tuple[int, int]:
+    state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = state
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return state, z ^ (z >> 31)
+
+
+def _zobrist_tables():
+    state = 0x5EED_C0DE_2024_0001
+    piece_sq = {}
+    for p in PIECE_CHARS:
+        for s in range(64):
+            state, v = _splitmix64(state)
+            piece_sq[(p, s)] = v
+    castling = {}
+    for c in "KQkq":
+        state, v = _splitmix64(state)
+        castling[c] = v
+    ep_file = []
+    for _ in range(8):
+        state, v = _splitmix64(state)
+        ep_file.append(v)
+    state, black_to_move = _splitmix64(state)
+    return piece_sq, castling, ep_file, black_to_move
+
+
+_Z_PIECE, _Z_CASTLE, _Z_EP, _Z_BLACK = _zobrist_tables()
+
+
+# --- position ----------------------------------------------------------------
+
+START_FEN = "rnbqkbnr/pppppppp/8/8/8/8/PPPPPPPP/RNBQKBNR w KQkq - 0 1"
+
+
+@dataclass
+class Position:
+    board: list = field(default_factory=lambda: [""] * 128)
+    side: str = WHITE
+    castling: str = "KQkq"
+    ep: Optional[int] = None  # en-passant target square (0x88)
+    halfmove: int = 0
+    fullmove: int = 1
+
+    # -- FEN ------------------------------------------------------------------
+
+    @classmethod
+    def from_fen(cls, fen: str) -> "Position":
+        parts = fen.split()
+        if len(parts) < 4:
+            raise ValueError(f"bad FEN: {fen!r}")
+        placement, side, castling, ep = parts[0], parts[1], parts[2], parts[3]
+        halfmove = int(parts[4]) if len(parts) > 4 else 0
+        fullmove = int(parts[5]) if len(parts) > 5 else 1
+        board = [""] * 128
+        rank = 7
+        file = 0
+        for ch in placement:
+            if ch == "/":
+                rank -= 1
+                file = 0
+            elif ch.isdigit():
+                file += int(ch)
+            else:
+                if ch not in PIECE_CHARS:
+                    raise ValueError(f"bad FEN piece {ch!r}")
+                board[sq(file, rank)] = ch
+                file += 1
+        return cls(
+            board=board,
+            side=side,
+            castling=castling if castling != "-" else "",
+            ep=parse_sq(ep) if ep != "-" else None,
+            halfmove=halfmove,
+            fullmove=fullmove,
+        )
+
+    def fen(self) -> str:
+        rows = []
+        for rank in range(7, -1, -1):
+            row = ""
+            empty = 0
+            for file in range(8):
+                p = self.board[sq(file, rank)]
+                if p:
+                    if empty:
+                        row += str(empty)
+                        empty = 0
+                    row += p
+                else:
+                    empty += 1
+            if empty:
+                row += str(empty)
+            rows.append(row)
+        return " ".join(
+            [
+                "/".join(rows),
+                self.side,
+                self.castling or "-",
+                sq_name(self.ep) if self.ep is not None else "-",
+                str(self.halfmove),
+                str(self.fullmove),
+            ]
+        )
+
+    # -- hashing (the pos_key of the entries fact table) ----------------------
+
+    def key(self) -> int:
+        """64-bit zobrist key as a SIGNED int64 (Spark LongType)."""
+        h = 0
+        for s in range(128):
+            if not (s & 0x88) and self.board[s]:
+                h ^= _Z_PIECE[(self.board[s], sq64(s))]
+        for c in self.castling:
+            h ^= _Z_CASTLE[c]
+        if self.ep is not None and self._ep_capturable():
+            h ^= _Z_EP[sq_file(self.ep)]
+        if self.side == BLACK:
+            h ^= _Z_BLACK
+        return h - 0x10000000000000000 if h >= 0x8000000000000000 else h
+
+    def _ep_capturable(self) -> bool:
+        """EP square only hashes if a pawn can actually capture — makes
+        transpositions with phantom ep rights collapse to one key."""
+        if self.ep is None:
+            return False
+        pawn = "P" if self.side == WHITE else "p"
+        delta = -16 if self.side == WHITE else 16
+        for d in (-1, 1):
+            s = self.ep + delta + d
+            if on_board(s) and self.board[s] == pawn:
+                return True
+        return False
+
+    # -- compression (reference: CompressedPosition, ~24 bytes) ---------------
+
+    def compress(self) -> bytes:
+        """8-byte occupancy bitboard + nibble-packed piece codes +
+        1 byte side/castling + 1 byte ep file (0xFF none)."""
+        occ = 0
+        codes = []
+        for s64 in range(64):
+            s = (s64 >> 3) * 16 + (s64 & 7)
+            p = self.board[s]
+            if p:
+                occ |= 1 << s64
+                codes.append(PIECE_CHARS.index(p))
+        packed = bytearray(occ.to_bytes(8, "little"))
+        for i in range(0, len(codes), 2):
+            lo = codes[i]
+            hi = codes[i + 1] if i + 1 < len(codes) else 0
+            packed.append(lo | (hi << 4))
+        flags = (0 if self.side == WHITE else 1) << 4
+        for i, c in enumerate("KQkq"):
+            if c in self.castling:
+                flags |= 1 << i
+        packed.append(flags)
+        packed.append(sq_file(self.ep) if self.ep is not None else 0xFF)
+        return bytes(packed)
+
+    @classmethod
+    def decompress(cls, data: bytes) -> "Position":
+        occ = int.from_bytes(data[:8], "little")
+        n = bin(occ).count("1")
+        nibbles = []
+        body = data[8 : 8 + (n + 1) // 2]
+        for b in body:
+            nibbles.append(b & 0xF)
+            nibbles.append(b >> 4)
+        board = [""] * 128
+        i = 0
+        for s64 in range(64):
+            if occ & (1 << s64):
+                s = (s64 >> 3) * 16 + (s64 & 7)
+                board[s] = PIECE_CHARS[nibbles[i]]
+                i += 1
+        flags = data[8 + (n + 1) // 2]
+        side = BLACK if (flags >> 4) & 1 else WHITE
+        castling = "".join(c for i, c in enumerate("KQkq") if flags & (1 << i))
+        ep_file = data[8 + (n + 1) // 2 + 1]
+        ep = None
+        if ep_file != 0xFF:
+            ep = sq(ep_file, 5 if side == BLACK else 2)
+        return cls(board=board, side=side, castling=castling, ep=ep)
+
+    # -- attacks --------------------------------------------------------------
+
+    def king_sq(self, color: str) -> int:
+        k = "K" if color == WHITE else "k"
+        for s in range(128):
+            if not (s & 0x88) and self.board[s] == k:
+                return s
+        raise ValueError("no king on board")
+
+    def attacked(self, target: int, by: str) -> bool:
+        b = self.board
+        # pawns
+        pawn = "P" if by == WHITE else "p"
+        pdelta = 16 if by == WHITE else -16
+        for d in (-1, 1):
+            s = target - pdelta + d
+            if on_board(s) and b[s] == pawn:
+                return True
+        # knights
+        knight = "N" if by == WHITE else "n"
+        for d in KNIGHT_DELTAS:
+            s = target + d
+            if on_board(s) and b[s] == knight:
+                return True
+        # king
+        king = "K" if by == WHITE else "k"
+        for d in KING_DELTAS:
+            s = target + d
+            if on_board(s) and b[s] == king:
+                return True
+        # sliders
+        for deltas, pieces in (
+            (BISHOP_DELTAS, "BQ" if by == WHITE else "bq"),
+            (ROOK_DELTAS, "RQ" if by == WHITE else "rq"),
+        ):
+            for d in deltas:
+                s = target + d
+                while on_board(s):
+                    p = b[s]
+                    if p:
+                        if p in pieces:
+                            return True
+                        break
+                    s += d
+        return False
+
+    def in_check(self, color: Optional[str] = None) -> bool:
+        c = color or self.side
+        other = BLACK if c == WHITE else WHITE
+        return self.attacked(self.king_sq(c), other)
+
+    # -- move generation ------------------------------------------------------
+
+    def _pseudo_moves(self) -> Iterator[Move]:
+        b = self.board
+        us = self.side
+        own = (lambda p: p.isupper()) if us == WHITE else (lambda p: p.islower())
+        enemy = (lambda p: p.islower()) if us == WHITE else (lambda p: p.isupper())
+        for s in range(128):
+            if s & 0x88 or not b[s] or not own(b[s]):
+                continue
+            p = b[s]
+            pt = p.upper()
+            if pt == "P":
+                fwd = 16 if us == WHITE else -16
+                start_rank = 1 if us == WHITE else 6
+                promo_rank = 7 if us == WHITE else 0
+                one = s + fwd
+                if on_board(one) and not b[one]:
+                    if sq_rank(one) == promo_rank:
+                        for pr in "qrbn":
+                            yield Move(s, one, p, pr)
+                    else:
+                        yield Move(s, one, p)
+                    two = one + fwd
+                    if sq_rank(s) == start_rank and on_board(two) and not b[two]:
+                        yield Move(s, two, p, flag=F_DOUBLE_PUSH)
+                for d in (-1, 1):
+                    cap = s + fwd + d
+                    if not on_board(cap):
+                        continue
+                    if b[cap] and enemy(b[cap]):
+                        if sq_rank(cap) == promo_rank:
+                            for pr in "qrbn":
+                                yield Move(s, cap, p, pr, F_CAPTURE)
+                        else:
+                            yield Move(s, cap, p, flag=F_CAPTURE)
+                    elif self.ep is not None and cap == self.ep:
+                        yield Move(s, cap, p, flag=F_EP)
+            elif pt == "N":
+                for d in KNIGHT_DELTAS:
+                    to = s + d
+                    if on_board(to) and (not b[to] or enemy(b[to])):
+                        yield Move(s, to, p, flag=F_CAPTURE if b[to] else F_QUIET)
+            elif pt == "K":
+                for d in KING_DELTAS:
+                    to = s + d
+                    if on_board(to) and (not b[to] or enemy(b[to])):
+                        yield Move(s, to, p, flag=F_CAPTURE if b[to] else F_QUIET)
+                yield from self._castle_moves()
+            else:
+                deltas = (
+                    BISHOP_DELTAS
+                    if pt == "B"
+                    else ROOK_DELTAS
+                    if pt == "R"
+                    else BISHOP_DELTAS + ROOK_DELTAS
+                )
+                for d in deltas:
+                    to = s + d
+                    while on_board(to):
+                        if not b[to]:
+                            yield Move(s, to, p)
+                        else:
+                            if enemy(b[to]):
+                                yield Move(s, to, p, flag=F_CAPTURE)
+                            break
+                        to += d
+
+    def _castle_moves(self) -> Iterator[Move]:
+        b = self.board
+        us = self.side
+        other = BLACK if us == WHITE else WHITE
+        rank = 0 if us == WHITE else 7
+        king = "K" if us == WHITE else "k"
+        ks = sq(4, rank)
+        if b[ks] != king or self.attacked(ks, other):
+            return
+        krights = "K" if us == WHITE else "k"
+        qrights = "Q" if us == WHITE else "q"
+        rook = "R" if us == WHITE else "r"
+        if krights in self.castling and b[sq(7, rank)] == rook:
+            if not b[sq(5, rank)] and not b[sq(6, rank)]:
+                if not self.attacked(sq(5, rank), other) and not self.attacked(
+                    sq(6, rank), other
+                ):
+                    yield Move(ks, sq(6, rank), king, flag=F_CASTLE_K)
+        if qrights in self.castling and b[sq(0, rank)] == rook:
+            if not b[sq(1, rank)] and not b[sq(2, rank)] and not b[sq(3, rank)]:
+                if not self.attacked(sq(3, rank), other) and not self.attacked(
+                    sq(2, rank), other
+                ):
+                    yield Move(ks, sq(2, rank), king, flag=F_CASTLE_Q)
+
+    def legal_moves(self) -> list[Move]:
+        out = []
+        for m in self._pseudo_moves():
+            nxt = self.make_move(m)
+            if not nxt.in_check(self.side):
+                out.append(m)
+        return out
+
+    # -- make move ------------------------------------------------------------
+
+    def make_move(self, m: Move) -> "Position":
+        b = self.board[:]
+        us = self.side
+        them = BLACK if us == WHITE else WHITE
+        p = b[m.from_sq]
+        b[m.from_sq] = ""
+        capture = bool(b[m.to_sq]) or m.flag == F_EP
+        if m.flag == F_EP:
+            b[m.to_sq + (-16 if us == WHITE else 16)] = ""
+        if m.promo:
+            b[m.to_sq] = m.promo.upper() if us == WHITE else m.promo
+        else:
+            b[m.to_sq] = p
+        if m.flag == F_CASTLE_K:
+            rank = 0 if us == WHITE else 7
+            b[sq(5, rank)] = b[sq(7, rank)]
+            b[sq(7, rank)] = ""
+        elif m.flag == F_CASTLE_Q:
+            rank = 0 if us == WHITE else 7
+            b[sq(3, rank)] = b[sq(0, rank)]
+            b[sq(0, rank)] = ""
+        castling = self.castling
+        if p in "Kk":
+            castling = castling.replace("K" if us == WHITE else "k", "")
+            castling = castling.replace("Q" if us == WHITE else "q", "")
+        for s_rook, right in (
+            (sq(0, 0), "Q"),
+            (sq(7, 0), "K"),
+            (sq(0, 7), "q"),
+            (sq(7, 7), "k"),
+        ):
+            if m.from_sq == s_rook or m.to_sq == s_rook:
+                castling = castling.replace(right, "")
+        ep = None
+        if m.flag == F_DOUBLE_PUSH:
+            ep = m.from_sq + (16 if us == WHITE else -16)
+        return Position(
+            board=b,
+            side=them,
+            castling=castling,
+            ep=ep,
+            halfmove=0 if (p in "Pp" or capture) else self.halfmove + 1,
+            fullmove=self.fullmove + (1 if us == BLACK else 0),
+        )
+
+    # -- SAN ------------------------------------------------------------------
+
+    def san(self, m: Move) -> str:
+        """Standard algebraic notation for a legal move of this position."""
+        if m.flag == F_CASTLE_K:
+            s = "O-O"
+        elif m.flag == F_CASTLE_Q:
+            s = "O-O-O"
+        else:
+            pt = m.piece.upper()
+            capture = bool(self.board[m.to_sq]) or m.flag == F_EP
+            if pt == "P":
+                s = (FILES[sq_file(m.from_sq)] + "x" if capture else "") + sq_name(
+                    m.to_sq
+                )
+                if m.promo:
+                    s += "=" + m.promo.upper()
+            else:
+                # disambiguation among same-type pieces reaching to_sq
+                others = [
+                    x
+                    for x in self.legal_moves()
+                    if x.piece == m.piece
+                    and x.to_sq == m.to_sq
+                    and x.from_sq != m.from_sq
+                ]
+                dis = ""
+                if others:
+                    same_file = any(
+                        sq_file(x.from_sq) == sq_file(m.from_sq) for x in others
+                    )
+                    same_rank = any(
+                        sq_rank(x.from_sq) == sq_rank(m.from_sq) for x in others
+                    )
+                    if not same_file:
+                        dis = FILES[sq_file(m.from_sq)]
+                    elif not same_rank:
+                        dis = RANKS[sq_rank(m.from_sq)]
+                    else:
+                        dis = sq_name(m.from_sq)
+                s = pt + dis + ("x" if capture else "") + sq_name(m.to_sq)
+        nxt = self.make_move(m)
+        if nxt.in_check():
+            s += "#" if not nxt.legal_moves() else "+"
+        return s
+
+    def parse_san(self, san: str) -> Move:
+        """SAN string → legal move (raises ValueError if no/ambiguous
+        match). Tolerates check/mate/annotation suffixes."""
+        core = san.rstrip("+#!?").replace("0", "O")
+        candidates = []
+        for m in self.legal_moves():
+            if self._san_matches(m, core):
+                candidates.append(m)
+        if len(candidates) == 1:
+            return candidates[0]
+        if not candidates:
+            raise ValueError(f"illegal SAN {san!r} in {self.fen()!r}")
+        raise ValueError(f"ambiguous SAN {san!r} in {self.fen()!r}")
+
+    def _san_matches(self, m: Move, core: str) -> bool:
+        if core in ("O-O", "O-O-O"):
+            return (core == "O-O" and m.flag == F_CASTLE_K) or (
+                core == "O-O-O" and m.flag == F_CASTLE_Q
+            )
+        if m.flag in (F_CASTLE_K, F_CASTLE_Q):
+            return False
+        body = core
+        promo = ""
+        if "=" in body:
+            body, promo = body.split("=")
+            promo = promo.lower()
+        elif body and body[-1] in "QRBNqrbn" and m.piece.upper() == "P" and m.promo:
+            # promotion without '=' (e.g. e8Q)
+            promo = body[-1].lower()
+            body = body[:-1]
+        if promo != m.promo:
+            return False
+        pt = m.piece.upper()
+        if pt != "P":
+            if not body or body[0] != pt:
+                return False
+            body = body[1:]
+        body = body.replace("x", "")
+        if len(body) < 2 or body[-2:] != sq_name(m.to_sq):
+            return False
+        dis = body[:-2]
+        if pt == "P":
+            if dis and dis != FILES[sq_file(m.from_sq)]:
+                return False
+            return True
+        for ch in dis:
+            if ch in FILES and FILES[sq_file(m.from_sq)] != ch:
+                return False
+            if ch in RANKS and RANKS[sq_rank(m.from_sq)] != ch:
+                return False
+        return True
+
+
+def perft(pos: Position, depth: int) -> int:
+    """Movegen correctness oracle (standard perft node counts)."""
+    if depth == 0:
+        return 1
+    if depth == 1:
+        return len(pos.legal_moves())
+    return sum(perft(pos.make_move(m), depth - 1) for m in pos.legal_moves())

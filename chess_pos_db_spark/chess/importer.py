@@ -1,0 +1,299 @@
+"""Import pipeline: PGN files → games dimension + entries fact →
+sorted/compacted agg_entries (the reference's `create`/`append`
+commands, SURVEY.md §3.2).
+
+Reference flow †: LazyPgnFileReader streams games; each game is
+validated (unknown result → skipped & counted), assigned a level from
+its input list, header-appended for a game_id, then replayed move by
+move emitting one entry per position; entries are buffer-sorted,
+pre-aggregated and spilled as sorted runs (AsyncStorePipeline +
+External.h), finally merged.
+
+Spark mapping: the per-game replay is an Arrow-batched mapInPandas
+UDTF (one game row → N position rows); pre-aggregation is the
+automatic map-side partial agg under groupBy; the sorted-run write and
+aggregate-combining merge are plans/layout.py. Game ids are
+deterministic (file_ordinal << 32 | game_ordinal-in-file), never
+monotonically_increasing_id, so re-imports produce identical ids.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans import layout
+from . import pgn
+from .board import NO_REVERSE_MOVE, Position, START_FEN, pack_move
+
+GAME_SCHEMA = T.StructType(
+    [
+        T.StructField("game_id", T.LongType(), False),
+        T.StructField("level", T.StringType(), False),
+        T.StructField("result", T.StringType(), True),  # W/B/D, None=skipped
+        T.StructField("event", T.StringType(), True),
+        T.StructField("site", T.StringType(), True),
+        T.StructField("date_raw", T.StringType(), True),
+        T.StructField("year", T.IntegerType(), True),
+        T.StructField("month", T.IntegerType(), True),
+        T.StructField("day", T.IntegerType(), True),
+        T.StructField("round", T.StringType(), True),
+        T.StructField("white", T.StringType(), True),
+        T.StructField("black", T.StringType(), True),
+        T.StructField("white_elo", T.IntegerType(), True),
+        T.StructField("black_elo", T.IntegerType(), True),
+        T.StructField("eco", T.StringType(), True),
+        T.StructField("ply_count", T.IntegerType(), True),
+        T.StructField("source_file", T.StringType(), True),
+        T.StructField("sans", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+ENTRY_FIELDS = [
+    T.StructField("pos_key", T.LongType(), False),
+    T.StructField("reverse_move", T.IntegerType(), False),
+    T.StructField("level", T.StringType(), False),
+    T.StructField("result", T.StringType(), False),
+    T.StructField("game_id", T.LongType(), False),
+    T.StructField("ply", T.IntegerType(), False),
+    T.StructField("elo_diff", T.IntegerType(), True),
+]
+ENTRY_SCHEMA = T.StructType(ENTRY_FIELDS)
+ENTRY_SCHEMA_WITH_POS = T.StructType(
+    ENTRY_FIELDS + [T.StructField("pos_cmp", T.BinaryType(), True)]
+)
+
+AGG_KEY = ["pos_key", "reverse_move", "level", "result"]
+
+
+def read_pgn_files(
+    spark: SparkSession, files: list[tuple[str, str]]
+) -> DataFrame:
+    """(path, level) list → raw file DataFrame. Uses wholetext reads —
+    at scale, a chunked DataSource would split big PGNs on game
+    boundaries; one-file-per-task matches the reference's
+    one-parser-thread-per-file."""
+    rows = []
+    for idx, (path, level) in enumerate(files):
+        with open(path) as f:
+            rows.append((idx, path, level, f.read()))
+    schema = T.StructType(
+        [
+            T.StructField("file_idx", T.IntegerType(), False),
+            T.StructField("source_file", T.StringType(), False),
+            T.StructField("level", T.StringType(), False),
+            T.StructField("text", T.StringType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _int_or_none(v):
+    try:
+        return int(v) if v not in (None, "", "?") else None
+    except ValueError:
+        return None
+
+
+def parse_games(files_df: DataFrame) -> DataFrame:
+    """Raw file rows → one row per game (tags + SAN list), including
+    unknown-result games (result NULL) so skip counts are queryable."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, row in pdf.iterrows():
+                for g_idx, g in enumerate(pgn.parse_file(row["text"])):
+                    tags = g["tags"]
+                    out.append(
+                        {
+                            "game_id": (int(row["file_idx"]) << 32) | g_idx,
+                            "level": row["level"],
+                            "result": g["result"],
+                            "event": tags.get("Event"),
+                            "site": tags.get("Site"),
+                            "date_raw": tags.get("Date"),
+                            "year": g["year"],
+                            "month": g["month"],
+                            "day": g["day"],
+                            "round": tags.get("Round"),
+                            "white": tags.get("White"),
+                            "black": tags.get("Black"),
+                            "white_elo": _int_or_none(tags.get("WhiteElo")),
+                            "black_elo": _int_or_none(tags.get("BlackElo")),
+                            "eco": tags.get("ECO"),
+                            "ply_count": len(g["sans"]),
+                            "source_file": row["source_file"],
+                            "sans": g["sans"],
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in GAME_SCHEMA.fields]
+            )
+
+    return files_df.mapInPandas(batches, schema=GAME_SCHEMA)
+
+
+def explode_positions(
+    games_df: DataFrame, include_positions: bool = False
+) -> DataFrame:
+    """Game rows → entry rows: one per position reached (including the
+    start position, reverse_move = NO_REVERSE_MOVE). Games with unknown
+    result or an illegal move are skipped whole — the reference's
+    validation-by-parsing.
+
+    W1 note: the reverse move IS the lag of the move sequence — each
+    emitted position carries the move that produced it.
+    """
+    schema = ENTRY_SCHEMA_WITH_POS if include_positions else ENTRY_SCHEMA
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, row in pdf.iterrows():
+                if row["result"] is None or pd.isna(row["result"]):
+                    continue  # unknown result → skip (reference behavior)
+                we, be = row["white_elo"], row["black_elo"]
+                elo_diff = (
+                    int(we - be)
+                    if we is not None
+                    and be is not None
+                    and not (pd.isna(we) or pd.isna(be))
+                    else None
+                )
+                base = {
+                    "level": row["level"],
+                    "result": row["result"],
+                    "game_id": int(row["game_id"]),
+                    "elo_diff": elo_diff,
+                }
+                pos = Position.from_fen(START_FEN)
+                rows_game = [
+                    {
+                        "pos_key": pos.key(),
+                        "reverse_move": NO_REVERSE_MOVE,
+                        "ply": 0,
+                        **base,
+                        **(
+                            {"pos_cmp": pos.compress()}
+                            if include_positions
+                            else {}
+                        ),
+                    }
+                ]
+                ok = True
+                for ply, san in enumerate(row["sans"], start=1):
+                    try:
+                        m = pos.parse_san(san)
+                    except ValueError:
+                        ok = False  # illegal move → skip whole game
+                        break
+                    pos = pos.make_move(m)
+                    rows_game.append(
+                        {
+                            "pos_key": pos.key(),
+                            "reverse_move": pack_move(m),
+                            "ply": ply,
+                            **base,
+                            **(
+                                {"pos_cmp": pos.compress()}
+                                if include_positions
+                                else {}
+                            ),
+                        }
+                    )
+                if ok:
+                    out.extend(rows_game)
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return games_df.mapInPandas(batches, schema=schema)
+
+
+def build_agg_entries(entries_df: DataFrame) -> DataFrame:
+    """Entries → pre-aggregated fact (the stored table). Map-side
+    partial aggregation is the reference's in-buffer combine; the
+    shuffle is its spill+merge."""
+    return entries_df.groupBy(*AGG_KEY).agg(
+        F.count("*").alias("cnt"),
+        F.sum("elo_diff").alias("elo_diff_sum"),
+        F.min("game_id").alias("first_game_id"),
+        F.max("game_id").alias("last_game_id"),
+    )
+
+
+def import_pgn(
+    spark: SparkSession,
+    files: list[tuple[str, str]],
+    db_dir: str,
+    partitions: int = 8,
+) -> dict:
+    """Full `create` command: parse → explode → aggregate → write the
+    database directory (games/ + entries/ sorted runs + manifests).
+    Returns import stats (the reference's progress/skip report)."""
+    games = parse_games(read_pgn_files(spark, files)).cache()
+    entries = explode_positions(games)
+    agg = build_agg_entries(entries)
+
+    layout.write_sorted_run(
+        games.drop("sans"), f"{db_dir}/games", key=["game_id"], partitions=partitions
+    )
+    layout.write_sorted_run(
+        agg, f"{db_dir}/entries", key=["pos_key"], partitions=partitions
+    )
+
+    n_games = games.count()
+    n_skipped = games.filter(F.col("result").isNull()).count()
+    n_positions = (
+        spark.read.parquet(f"{db_dir}/entries")
+        .agg(F.sum("cnt").alias("s"))
+        .first()["s"]
+    )
+    games.unpersist()
+    return {
+        "games": n_games,
+        "skipped": n_skipped,
+        "positions": int(n_positions or 0),
+        "db_dir": db_dir,
+    }
+
+
+def append_pgn(
+    spark: SparkSession,
+    files: list[tuple[str, str]],
+    db_dir: str,
+    partitions: int = 8,
+) -> dict:
+    """`append` command: new files become new runs; a compaction merge
+    (layout.compact_runs) re-establishes the single sorted table. The
+    run staging dir is transient — leaving it around would double-count
+    on the next append."""
+    import shutil
+
+    runs_dir = f"{db_dir}/_append_runs_tmp"
+    games = parse_games(read_pgn_files(spark, files))
+    agg = build_agg_entries(explode_positions(games))
+    games.drop("sans").write.mode("append").parquet(f"{db_dir}/games")
+    agg.write.mode("overwrite").parquet(runs_dir)
+
+    existing = spark.read.parquet(f"{db_dir}/entries")
+    existing.write.mode("append").parquet(runs_dir)
+    layout.compact_runs(
+        spark,
+        [runs_dir],
+        f"{db_dir}/entries",
+        key=AGG_KEY,
+        agg_spec={
+            "cnt": "sum",
+            "elo_diff_sum": "sum",
+            "first_game_id": "min",
+            "last_game_id": "max",
+        },
+        partitions=partitions,
+    )
+    shutil.rmtree(runs_dir, ignore_errors=True)
+    return {"db_dir": db_dir}

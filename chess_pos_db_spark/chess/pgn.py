@@ -1,0 +1,126 @@
+"""PGN parsing (reference: `src/chess/Pgn.h` LazyPgnFileReader /
+UnparsedGame †).
+
+Produces plain dict game records: tag pairs + SAN token list + result.
+Mirrors the reference's tolerances: games with unknown result (`*`) are
+surfaced with result=None so the importer can skip (and count) them;
+comments `{...}`, line comments `;`/`%`, NAGs `$n`, and recursive
+variations `(...)` are stripped; partial dates (`1992.??.??`) parse to
+nullable (year, month, day).
+
+Pure Python: runs inside mapInPandas batches in the import pipeline
+(S1's `spark.read.text` + parser-UDF shape), or driver-side for small
+probe inputs.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, Optional
+
+_TAG_RE = re.compile(r'\[\s*(\w+)\s+"((?:[^"\\]|\\.)*)"\s*\]')
+_RESULT_TOKENS = {"1-0": "W", "0-1": "B", "1/2-1/2": "D", "*": None}
+_MOVE_NUM_RE = re.compile(r"^\d+\.*$")
+_CASTLE_FIX = str.maketrans({"0": "O"})
+
+
+def split_games(text: str) -> Iterator[str]:
+    """Split a PGN file into per-game chunks (tag section + movetext)."""
+    chunk: list[str] = []
+    seen_movetext = False
+    for line in text.splitlines():
+        stripped = line.strip()
+        if stripped.startswith("[") and seen_movetext:
+            yield "\n".join(chunk)
+            chunk = []
+            seen_movetext = False
+        if stripped and not stripped.startswith("[") and not stripped.startswith("%"):
+            seen_movetext = True
+        chunk.append(line)
+    if any(ln.strip() for ln in chunk):
+        yield "\n".join(chunk)
+
+
+def _strip_movetext(movetext: str) -> str:
+    out = []
+    depth = 0
+    in_comment = False
+    i = 0
+    while i < len(movetext):
+        ch = movetext[i]
+        if in_comment:
+            if ch == "}":
+                in_comment = False
+        elif ch == "{":
+            in_comment = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == ";":
+            while i < len(movetext) and movetext[i] != "\n":
+                i += 1
+        elif depth == 0:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def parse_date(raw: str) -> tuple[Optional[int], Optional[int], Optional[int]]:
+    """PGN partial date: '1992.??.??' → (1992, None, None)."""
+    parts = (raw or "").split(".")
+
+    def num(i: int) -> Optional[int]:
+        if i < len(parts) and parts[i].isdigit():
+            return int(parts[i])
+        return None
+
+    return num(0), num(1), num(2)
+
+
+def parse_game(chunk: str) -> dict:
+    """One PGN game chunk → {'tags', 'sans', 'result'} (result None for
+    unknown/'*')."""
+    tags = {m.group(1): m.group(2) for m in _TAG_RE.finditer(chunk)}
+    movetext_lines = []
+    for line in chunk.splitlines():
+        s = line.strip()
+        if not s or s.startswith("[") or s.startswith("%"):
+            continue
+        movetext_lines.append(s)
+    movetext = _strip_movetext(" ".join(movetext_lines))
+
+    sans: list[str] = []
+    result: Optional[str] = None
+    result_seen = False
+    for tok in movetext.split():
+        if tok in _RESULT_TOKENS:
+            result = _RESULT_TOKENS[tok]
+            result_seen = True
+            break
+        if _MOVE_NUM_RE.match(tok) or tok.startswith("$"):
+            continue
+        # '12.Nf3' style without space after the dot
+        m = re.match(r"^\d+\.+(.+)$", tok)
+        if m:
+            tok = m.group(1)
+        if tok:
+            sans.append(tok.translate(_CASTLE_FIX) if tok.startswith("0") else tok)
+    if not result_seen:
+        result = _RESULT_TOKENS.get(tags.get("Result", "*"))
+    year, month, day = parse_date(tags.get("Date", ""))
+    return {
+        "tags": tags,
+        "sans": sans,
+        "result": result,
+        "year": year,
+        "month": month,
+        "day": day,
+    }
+
+
+def parse_file(text: str) -> Iterator[dict]:
+    for chunk in split_games(text):
+        g = parse_game(chunk)
+        if g["sans"] or g["tags"]:
+            yield g

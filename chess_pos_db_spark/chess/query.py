@@ -1,0 +1,214 @@
+"""Explorer query: the reference's `query` command end-to-end
+(SURVEY.md §3.1; reference `src/persistence/pos_db/Query.h/.cpp` †).
+
+Request (dict, same JSON shape as the reference's wire protocol):
+    {"token": "...",
+     "positions": [{"fen": ..., "move": <san, optional>}, ...],
+     "levels":   ["human","engine","server"]  (optional subset),
+     "results":  ["W","B","D"]                (optional subset),
+     "fetchChildren": true}
+
+Execution is one Spark job: the probe set (roots + all legal children,
+built driver-side with the movegen) is broadcast-joined against the
+sorted entries table — the distributed analogue of the reference's
+sparse-index binary search per run — then grouped into the
+(select × level × result) grid. first/last game metadata resolves via
+a join to the games dimension. Response is a nested dict mirroring the
+reference's JSON.
+
+Scale: the probe side is tiny (positions × ~40 children), so the fact
+table never shuffles; pos_key-sorted parquet means row-group min/max
+stats prune the scan exactly like the reference's sparse index.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .board import NO_REVERSE_MOVE, Position, pack_move, unpack_move
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("origin", T.IntegerType(), False),
+        T.StructField("probe_kind", T.StringType(), False),  # root | child
+        T.StructField("move_san", T.StringType(), True),
+        T.StructField("move_uci", T.StringType(), True),
+        T.StructField("pos_key", T.LongType(), False),
+        T.StructField("expected_rm", T.IntegerType(), True),
+    ]
+)
+
+
+def build_probes(request: dict) -> list[tuple]:
+    """Driver-side plan: root + child probes per requested position
+    (reference steps 2–3: parse/validate + movegen expansion)."""
+    probes = []
+    fetch_children = request.get("fetchChildren", True)
+    for i, spec in enumerate(request.get("positions", [])):
+        base = Position.from_fen(spec["fen"])
+        san: Optional[str] = spec.get("move")
+        if san:
+            m = base.parse_san(san)
+            root = base.make_move(m)
+            expected = pack_move(m)
+        else:
+            root = base
+            expected = None
+        probes.append((i, "root", san, None, root.key(), expected))
+        if fetch_children:
+            for cm in root.legal_moves():
+                child = root.make_move(cm)
+                probes.append(
+                    (i, "child", root.san(cm), cm.uci(), child.key(), pack_move(cm))
+                )
+    return probes
+
+
+def probe_entries(
+    spark: SparkSession,
+    entries: DataFrame,
+    request: dict,
+) -> DataFrame:
+    """The distributed part: broadcast probe join + grid aggregation."""
+    probes = spark.createDataFrame(build_probes(request), PROBE_SCHEMA)
+    joined = entries.join(F.broadcast(probes), "pos_key")
+
+    levels = request.get("levels")
+    results = request.get("results")
+    if levels:
+        joined = joined.filter(F.col("level").isin(*levels))
+    if results:
+        joined = joined.filter(F.col("result").isin(*results))
+
+    select = (
+        F.when(F.col("expected_rm").isNull(), F.lit("all"))
+        .when(F.col("reverse_move") == F.col("expected_rm"), F.lit("continuation"))
+        .otherwise(F.lit("transposition"))
+    )
+    return (
+        joined.withColumn("select", select)
+        .groupBy("origin", "probe_kind", "move_san", "move_uci", "select", "level", "result")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("elo_diff_sum").alias("elo_diff_sum"),
+            F.min("first_game_id").alias("first_game_id"),
+            F.max("last_game_id").alias("last_game_id"),
+        )
+    )
+
+
+def explorer_query(
+    spark: SparkSession,
+    entries: DataFrame,
+    games: Optional[DataFrame],
+    request: dict,
+) -> dict:
+    """Full query command → nested response dict (reference step 6)."""
+    grid = probe_entries(spark, entries, request).collect()
+
+    game_ids = set()
+    for r in grid:
+        if r["first_game_id"] is not None:
+            game_ids.add(r["first_game_id"])
+        if r["last_game_id"] is not None:
+            game_ids.add(r["last_game_id"])
+    headers: dict[int, dict] = {}
+    if games is not None and game_ids:
+        hdr_rows = games.filter(F.col("game_id").isin(*game_ids)).collect()
+        headers = {
+            r["game_id"]: {
+                "white": r["white"],
+                "black": r["black"],
+                "date": r["date_raw"],
+                "event": r["event"],
+                "result": r["result"],
+            }
+            for r in hdr_rows
+        }
+
+    response: dict = {"token": request.get("token"), "positions": []}
+    by_origin: dict[int, dict] = {}
+    for i, spec in enumerate(request.get("positions", [])):
+        node = {"fen": spec["fen"], "move": spec.get("move"), "stats": {}, "children": {}}
+        by_origin[i] = node
+        response["positions"].append(node)
+
+    for r in grid:
+        node = by_origin[r["origin"]]
+        if r["probe_kind"] == "root":
+            bucket = node["stats"].setdefault(r["select"], {})
+        else:
+            child = node["children"].setdefault(
+                r["move_san"], {"uci": r["move_uci"], "stats": {}}
+            )
+            bucket = child["stats"].setdefault(r["select"], {})
+        cell = bucket.setdefault(r["level"], {}).setdefault(r["result"], {})
+        cell["count"] = r["cnt"]
+        if r["elo_diff_sum"] is not None:
+            cell["eloDiffSum"] = r["elo_diff_sum"]
+        if r["first_game_id"] is not None:
+            cell["firstGame"] = {
+                "id": r["first_game_id"],
+                **headers.get(r["first_game_id"], {}),
+            }
+        if r["last_game_id"] is not None:
+            cell["lastGame"] = {
+                "id": r["last_game_id"],
+                **headers.get(r["last_game_id"], {}),
+            }
+    return response
+
+
+def retractions(
+    spark: SparkSession,
+    entries: DataFrame,
+    fen: str,
+) -> DataFrame:
+    """J5 — which (reverse) moves lead INTO this position: group the
+    position's entries by reverse_move (reference retractions support)."""
+    key = Position.from_fen(fen).key()
+    agg = (
+        entries.filter(F.col("pos_key") == key)
+        .filter(F.col("reverse_move") != NO_REVERSE_MOVE)
+        .groupBy("reverse_move")
+        .agg(F.sum("cnt").alias("cnt"), F.min("first_game_id").alias("first_game_id"))
+    )
+
+    @F.udf(T.StringType())
+    def rm_uci(packed: int) -> str:
+        return unpack_move(packed).uci()
+
+    return agg.withColumn("move_uci", rm_uci("reverse_move")).select(
+        "move_uci", "reverse_move", "cnt", "first_game_id"
+    )
+
+
+def dump_epd(
+    entries_with_pos: DataFrame,
+    out_path: str,
+    min_count: int = 1,
+) -> None:
+    """EPD dump sink (reference `dump` command): positions with
+    cnt >= min_count, one EPD line each. Requires entries built with
+    include_positions=True (pos_cmp column)."""
+
+    @F.udf(T.StringType())
+    def to_epd(pos_cmp: bytes) -> str:
+        p = Position.decompress(bytes(pos_cmp))
+        placement, side, castling, ep, *_ = p.fen().split(" ")
+        return " ".join([placement, side, castling, ep])
+
+    agg = (
+        entries_with_pos.groupBy("pos_cmp")
+        .agg(F.sum(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    (
+        agg.select(F.concat(to_epd("pos_cmp"), F.lit(" ; c0 "), F.col("cnt")).alias("line"))
+        .write.mode("overwrite")
+        .text(out_path)
+    )

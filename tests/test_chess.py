@@ -1,0 +1,276 @@
+"""Chess-domain layer tests (SURVEY.md §5.3 fixtures + §5.2.3
+invariants): movegen perft, round-trips, PGN parsing quirks (partial
+dates, unknown results, comments/variations), the import pipeline's
+known counts, and the explorer query's continuation-vs-transposition
+split on a hand-built transposing game pair."""
+
+from __future__ import annotations
+
+import pytest
+
+from chess_pos_db_spark.chess import importer, pgn, query
+from chess_pos_db_spark.chess.board import (
+    NO_REVERSE_MOVE,
+    Position,
+    START_FEN,
+    pack_move,
+    perft,
+    unpack_move,
+)
+
+# --- pure-rules invariants ---------------------------------------------------
+
+
+def test_perft_start():
+    p = Position.from_fen(START_FEN)
+    assert perft(p, 1) == 20
+    assert perft(p, 2) == 400
+    assert perft(p, 3) == 8902
+
+
+def test_perft_kiwipete():
+    p = Position.from_fen(
+        "r3k2r/p1ppqpb1/bn2pnp1/3PN3/1p2P3/2N2Q1p/PPPBBPPP/R3K2R w KQkq - 0 1"
+    )
+    assert perft(p, 1) == 48
+    assert perft(p, 2) == 2039
+
+
+def test_fen_roundtrip():
+    for fen in (
+        START_FEN,
+        "r3k2r/p1ppqpb1/bn2pnp1/3PN3/1p2P3/2N2Q1p/PPPBBPPP/R3K2R w KQkq - 0 1",
+        "8/2p5/3p4/KP5r/1R3p1k/8/4P1P1/8 w - - 0 1",
+    ):
+        assert Position.from_fen(fen).fen() == fen
+
+
+def test_move_pack_roundtrip():
+    p = Position.from_fen(START_FEN)
+    for m in p.legal_moves():
+        u = unpack_move(pack_move(m), m.piece)
+        assert (u.from_sq, u.to_sq, u.promo, u.flag) == (
+            m.from_sq,
+            m.to_sq,
+            m.promo,
+            m.flag,
+        )
+
+
+def test_san_roundtrip_along_game():
+    p = Position.from_fen(START_FEN)
+    for _ in range(6):
+        for m in p.legal_moves():
+            parsed = p.parse_san(p.san(m))
+            assert parsed == m
+        # walk a deterministic path: first legal move by uci order
+        m = sorted(p.legal_moves(), key=lambda x: x.uci())[0]
+        p = p.make_move(m)
+
+
+def test_compress_roundtrip():
+    p = Position.from_fen(START_FEN)
+    for san in ["e4", "e5", "Nf3", "Nc6", "Bb5", "a6", "Bxc6", "dxc6", "O-O"]:
+        p = p.make_move(p.parse_san(san))
+        q = Position.decompress(p.compress())
+        assert q.board == p.board
+        assert q.side == p.side
+        assert q.castling == p.castling
+
+
+def test_zobrist_transposition_equality():
+    a = Position.from_fen(START_FEN)
+    for san in ["e4", "e5", "Nf3", "Nc6"]:
+        a = a.make_move(a.parse_san(san))
+    b = Position.from_fen(START_FEN)
+    for san in ["Nf3", "Nc6", "e4", "e5"]:
+        b = b.make_move(b.parse_san(san))
+    # b has a phantom ep square from e5 (not capturable) — keys must match
+    assert a.key() == b.key()
+    assert a.fen().split()[0] == b.fen().split()[0]
+    # and a genuinely different position must differ
+    c = a.make_move(a.parse_san("Bb5"))
+    assert c.key() != a.key()
+
+
+# --- PGN parsing -------------------------------------------------------------
+
+PGN_TEXT = """\
+[Event "Test Open"]
+[Site "Testville"]
+[Date "1992.??.??"]
+[Round "1"]
+[White "Alpha"]
+[Black "Beta"]
+[Result "1-0"]
+[WhiteElo "2400"]
+[BlackElo "2300"]
+
+1. e4 e5 2. Nf3 Nc6 1-0
+
+[Event "Test Open"]
+[Date "1993.05.12"]
+[White "Gamma"]
+[Black "Delta"]
+[Result "0-1"]
+[WhiteElo "2100"]
+[BlackElo "2250"]
+
+1. Nf3 Nc6 2. e4 e5 0-1
+
+[Event "Unknown Result"]
+[White "Eps"]
+[Black "Zeta"]
+[Result "*"]
+
+1. d4 d5 *
+
+[Event "Annotated"]
+[White "Eta"]
+[Black "Theta"]
+[Result "1/2-1/2"]
+
+1. d4 {queen's pawn} d5 (1... Nf6 2. c4 {indian}) 2. c4 $1 1/2-1/2
+"""
+
+
+def test_pgn_parse():
+    games = list(pgn.parse_file(PGN_TEXT))
+    assert len(games) == 4
+    g1, g2, g3, g4 = games
+    assert g1["sans"] == ["e4", "e5", "Nf3", "Nc6"]
+    assert g1["result"] == "W"
+    assert (g1["year"], g1["month"], g1["day"]) == (1992, None, None)
+    assert g2["result"] == "B"
+    assert (g2["year"], g2["month"], g2["day"]) == (1993, 5, 12)
+    assert g3["result"] is None  # unknown → to be skipped by importer
+    assert g4["sans"] == ["d4", "d5", "c4"]  # comments/variations/NAG stripped
+    assert g4["result"] == "D"
+
+
+# --- import pipeline + explorer query ---------------------------------------
+
+
+@pytest.fixture(scope="module")
+def chess_db(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("chessdb")
+    pgn_path = root / "games.pgn"
+    pgn_path.write_text(PGN_TEXT)
+    db_dir = str(root / "db")
+    stats = importer.import_pgn(spark, [(str(pgn_path), "human")], db_dir)
+    return db_dir, stats
+
+
+def test_import_stats(spark, chess_db):
+    db_dir, stats = chess_db
+    assert stats["games"] == 4
+    assert stats["skipped"] == 1
+    # entries: games 1,2 contribute 5 positions each (start + 4 plies),
+    # game 4 contributes 4; game 3 skipped → 14 position visits total
+    assert stats["positions"] == 14
+
+
+def test_start_position_counts(spark, chess_db):
+    db_dir, _ = chess_db
+    entries = spark.read.parquet(f"{db_dir}/entries")
+    start_key = Position.from_fen(START_FEN).key()
+    rows = entries.filter(entries.pos_key == start_key).collect()
+    # 3 imported games × (level=human, result in {W,B,D}) with rm sentinel
+    assert len(rows) == 3
+    assert all(r["reverse_move"] == NO_REVERSE_MOVE for r in rows)
+    assert {r["result"] for r in rows} == {"W", "B", "D"}
+    assert sum(r["cnt"] for r in rows) == 3
+
+
+def test_explorer_continuation_vs_transposition(spark, chess_db):
+    """The heart of the reference's semantics: the position after
+    1.e4 e5 2.Nf3 Nc6 is reached by game 1 via Nc6 (continuation w.r.t.
+    the queried move) and by game 2 via ...e5 transposition."""
+    db_dir, _ = chess_db
+    entries = spark.read.parquet(f"{db_dir}/entries")
+    games = spark.read.parquet(f"{db_dir}/games")
+
+    after_e4e5 = Position.from_fen(START_FEN)
+    for san in ["e4", "e5"]:
+        after_e4e5 = after_e4e5.make_move(after_e4e5.parse_san(san))
+
+    resp = query.explorer_query(
+        spark,
+        entries,
+        games,
+        {
+            "token": "t1",
+            "positions": [{"fen": after_e4e5.fen(), "move": "Nf3"}],
+            "fetchChildren": True,
+        },
+    )
+    node = resp["positions"][0]
+    # root (after 2.Nf3): only game 1 passed through, via Nf3 itself
+    assert node["stats"]["continuation"]["human"]["W"]["count"] == 1
+    assert "transposition" not in node["stats"]
+
+    child = node["children"]["Nc6"]
+    stats = child["stats"]
+    assert stats["continuation"]["human"]["W"]["count"] == 1  # game 1
+    assert stats["transposition"]["human"]["B"]["count"] == 1  # game 2
+    # header metadata resolved via the games join
+    assert stats["continuation"]["human"]["W"]["firstGame"]["white"] == "Alpha"
+    assert stats["transposition"]["human"]["B"]["firstGame"]["white"] == "Gamma"
+
+
+def test_explorer_bare_fen_all_select(spark, chess_db):
+    db_dir, _ = chess_db
+    entries = spark.read.parquet(f"{db_dir}/entries")
+    resp = query.explorer_query(
+        spark,
+        entries,
+        None,
+        {"positions": [{"fen": START_FEN}], "fetchChildren": False},
+    )
+    stats = resp["positions"][0]["stats"]["all"]["human"]
+    assert {k: v["count"] for k, v in stats.items()} == {"W": 1, "B": 1, "D": 1}
+
+
+def test_retractions(spark, chess_db):
+    db_dir, _ = chess_db
+    entries = spark.read.parquet(f"{db_dir}/entries")
+    after_e4 = Position.from_fen(START_FEN)
+    after_e4 = after_e4.make_move(after_e4.parse_san("e4"))
+    rows = query.retractions(spark, entries, after_e4.fen()).collect()
+    # only way into this position in the corpus: e2e4 (game 1)
+    assert len(rows) == 1
+    assert rows[0]["move_uci"] == "e2e4"
+    assert rows[0]["cnt"] == 1
+
+
+def test_append_then_query(spark, chess_db, tmp_path):
+    """append ≡ reference append+merge: counts double after re-adding
+    the same file."""
+    db_dir, _ = chess_db
+    extra = tmp_path / "more.pgn"
+    extra.write_text(PGN_TEXT)
+    importer.append_pgn(spark, [(str(extra), "engine")], db_dir)
+    entries = spark.read.parquet(f"{db_dir}/entries")
+    start_key = Position.from_fen(START_FEN).key()
+    rows = entries.filter(entries.pos_key == start_key).collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r["level"], 0)
+        by_level[r["level"]] += r["cnt"]
+    assert by_level == {"human": 3, "engine": 3}
+
+
+def test_dump_epd(spark, tmp_path):
+    pgn_path = tmp_path / "g.pgn"
+    pgn_path.write_text(PGN_TEXT)
+    games = importer.parse_games(
+        importer.read_pgn_files(spark, [(str(pgn_path), "human")])
+    )
+    entries = importer.explode_positions(games, include_positions=True)
+    out = str(tmp_path / "dump")
+    query.dump_epd(entries, out, min_count=2)
+    lines = [r["value"] for r in spark.read.text(out).collect()]
+    # start position (3 visits) and the transposition square (2 visits)
+    # must appear; every line carries a count >= 2
+    assert any(line.startswith("rnbqkbnr/pppppppp/8/8/8/8/PPPPPPPP/RNBQKBNR w") for line in lines)
+    assert all(int(line.rsplit(" ", 1)[-1]) >= 2 for line in lines)
