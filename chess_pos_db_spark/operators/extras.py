@@ -1,0 +1,212 @@
+"""Coverage extensions (SURVEY.md §2 gap-fills): statistical
+aggregates, exact percentiles, GROUPING SETS through the SQL front-end,
+unpivot/stack, and the remaining window functions.
+
+The SQL-API queries register temp views and go through ``spark.sql`` —
+Catalyst produces the same plan as the DataFrame API, and the engine
+must support both front-ends (the reference only ever had its one
+fixed query shape; a generic engine needs SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import t
+
+
+# --- statistical aggregates (Elo-statistics generalized) ---------------------
+
+
+@register(
+    "agg_stats_suite",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_quantity), 6)          AS qty_stddev,
+       ROUND(VAR_SAMP(l_quantity), 6)             AS qty_var,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS qty_disc_covar
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+    )
+
+
+# --- exact percentile (interpolated) + approximate (rows-only) ---------------
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(QUANTILE_CONT(l_quantity, 0.5), 6)       AS qty_median,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 6)  AS price_p90
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("qty_median"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("price_p90"),
+    )
+
+
+@register("agg_percentile_approx")  # rows-only: sketch-based, engine-specific
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias(
+            "price_median_approx"
+        )
+    )
+
+
+# --- GROUPING SETS through the SQL front-end ---------------------------------
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# --- SQL front-end join+agg (TPC-H Q3 shape) ---------------------------------
+
+
+@register(
+    "sql_orders_revenue",
+    oracle="""
+SELECT o.o_orderkey, o.o_orderdate,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 20
+""",
+)
+def sql_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_orderdate,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        FROM orders_v o JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
+        JOIN customer_v c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 20
+        """
+    )
+
+
+# --- unpivot / stack ---------------------------------------------------------
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, val FROM (
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+)
+""",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    ).withColumn(
+        "measure",
+        F.expr("substring(measure, 3)"),  # l_quantity -> quantity
+    )
+
+
+# --- remaining window functions ----------------------------------------------
+
+
+@register(
+    "win_cume_nth",
+    oracle="""
+SELECT o_orderkey,
+       ROUND(CUME_DIST() OVER w, 6)                       AS price_cume,
+       CAST(NTH_VALUE(o_orderkey, 2) OVER w2 AS BIGINT)   AS second_cheapest
+FROM orders
+WINDOW w  AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+       w2 AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.round(F.cume_dist().over(w), 6).alias("price_cume"),
+        F.nth_value("o_orderkey", 2).over(w2).alias("second_cheapest"),
+    )
+
+
+# --- correlated scalar subquery (generic-engine gap-fill) --------------------
+
+
+@register(
+    "subquery_above_avg",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > (
+    SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+""",
+)
+def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_v o
+        WHERE o_totalprice > (
+            SELECT AVG(o2.o_totalprice) FROM orders_v o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
