@@ -1,0 +1,192 @@
+"""JSON command protocol + TCP/console server (reference: `src/app/` —
+the engine's wire interface the GUI talks to, SURVEY.md §3.1 step 1/6).
+
+Commands (one JSON object per line, response is one JSON line):
+
+    {"command": "create", "destination": dir,
+     "files": {"human": [paths...], "engine": [...], "server": [...]},
+     "format": "pgn" | "sbgn"}
+    {"command": "append", "database": dir, "files": {...}, "format": ...}
+    {"command": "open",   "database": dir}
+    {"command": "query",  "query": {<explorer request, see chess/query.py>}}
+    {"command": "stats"}
+    {"command": "dump",   "files": {...}, "destination": path, "minCount": N}
+    {"command": "close"} / {"command": "exit"}
+
+A command either returns {"ok": true, ...} or {"ok": false, "error":
+...} — errors never kill the session (the reference's server loop
+behaves the same way).
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import threading
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..chess import bcgn, importer, query
+
+
+class Engine:
+    """Command dispatcher holding the open-database state."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.db_dir: Optional[str] = None
+        self._entries: Optional[DataFrame] = None
+        self._games: Optional[DataFrame] = None
+
+    # -- helpers --------------------------------------------------------------
+
+    def _files_arg(self, cmd: dict) -> list[tuple[str, str]]:
+        files = []
+        for level, paths in (cmd.get("files") or {}).items():
+            for p in paths:
+                files.append((p, level))
+        return files
+
+    def _load_games(self, files: list[tuple[str, str]], fmt: str) -> DataFrame:
+        if fmt == "sbgn":
+            return bcgn.read_sbgn(self.spark, files)
+        return importer.parse_games(importer.read_pgn_files(self.spark, files))
+
+    def _require_open(self) -> None:
+        if self._entries is None:
+            raise ValueError("no database open")
+
+    # -- commands -------------------------------------------------------------
+
+    def handle(self, cmd: dict) -> dict:
+        try:
+            op = cmd.get("command")
+            fn = getattr(self, f"cmd_{op}", None)
+            if fn is None:
+                raise ValueError(f"unknown command {op!r}")
+            return {"ok": True, **(fn(cmd) or {})}
+        except Exception as exc:  # protocol errors must not kill the server
+            return {"ok": False, "error": str(exc)}
+
+    def cmd_create(self, cmd: dict) -> dict:
+        files = self._files_arg(cmd)
+        fmt = cmd.get("format", "pgn")
+        db_dir = cmd["destination"]
+        if fmt == "pgn":
+            stats = importer.import_pgn(self.spark, files, db_dir)
+        else:
+            from ..plans import layout
+
+            games = self._load_games(files, fmt).cache()
+            agg = importer.build_agg_entries(importer.explode_positions(games))
+            layout.write_sorted_run(
+                games.drop("sans"), f"{db_dir}/games", key=["game_id"]
+            )
+            layout.write_sorted_run(agg, f"{db_dir}/entries", key=["pos_key"])
+            stats = {"games": games.count(), "db_dir": db_dir}
+            games.unpersist()
+        self.cmd_open({"database": db_dir})
+        return {"import": stats}
+
+    def cmd_append(self, cmd: dict) -> dict:
+        self._require_open()
+        files = self._files_arg(cmd)
+        stats = importer.append_pgn(self.spark, files, cmd.get("database") or self.db_dir)
+        self.cmd_open({"database": self.db_dir})
+        return {"append": stats}
+
+    def cmd_open(self, cmd: dict) -> dict:
+        db_dir = cmd["database"]
+        self._entries = self.spark.read.parquet(f"{db_dir}/entries")
+        self._games = self.spark.read.parquet(f"{db_dir}/games")
+        self.db_dir = db_dir
+        return {"database": db_dir}
+
+    def cmd_close(self, cmd: dict) -> dict:
+        self._entries = self._games = None
+        self.db_dir = None
+        return {}
+
+    def cmd_query(self, cmd: dict) -> dict:
+        self._require_open()
+        resp = query.explorer_query(
+            self.spark, self._entries, self._games, cmd.get("query") or {}
+        )
+        return {"response": resp}
+
+    def cmd_stats(self, cmd: dict) -> dict:
+        self._require_open()
+        from pyspark.sql import functions as F
+
+        e = self._entries.agg(
+            F.sum("cnt").alias("positions"),
+            F.count("*").alias("unique_entries"),
+        ).first()
+        g = self._games.count()
+        return {
+            "stats": {
+                "games": g,
+                "positions": int(e["positions"] or 0),
+                "unique_entries": e["unique_entries"],
+            }
+        }
+
+
+def serve_tcp(engine: Engine, host: str = "127.0.0.1", port: int = 0):
+    """Start a line-JSON TCP server; returns (server, thread, port).
+    Each connection handles commands until 'exit' or EOF."""
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self) -> None:
+            for raw in self.rfile:
+                line = raw.decode("utf-8").strip()
+                if not line:
+                    continue
+                try:
+                    cmd = json.loads(line)
+                except json.JSONDecodeError as exc:
+                    out = {"ok": False, "error": f"bad json: {exc}"}
+                else:
+                    if cmd.get("command") == "exit":
+                        break
+                    out = engine.handle(cmd)
+                self.wfile.write((json.dumps(out) + "\n").encode("utf-8"))
+                self.wfile.flush()
+
+    server = socketserver.ThreadingTCPServer((host, port), Handler)
+    server.daemon_threads = True
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, thread, server.server_address[1]
+
+
+def request_over_tcp(host: str, port: int, commands: list[dict]) -> list[dict]:
+    """Client helper: send commands, collect one response line each."""
+    out = []
+    with socket.create_connection((host, port)) as sock:
+        f = sock.makefile("rwb")
+        for cmd in commands:
+            f.write((json.dumps(cmd) + "\n").encode("utf-8"))
+            f.flush()
+            if cmd.get("command") == "exit":
+                break
+            out.append(json.loads(f.readline().decode("utf-8")))
+    return out
+
+
+def console_loop(engine: Engine, stdin, stdout) -> None:
+    """Reference console mode: JSON lines on stdin/stdout."""
+    for line in stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            cmd = json.loads(line)
+        except json.JSONDecodeError as exc:
+            print(json.dumps({"ok": False, "error": f"bad json: {exc}"}), file=stdout)
+            continue
+        if cmd.get("command") == "exit":
+            break
+        print(json.dumps(engine.handle(cmd)), file=stdout, flush=True)

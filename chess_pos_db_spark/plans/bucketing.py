@@ -1,0 +1,59 @@
+"""Bucketed-table layout (SURVEY.md §4 Φ1/Φ3 — the 100 TB join plan).
+
+Range-sorted runs (layout.py) give scan pruning; bucketing gives
+co-located JOINS: two tables bucketed by the same key into the same
+bucket count join with NO shuffle exchange on either side — the
+distributed equivalent of the reference keeping entries and headers
+addressable by the same id space. At 100 TB the entries⋈games join (or
+entries⋈entries self-join for retractions) is the dominant shuffle;
+bucketing removes it.
+
+Bucketed tables must be saved as managed/external tables (the bucket
+metadata lives in the catalog), hence ``saveAsTable`` rather than bare
+``parquet()``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: Sequence[str],
+    buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Write `df` as a bucketed, per-bucket-sorted table."""
+    writer = (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, *key)
+        .sortBy(*key)
+        .format("parquet")
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def joined_without_shuffle(
+    spark: SparkSession, left_table: str, right_table: str, key: Sequence[str]
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key. With matching
+    bucket specs Catalyst plans a SortMergeJoin with zero Exchange
+    operators — verify via explain (tests do).
+
+    The MERGE hint pins the sort-merge strategy: at fixture scale the
+    planner would otherwise pick a broadcast join (and skip the bucket
+    layout entirely), which is the right call locally but not the plan
+    under test — at 100 TB neither side broadcasts."""
+    left = spark.table(left_table).hint("merge")
+    right = spark.table(right_table)
+    cond = None
+    for k in key:
+        c = left[k] == right[k]
+        cond = c if cond is None else cond & c
+    return left.join(right, cond)
