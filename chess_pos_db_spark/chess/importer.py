@@ -236,8 +236,15 @@ def import_pgn(
     database directory (games/ + entries/ sorted runs + manifests).
     Returns import stats (the reference's progress/skip report)."""
     games = parse_games(read_pgn_files(spark, files)).cache()
-    entries = explode_positions(games)
-    agg = build_agg_entries(entries)
+    # Replay parallelism must not be bound by file count (one giant PGN
+    # would otherwise replay on one core): spread games across cores
+    # before the python-side replay, the import's hot path.
+    replay_parallelism = spark.sparkContext.defaultParallelism
+    entries = explode_positions(games.repartition(replay_parallelism))
+    # Persist the aggregate: repartitionByRange samples its input to
+    # compute range bounds, which would otherwise run the (expensive)
+    # python replay twice.
+    agg = build_agg_entries(entries).persist()
 
     layout.write_sorted_run(
         games.drop("sans"), f"{db_dir}/games", key=["game_id"], partitions=partitions
@@ -245,6 +252,7 @@ def import_pgn(
     layout.write_sorted_run(
         agg, f"{db_dir}/entries", key=["pos_key"], partitions=partitions
     )
+    agg.unpersist()
 
     n_games = games.count()
     n_skipped = games.filter(F.col("result").isNull()).count()

@@ -42,6 +42,8 @@ def split_games(text: str) -> Iterator[str]:
 
 
 def _strip_movetext(movetext: str) -> str:
+    if "{" not in movetext and "(" not in movetext and ";" not in movetext:
+        return movetext  # fast path: nothing to strip (the common case)
     out = []
     depth = 0
     in_comment = False
@@ -124,3 +126,31 @@ def parse_file(text: str) -> Iterator[dict]:
         g = parse_game(chunk)
         if g["sans"] or g["tags"]:
             yield g
+
+
+_RESULT_TO_TOKEN = {"W": "1-0", "B": "0-1", "D": "1/2-1/2", None: "*"}
+
+
+def format_game(
+    tags: dict[str, str], sans: list[str], result: Optional[str]
+) -> str:
+    """Game → PGN text (the export/dump sink; inverse of parse_game for
+    the fields the engine stores)."""
+    ordered = ["Event", "Site", "Date", "Round", "White", "Black", "Result"]
+    token = _RESULT_TO_TOKEN.get(result, "*")
+    tag_out = dict(tags)
+    tag_out.setdefault("Result", token)
+    lines = []
+    for k in ordered:
+        if k in tag_out:
+            lines.append(f'[{k} "{tag_out[k]}"]')
+    for k, v in tag_out.items():
+        if k not in ordered:
+            lines.append(f'[{k} "{v}"]')
+    moves = []
+    for i, san in enumerate(sans):
+        if i % 2 == 0:
+            moves.append(f"{i // 2 + 1}.")
+        moves.append(san)
+    moves.append(token)
+    return "\n".join(lines) + "\n\n" + " ".join(moves) + "\n"

@@ -1,0 +1,89 @@
+"""Property-based invariants for the rules kernel (SURVEY.md §5.2.3):
+random legal games must preserve every round-trip the storage and
+query layers rely on. No SparkSession needed — pure Python, fast."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings, strategies as st
+
+from chess_pos_db_spark.chess import pgn
+from chess_pos_db_spark.chess.board import (
+    Position,
+    START_FEN,
+    pack_move,
+    unpack_move,
+)
+
+
+def random_game(seed: int, max_plies: int = 60):
+    """Deterministic random legal game: positions visited + sans."""
+    rng = random.Random(seed)
+    pos = Position.from_fen(START_FEN)
+    path = [pos]
+    sans = []
+    for _ in range(max_plies):
+        moves = pos.legal_moves()
+        if not moves:
+            break
+        m = rng.choice(sorted(moves, key=lambda x: x.uci()))
+        sans.append(pos.san(m))
+        pos = pos.make_move(m)
+        path.append(pos)
+    return path, sans
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_random_game_invariants(seed):
+    path, sans = random_game(seed, max_plies=40)
+    for pos in path[:: max(1, len(path) // 8)]:
+        fen = pos.fen()
+        back = Position.from_fen(fen)
+        # FEN round trip preserves state and key
+        assert back.fen() == fen
+        assert back.key() == pos.key()
+        # compression round trip preserves board/side/castling
+        dec = Position.decompress(pos.compress())
+        assert dec.board == pos.board
+        assert dec.side == pos.side
+        assert dec.castling == pos.castling
+        # exactly one king each
+        flat = [p for p in pos.board if p]
+        assert flat.count("K") == 1 and flat.count("k") == 1
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_san_and_pack_roundtrip(seed):
+    path, sans = random_game(seed, max_plies=30)
+    # replay from SAN must reproduce the identical position sequence
+    pos = Position.from_fen(START_FEN)
+    for i, san in enumerate(sans):
+        m = pos.parse_san(san)
+        u = unpack_move(pack_move(m), m.piece)
+        assert (u.from_sq, u.to_sq, u.promo, u.flag) == (
+            m.from_sq,
+            m.to_sq,
+            m.promo,
+            m.flag,
+        )
+        pos = pos.make_move(m)
+        assert pos.key() == path[i + 1].key()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_pgn_format_parse_roundtrip(seed):
+    _, sans = random_game(seed, max_plies=24)
+    text = pgn.format_game(
+        {"Event": "prop", "White": "X", "Black": "Y", "Date": "2020.??.??"},
+        sans,
+        "D",
+    )
+    games = list(pgn.parse_file(text))
+    assert len(games) == 1
+    assert games[0]["sans"] == sans
+    assert games[0]["result"] == "D"
+    assert games[0]["year"] == 2020 and games[0]["month"] is None
