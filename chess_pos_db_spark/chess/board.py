@@ -99,23 +99,27 @@ class Move:
         return sq_name(self.from_sq) + sq_name(self.to_sq) + self.promo
 
 
-# Packed reverse-move layout (reference: PackedReverseMove, ~27 bits):
+# Packed reverse-move layout (reference: PackedReverseMove, ~27 bits —
+# enough to classify continuations AND unmake the move for retractions):
 #   bits 0-6   from square (0x88 index fits in 7 bits)
 #   bits 7-13  to square
 #   bits 14-16 promo code (0 none, 1 n, 2 b, 3 r, 4 q)
 #   bits 17-19 flag
+#   bits 20-23 captured piece (index into PIECE_CHARS + 1; 0 = none)
 _PROMO_CODE = {"": 0, "n": 1, "b": 2, "r": 3, "q": 4}
 _PROMO_FROM_CODE = {v: k for k, v in _PROMO_CODE.items()}
 
 NO_REVERSE_MOVE = -1  # first position of a game has no incoming move
 
 
-def pack_move(m: Move) -> int:
+def pack_move(m: Move, captured: str = "") -> int:
+    cap = PIECE_CHARS.index(captured) + 1 if captured else 0
     return (
         m.from_sq
         | (m.to_sq << 7)
         | (_PROMO_CODE[m.promo] << 14)
         | (m.flag << 17)
+        | (cap << 20)
     )
 
 
@@ -127,6 +131,18 @@ def unpack_move(packed: int, piece: str = "?") -> Move:
         promo=_PROMO_FROM_CODE[(packed >> 14) & 0x7],
         flag=(packed >> 17) & 0x7,
     )
+
+
+def unpack_captured(packed: int) -> str:
+    cap = (packed >> 20) & 0xF
+    return PIECE_CHARS[cap - 1] if cap else ""
+
+
+def captured_piece(pos: "Position", m: Move) -> str:
+    """The piece a move captures in `pos` ('' if quiet)."""
+    if m.flag == F_EP:
+        return "p" if pos.side == WHITE else "P"
+    return pos.board[m.to_sq]
 
 
 # --- zobrist -----------------------------------------------------------------

@@ -29,7 +29,13 @@ from pyspark.sql import types as T
 
 from ..plans import layout
 from . import pgn
-from .board import NO_REVERSE_MOVE, Position, START_FEN, pack_move
+from .board import (
+    NO_REVERSE_MOVE,
+    Position,
+    START_FEN,
+    captured_piece,
+    pack_move,
+)
 
 GAME_SCHEMA = T.StructType(
     [
@@ -193,11 +199,12 @@ def explode_positions(
                     except ValueError:
                         ok = False  # illegal move → skip whole game
                         break
+                    packed = pack_move(m, captured_piece(pos, m))
                     pos = pos.make_move(m)
                     rows_game.append(
                         {
                             "pos_key": pos.key(),
-                            "reverse_move": pack_move(m),
+                            "reverse_move": packed,
                             "ply": ply,
                             **base,
                             **(

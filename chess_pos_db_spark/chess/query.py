@@ -29,7 +29,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .board import NO_REVERSE_MOVE, Position, pack_move, unpack_move
+from .board import (
+    NO_REVERSE_MOVE,
+    Position,
+    captured_piece,
+    pack_move,
+    unpack_move,
+)
 
 PROBE_SCHEMA = T.StructType(
     [
@@ -53,17 +59,18 @@ def build_probes(request: dict) -> list[tuple]:
         san: Optional[str] = spec.get("move")
         if san:
             m = base.parse_san(san)
+            expected = pack_move(m, captured_piece(base, m))
             root = base.make_move(m)
-            expected = pack_move(m)
         else:
             root = base
             expected = None
         probes.append((i, "root", san, None, root.key(), expected))
         if fetch_children:
             for cm in root.legal_moves():
+                packed = pack_move(cm, captured_piece(root, cm))
                 child = root.make_move(cm)
                 probes.append(
-                    (i, "child", root.san(cm), cm.uci(), child.key(), pack_move(cm))
+                    (i, "child", root.san(cm), cm.uci(), child.key(), packed)
                 )
     return probes
 
@@ -170,7 +177,9 @@ def retractions(
 ) -> DataFrame:
     """J5 — which (reverse) moves lead INTO this position: group the
     position's entries by reverse_move (reference retractions support)."""
-    key = Position.from_fen(fen).key()
+    pos = Position.from_fen(fen)
+    key = pos.key()
+    pos_fen = pos.fen()
     agg = (
         entries.filter(F.col("pos_key") == key)
         .filter(F.col("reverse_move") != NO_REVERSE_MOVE)
@@ -182,8 +191,40 @@ def retractions(
     def rm_uci(packed: int) -> str:
         return unpack_move(packed).uci()
 
-    return agg.withColumn("move_uci", rm_uci("reverse_move")).select(
-        "move_uci", "reverse_move", "cnt", "first_game_id"
+    @F.udf(T.StringType())
+    def rm_parent_placement(packed: int) -> str:
+        """Reconstruct the parent's piece placement by unmaking the
+        packed reverse move (the captured-piece bits make this exact for
+        the board; castling/ep rights are not recoverable from a single
+        move — the reference's full ERAN records them, see eran.py)."""
+        from . import eran as eran_mod
+        from .board import unpack_captured
+
+        p = Position.from_fen(pos_fen)
+        m = unpack_move(packed)
+        mover = p.board[m.to_sq] if not m.promo else (
+            "P" if p.side == "b" else "p"
+        )
+        desc = eran_mod.Eran(
+            piece=mover or "?",
+            from_sq=m.from_sq,
+            to_sq=m.to_sq,
+            captured=unpack_captured(packed),
+            promo=m.promo,
+            flag=m.flag,
+            prior_castling=p.castling,
+            prior_ep=None,
+            prior_halfmove=0,
+        )
+        parent = eran_mod.unmove(p, desc)
+        return parent.fen().split(" ")[0] + " " + parent.side
+
+    return (
+        agg.withColumn("move_uci", rm_uci("reverse_move"))
+        .withColumn("parent_placement", rm_parent_placement("reverse_move"))
+        .select(
+            "move_uci", "parent_placement", "reverse_move", "cnt", "first_game_id"
+        )
     )
 
 
