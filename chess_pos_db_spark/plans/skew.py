@@ -1,0 +1,60 @@
+"""Skew mitigation (SURVEY.md §4 / BASELINE mandate: "skewed keys →
+salting or AQE skew-join").
+
+Chess corpora are the canonical skew case: the start position appears
+in EVERY game, early opening positions in most — a handful of pos_keys
+carry orders of magnitude more entries than the tail. Two defenses:
+
+1. AQE skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`,
+   on in session.py) — handles join-side skew at runtime.
+2. Salted two-phase aggregation (here) — handles aggregation-side
+   skew: partial-aggregate on (key, salt) so one reducer never owns a
+   whole hot key, then final-aggregate on key. Equivalent results by
+   construction; the test proves it.
+
+`salted_agg` is semantics-preserving for any decomposable aggregate
+(sum/count/min/max — exactly the entry-combine set).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DECOMPOSE = {
+    # final-phase function for each partial-phase aggregate
+    "sum": F.sum,
+    "count": F.sum,  # counts re-combine by summing
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    key: Sequence[str],
+    agg_spec: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-resistant aggregation.
+
+    agg_spec: output_col -> (how, input_col), how in sum|count|min|max.
+    Phase 1 groups by (key…, salt) — the hot key's rows spread over
+    `salt_buckets` reducers; phase 2 re-combines per key.
+    """
+    # Row-level salt: monotonically_increasing_id spreads a hot key's
+    # rows across buckets even when the input is a single partition
+    # (a partition-id-based salt would collapse there). The salt never
+    # reaches the output, so run-to-run id instability is irrelevant.
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    phase1_aggs = []
+    for out, (how, col) in agg_spec.items():
+        fn = F.count if how == "count" else _DECOMPOSE[how]
+        phase1_aggs.append(fn(col).alias(out))
+    phase1 = df.withColumn("_salt", salt).groupBy(*key, "_salt").agg(*phase1_aggs)
+    phase2_aggs = [
+        _DECOMPOSE[how](out).alias(out) for out, (how, _) in agg_spec.items()
+    ]
+    return phase1.groupBy(*key).agg(*phase2_aggs)
