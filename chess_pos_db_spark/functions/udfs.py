@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -81,9 +82,15 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _tokenize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         toks = pdf["text"].str.split(" ")
-        out = pdf[["doc_id"]].copy()
-        out["token"] = toks
-        yield out.explode("token", ignore_index=True)
+        # Vectorized expand (repeat + concatenate) — pandas .explode() is
+        # an order of magnitude slower per Arrow batch.
+        lens = toks.str.len().to_numpy()
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy().repeat(lens),
+                "token": np.concatenate(toks.to_numpy()),
+            }
+        )
 
 
 @register(

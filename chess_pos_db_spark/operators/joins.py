@@ -54,7 +54,15 @@ GROUP BY p.probe_key
 """,
 )
 def join_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
+    # The probe-key IN-list is pushed into the parquet scan (PushedFilters:
+    # In(l_orderkey, ...)), so row-group min/max stats skip non-matching
+    # blocks — the Spark analogue of the reference's sparse-index seek
+    # (executeQuery binary-search window). Semantically redundant with the
+    # inner join but load-bearing at scale: without it the scan reads the
+    # full fact table.
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isin([int(k) for k in _PROBE_KEYS])
+    )
     probes = _probe_df(spark, _PROBE_KEYS)
     return (
         li.join(F.broadcast(probes), li.l_orderkey == probes.probe_key)
