@@ -239,3 +239,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.shiftleft(bit, i)
         fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
     return sums.select("doc_id", fingerprint.alias("simhash"))
+
+
+# --- embedding-cosine near-duplicate pairs (N2 scale family) -----------------
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+           SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na,
+           SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
+         GENERATE_SERIES(1, 64) AS t(i)
+    GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_a, id_b, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cos_sim
+FROM pairs
+WHERE dot / (SQRT(na) * SQRT(nb)) > 0.45
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (cos > threshold).
+
+    This is the oracle-able exact baseline: an O(n^2) self-join with the
+    dot product as JVM-side higher-order array functions. At 100 TB the
+    quadratic pair space is pruned FIRST by sign-LSH bucketing
+    (`similarity.sign_lsh_bucket`) or IVF cells (`similarity_ivf`) so
+    only same-bucket candidates reach this exact verifier — the standard
+    two-phase (candidate generation -> exact check) dedup pipeline; the
+    exact check itself is identical to this query.
+    """
+    from .similarity import cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") > 0.45)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
+    )

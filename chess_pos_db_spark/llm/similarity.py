@@ -118,3 +118,85 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(_TOP_K)
+
+
+# --- IVF (inverted-file) ANN: coarse quantizer + cell-restricted search ------
+
+_IVF_K = 16  # number of coarse cells
+_IVF_NPROBE = 4  # cells searched per query
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str):
+    """Deterministic coarse centroids: the K lowest-vec_id vectors.
+
+    A production build would run k-means over a sample; seeding from a
+    deterministic corpus subset keeps the quantizer reproducible across
+    engines/runs (the fixture contract) while exercising the identical
+    query path. Centroids are tiny (K x dims floats) and are shipped to
+    executors inside the UDF closure — the broadcast-dimension pattern.
+    """
+    import numpy as np
+
+    rows = (
+        t(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(_IVF_K)
+        .select("embedding")
+        .collect()
+    )
+    c = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(c, axis=1, keepdims=True)
+    return c / np.where(norms == 0, 1.0, norms)
+
+
+@register("similarity_ivf")  # rows-only: ANN recall is not oracle-exact
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign vectors to nearest coarse centroid (cell),
+    search only the query's top-``_IVF_NPROBE`` cells.
+
+    Scale path: cell assignment is one vectorized numpy matmul per Arrow
+    batch (mapInPandas); the corpus would be written partitioned by
+    ``cell`` so a query scans only nprobe/K of the data (partition
+    pruning — the IVF index realized as Parquet layout). The in-cell
+    scan is the same brute-force cosine as ``similarity_topk``.
+    """
+    import pandas as pd
+
+    centroids = _ivf_centroids(spark, sf_dir)
+
+    def assign(batches):
+        import numpy as np
+
+        for pdf in batches:
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            vn = v / np.where(norms == 0, 1.0, norms)
+            cells = np.argmax(vn @ centroids.T, axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cells.astype("int64")})
+
+    emb = t(spark, sf_dir, "embeddings")
+    cells = emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, cell long"
+    )
+    bucketed = emb.join(cells, "vec_id")
+
+    # Query vector + its nprobe nearest cells (driver-side: K is tiny).
+    import numpy as np
+
+    qrow = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").head()
+    qv = np.array(qrow.embedding, dtype=np.float64)
+    qn = qv / (np.linalg.norm(qv) or 1.0)
+    probe_cells = [int(c) for c in np.argsort(-(centroids @ qn))[:_IVF_NPROBE]]
+
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    scored = (
+        bucketed.filter(F.col("cell").isin(probe_cells))
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(_TOP_K)

@@ -131,3 +131,35 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.col("en_score") > 0.02).alias("looks_english"),
     )
+
+
+# --- BPE-ish regex token counting (N4) ---------------------------------------
+
+# Word / number / single-punctuation split — the GPT-2-style pretokenizer
+# shape, restricted to constructs whose semantics are identical in Java
+# regex (Spark) and RE2 (DuckDB).
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "text_token_count_bpe",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(string_split(text, ' ')) AS BIGINT)               AS n_ws_tokens
+FROM documents
+""",
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split vs a BPE-ish regex
+    pretokenizer — both pure JVM expressions (no UDF in the hot path),
+    so the scan stays inside whole-stage codegen at any scale.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+    )

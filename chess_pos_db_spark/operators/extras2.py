@@ -1,0 +1,277 @@
+"""Coverage extensions, batch 2 (SURVEY.md §2 gap-fills): ordered-set
+and boolean/bitwise aggregates, deterministic mode, linear-regression
+aggregates, EXISTS / IN subqueries, and RANGE / sliding-ROWS window
+frames.
+
+All of these generalize reference shapes: the reference's entry-combine
+is a multi-aggregate (A5); mode/median are "most common position /
+median Elo" explorer statistics the GUI derives client-side
+(SURVEY.md §2.4 A9 note); bitwise aggregates generalize the packed
+reverse-move bit ops (F6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import t
+
+
+# --- median + deterministic mode ---------------------------------------------
+
+
+@register(
+    "agg_median",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(MEDIAN(l_quantity), 6)      AS qty_median,
+       ROUND(MEDIAN(l_extendedprice), 6) AS price_median
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("qty_median"),
+        F.round(F.median("l_extendedprice"), 6).alias("price_median"),
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+SELECT l_returnflag, l_quantity AS mode_qty, CAST(cnt AS BIGINT) AS cnt
+FROM (
+    SELECT l_returnflag, l_quantity, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                              ORDER BY COUNT(*) DESC, l_quantity) AS rn
+    FROM lineitem
+    GROUP BY l_returnflag, l_quantity
+)
+WHERE rn = 1
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic mode: highest count, ties broken by smallest value.
+    # (Built-in `F.mode` leaves tie-breaking engine-defined, which can
+    # never hash-match a second engine — so the operator is expressed as
+    # count + top-1 window in both engines instead.)
+    li = t(spark, sf_dir, "lineitem")
+    counted = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("cnt"), F.asc("l_quantity"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"), "cnt")
+    )
+
+
+# --- ordered-set string aggregation (listagg) --------------------------------
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ordered-set aggregate: collect_set -> array_sort -> array_join is
+    # the shuffle-friendly Spark formulation (set dedup happens map-side;
+    # only distinct values cross the wire).
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --- boolean / conditional-count aggregates ----------------------------------
+
+
+@register(
+    "agg_bool_countif",
+    oracle="""
+SELECT l_returnflag,
+       bool_and(l_quantity > 0)   AS all_positive,
+       bool_or(l_discount > 0.09) AS any_high_discount,
+       CAST(count_if(l_tax = 0) AS BIGINT) AS n_tax_free
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_high_discount"),
+        F.count_if(F.col("l_tax") == 0).alias("n_tax_free"),
+    )
+
+
+# --- bitwise aggregates (generalize packed reverse-move bit ops, F6) ---------
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+SELECT l_orderkey,
+       bit_and(l_linenumber) AS ln_and,
+       bit_or(l_linenumber)  AS ln_or,
+       bit_xor(l_linenumber) AS ln_xor
+FROM lineitem
+GROUP BY l_orderkey
+""",
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.bit_and("l_linenumber").alias("ln_and"),
+        F.bit_or("l_linenumber").alias("ln_or"),
+        F.bit_xor("l_linenumber").alias("ln_xor"),
+    )
+
+
+# --- linear-regression aggregates (Elo-trend statistics generalized) ---------
+
+
+@register(
+    "agg_regr",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+    )
+
+
+# --- EXISTS / IN subqueries (semi-join front-ends) ---------------------------
+
+
+@register(
+    "subquery_exists",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+)
+""",
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Catalyst rewrites correlated EXISTS to a left-semi join — same
+    # physical plan as join_semi, different front-end.
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer_v c
+        WHERE EXISTS (
+            SELECT 1 FROM orders_v o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+        )
+        """
+    )
+
+
+@register(
+    "subquery_in",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+)
+""",
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_v
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer_v WHERE c_mktsegment = 'MACHINERY'
+        )
+        """
+    )
+
+
+# --- RANGE frame + sliding ROWS frame windows --------------------------------
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+SELECT o_orderkey,
+       CAST(COUNT(*) OVER (
+           PARTITION BY o_orderpriority ORDER BY o_orderkey
+           RANGE BETWEEN 100 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_nearby
+FROM orders
+""",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RANGE frame: peers are defined by value distance on the ORDER BY
+    # key, not row position (the reference's key-window block scan, Φ2,
+    # expressed as a frame).
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rangeBetween(-100, Window.currentRow)
+    )
+    return o.select("o_orderkey", F.count("*").over(w).alias("n_nearby"))
+
+
+@register(
+    "win_moving_avg",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(AVG(l_quantity) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ), 6) AS qty_ma3
+FROM lineitem
+""",
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sf0.01+ fixtures have duplicate (l_orderkey, l_linenumber) pairs, so
+    # the ordering adds l_quantity to make the frame contents (and hence
+    # the moving average) deterministic.
+    li = t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.avg("l_quantity").over(w), 6).alias("qty_ma3"),
+    )

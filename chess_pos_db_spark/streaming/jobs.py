@@ -128,3 +128,40 @@ def incremental_ingest(
         },
         partitions=4,
     )
+
+
+def stateful_running_stats(e: DataFrame) -> DataFrame:
+    """T7 (custom stateful operator form): per-event_type running
+    {cnt, sum_value} maintained in explicit keyed state via
+    ``applyInPandasWithState`` — the arbitrary-stateful analogue of the
+    reference's in-memory entry accumulators that survive across
+    micro-batches (import buffer + append cycle).
+
+    Emits the updated running totals for every key touched by each
+    micro-batch (output mode "update"); state is one (long, double) pair
+    per key, so state size is bounded by key cardinality regardless of
+    stream length.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_fn(key, pdfs, state):
+        if state.exists:
+            cnt, sum_value = state.get
+        else:
+            cnt, sum_value = 0, 0.0
+        for pdf in pdfs:
+            cnt += int(len(pdf))
+            sum_value += float(pdf["value"].sum())
+        state.update((cnt, sum_value))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "cnt": [cnt], "sum_value": [sum_value]}
+        )
+
+    return e.groupBy("event_type").applyInPandasWithState(
+        update_fn,
+        outputStructType="event_type string, cnt long, sum_value double",
+        stateStructType="cnt long, sum_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

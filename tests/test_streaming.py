@@ -99,3 +99,23 @@ def test_watermark_tumbling_subset(spark, events_dir):
     # stream end, and shuffled arrival drops late events — but the
     # majority of windows must still be emitted and finalized.
     assert len(got_map) >= 0.5 * len(want_map)
+
+
+def test_stateful_running_stats_equals_batch(spark, events_dir):
+    """applyInPandasWithState running totals: the last update emitted per
+    key (largest cnt — totals only grow) must equal the one-shot batch
+    aggregation."""
+    stream = jobs.read_events_stream(spark, events_dir)
+    got = jobs.run_available_now(jobs.stateful_running_stats(stream), "update")
+    final = {}
+    for r in got.collect():
+        if r.event_type not in final or r.cnt > final[r.event_type][0]:
+            final[r.event_type] = (r.cnt, round(r.sum_value, 6))
+    want = {
+        r.event_type: (r.cnt, round(r.sum_value, 6))
+        for r in spark.read.parquet(events_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert final == want
