@@ -358,3 +358,21 @@ def map_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("grid")
     )
     return grid.select(F.explode("grid").alias("grid_key", "grid_value"))
+
+
+# F11b — positional explode (ordinal-preserving child expansion: the
+# ply index of the game→positions walk survives the explode).
+@register(
+    "array_posexplode",
+    oracle="""
+SELECT doc_id,
+       CAST(unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS INTEGER) AS pos,
+       unnest(string_split(text, ' ')) AS token
+FROM documents
+""",
+)
+def array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )

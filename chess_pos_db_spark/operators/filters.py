@@ -170,3 +170,24 @@ def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rev * (1 + F.col("l_tax")), 6).alias("charged"),
         F.col("l_quantity").cast("bigint").alias("qty_int"),
     )
+
+
+# P9 — deterministic hash-mod sampling (training-data pipelines sample
+# reproducibly by key hash, never by RNG: the sample must be stable
+# across reruns, engines, and partitionings; it pushes down to the scan
+# as a plain predicate and needs no shuffle).
+@register(
+    "sample_hash",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE (o_orderkey % 1000003) * 2654435761 % 1000 < 100
+""",
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Knuth multiplicative hash on the key, kept within BIGINT range so
+    # the arithmetic is engine-portable (production would use xxhash64 —
+    # see hash_keys_native — which DuckDB lacks).
+    o = t(spark, sf_dir, "orders")
+    h = (F.col("o_orderkey") % 1000003) * F.lit(2654435761) % 1000
+    return o.filter(h < 100).select("o_orderkey", "o_custkey", "o_totalprice")

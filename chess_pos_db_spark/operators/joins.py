@@ -366,3 +366,34 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("purchase_id", "user_id", "purchase_ts", "click_ts", "click_id")
     )
+
+
+# J8b — full outer join: both unmatched sides preserved (the explorer's
+# "all legal moves, found or not" completed to both directions).
+@register(
+    "join_full_outer",
+    oracle="""
+SELECT c.c_custkey, c.c_name, s.n_big, s.max_price
+FROM (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') c
+FULL OUTER JOIN (
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_big, MAX(o_totalprice) AS max_price
+    FROM orders WHERE o_totalprice > 150000
+    GROUP BY o_custkey
+) s ON s.o_custkey = c.c_custkey
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+    )
+    s = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_big"), F.max("o_totalprice").alias("max_price"))
+    )
+    return c.join(s, s.o_custkey == c.c_custkey, "full_outer").select(
+        "c_custkey", "c_name", "n_big", "max_price"
+    )

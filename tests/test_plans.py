@@ -1,0 +1,116 @@
+"""Physical-plan assertions (SURVEY.md §4): the plan properties the
+100 TB design depends on must be present in the executed plans, not just
+hoped for — filter pushdown into the parquet scan, broadcast joins for
+dims/probes, bounded shuffle (Exchange) counts, and whole-stage codegen
+over the hot path. A regression here is a scale bug even when results
+stay correct.
+"""
+
+from __future__ import annotations
+
+import re
+
+import chess_pos_db_spark as engine
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _n_exchanges(plan: str) -> int:
+    # Count shuffle exchanges only (broadcast exchanges are the cheap,
+    # intended kind).
+    return len(re.findall(r"Exchange (?:hash|range|rangepartitioning|SinglePartition)", plan))
+
+
+def q(name, spark, sf_dir):
+    return engine.get_queries()[name](spark, sf_dir)
+
+
+def test_probe_lookup_pushdown_and_broadcast(spark, sf_dir):
+    """J1: the probe IN-list must reach the scan (sparse-index analogue)
+    and the probe side must broadcast — the fact table never shuffles
+    for a point lookup."""
+    plan = _plan(q("join_broadcast_lookup", spark, sf_dir))
+    assert "PushedFilters: [In(l_orderkey" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_range_pushdown(spark, sf_dir):
+    plan = _plan(q("filter_range", spark, sf_dir))
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "GreaterThanOrEqual" in pushed or "GreaterThan" in pushed
+
+
+def test_dim_chain_broadcasts_all_dims(spark, sf_dir):
+    """J3: customer/nation/region are dims — all three must broadcast;
+    a sort-merge join against a 25-row nation table at 100 TB would
+    shuffle the whole fact table."""
+    plan = _plan(q("join_dim_chain", spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_flagship_agg_is_partial_final(spark, sf_dir):
+    """A1: map-side partial aggregation (the reference's import-buffer
+    combine) — two HashAggregate levels around exactly one shuffle."""
+    plan = _plan(q("agg_groupcount", spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert _n_exchanges(plan) == 1
+
+
+def test_map_only_queries_have_no_shuffle(spark, sf_dir):
+    """Pure projections/filters (including the BPE tokenizer and the
+    hash sampler) must stay map-only: zero shuffle exchanges."""
+    for name in ["project_compute", "filter_compound", "text_token_count_bpe",
+                 "sample_hash"]:
+        plan = _plan(q(name, spark, sf_dir))
+        assert _n_exchanges(plan) == 0, f"{name} shuffles:\n{plan[:2000]}"
+
+
+def test_simhash_single_shuffle(spark, sf_dir):
+    """N2: simhash is one groupBy — exactly one shuffle, with the 64
+    bit-sums combined map-side (shuffle payload: 64 longs per doc)."""
+    plan = _plan(q("dedup_simhash", spark, sf_dir))
+    assert _n_exchanges(plan) == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """P6: a two-column projection must read two columns, not the full
+    16-column lineitem schema."""
+    df = q("sort_topk", spark, sf_dir)
+    plan = _plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert len(read_cols) <= 4, read_cols
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """O3: ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-
+    partition top-k + merge), never a global sort."""
+    plan = _plan(q("sort_topk", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    """Φ9: scan+filter+project+partial-agg fuse into WholeStageCodegen
+    spans (no interpreted row-at-a-time evaluation in the hot path).
+    With AQE the final plan exists only after execution; codegen stages
+    carry the `*(n)` prefix in the plan string."""
+    df = q("agg_groupcount", spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan
+
+
+def test_semi_anti_stay_broadcast(spark, sf_dir):
+    for name, kind in [("join_semi", "LeftSemi"), ("join_anti", "LeftAnti")]:
+        plan = _plan(q(name, spark, sf_dir))
+        assert kind in plan, f"{name}:\n{plan[:1500]}"
