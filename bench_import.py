@@ -54,8 +54,8 @@ def make_corpus(n_files: int, games_per_file: int, out_dir: str) -> list[str]:
 
 
 def main() -> None:
-    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    games_per_file = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    games_per_file = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     tmp = tempfile.mkdtemp(prefix="import_bench_")
     paths = make_corpus(n_files, games_per_file, tmp)
     spark = get_spark("import-bench")

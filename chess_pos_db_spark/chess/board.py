@@ -255,12 +255,24 @@ class Position:
 
     # -- hashing (the pos_key of the entries fact table) ----------------------
 
+    def _piece_hash(self) -> int:
+        """XOR of piece-square zobrist terms, cached per instance and
+        maintained incrementally by make_move (the import hot path keys
+        every position; a full-board rescan per ply was ~45% of replay
+        time). The cache lives outside the dataclass fields so eq/repr
+        are unaffected."""
+        ph = getattr(self, "_ph", None)
+        if ph is None:
+            ph = 0
+            for s in range(128):
+                if not (s & 0x88) and self.board[s]:
+                    ph ^= _Z_PIECE[(self.board[s], sq64(s))]
+            self._ph = ph
+        return ph
+
     def key(self) -> int:
         """64-bit zobrist key as a SIGNED int64 (Spark LongType)."""
-        h = 0
-        for s in range(128):
-            if not (s & 0x88) and self.board[s]:
-                h ^= _Z_PIECE[(self.board[s], sq64(s))]
+        h = self._piece_hash()
         for c in self.castling:
             h ^= _Z_CASTLE[c]
         if self.ep is not None and self._ep_capturable():
@@ -523,7 +535,7 @@ class Position:
         ep = None
         if m.flag == F_DOUBLE_PUSH:
             ep = m.from_sq + (16 if us == WHITE else -16)
-        return Position(
+        child = Position(
             board=b,
             side=them,
             castling=castling,
@@ -531,6 +543,29 @@ class Position:
             halfmove=0 if (p in "Pp" or capture) else self.halfmove + 1,
             fullmove=self.fullmove + (1 if us == BLACK else 0),
         )
+        # Incremental zobrist piece-hash: XOR out/in only the squares
+        # this move touched (self.board is the untouched parent board).
+        ph = self._piece_hash()
+        ph ^= _Z_PIECE[(p, sq64(m.from_sq))]
+        if self.board[m.to_sq]:
+            ph ^= _Z_PIECE[(self.board[m.to_sq], sq64(m.to_sq))]
+        if m.flag == F_EP:
+            cap_sq = m.to_sq + (-16 if us == WHITE else 16)
+            ph ^= _Z_PIECE[(("p" if us == WHITE else "P"), sq64(cap_sq))]
+        placed = (m.promo.upper() if us == WHITE else m.promo) if m.promo else p
+        ph ^= _Z_PIECE[(placed, sq64(m.to_sq))]
+        if m.flag in (F_CASTLE_K, F_CASTLE_Q):
+            rank = 0 if us == WHITE else 7
+            src, dst = (
+                (sq(7, rank), sq(5, rank))
+                if m.flag == F_CASTLE_K
+                else (sq(0, rank), sq(3, rank))
+            )
+            rook = self.board[src]
+            ph ^= _Z_PIECE[(rook, sq64(src))]
+            ph ^= _Z_PIECE[(rook, sq64(dst))]
+        child._ph = ph
+        return child
 
     # -- SAN ------------------------------------------------------------------
 

@@ -80,14 +80,20 @@ AGG_KEY = ["pos_key", "reverse_move", "level", "result"]
 def read_pgn_files(
     spark: SparkSession, files: list[tuple[str, str]]
 ) -> DataFrame:
-    """(path, level) list → raw file DataFrame. Uses wholetext reads —
-    at scale, a chunked DataSource would split big PGNs on game
-    boundaries; one-file-per-task matches the reference's
-    one-parser-thread-per-file."""
-    rows = []
-    for idx, (path, level) in enumerate(files):
-        with open(path) as f:
-            rows.append((idx, path, level, f.read()))
+    """(path, level) list → raw file DataFrame, read EXECUTOR-side via
+    the binaryFile source (one file per task, matching the reference's
+    one-parser-thread-per-file). Only the tiny path→(ordinal, level)
+    map travels from the driver; file contents never do. At scale, a
+    chunked DataSource splitting big PGNs on game boundaries would
+    replace the per-file granularity."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    meta = {
+        os.path.abspath(path): (idx, path, level)
+        for idx, (path, level) in enumerate(files)
+    }
+
     schema = T.StructType(
         [
             T.StructField("file_idx", T.IntegerType(), False),
@@ -96,7 +102,32 @@ def read_pgn_files(
             T.StructField("text", T.StringType(), False),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            idxs, srcs, lvls, texts = [], [], [], []
+            for uri, content in zip(pdf["path"], pdf["content"]):
+                key = os.path.abspath(unquote(urlparse(uri).path))
+                idx, src, lvl = meta[key]
+                idxs.append(idx)
+                srcs.append(src)
+                lvls.append(lvl)
+                texts.append(bytes(content).decode("utf-8", "replace"))
+            yield pd.DataFrame(
+                {
+                    "file_idx": idxs,
+                    "source_file": srcs,
+                    "level": lvls,
+                    "text": texts,
+                }
+            )
+
+    raw = (
+        spark.read.format("binaryFile")
+        .load([os.path.abspath(p) for p, _ in files])
+        .select("path", "content")
+    )
+    return raw.mapInPandas(decode, schema)
 
 
 def _int_or_none(v):
