@@ -124,3 +124,47 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("pixels", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def resize(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """Image resize via block-mean pooling over the decoded pixel array
+    (deterministic, numpy-only — a real deployment swaps the pooling
+    for PIL/cv2 interpolation; decode_image stays the single codec
+    seam). Output is the flattened resized image, row-major."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, row in pdf.iterrows():
+                pixels = decode_image(bytes(row["blob"]))
+                h, w = pixels.shape
+                bh, bw = max(1, h // out_h), max(1, w // out_w)
+                pooled = (
+                    pixels[: bh * out_h, : bw * out_w]
+                    .reshape(out_h, bh, out_w, bw)
+                    .mean(axis=(1, 3))
+                    .astype(np.float32)
+                )
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "out_w": out_w,
+                        "out_h": out_h,
+                        "pixels": pooled.ravel().tolist(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )

@@ -48,3 +48,18 @@ def test_frame_sample(spark):
         got[r["media_id"]] += 1
     for mid, dur in vids.items():
         assert got[mid] == (dur + 999) // 1000
+
+
+def test_resize_block_mean(spark):
+    media = mm.synthetic_media(spark, 12)
+    out = mm.resize(media, out_w=4, out_h=4)
+    rows = out.collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(rows) == n_images
+    for r in rows:
+        assert (r.out_w, r.out_h) == (4, 4)
+        assert len(r.pixels) == 16
+        assert all(0.0 <= p <= 255.0 for p in r.pixels)
+    # determinism: same blobs → same pixels
+    again = {x.media_id: x.pixels for x in mm.resize(media, 4, 4).collect()}
+    assert {r.media_id: r.pixels for r in rows} == again
