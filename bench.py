@@ -43,6 +43,12 @@ HEADLINE = [
     "text_token_stats",
     "stream_session",
     "udtf_expand",
+    "agg_median",
+    "win_moving_avg",
+    "sample_hash",
+    "text_token_count_bpe",
+    "subquery_exists",
+    "similarity_ivf",
 ]
 
 
