@@ -80,9 +80,21 @@ def probe_entries(
     entries: DataFrame,
     request: dict,
 ) -> DataFrame:
-    """The distributed part: broadcast probe join + grid aggregation."""
-    probes = spark.createDataFrame(build_probes(request), PROBE_SCHEMA)
-    joined = entries.join(F.broadcast(probes), "pos_key")
+    """The distributed part: broadcast probe join + grid aggregation.
+
+    The probe-key IN-list is ALSO pushed into the scan as a filter:
+    semantically redundant with the inner join, but it reaches the
+    parquet reader (PushedFilters) so row-group min/max stats on the
+    key-sorted layout skip everything outside the probed key windows —
+    the sparse-index seek of the reference (`executeQuery` binary
+    search), and the difference between O(probes) row-group reads and a
+    full fact-table scan at 100 TB."""
+    probe_rows = build_probes(request)
+    probes = spark.createDataFrame(probe_rows, PROBE_SCHEMA)
+    keys = sorted({r[4] for r in probe_rows})  # pos_key field
+    joined = entries.filter(F.col("pos_key").isin(keys)).join(
+        F.broadcast(probes), "pos_key"
+    )
 
     levels = request.get("levels")
     results = request.get("results")

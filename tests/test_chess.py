@@ -274,3 +274,20 @@ def test_dump_epd(spark, tmp_path):
     # must appear; every line carries a count >= 2
     assert any(line.startswith("rnbqkbnr/pppppppp/8/8/8/8/PPPPPPPP/RNBQKBNR w") for line in lines)
     assert all(int(line.rsplit(" ", 1)[-1]) >= 2 for line in lines)
+
+
+def test_probe_entries_key_pushdown(spark, chess_db):
+    """Scale regression: the explorer's probe keys must reach the
+    parquet scan as an In() filter (sparse-index seek analogue) — a
+    full fact scan per explorer request is a 100 TB bug."""
+    db_dir, _ = chess_db
+    entries = spark.read.parquet(f"{db_dir}/entries")
+    req = {"token": "t", "positions": [{"fen": START_FEN}]}
+    plan = (
+        query.probe_entries(spark, entries, req)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan
+    assert "In(pos_key" in plan.split("PushedFilters")[1][:300]
