@@ -163,3 +163,30 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_bpe_tokens"),
         F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
     )
+
+
+# --- heavy hitters: exact top-k tokens + sketched scale path -----------------
+
+
+@register(
+    "text_top_tokens",
+    oracle="""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 20
+""",
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (frequent-token analysis): explode →
+    count → top-k with deterministic tie-break. One shuffle (map-side
+    combined); TakeOrderedAndProject merges per-partition top-k."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+    )
