@@ -284,3 +284,78 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") > 0.45)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
     )
+
+
+# --- n-gram (shingle) Jaccard near-dup (N2, the shingled exact form) ---------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(s[1:len(s)-2]) || ' ' || unnest(s[2:len(s)-1])
+                   || ' ' || unnest(s[3:len(s)]) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+    )
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-shingle Jaccard near-duplicate pairs — the n-gram form of
+    dedup_jaccard (word reorderings that preserve unigram sets no longer
+    count as duplicates). Shingling is a pure JVM higher-order
+    expression; the shared-shingle equi-join is the candidate generator
+    (at 100 TB the MinHash/LSH banding of dedup_near replaces it, with
+    this as the verifier on candidates)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            # sequence() descends when stop < start, so the >=3 guard is
+            # load-bearing for docs shorter than one shingle
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select(
+        "doc_id", F.explode(shingles).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("shared") / (F.col("sa.n") + F.col("sb.n") - F.col("shared"))
+    return (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
