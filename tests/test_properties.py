@@ -87,3 +87,23 @@ def test_pgn_format_parse_roundtrip(seed):
     assert games[0]["sans"] == sans
     assert games[0]["result"] == "D"
     assert games[0]["year"] == 2020 and games[0]["month"] is None
+
+
+def test_sample_hash_partition_invariant(spark, sf_dir):
+    """The hash sampler must select the same keys regardless of
+    physical partitioning — the reproducibility contract that RNG-based
+    df.sample() cannot give."""
+    import chess_pos_db_spark as engine
+
+    q = engine.get_queries()["sample_hash"]
+    base = sorted(r.o_orderkey for r in q(spark, sf_dir).collect())
+    from chess_pos_db_spark.tables import t
+    from pyspark.sql import functions as F
+
+    o7 = t(spark, sf_dir, "orders").repartition(7)
+    h = (F.col("o_orderkey") % 1000003) * F.lit(2654435761) % 1000
+    got = sorted(
+        r.o_orderkey
+        for r in o7.filter(h < 100).select("o_orderkey").collect()
+    )
+    assert got == base and len(base) > 0
