@@ -110,26 +110,38 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Language-ID heuristic (n-gram/stopword scoring). The fixture's `lang`
-# column is ground truth; the heuristic scores docs by stopword hit-rate —
-# a deterministic built-in-only pipeline, checked rows-only since the
-# heuristic itself is the operator under test.
-@register("text_lang_id")  # rows-only
+# column is ground truth; the heuristic scores docs by stopword hit-rate.
+# The score is a ratio of exact integer sums, so Spark and DuckDB divide
+# to bit-identical doubles and the threshold compare is oracle-exact.
+@register(
+    "text_lang_id",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+    FROM documents
+)
+SELECT doc_id, lang,
+       (SUM(CASE WHEN token IN {_STOPWORDS} THEN 1 ELSE 0 END) * 1.0
+        / COUNT(*)) > 0.02 AS looks_english
+FROM tok
+GROUP BY doc_id, lang
+""",
+)
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
     )
-    scored = tok.groupBy("doc_id", "lang").agg(
-        F.round(
-            F.sum(F.when(F.col("token").isin(*_STOPWORDS), 1).otherwise(0))
-            / F.count("*"),
-            4,
-        ).alias("en_score")
-    )
-    return scored.select(
-        "doc_id",
-        "lang",
-        (F.col("en_score") > 0.02).alias("looks_english"),
+    return tok.groupBy("doc_id", "lang").agg(
+        (
+            (
+                F.sum(
+                    F.when(F.col("token").isin(*_STOPWORDS), 1).otherwise(0)
+                )
+                / F.count("*")
+            )
+            > 0.02
+        ).alias("looks_english")
     )
 
 
