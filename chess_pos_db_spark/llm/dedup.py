@@ -7,13 +7,13 @@ Scale design:
   (doc, token) → self-join on token → pair counts. The token join is
   the classic near-dup verify step and shuffles only (doc_id, token)
   pairs;
-- MinHash+LSH is the scale path: fixed-seed xxhash64 family →
-  per-band signature → bucket join, so candidate generation touches
-  only band-bucket collisions instead of all O(n²) pairs. Not
-  SQL-oracle-expressible → rows-only check, covered by pytest
-  invariants instead;
+- MinHash+LSH is the scale path: fixed hash family → per-band
+  signature → bucket join, so candidate generation touches only
+  band-bucket collisions instead of all O(n²) pairs. The family is
+  md5 (hex output is bit-identical in Spark and DuckDB) so the whole
+  pipeline is oracle-exact; swap in xxhash64 for raw throughput;
 - SimHash: 64-bit signed-bit-accumulation fingerprint, hamming-style
-  near-dup at scale; deterministic, rows-only.
+  near-dup at scale; md5-bit-exact, oracle-verified.
 """
 
 from __future__ import annotations
@@ -132,38 +132,102 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # N2b — MinHash + LSH banding (the 100 TB candidate-generation path).
-# Signature: for each of NUM_HASHES fixed-seed hash functions, the min of
-# xxhash64(token, seed) over the doc's distinct tokens. Bands of ROWS_PER_BAND
-# signature slots are hashed to buckets; docs sharing any band bucket are
-# candidates. Deterministic (fixed seeds), rows-only check.
+# Signature: for each of NUM_HASHES family members g_i, the min of
+# g_i(token) over the doc's distinct tokens. The family is derived from
+# ONE md5 per token (Kirsch-Mitzenmacher: g_i = h1 + i*h2) — md5 hex is
+# bit-identical in Spark and DuckDB and the derivation is pure BIGINT
+# arithmetic, so the WHOLE pipeline (signatures → band buckets →
+# candidate pairs) is oracle-exact at one-hash-per-token cost. A
+# throughput-first deployment swaps md5 for xxhash64 (same plan shape).
 # ---------------------------------------------------------------------------
 
 NUM_HASHES = 16
 ROWS_PER_BAND = 2  # 8 bands → catches pairs with Jaccard ≳ 0.5
+_N_BANDS = NUM_HASHES // ROWS_PER_BAND
+
+# Kirsch-Mitzenmacher family: one md5 per token, split into two 60-bit
+# halves h1/h2 (15 hex chars each), reduced mod 2^58 so that
+# g_i = h1 + i*h2 stays under 2^62 for i < 16 — pure BIGINT arithmetic,
+# no overflow, identical in Spark and DuckDB.
+_KM_MOD = 1 << 58
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id → minhash_0..minhash_{NUM_HASHES-1} (one row per doc)."""
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    """doc_id → mh_0..mh_{NUM_HASHES-1}: min over distinct tokens of the
+    K-M hash g_i(token) = h1 + i*h2 (one md5 per token, 16 derived)."""
+    tok = docs.selectExpr(
+        "doc_id", "explode(split(text, ' ')) AS token"
     ).distinct()
+    hk = tok.selectExpr(
+        "doc_id",
+        "cast(conv(substring(md5(token), 1, 15), 16, 10) AS bigint)"
+        f" % {_KM_MOD}L AS h1",
+        "cast(conv(substring(md5(token), 16, 15), 16, 10) AS bigint)"
+        f" % {_KM_MOD}L AS h2",
+    )
     aggs = [
-        F.min(F.xxhash64("token", F.lit(i))).alias(f"mh_{i}")
-        for i in range(NUM_HASHES)
+        F.expr(f"min(h1 + {i}L * h2) AS mh_{i}") for i in range(NUM_HASHES)
     ]
-    return tok.groupBy("doc_id").agg(*aggs)
+    return hk.groupBy("doc_id").agg(*aggs)
 
 
-@register("dedup_near")  # rows-only: LSH banding is not ANSI-SQL-expressible
+def _sig_ctes() -> str:
+    """Shared oracle CTEs: distinct tokens → per-doc minhash signature."""
+    cols = ",\n           ".join(
+        f"MIN(h1 + {i} * h2) AS mh_{i}" for i in range(NUM_HASHES)
+    )
+    return f"""
+tok AS (
+    SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+    FROM documents
+),
+hk AS (
+    SELECT doc_id,
+           (('0x' || substr(MD5(token), 1, 15))::BIGINT % {_KM_MOD}) AS h1,
+           (('0x' || substr(MD5(token), 16, 15))::BIGINT % {_KM_MOD}) AS h2
+    FROM tok
+),
+sig AS (
+    SELECT doc_id,
+           {cols}
+    FROM hk GROUP BY doc_id
+)"""
+
+
+def _band_key_sql(b: int) -> str:
+    return " || '|' || ".join(
+        f"CAST(mh_{b * ROWS_PER_BAND + r} AS VARCHAR)"
+        for r in range(ROWS_PER_BAND)
+    )
+
+
+@register(
+    "dedup_near",
+    oracle=f"""
+WITH {_sig_ctes()},
+banded AS (
+    {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, {_band_key_sql(b)} AS band_hash FROM sig"
+        for b in range(_N_BANDS)
+    )}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a
+JOIN banded b
+  ON a.band_idx = b.band_idx
+ AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+""",
+)
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
-    n_bands = NUM_HASHES // ROWS_PER_BAND
     band_cols = [
-        F.xxhash64(
-            *[F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        F.concat_ws(
+            "|",
+            *[F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
         ).alias(f"band_{b}")
-        for b in range(n_bands)
+        for b in range(_N_BANDS)
     ]
     # Each band value carries its band index so collisions must be in the
     # SAME band: posexplode yields (band_idx, band_hash).
@@ -195,11 +259,20 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("dedup_minhash_cluster")  # rows-only: minhash values are Spark-native
+@register(
+    "dedup_minhash_cluster",
+    oracle=f"""
+WITH {_sig_ctes()}
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT)    AS n_members
+FROM sig
+GROUP BY {" || '|' || ".join(f"CAST(mh_{i} AS VARCHAR)" for i in range(NUM_HASHES))}
+""",
+)
 def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
-    sig_key = F.xxhash64(*[F.col(f"mh_{i}") for i in range(NUM_HASHES)])
+    sig_key = F.concat_ws("|", *[F.col(f"mh_{i}") for i in range(NUM_HASHES)])
     return (
         sig.groupBy(sig_key.alias("cluster_sig"))
         .agg(
@@ -212,33 +285,80 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # N2c — SimHash 64-bit fingerprint: sign-sum of per-token hash bits.
-# Rows-only (bit loop is Spark-native), deterministic.
+# The per-token hash is md5 (identical hex in Spark and DuckDB); bit i of
+# the fingerprint lives in hex digit i//4, bit i%4 — integer arithmetic
+# throughout, so the oracle is exact. Bit 63's weight is MIN_LONG (DuckDB
+# rejects 1<<63), the two's-complement value of that bit.
 # ---------------------------------------------------------------------------
 
+_MIN_LONG = -9223372036854775808
 
-@register("dedup_simhash")  # rows-only
+
+def _simhash_oracle() -> str:
+    def bit(i: int) -> str:
+        return f"(h1 >> {i}) & 1" if i < 60 else f"(h2 >> {i - 60}) & 1"
+
+    bit_sums = ",\n      ".join(
+        f"SUM(CASE WHEN {bit(i)} != 0 THEN 1 ELSE -1 END) AS bit_{i}"
+        for i in range(64)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN bit_{i} > 0 THEN "
+        + (f"{1 << i}::BIGINT" if i < 63 else f"({_MIN_LONG + 1} - 1)")
+        + " ELSE 0 END)"
+        for i in range(64)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id,
+           ('0x' || substr(MD5(token), 1, 15))::BIGINT AS h1,
+           ('0x' || substr(MD5(token), 16, 1))::BIGINT AS h2
+    FROM (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    )
+),
+sums AS (
+    SELECT doc_id,
+      {bit_sums}
+    FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash
+FROM sums
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    h = F.xxhash64("token")
-    # For each of 64 bits: +1 if set else -1; sum per doc; bit i of the
-    # fingerprint = (sum_i > 0). Expressed as 64 conditional aggregates —
-    # one shuffle, map-side combined.
+    # One md5 per token, split into a 60-bit half h1 (15 hex chars) and a
+    # 4-bit tail h2 — the 64 conditional aggregates are then pure long
+    # shift/mask ops. One groupBy — one shuffle, 64 longs per doc,
+    # map-side combined. The wide expression lists are built as SQL text
+    # (selectExpr / expr): constructing them as Column trees costs ~2 s of
+    # py4j round-trips PER CALL, which dominates the whole query.
+    tok = docs.selectExpr(
+        "doc_id", "explode(split(text, ' ')) AS token"
+    ).selectExpr(
+        "doc_id",
+        "cast(conv(substring(md5(token), 1, 15), 16, 10) AS bigint) AS h1",
+        "cast(conv(substring(md5(token), 16, 1), 16, 10) AS bigint) AS h2",
+    )
+
+    def _bit(i: int) -> str:
+        return f"(h1 >> {i}) & 1" if i < 60 else f"(h2 >> {i - 60}) & 1"
+
     bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"bit_{i}")
+        F.expr(f"sum(CASE WHEN {_bit(i)} != 0 THEN 1 ELSE -1 END) AS bit_{i}")
         for i in range(64)
     ]
     sums = tok.groupBy("doc_id").agg(*bit_aggs)
-    fingerprint = None
-    for i in range(64):
-        bit = F.when(F.col(f"bit_{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, i)
-        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
-    return sums.select("doc_id", fingerprint.alias("simhash"))
+    terms = " + ".join(
+        f"(CASE WHEN bit_{i} > 0 THEN "
+        + (f"{1 << i}L" if i < 63 else f"({_MIN_LONG + 1}L - 1L)")
+        + " ELSE 0L END)"
+        for i in range(64)
+    )
+    return sums.selectExpr("doc_id", f"{terms} AS simhash")
 
 
 # --- embedding-cosine near-duplicate pairs (N2 scale family) -----------------
