@@ -8,7 +8,9 @@ scan the corpus once, TakeOrderedAndProject the top-k.
 
 The LSH-bucketed variant (random-hyperplane signatures from fixed-seed
 pseudo-random vectors) restricts candidates to matching sign-buckets —
-the IVF-style scale path. Deterministic; rows-only check.
+the IVF-style scale path. The hyperplanes are md5-derived driver-side
+and embedded as literals on BOTH sides, so the bucket assignment (and
+the whole query) is oracle-exact.
 """
 
 from __future__ import annotations
@@ -100,7 +102,52 @@ def sign_lsh_bucket(vec_col) -> "F.Column":
     return bucket
 
 
-@register("similarity_ann_lsh")  # rows-only: ANN recall is not oracle-exact
+def _ann_lsh_oracle() -> str:
+    """Oracle: the SAME md5-derived hyperplanes, embedded as a VALUES
+    table (``repr(float)`` round-trips exactly in both engines), so the
+    sign-bucket assignment — and therefore the exact candidate set — is
+    reproduced in SQL. ANN *recall* is approximate; the *computation* is
+    deterministic, which is what the oracle checks."""
+    rows = ", ".join(
+        f"({p}, {d + 1}, {w!r})"
+        for p in range(_N_PLANES)
+        for d, w in enumerate(_plane(p))
+    )
+    return f"""
+WITH planes(p, i, w) AS (VALUES {rows}),
+dots AS (
+    SELECT e.vec_id, pl.p,
+           SUM(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w) AS dot
+    FROM embeddings e JOIN planes pl ON TRUE
+    GROUP BY e.vec_id, pl.p
+),
+buckets AS (
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                AS BIGINT) AS bucket
+    FROM dots GROUP BY vec_id
+),
+qb AS (SELECT bucket AS q_bucket FROM buckets WHERE vec_id = {_QUERY_VEC_ID}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+scored AS (
+    SELECT e.vec_id,
+           SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)) AS dot,
+           SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS na,
+           SUM(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)) AS nb
+    FROM embeddings e
+    JOIN buckets b ON b.vec_id = e.vec_id
+    JOIN qb ON b.bucket = qb.q_bucket,
+    q, GENERATE_SERIES(1, {_DIMS}) AS t(i)
+    GROUP BY e.vec_id
+)
+SELECT vec_id, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cos_sim
+FROM scored
+ORDER BY ROUND(dot / (SQRT(na) * SQRT(nb)), 6) DESC, vec_id
+LIMIT {_TOP_K}
+"""
+
+
+@register("similarity_ann_lsh", oracle=_ann_lsh_oracle())
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k restricted to the query's sign-LSH bucket (ANN scale path)."""
     emb = t(spark, sf_dir, "embeddings")
@@ -149,7 +196,70 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
     return c / np.where(norms == 0, 1.0, norms)
 
 
-@register("similarity_ivf")  # rows-only: ANN recall is not oracle-exact
+def _ivf_oracle() -> str:
+    """Oracle: the coarse quantizer is itself relational — centroids are
+    the K lowest-vec_id vectors (normalized), cell assignment is the
+    argmax of the normalized dot with numpy's first-index tie-break
+    (ORDER BY score DESC, c_idx), probe cells are the query's top-nprobe
+    centroids under the same ordering. Dividing by the centroid norm
+    (not the vector norm) preserves the per-vector argmax ordering."""
+    return f"""
+WITH cent AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c_idx, embedding AS cv
+    FROM (SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT {_IVF_K})
+),
+cnorm AS (
+    SELECT c_idx,
+           SQRT(SUM(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS cn
+    FROM cent, GENERATE_SERIES(1, {_DIMS}) AS t(i)
+    GROUP BY c_idx
+),
+vdot AS (
+    SELECT e.vec_id, c.c_idx,
+           SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)) AS dot
+    FROM embeddings e, cent c, GENERATE_SERIES(1, {_DIMS}) AS t(i)
+    GROUP BY e.vec_id, c.c_idx
+),
+cells AS (
+    SELECT vec_id, c_idx AS cell
+    FROM (
+        SELECT v.vec_id, v.c_idx,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY v.dot / (CASE WHEN n.cn = 0 THEN 1.0 ELSE n.cn END)
+                            DESC, v.c_idx
+               ) AS rn
+        FROM vdot v JOIN cnorm n USING (c_idx)
+    ) WHERE rn = 1
+),
+probe AS (
+    SELECT v.c_idx
+    FROM vdot v JOIN cnorm n USING (c_idx)
+    WHERE v.vec_id = {_QUERY_VEC_ID}
+    ORDER BY v.dot / (CASE WHEN n.cn = 0 THEN 1.0 ELSE n.cn END) DESC, v.c_idx
+    LIMIT {_IVF_NPROBE}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+scored AS (
+    SELECT e.vec_id,
+           SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)) AS dot,
+           SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS na,
+           SUM(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)) AS nb
+    FROM embeddings e
+    JOIN cells c ON c.vec_id = e.vec_id
+    JOIN probe p ON c.cell = p.c_idx,
+    q, GENERATE_SERIES(1, {_DIMS}) AS t(i)
+    GROUP BY e.vec_id
+)
+SELECT vec_id, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cos_sim
+FROM scored
+ORDER BY ROUND(dot / (SQRT(na) * SQRT(nb)), 6) DESC, vec_id
+LIMIT {_TOP_K}
+"""
+
+
+@register("similarity_ivf", oracle=_ivf_oracle())
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign vectors to nearest coarse centroid (cell),
     search only the query's top-``_IVF_NPROBE`` cells.
