@@ -201,27 +201,38 @@ def _band_key_sql(b: int) -> str:
     )
 
 
-@register(
-    "dedup_near",
-    oracle=f"""
-WITH {_sig_ctes()},
-banded AS (
+def _banded_cte() -> str:
+    return f"""banded AS (
     {" UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, {_band_key_sql(b)} AS band_hash FROM sig"
         for b in range(_N_BANDS)
     )}
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+)"""
+
+
+_PAIRS_SELECT = """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a
 JOIN banded b
   ON a.band_idx = b.band_idx
  AND a.band_hash = b.band_hash
- AND a.doc_id < b.doc_id
+ AND a.doc_id < b.doc_id"""
+
+
+@register(
+    "dedup_near",
+    oracle=f"""
+WITH {_sig_ctes()},
+{_banded_cte()}
+{_PAIRS_SELECT}
 """,
 )
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
+    return lsh_candidate_pairs(minhash_signatures(docs)).orderBy("doc_a", "doc_b")
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one band bucket."""
     band_cols = [
         F.concat_ws(
             "|",
@@ -236,7 +247,7 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -248,7 +259,80 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return cand.orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# N2b'' — duplicate-CLUSTER assignment: connected components over the LSH
+# candidate graph, the step a dedup pipeline runs after candidate
+# generation (every doc gets the min doc_id of its component as its
+# cluster root; singletons keep their own id). Spark side is iterative
+# min-label propagation with per-round localCheckpoint (lineage stays
+# O(1)); rounds = graph diameter, and near-dup components are dense, so
+# 2-4 rounds in practice. At 100 TB you swap the propagation loop for
+# the two-phase large-star/small-star contraction (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond") — same edges input,
+# same (doc_id, cluster_id) output contract. Oracle: recursive CTE
+# propagating labels to a fixpoint — exact, since both sides compute the
+# same min-label-per-component function.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE {_sig_ctes()},
+{_banded_cte()},
+pairs AS (
+    {_PAIRS_SELECT}
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+walk(node, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id
+FROM walk GROUP BY node
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint()  # pair generation runs once, not once per round
+    )
+    labels = docs.selectExpr("doc_id", "doc_id AS cluster_id").localCheckpoint()
+    # Labels only ever decrease, so sum(cluster_id) strictly decreases
+    # until the fixpoint — a cheap convergence probe on the materialized
+    # checkpoint (no row-by-row diff join).
+    prev_sum = labels.agg(F.sum("cluster_id")).head()[0]
+    while True:
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.dst, "left")
+            .select(
+                labels.doc_id,
+                F.least(
+                    labels.cluster_id,
+                    F.coalesce(nbr_min.nbr_min, labels.cluster_id),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).head()[0]
+        if cur_sum == prev_sum:
+            return labels.orderBy("doc_id")
+        prev_sum = cur_sum
 
 
 # ---------------------------------------------------------------------------

@@ -107,3 +107,16 @@ def test_sample_hash_partition_invariant(spark, sf_dir):
         for r in o7.filter(h < 100).select("o_orderkey").collect()
     )
     assert got == base and len(base) > 0
+
+
+def test_dedup_components_roots_are_members(spark, sf_dir):
+    """Connected-components invariants: every cluster root labels
+    itself (fixpoint actually reached), every doc appears exactly once,
+    and labels never exceed the doc's own id (min-label semantics)."""
+    import chess_pos_db_spark as engine
+
+    rows = engine.get_queries()["dedup_components"](spark, sf_dir).collect()
+    labels = {r.doc_id: r.cluster_id for r in rows}
+    assert len(labels) == len(rows)
+    assert all(c <= d for d, c in labels.items())
+    assert all(labels[c] == c for c in set(labels.values()))
