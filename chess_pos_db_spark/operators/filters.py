@@ -191,3 +191,34 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     h = (F.col("o_orderkey") % 1000003) * F.lit(2654435761) % 1000
     return o.filter(h < 100).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+# P9b — STRATIFIED deterministic sampling: per-class rates (class-balanced
+# training-data sampling — downsample the majority class, keep the rare
+# one). Same hash-mod machinery as sample_hash, so it is reproducible
+# across reruns/engines/partitionings, and the predicate still pushes
+# toward the scan (no shuffle, no RNG). The md5-derived hash matches
+# DuckDB bit-for-bit (the dedup-block family).
+_STRATA_RATES = "CASE o_orderstatus WHEN 'F' THEN 50 WHEN 'O' THEN 100 ELSE 500 END"
+_KEY_HASH = (
+    "cast(conv(substring(md5(cast(o_orderkey AS string)), 1, 15), 16, 10)"
+    " AS bigint) % 1000"
+)
+_KEY_HASH_DUCK = (
+    "(('0x' || substr(MD5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000)"
+)
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE {_KEY_HASH_DUCK} < ({_STRATA_RATES})
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.filter(F.expr(f"{_KEY_HASH} < ({_STRATA_RATES})")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
