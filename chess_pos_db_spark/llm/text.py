@@ -8,7 +8,7 @@ bit-identical with the DuckDB oracle's STRING_SPLIT.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -201,4 +201,66 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(20)
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+WITH tf AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+          FROM documents)
+    GROUP BY doc_id, token
+),
+df AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+    FROM tf GROUP BY token
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.token,
+           ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+    FROM tf JOIN df USING (token), n
+)
+SELECT doc_id, token, tfidf
+FROM (
+    SELECT doc_id, token, tfidf,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, token) AS rn
+    FROM scored
+)
+WHERE rn <= 3
+""",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (the classic keyword / quality
+    feature). tf and df are two map-side-combined aggregations over the
+    exploded tokens; the corpus size joins in as a broadcast one-row
+    aggregate (no driver-side action); idf = ln((N+1)/(df+1)).
+    Ordering happens on the ROUNDED score (round 6 on BOTH sides, then
+    token tie-break) so a last-ulp libm difference between engines can
+    never reorder the top-k."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf")
     )
