@@ -18,7 +18,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -301,6 +301,11 @@ FROM walk GROUP BY node
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
+    return component_labels(docs).orderBy("doc_id")
+
+
+def component_labels(docs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) to the min-label fixpoint over LSH candidates."""
     pairs = lsh_candidate_pairs(minhash_signatures(docs))
     edges = (
         pairs.selectExpr("doc_a AS src", "doc_b AS dst")
@@ -331,8 +336,73 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("cluster_id")).head()[0]
         if cur_sum == prev_sum:
-            return labels.orderBy("doc_id")
+            return labels
         prev_sum = cur_sum
+
+
+# ---------------------------------------------------------------------------
+# N2b''' — representative selection: the FINAL dedup-pipeline step. Per
+# duplicate cluster keep one document — the longest text, ties to the
+# lowest doc_id (quality-keeps-the-fullest-copy policy) — and report the
+# cluster size. One window over the component labels joined back to the
+# docs: the labels are already materialized (localCheckpoint), so this
+# adds a single shuffle on cluster_id.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE {_sig_ctes()},
+{_banded_cte()},
+pairs AS (
+    {_PAIRS_SELECT}
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+walk(node, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+),
+labels AS (
+    SELECT node AS doc_id, MIN(label) AS cluster_id
+    FROM walk GROUP BY node
+)
+SELECT cluster_id, doc_id AS keep_id, text_len, n_members
+FROM (
+    SELECT l.cluster_id, l.doc_id,
+           CAST(LENGTH(d.text) AS BIGINT) AS text_len,
+           CAST(COUNT(*) OVER (PARTITION BY l.cluster_id) AS BIGINT)
+               AS n_members,
+           ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                              ORDER BY LENGTH(d.text) DESC, l.doc_id) AS rn
+    FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+)
+WHERE rn = 1
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    labeled = component_labels(docs).join(
+        docs.select("doc_id", F.length("text").alias("text_len")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id")
+    wr = w.orderBy(F.desc("text_len"), F.asc("doc_id"))
+    return (
+        labeled.select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_id"),
+            F.col("text_len").cast("bigint").alias("text_len"),
+            F.count("*").over(w).alias("n_members"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
 
 
 # ---------------------------------------------------------------------------
