@@ -264,3 +264,66 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", "tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-data SELECTION: the composed pipeline a data-curation
+# job actually runs — quality gate (token count + stopword-ratio band) →
+# per-language deterministic downsampling (majority language sampled
+# hardest). Every stage reuses the primitives above, stays JVM-side, and
+# the sampling hash is the cross-engine md5 recipe, so the whole
+# composition is oracle-exact. At 100 TB this is two map-side-combined
+# aggregations + a scan-level final filter — no extra shuffle beyond
+# text_quality itself.
+# ---------------------------------------------------------------------------
+
+_SEL_RATES = "CASE lang WHEN 'en' THEN 200 ELSE 600 END"
+_SEL_HASH = (
+    "cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10)"
+    " AS bigint) % 1000"
+)
+_SEL_HASH_DUCK = (
+    "(('0x' || substr(MD5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000)"
+)
+
+
+@register(
+    "select_training_docs",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+    FROM documents
+),
+stats AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           (SUM(CASE WHEN token IN {_STOPWORDS!r} THEN 1 ELSE 0 END) * 1.0
+            / COUNT(*)) AS stop_ratio
+    FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang, s.n_tokens
+FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+WHERE s.n_tokens >= 5
+  AND s.stop_ratio <= 0.5
+  AND {_SEL_HASH_DUCK} < ({_SEL_RATES})
+""",
+)
+def select_training_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    stats = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        (
+            F.sum(F.when(F.col("token").isin(*_STOPWORDS), 1).otherwise(0))
+            / F.count("*")
+        ).alias("stop_ratio"),
+    )
+    return (
+        docs.join(stats, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 5)
+            & (F.col("stop_ratio") <= 0.5)
+            & F.expr(f"{_SEL_HASH} < ({_SEL_RATES})")
+        )
+        .select("doc_id", "lang", "n_tokens")
+    )

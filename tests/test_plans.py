@@ -67,7 +67,7 @@ def test_map_only_queries_have_no_shuffle(spark, sf_dir):
     """Pure projections/filters (including the BPE tokenizer and the
     hash sampler) must stay map-only: zero shuffle exchanges."""
     for name in ["project_compute", "filter_compound", "text_token_count_bpe",
-                 "sample_hash"]:
+                 "sample_hash", "sample_stratified"]:
         plan = _plan(q(name, spark, sf_dir))
         assert _n_exchanges(plan) == 0, f"{name} shuffles:\n{plan[:2000]}"
 
