@@ -244,10 +244,12 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    # df as a window count over the tf relation (one doc per row by
+    # construction) instead of groupBy+join-back: same shuffle payload,
+    # two fewer exchanges (tf-agg → token-window → doc-window).
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(df, "token")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("token")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -114,3 +114,19 @@ def test_semi_anti_stay_broadcast(spark, sf_dir):
     for name, kind in [("join_semi", "LeftSemi"), ("join_anti", "LeftAnti")]:
         plan = _plan(q(name, spark, sf_dir))
         assert kind in plan, f"{name}:\n{plan[:1500]}"
+
+
+def test_tfidf_bounded_exchanges(spark, sf_dir):
+    """text_tfidf: tf-agg + token-window + doc-window + the single-row
+    corpus count — never the groupBy+join-back shape (which costs two
+    more exchanges for the same payload)."""
+    plan = _plan(q("text_tfidf", spark, sf_dir))
+    assert _n_exchanges(plan) <= 4, plan[:2000]
+
+
+def test_training_selection_single_shuffle(spark, sf_dir):
+    """select_training_docs: ONE shuffle (the per-doc stats agg); the
+    stats join back to documents broadcasts, and the quality + sampling
+    predicates are plain filters."""
+    plan = _plan(q("select_training_docs", spark, sf_dir))
+    assert _n_exchanges(plan) == 1, plan[:2000]
