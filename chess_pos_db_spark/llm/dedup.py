@@ -69,6 +69,30 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("keep_id", "n_copies")
 
 
+# N1b — reordering-invariant exact dedup: group by the order-insensitive
+# fingerprint (md5 of the SORTED token list, text.py::text_fingerprint),
+# so "a b c" and "c b a" collapse to one group — the cheap canonical-form
+# dedup that catches shuffled boilerplate byte-exact hashing misses.
+# Same single map-side-combined shuffle as dedup_exact_groups.
+@register(
+    "dedup_fingerprint_groups",
+    oracle="""
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT)    AS n_copies
+FROM documents
+GROUP BY MD5(ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(text, ' ')), ' '))
+""",
+)
+def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.split("text", " "))))
+    return (
+        docs.groupBy(fp)
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
 # ---------------------------------------------------------------------------
 # N2a — exact n-gram (token-set) Jaccard similarity join: all pairs with
 # Jaccard >= 0.5 (doc_a < doc_b). The distinct-token self-join form is
