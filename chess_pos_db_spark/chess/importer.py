@@ -93,6 +93,14 @@ def read_pgn_files(
         os.path.abspath(path): (idx, path, level)
         for idx, (path, level) in enumerate(files)
     }
+    if len(meta) != len(files):
+        # Duplicate paths would silently collapse to one (idx, level)
+        # entry — and duplicate game_ids downstream. Fail loud instead.
+        dupes = sorted(
+            p for p in {os.path.abspath(p) for p, _ in files}
+            if sum(1 for q, _ in files if os.path.abspath(q) == p) > 1
+        )
+        raise ValueError(f"duplicate input paths in import list: {dupes}")
 
     schema = T.StructType(
         [
@@ -108,6 +116,12 @@ def read_pgn_files(
             idxs, srcs, lvls, texts = [], [], [], []
             for uri, content in zip(pdf["path"], pdf["content"]):
                 key = os.path.abspath(unquote(urlparse(uri).path))
+                if key not in meta:
+                    raise ValueError(
+                        f"binaryFile row {uri!r} (decoded {key!r}) does not "
+                        f"match any input path — URI/abspath round-trip "
+                        f"mismatch; input paths: {sorted(meta)[:5]}..."
+                    )
                 idx, src, lvl = meta[key]
                 idxs.append(idx)
                 srcs.append(src)

@@ -240,28 +240,43 @@ def retractions(
     )
 
 
+def epd_lines(entries_with_pos: DataFrame, min_count: int = 1) -> DataFrame:
+    """EPD dump plan: one `line` per distinct position with
+    cnt >= min_count. Requires entries built with
+    include_positions=True (pos_cmp column).
+
+    The decompress→EPD step is the one Python stage that touches every
+    distinct surviving position, so it runs as an Arrow-batched
+    mapInPandas (one Python round-trip per batch), not a row-at-a-time
+    `F.udf` (one round-trip per position) — no BatchEvalPython node in
+    the dump plan (pinned in test_plans)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def to_epd_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            lines = []
+            for pos_cmp, cnt in zip(pdf["pos_cmp"], pdf["cnt"]):
+                p = Position.decompress(bytes(pos_cmp))
+                placement, side, castling, ep, *_ = p.fen().split(" ")
+                lines.append(
+                    f"{placement} {side} {castling} {ep} ; c0 {cnt}"
+                )
+            yield pd.DataFrame({"line": lines})
+
+    agg = (
+        entries_with_pos.groupBy("pos_cmp")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    return agg.mapInPandas(to_epd_batches, schema="line string")
+
+
 def dump_epd(
     entries_with_pos: DataFrame,
     out_path: str,
     min_count: int = 1,
 ) -> None:
-    """EPD dump sink (reference `dump` command): positions with
-    cnt >= min_count, one EPD line each. Requires entries built with
-    include_positions=True (pos_cmp column)."""
-
-    @F.udf(T.StringType())
-    def to_epd(pos_cmp: bytes) -> str:
-        p = Position.decompress(bytes(pos_cmp))
-        placement, side, castling, ep, *_ = p.fen().split(" ")
-        return " ".join([placement, side, castling, ep])
-
-    agg = (
-        entries_with_pos.groupBy("pos_cmp")
-        .agg(F.sum(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= min_count)
-    )
-    (
-        agg.select(F.concat(to_epd("pos_cmp"), F.lit(" ; c0 "), F.col("cnt")).alias("line"))
-        .write.mode("overwrite")
-        .text(out_path)
-    )
+    """EPD dump sink (reference `dump` command)."""
+    epd_lines(entries_with_pos, min_count).write.mode("overwrite").text(out_path)

@@ -100,12 +100,28 @@ def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Document-frequency cap for the exact-Jaccard token postings: a token
+# shared by d documents emits d·(d−1)/2 join rows, so ONE stopword in a
+# 10⁹-doc corpus is a 10¹⁸-row join. Tokens with df > cap carry almost
+# no similarity signal (they're corpus-wide) and are dropped from BOTH
+# the postings and the set sizes — i.e. Jaccard over the rare-token
+# subsets, the standard df-capped formulation — keeping the join input
+# provably bounded: ≤ cap·(cap−1)/2 pair rows per distinct token.
+JACCARD_DF_CAP = 100
+
+
 @register(
     "dedup_jaccard",
-    oracle="""
-WITH tok AS (
+    oracle=f"""
+WITH tok0 AS (
     SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
     FROM documents
+),
+tok AS (
+    SELECT doc_id, token FROM (
+        SELECT doc_id, token, COUNT(*) OVER (PARTITION BY token) AS df
+        FROM tok0
+    ) WHERE df <= {JACCARD_DF_CAP}
 ),
 sizes AS (
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id
@@ -126,9 +142,20 @@ WHERE p.n_shared * 1.0 / (sa.n_tok + sb.n_tok - p.n_shared) >= 0.5
 )
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    tok = docs.select(
+    tok0 = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).distinct()
+    # df as a window count (not groupBy+join-back: same shuffle payload,
+    # two fewer exchanges — the text_tfidf pattern), and the window's
+    # hash-partitioning on token is EXACTLY what the self-join below
+    # needs, so the postings shuffle is reused, not repeated.
+    tok = (
+        tok0.withColumn(
+            "df", F.count("*").over(Window.partitionBy("token"))
+        )
+        .filter(F.col("df") <= JACCARD_DF_CAP)
+        .drop("df")
+    )
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     a = tok.alias("a")
     b = tok.alias("b")
@@ -541,17 +568,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- embedding-cosine near-duplicate pairs (N2 scale family) -----------------
 
+from .similarity import _DIMS as _EMB_DIMS  # noqa: E402 — shared fixture dims
+
 
 @register(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
 WITH pairs AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
            SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na,
            SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
-         GENERATE_SERIES(1, 64) AS t(i)
+         GENERATE_SERIES(1, {_EMB_DIMS}) AS t(i)
     GROUP BY a.vec_id, b.vec_id
 )
 SELECT id_a, id_b, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cos_sim

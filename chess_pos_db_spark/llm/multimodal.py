@@ -148,6 +148,16 @@ def resize(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
             for _, row in pdf.iterrows():
                 pixels = decode_image(bytes(row["blob"]))
                 h, w = pixels.shape
+                # Images smaller than the target grid: edge-replicate up
+                # to (out_h, out_w) first — the block-mean reshape below
+                # requires at least one source row/col per output cell.
+                if h < out_h or w < out_w:
+                    pixels = np.pad(
+                        pixels,
+                        ((0, max(0, out_h - h)), (0, max(0, out_w - w))),
+                        mode="edge",
+                    )
+                    h, w = pixels.shape
                 bh, bw = max(1, h // out_h), max(1, w // out_w)
                 pooled = (
                     pixels[: bh * out_h, : bw * out_w]

@@ -23,6 +23,10 @@ from ..tables import t
 
 _QUERY_VEC_ID = 0
 _TOP_K = 10
+_N_PLANES = 8
+_DIMS = 64  # fixture embedding dimensionality — interpolated into EVERY
+# oracle below (a literal 64 in one oracle would silently truncate the
+# comparison if the fixture dimensionality ever changed)
 
 
 def _dot(a, b):
@@ -47,7 +51,7 @@ scored AS (
            SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)) AS dot,
            SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS na,
            SUM(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)) AS nb
-    FROM embeddings e, q, GENERATE_SERIES(1, 64) AS t(i)
+    FROM embeddings e, q, GENERATE_SERIES(1, {_DIMS}) AS t(i)
     GROUP BY e.vec_id
 )
 SELECT vec_id, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cos_sim
@@ -69,9 +73,6 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- scale path: sign-LSH bucketing -----------------------------------------
-
-_N_PLANES = 8
-_DIMS = 64
 
 
 def _plane(plane: int) -> list[float]:
@@ -176,11 +177,16 @@ _IVF_NPROBE = 4  # cells searched per query
 def _ivf_centroids(spark: SparkSession, sf_dir: str):
     """Deterministic coarse centroids: the K lowest-vec_id vectors.
 
-    A production build would run k-means over a sample; seeding from a
-    deterministic corpus subset keeps the quantizer reproducible across
-    engines/runs (the fixture contract) while exercising the identical
-    query path. Centroids are tiny (K x dims floats) and are shipped to
-    executors inside the UDF closure — the broadcast-dimension pattern.
+    A trained variant (k-means over a deterministic sample) lives in
+    ``similarity_ivf_trained``; seeding from a deterministic corpus
+    subset keeps THIS quantizer relational and therefore oracle-exact
+    while exercising the identical query path. Centroids are tiny
+    (K x dims floats) and are shipped to executors inside the UDF
+    closure — the broadcast-dimension pattern.
+
+    Returns (raw_centroids, guarded_norms): cell scores divide the RAW
+    dot by the centroid norm (not the vector norm — per-vector argmax
+    is norm-invariant), matching the oracle's formula term for term.
     """
     import numpy as np
 
@@ -192,17 +198,20 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
         .collect()
     )
     c = np.array([r.embedding for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(c, axis=1, keepdims=True)
-    return c / np.where(norms == 0, 1.0, norms)
+    norms = np.linalg.norm(c, axis=1)
+    return c, np.where(norms == 0, 1.0, norms)
 
 
 def _ivf_oracle() -> str:
     """Oracle: the coarse quantizer is itself relational — centroids are
-    the K lowest-vec_id vectors (normalized), cell assignment is the
-    argmax of the normalized dot with numpy's first-index tie-break
+    the K lowest-vec_id vectors, cell assignment is the argmax of
+    ROUND(dot / centroid_norm, 6) with numpy's first-index tie-break
     (ORDER BY score DESC, c_idx), probe cells are the query's top-nprobe
     centroids under the same ordering. Dividing by the centroid norm
-    (not the vector norm) preserves the per-vector argmax ordering."""
+    (not the vector norm) preserves the per-vector argmax ordering; the
+    ROUND on BOTH sides keeps a near-tie (numpy pairwise summation vs
+    DuckDB sequential SUM, ~1 ulp apart) from flipping a vector's cell
+    and hence the candidate set."""
     return f"""
 WITH cent AS (
     SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c_idx, embedding AS cv
@@ -227,7 +236,8 @@ cells AS (
         SELECT v.vec_id, v.c_idx,
                ROW_NUMBER() OVER (
                    PARTITION BY v.vec_id
-                   ORDER BY v.dot / (CASE WHEN n.cn = 0 THEN 1.0 ELSE n.cn END)
+                   ORDER BY ROUND(v.dot /
+                            (CASE WHEN n.cn = 0 THEN 1.0 ELSE n.cn END), 6)
                             DESC, v.c_idx
                ) AS rn
         FROM vdot v JOIN cnorm n USING (c_idx)
@@ -237,7 +247,8 @@ probe AS (
     SELECT v.c_idx
     FROM vdot v JOIN cnorm n USING (c_idx)
     WHERE v.vec_id = {_QUERY_VEC_ID}
-    ORDER BY v.dot / (CASE WHEN n.cn = 0 THEN 1.0 ELSE n.cn END) DESC, v.c_idx
+    ORDER BY ROUND(v.dot / (CASE WHEN n.cn = 0 THEN 1.0 ELSE n.cn END), 6)
+             DESC, v.c_idx
     LIMIT {_IVF_NPROBE}
 ),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
@@ -272,16 +283,18 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    centroids = _ivf_centroids(spark, sf_dir)
+    centroids, cnorms = _ivf_centroids(spark, sf_dir)
 
     def assign(batches):
         import numpy as np
 
         for pdf in batches:
             v = np.array(list(pdf["embedding"]), dtype=np.float64)
-            norms = np.linalg.norm(v, axis=1, keepdims=True)
-            vn = v / np.where(norms == 0, 1.0, norms)
-            cells = np.argmax(vn @ centroids.T, axis=1)
+            # Assignment score = ROUND(raw_dot / centroid_norm, 6) — the
+            # oracle's exact formula; rounding BEFORE the argmax keeps a
+            # last-ulp summation-order difference from flipping a cell.
+            scores = np.round((v @ centroids.T) / cnorms, 6)
+            cells = np.argmax(scores, axis=1)  # first index wins ties
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cells.astype("int64")})
 
     emb = t(spark, sf_dir, "embeddings")
@@ -295,8 +308,11 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qrow = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").head()
     qv = np.array(qrow.embedding, dtype=np.float64)
-    qn = qv / (np.linalg.norm(qv) or 1.0)
-    probe_cells = [int(c) for c in np.argsort(-(centroids @ qn))[:_IVF_NPROBE]]
+    q_scores = np.round((centroids @ qv) / cnorms, 6)
+    # Stable sort ⇒ ties broken by lowest c_idx, matching ORDER BY ..., c_idx.
+    probe_cells = [
+        int(c) for c in np.argsort(-q_scores, kind="stable")[:_IVF_NPROBE]
+    ]
 
     q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("embedding").alias("qv")

@@ -190,10 +190,66 @@ WINDOW w AS (ORDER BY c_acctbal, c_custkey)
 """,
 )
 def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = t(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    """Global ntile/percent_rank WITHOUT a single-partition window.
+
+    A bare ``Window.orderBy(...)`` funnels the whole table through ONE
+    task — fine at sf0.1, a hard single-executor wall at 100×. Instead:
+    the two-pass zipWithIndex pattern (SURVEY W2): range-partition on
+    the sort key, rank WITHIN each range partition (parallel windows,
+    one group per partition), then add per-partition row-count offsets —
+    metadata, one long per partition — collected driver-side. The
+    ordering key (c_acctbal, c_custkey) is unique, so rank ≡ row_number
+    and NTILE/PERCENT_RANK are pure arithmetic on the global rank:
+      ntile(n):     q, r = divmod(N, n); first r buckets get q+1 rows
+      percent_rank: (rank-1) / (N-1)
+    The localCheckpoint pins the sampled range boundaries so the counts
+    job and the final job see the SAME partitioning (repartitionByRange
+    re-samples per action otherwise).
+    """
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    parts = (
+        c.repartitionByRange(n_parts, "c_acctbal", "c_custkey")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in parts.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):  # range partitions are ordered by pid
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = parts.sparkSession.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "pid int, off bigint"
+    )
+
+    w_local = Window.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
+    rn = (F.col("off") + F.row_number().over(w_local)).alias("rn")
+    ranked = parts.join(F.broadcast(off_df), "pid").select("c_custkey", rn)
+
+    n = 4
+    q, r = divmod(total, n)
+    big = r * (q + 1)  # rows living in the (q+1)-sized leading buckets
+    if q > 0:
+        # Integer `div` keeps the bucket arithmetic exact (double
+        # division + truncation can be off by one at large ranks).
+        quartile = (
+            F.when(F.col("rn") <= big, F.expr(f"(rn - 1) div {q + 1}"))
+            .otherwise(F.lit(r) + F.expr(f"(rn - {big} - 1) div {q}"))
+            .cast("int")
+            + 1
+        )
+    else:  # fewer rows than buckets: bucket i gets row i
+        quartile = F.col("rn").cast("int")
+    pct = (
+        F.lit(0.0) if total <= 1
+        else (F.col("rn") - 1) / F.lit(float(total - 1))
+    )
+    return ranked.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("balance_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("balance_pct_rank"),
+        quartile.alias("balance_quartile"),
+        F.round(pct, 6).alias("balance_pct_rank"),
     )

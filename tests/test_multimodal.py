@@ -63,3 +63,15 @@ def test_resize_block_mean(spark):
     # determinism: same blobs → same pixels
     again = {x.media_id: x.pixels for x in mm.resize(media, 4, 4).collect()}
     assert {r.media_id: r.pixels for r in rows} == again
+
+
+def test_resize_upscales_small_images(spark):
+    """Images smaller than the target grid edge-replicate instead of
+    crashing in the block-mean reshape (decoded fakes are 16×16, so a
+    32×32 target exercises the upscale path)."""
+    media = mm.synthetic_media(spark, 6)
+    rows = mm.resize(media, out_w=32, out_h=32).collect()
+    assert len(rows) == media.filter("kind = 'image'").count()
+    for r in rows:
+        assert len(r.pixels) == 32 * 32
+        assert all(0.0 <= p <= 255.0 for p in r.pixels)

@@ -124,6 +124,55 @@ def test_tfidf_bounded_exchanges(spark, sf_dir):
     assert _n_exchanges(plan) <= 4, plan[:2000]
 
 
+def test_ntile_no_single_partition_exchange(spark, sf_dir):
+    """W7: global ntile/percent_rank must NOT funnel the table through a
+    single-partition window (Exchange SinglePartition) — the two-pass
+    range-partitioned ranking keeps every stage parallel."""
+    plan = _plan(q("win_ntile", spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+def test_jaccard_postings_df_capped(spark, sf_dir):
+    """N2: the exact-Jaccard token postings are df-capped, so the
+    self-join input is provably bounded (≤ cap·(cap−1)/2 pair rows per
+    token); an uncapped stopword would emit d² rows at corpus scale."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from chess_pos_db_spark.llm.dedup import JACCARD_DF_CAP
+    from chess_pos_db_spark.tables import t
+
+    docs = t(spark, sf_dir, "documents")
+    tok0 = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    capped = tok0.withColumn(
+        "df", F.count("*").over(Window.partitionBy("token"))
+    ).filter(F.col("df") <= JACCARD_DF_CAP)
+    max_df = capped.agg(F.max("df")).first()[0]
+    assert max_df is not None and max_df <= JACCARD_DF_CAP
+    # The cap bites on this fixture: some token exceeds it.
+    n_all = tok0.count()
+    assert capped.count() < n_all, "cap is vacuous on the fixture"
+
+
+def test_epd_dump_plan_is_arrow_batched(spark, sf_dir):
+    """S7: the EPD dump path must not contain a row-at-a-time Python
+    UDF (BatchEvalPython) — the decode runs as Arrow-batched
+    mapInPandas."""
+    from chess_pos_db_spark.chess import importer, query
+
+    games = spark.createDataFrame(
+        [(0, "human", "W", None, None, None, None, None, None, None,
+          "A", "B", 2000, 2000, None, 2, "f.pgn", ["e4", "e5"])],
+        importer.GAME_SCHEMA,
+    )
+    entries = importer.explode_positions(games, include_positions=True)
+    plan = _plan(query.epd_lines(entries, min_count=1))
+    assert "BatchEvalPython" not in plan, plan[:2000]
+    assert "MapInPandas" in plan
+
+
 def test_training_selection_single_shuffle(spark, sf_dir):
     """select_training_docs: ONE shuffle (the per-doc stats agg); the
     stats join back to documents broadcasts, and the quality + sampling
