@@ -5,7 +5,10 @@ multithreaded on a desktop).
 Generates a deterministic random-game corpus as PGN, runs the full
 create pipeline (parse → replay/explode → aggregate → sorted write),
 and reports positions/second. Run: python bench_import.py [n_files
-games_per_file]."""
+games_per_file]. With n_files=1 this benchmarks the chunk-splitting
+source on ONE large file (the reference's primary real-world input
+shape) — throughput should hold within ~0.8x of the many-files run at
+the same game count."""
 
 from __future__ import annotations
 
@@ -73,6 +76,7 @@ def main() -> None:
                 "unit": "positions/sec",
                 "positions": stats["positions"],
                 "games": stats["games"],
+                "n_files": n_files,
                 "elapsed_sec": round(elapsed, 2),
             }
         )

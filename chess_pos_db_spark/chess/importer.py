@@ -144,6 +144,188 @@ def read_pgn_files(
     return raw.mapInPandas(decode, schema)
 
 
+DEFAULT_CHUNK_BYTES = 16 << 20
+MIN_CHUNK_BYTES = 64 << 10  # below this, the 8 KB boundary lookback and
+# per-task overhead dominate the parse itself
+
+_SPLIT_SCHEMA = T.StructType(
+    [
+        T.StructField("file_idx", T.IntegerType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("source_file", T.StringType(), False),
+        T.StructField("level", T.StringType(), False),
+        T.StructField("chunk_idx", T.IntegerType(), False),
+        T.StructField("start", T.LongType(), False),
+        T.StructField("end", T.LongType(), False),
+        T.StructField("base", T.LongType(), False),  # first game ordinal
+    ]
+)
+
+
+def plan_pgn_splits(
+    files: list[tuple[str, str]], chunk_bytes: int
+) -> list[tuple]:
+    """Driver-side split planning (the Hadoop FileInputFormat analogue):
+    byte-range chunks per file, metadata only — no file contents touch
+    the driver. `base` (the chunk's first game ordinal) is filled by the
+    count pass."""
+    import os
+
+    seen = set()
+    rows = []
+    for idx, (path, level) in enumerate(files):
+        ap = os.path.abspath(path)
+        if ap in seen:
+            raise ValueError(f"duplicate input path in import list: {path}")
+        seen.add(ap)
+        size = os.path.getsize(ap)
+        n_chunks = max(1, -(-size // chunk_bytes))
+        for ci in range(n_chunks):
+            rows.append(
+                (
+                    idx,
+                    ap,
+                    path,
+                    level,
+                    ci,
+                    ci * chunk_bytes,
+                    min((ci + 1) * chunk_bytes, size),
+                    0,
+                )
+            )
+    return rows
+
+
+def _splits_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
+    # One split per task: each split is a large independent unit of work
+    # (16 MB of parse by default), so 1:1 task granularity is right.
+    return spark.createDataFrame(rows, _SPLIT_SCHEMA).repartition(len(rows))
+
+
+def parse_games_chunked(
+    spark: SparkSession,
+    files: list[tuple[str, str]],
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+) -> DataFrame:
+    """Chunk-splitting PGN source: ONE large file imports in parallel.
+
+    The reference's LazyPgnFileReader † streams a file on one thread;
+    the Spark-native source instead byte-range-splits every file on
+    game boundaries (pgn.GameStartScanner — the exact split_games state
+    rule, so results are byte-identical to the sequential parse) and
+    runs two distributed passes:
+
+      1. COUNT: per chunk, how many kept games start inside it (cheap:
+         boundary scan + tag-regex keep check, no move parsing). The
+         per-chunk counts — one long per 16 MB, pure metadata — come
+         back to the driver, which prefix-sums them into each chunk's
+         first game ordinal. This is the zipWithIndex pattern; it is
+         what makes game_id = (file_idx << 32) | ordinal IDENTICAL to
+         the sequential reader's, so chunking is invisible in output.
+      2. PARSE: per chunk, slice games and parse, assigning ordinals
+         from the chunk's base.
+
+    The count pass re-reads raw bytes (not re-parses); at 100 TB both
+    passes are embarrassingly parallel with no shuffle at all.
+
+    `chunk_bytes` is an UPPER bound: when the corpus is smaller than
+    (2 × parallelism) chunks of that size, chunks shrink (down to
+    MIN_CHUNK_BYTES) so a single modest file still fans out across the
+    cluster — the same adaptive split sizing Spark's own file sources
+    do via maxPartitionBytes.
+    """
+    import os
+
+    total = sum(os.path.getsize(os.path.abspath(p)) for p, _ in files)
+    target_chunks = max(1, 2 * spark.sparkContext.defaultParallelism)
+    eff_chunk = min(
+        chunk_bytes, max(MIN_CHUNK_BYTES, -(-total // target_chunks))
+    )
+    rows = plan_pgn_splits(files, eff_chunk)
+
+    def count_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, r in pdf.iterrows():
+                slices = pgn.chunk_game_slices(
+                    r["path"], int(r["start"]), int(r["end"])
+                )
+                n = sum(1 for _, text in slices if pgn.game_is_kept(text))
+                out.append(
+                    {
+                        "file_idx": int(r["file_idx"]),
+                        "chunk_idx": int(r["chunk_idx"]),
+                        "n_games": n,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["file_idx", "chunk_idx", "n_games"]
+            )
+
+    counts = {
+        (r["file_idx"], r["chunk_idx"]): r["n_games"]
+        for r in _splits_df(spark, rows)
+        .mapInPandas(
+            count_batches, "file_idx int, chunk_idx int, n_games long"
+        )
+        .collect()
+    }
+    bases: dict[tuple[int, int], int] = {}
+    acc_file = -1
+    acc = 0
+    for fi, ci in sorted(counts):
+        if fi != acc_file:
+            acc_file, acc = fi, 0
+        bases[(fi, ci)] = acc
+        acc += counts[(fi, ci)]
+
+    rows2 = [r[:7] + (bases[(r[0], r[4])],) for r in rows]
+
+    def parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, r in pdf.iterrows():
+                slices = pgn.chunk_game_slices(
+                    r["path"], int(r["start"]), int(r["end"])
+                )
+                ordinal = int(r["base"])
+                for _, text in slices:
+                    g = pgn.parse_game(text)
+                    if not (g["sans"] or g["tags"]):
+                        continue  # parse_file's keep filter
+                    tags = g["tags"]
+                    out.append(
+                        {
+                            "game_id": (int(r["file_idx"]) << 32) | ordinal,
+                            "level": r["level"],
+                            "result": g["result"],
+                            "event": tags.get("Event"),
+                            "site": tags.get("Site"),
+                            "date_raw": tags.get("Date"),
+                            "year": g["year"],
+                            "month": g["month"],
+                            "day": g["day"],
+                            "round": tags.get("Round"),
+                            "white": tags.get("White"),
+                            "black": tags.get("Black"),
+                            "white_elo": _int_or_none(tags.get("WhiteElo")),
+                            "black_elo": _int_or_none(tags.get("BlackElo")),
+                            "eco": tags.get("ECO"),
+                            "ply_count": len(g["sans"]),
+                            "source_file": r["source_file"],
+                            "sans": g["sans"],
+                        }
+                    )
+                    ordinal += 1
+            yield pd.DataFrame(
+                out, columns=[f.name for f in GAME_SCHEMA.fields]
+            )
+
+    return _splits_df(spark, rows2).mapInPandas(
+        parse_batches, schema=GAME_SCHEMA
+    )
+
+
 def _int_or_none(v):
     try:
         return int(v) if v not in (None, "", "?") else None
@@ -283,11 +465,15 @@ def import_pgn(
     files: list[tuple[str, str]],
     db_dir: str,
     partitions: int = 8,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
 ) -> dict:
     """Full `create` command: parse → explode → aggregate → write the
     database directory (games/ + entries/ sorted runs + manifests).
-    Returns import stats (the reference's progress/skip report)."""
-    games = parse_games(read_pgn_files(spark, files)).cache()
+    Returns import stats (the reference's progress/skip report).
+
+    Uses the chunk-splitting source, so ONE large dump parallelizes
+    across byte-range tasks (game_ids identical to a sequential read)."""
+    games = parse_games_chunked(spark, files, chunk_bytes).cache()
     # Replay parallelism must not be bound by file count (one giant PGN
     # would otherwise replay on one core): spread games across cores
     # before the python-side replay, the import's hot path.
@@ -327,6 +513,7 @@ def append_pgn(
     files: list[tuple[str, str]],
     db_dir: str,
     partitions: int = 8,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
 ) -> dict:
     """`append` command: new files become new runs; a compaction merge
     (layout.compact_runs) re-establishes the single sorted table. The
@@ -335,7 +522,7 @@ def append_pgn(
     import shutil
 
     runs_dir = f"{db_dir}/_append_runs_tmp"
-    games = parse_games(read_pgn_files(spark, files))
+    games = parse_games_chunked(spark, files, chunk_bytes)
     agg = build_agg_entries(explode_positions(games))
     games.drop("sans").write.mode("append").parquet(f"{db_dir}/games")
     agg.write.mode("overwrite").parquet(runs_dir)

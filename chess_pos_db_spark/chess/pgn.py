@@ -128,6 +128,126 @@ def parse_file(text: str) -> Iterator[dict]:
             yield g
 
 
+# ---------------------------------------------------------------------------
+# Byte-range game-boundary scanning (the chunk-splitting PGN source,
+# reference `src/chess/Pgn.h` LazyPgnFileReader † — which streams one
+# file sequentially; the Spark source instead splits ONE file into
+# byte-range tasks, Hadoop-input-split style: a game belongs to the
+# chunk containing its first byte, and the chunk reads forward past its
+# end to finish its last game).
+#
+# The scanner replicates split_games' state rule EXACTLY — a new game
+# starts at any '['-line once movetext has been seen — so a chunked
+# import yields byte-identical game records (and therefore identical
+# game_ids) to the sequential parse. Scans started mid-file synchronize
+# by dropping the first partial line and running the state machine
+# through the lookback window; the state is provably correct at any
+# candidate preceded by at least one full movetext line within the
+# lookback (i.e. unless a single tag section exceeds the lookback).
+# ---------------------------------------------------------------------------
+
+
+class GameStartScanner:
+    """Incremental scanner for absolute game-start byte offsets.
+
+    Feed byte blocks in file order; ``starts`` accumulates absolute
+    offsets of lines that open a new game per the split_games rule.
+    Lines are delimited by b"\\n" (CR kept and stripped later, same as
+    the text path).
+    """
+
+    def __init__(self, abs_base: int, skip_first_partial: bool):
+        self.buf = bytearray()
+        self.abs_base = abs_base  # absolute file offset of buf[0]
+        self.scanned = 0  # buf offset of first unscanned byte
+        self.seen_movetext = False
+        self._skipped = not skip_first_partial
+        self.starts: list[int] = []
+
+    def feed(self, block: bytes, final: bool = False) -> None:
+        self.buf += block
+        buf = self.buf
+        n = len(buf)
+        i = self.scanned
+        while True:
+            nl = buf.find(b"\n", i)
+            if nl == -1:
+                if final and i < n:
+                    self._line(i, n)
+                    i = n
+                break
+            self._line(i, nl)
+            i = nl + 1
+        self.scanned = i
+
+    def _line(self, a: int, b: int) -> None:
+        if not self._skipped:  # discard the partial line a mid-file seek
+            self._skipped = True  # landed in — its start is unknowable
+            return
+        stripped = bytes(self.buf[a:b]).strip()
+        if stripped[:1] == b"[" and self.seen_movetext:
+            self.starts.append(self.abs_base + a)
+            self.seen_movetext = False
+        if stripped and stripped[:1] not in (b"[", b"%"):
+            self.seen_movetext = True
+
+
+def game_is_kept(text: str) -> bool:
+    """Whether parse_file would yield this game chunk (tags or sans
+    nonempty). The tag regex short-circuits the common case; only
+    tagless fragments pay for a full parse."""
+    if _TAG_RE.search(text):
+        return True
+    g = parse_game(text)
+    return bool(g["sans"] or g["tags"])
+
+
+def chunk_game_slices(
+    path: str, start: int, end: int, lookback: int = 8192
+) -> list[tuple[int, str]]:
+    """All games STARTING in byte range [start, end) of a PGN file, as
+    (absolute_start_offset, game_text), reading forward past `end` to
+    complete the last game (and nothing further than its first byte
+    beyond the next game start).
+
+    A chunk interior to one huge game returns [] — that game belongs to
+    the chunk containing its first byte. Uses plain ranged reads
+    (seek + read); an object-store deployment swaps these for ranged
+    GETs.
+    """
+    read_from = max(0, start - lookback)
+    sc = GameStartScanner(read_from, skip_first_partial=read_from > 0)
+    with open(path, "rb") as f:
+        f.seek(read_from)
+        sc.feed(f.read(end - read_from))
+        while not (sc.starts and sc.starts[-1] >= end):
+            block = f.read(4 << 20)
+            if not block:
+                sc.feed(b"", final=True)
+                break
+            sc.feed(block)
+    end_abs = read_from + len(sc.buf)
+
+    starts = [p for p in sc.starts if start <= p < end]
+    if start == 0:
+        # The file's first game opens at offset 0 without a preceding
+        # movetext line; split_games starts collecting at line 0.
+        starts.insert(0, 0)
+    if not starts:
+        return []
+    # First game start at/after `end` bounds this chunk's last game;
+    # at EOF the file end does. (The loop guarantees one of the two.)
+    bound = next((p for p in sc.starts if p >= end), end_abs)
+    out = []
+    edges = starts + [bound]
+    for a, b in zip(edges, edges[1:]):
+        text = bytes(sc.buf[a - read_from : b - read_from]).decode(
+            "utf-8", "replace"
+        )
+        out.append((a, text))
+    return out
+
+
 _RESULT_TO_TOKEN = {"W": "1-0", "B": "0-1", "D": "1/2-1/2", None: "*"}
 
 
