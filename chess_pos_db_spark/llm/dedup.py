@@ -355,9 +355,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return component_labels(docs).orderBy("doc_id")
 
 
-def component_labels(docs: DataFrame) -> DataFrame:
-    """(doc_id, cluster_id) to the min-label fixpoint over LSH candidates."""
-    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+def component_labels(docs: DataFrame, pairs: DataFrame = None) -> DataFrame:
+    """(doc_id, cluster_id) to the min-label fixpoint over the given
+    candidate pairs (default: raw LSH banding hits)."""
+    if pairs is None:
+        pairs = lsh_candidate_pairs(minhash_signatures(docs))
     edges = (
         pairs.selectExpr("doc_a AS src", "doc_b AS dst")
         .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
@@ -389,6 +391,108 @@ def component_labels(docs: DataFrame) -> DataFrame:
         if cur_sum == prev_sum:
             return labels
         prev_sum = cur_sum
+
+
+# ---------------------------------------------------------------------------
+# N2b-verify — exact-verification stage between LSH candidate generation
+# and clustering: every banding hit is checked with EXACT Jaccard before
+# it may merge two documents. Without this, ONE band collision (two
+# non-duplicates agreeing on 2 of 16 minhashes) permanently merges their
+# clusters — and at corpus scale band collisions are certainties, so the
+# verify stage is what keeps transitive-closure dedup sound. The exact
+# check touches ONLY candidate pairs (never all pairs): token sets are
+# semi-restricted to docs that appear in some candidate pair, then
+# joined to the pair list and compared with JVM-side array_intersect —
+# cost is O(candidates × doc_len), independent of corpus size.
+# ---------------------------------------------------------------------------
+
+VERIFY_JACCARD_THRESHOLD = 0.5
+
+
+def exact_jaccard_on_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for candidate pairs passing the exact
+    distinct-token Jaccard threshold."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    sets = tok.groupBy("doc_id").agg(F.collect_set("token").alias("toks"))
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = sets.join(cand_ids, "doc_id", "left_semi")
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    shared = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = shared / (F.size("toks_a") + F.size("toks_b") - shared)
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(jac >= VERIFY_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def verified_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """LSH banding hits that survive the exact-Jaccard check."""
+    return exact_jaccard_on_pairs(
+        docs, lsh_candidate_pairs(minhash_signatures(docs))
+    ).select("doc_a", "doc_b")
+
+
+_VERIFIED_CTES = f"""
+sizes AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id
+),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+verified AS (
+    SELECT p.doc_a, p.doc_b
+    FROM pairs p
+    JOIN shared s ON s.doc_a = p.doc_a AND s.doc_b = p.doc_b
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE s.n_shared * 1.0 / (sa.n + sb.n - s.n_shared)
+          >= {VERIFY_JACCARD_THRESHOLD}
+)"""
+
+
+@register(
+    "dedup_verified_components",
+    oracle=f"""
+WITH RECURSIVE {_sig_ctes()},
+{_banded_cte()},
+pairs AS (
+    {_PAIRS_SELECT}
+),
+{_VERIFIED_CTES.lstrip()},
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM verified
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM verified
+),
+walk(node, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id
+FROM walk GROUP BY node
+""",
+)
+def dedup_verified_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SOUND dedup clustering: components over exact-verified edges
+    only. A band-collision false positive can no longer merge two
+    non-duplicate clusters (regression-pinned in test_llm_dedup)."""
+    docs = t(spark, sf_dir, "documents")
+    return component_labels(docs, verified_candidate_pairs(docs)).orderBy(
+        "doc_id"
+    )
 
 
 # ---------------------------------------------------------------------------

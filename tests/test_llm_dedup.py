@@ -1,0 +1,136 @@
+"""Dedup-pipeline soundness (N2): the exact-verify stage must stop
+band-collision false positives from merging non-duplicate clusters,
+while true near-duplicates still cluster.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import random
+
+import pytest
+
+from chess_pos_db_spark.llm import dedup
+
+
+# --- pure-python replica of the engine's minhash (for fixture search) --------
+
+
+def _km(token: str) -> tuple[int, int]:
+    h = hashlib.md5(token.encode()).hexdigest()
+    return int(h[0:15], 16) % dedup._KM_MOD, int(h[15:30], 16) % dedup._KM_MOD
+
+
+def _signature(tokens: set[str]) -> list[int]:
+    hks = [_km(t) for t in tokens]
+    return [
+        min(h1 + i * h2 for h1, h2 in hks)
+        for i in range(dedup.NUM_HASHES)
+    ]
+
+
+def _bands(sig: list[int]) -> list[tuple[int, ...]]:
+    r = dedup.ROWS_PER_BAND
+    return [tuple(sig[b * r : (b + 1) * r]) for b in range(dedup._N_BANDS)]
+
+
+def _jaccard(a: set[str], b: set[str]) -> float:
+    return len(a & b) / len(a | b)
+
+
+def _find_false_positive() -> tuple[set[str], set[str]]:
+    """Deterministically search for two docs with exact Jaccard BELOW
+    the verify threshold that still share an LSH band (a banding false
+    positive). With J≈1/3 the per-band collision odds are ≈J²·8 ≈ 60%,
+    so the search terminates almost immediately."""
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    for _ in range(60):
+        docs.append(set(rng.sample(vocab, 4)))
+    for a, b in itertools.combinations(docs, 2):
+        j = _jaccard(a, b)
+        if j >= dedup.VERIFY_JACCARD_THRESHOLD or not (a & b):
+            continue
+        if set(_bands(_signature(a))) & set(_bands(_signature(b))):
+            return a, b
+    raise AssertionError("no banding false positive found in search space")
+
+
+@pytest.fixture(scope="module")
+def fp_docs(spark):
+    a, b = _find_false_positive()
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(sorted(a))),
+            (2, " ".join(sorted(b))),
+            (3, "completely unrelated text about nothing at all"),
+        ],
+        "doc_id long, text string",
+    )
+    return df, _jaccard(a, b)
+
+
+def test_banding_emits_false_positive(fp_docs):
+    """Precondition: the crafted pair IS an LSH candidate despite its
+    exact Jaccard being below threshold."""
+    df, j = fp_docs
+    assert j < dedup.VERIFY_JACCARD_THRESHOLD
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(
+            dedup.minhash_signatures(df)
+        ).collect()
+    }
+    assert (1, 2) in cands
+
+
+def test_verify_stage_rejects_false_positive(fp_docs):
+    df, _ = fp_docs
+    verified = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.verified_candidate_pairs(df).collect()
+    }
+    assert (1, 2) not in verified
+
+
+def test_unverified_components_merge_verified_do_not(fp_docs):
+    """The headline soundness property: raw-LSH clustering merges the
+    false-positive pair into one cluster; verified clustering keeps
+    them apart."""
+    df, _ = fp_docs
+    raw = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.component_labels(df).collect()
+    }
+    assert raw[1] == raw[2]  # the unsound merge
+    ver = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.component_labels(
+            df, dedup.verified_candidate_pairs(df)
+        ).collect()
+    }
+    assert ver[1] != ver[2]
+    assert ver[3] not in (ver[1], ver[2])
+
+
+def test_true_duplicates_still_cluster(spark):
+    """A genuine near-duplicate pair (reordered tokens, J=1) must
+    survive the verify stage and cluster together."""
+    df = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),
+            (11, "zeta epsilon delta gamma beta alpha"),
+            (12, "totally different content here entirely now"),
+        ],
+        "doc_id long, text string",
+    )
+    ver = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.component_labels(
+            df, dedup.verified_candidate_pairs(df)
+        ).collect()
+    }
+    assert ver[10] == ver[11]
+    assert ver[12] != ver[10]
