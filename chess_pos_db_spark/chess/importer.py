@@ -373,7 +373,9 @@ def parse_games(files_df: DataFrame) -> DataFrame:
 
 
 def explode_positions(
-    games_df: DataFrame, include_positions: bool = False
+    games_df: DataFrame,
+    include_positions: bool = False,
+    include_eran: bool = False,
 ) -> DataFrame:
     """Game rows → entry rows: one per position reached (including the
     start position, reverse_move = NO_REVERSE_MOVE). Games with unknown
@@ -382,10 +384,31 @@ def explode_positions(
 
     W1 note: the reverse move IS the lag of the move sequence — each
     emitted position carries the move that produced it.
+
+    ``include_eran`` adds the full reversible descriptor (eran.Eran
+    text: move + captured + PRIOR castling/ep/halfmove) of the move
+    that produced each position — what exact retraction resolution
+    needs, since a packed reverse move alone cannot recover the
+    parent's castling/ep rights (reference `Eran.h` †).
     """
-    schema = ENTRY_SCHEMA_WITH_POS if include_positions else ENTRY_SCHEMA
+    fields = list(ENTRY_FIELDS)
+    if include_positions:
+        fields.append(T.StructField("pos_cmp", T.BinaryType(), True))
+    if include_eran:
+        fields.append(T.StructField("eran", T.StringType(), True))
+    schema = T.StructType(fields)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import eran as eran_mod
+
+        def extras(pos, eran_text):
+            ex = {}
+            if include_positions:
+                ex["pos_cmp"] = pos.compress()
+            if include_eran:
+                ex["eran"] = eran_text
+            return ex
+
         for pdf in it:
             out = []
             for _, row in pdf.iterrows():
@@ -412,11 +435,7 @@ def explode_positions(
                         "reverse_move": NO_REVERSE_MOVE,
                         "ply": 0,
                         **base,
-                        **(
-                            {"pos_cmp": pos.compress()}
-                            if include_positions
-                            else {}
-                        ),
+                        **extras(pos, None),
                     }
                 ]
                 ok = True
@@ -427,6 +446,11 @@ def explode_positions(
                         ok = False  # illegal move → skip whole game
                         break
                     packed = pack_move(m, captured_piece(pos, m))
+                    eran_text = (
+                        eran_mod.describe(pos, m).text()
+                        if include_eran
+                        else None
+                    )
                     pos = pos.make_move(m)
                     rows_game.append(
                         {
@@ -434,11 +458,7 @@ def explode_positions(
                             "reverse_move": packed,
                             "ply": ply,
                             **base,
-                            **(
-                                {"pos_cmp": pos.compress()}
-                                if include_positions
-                                else {}
-                            ),
+                            **extras(pos, eran_text),
                         }
                     )
                 if ok:
@@ -466,23 +486,67 @@ def import_pgn(
     db_dir: str,
     partitions: int = 8,
     chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    retractions: bool = False,
 ) -> dict:
     """Full `create` command: parse → explode → aggregate → write the
     database directory (games/ + entries/ sorted runs + manifests).
     Returns import stats (the reference's progress/skip report).
 
     Uses the chunk-splitting source, so ONE large dump parallelizes
-    across byte-range tasks (game_ids identical to a sequential read)."""
+    across byte-range tasks (game_ids identical to a sequential read).
+
+    ``retractions=True`` additionally writes a `retractions/` sidecar —
+    (pos_key, reverse_move, eran) → counts — carrying the full
+    reversible descriptor so retraction queries resolve EXACT parent
+    positions (castling/ep/halfmove included; reference `Query.h`
+    retractions + `Eran.h` †). One replay pass feeds both tables."""
     games = parse_games_chunked(spark, files, chunk_bytes).cache()
     # Replay parallelism must not be bound by file count (one giant PGN
     # would otherwise replay on one core): spread games across cores
     # before the python-side replay, the import's hot path.
     replay_parallelism = spark.sparkContext.defaultParallelism
-    entries = explode_positions(games.repartition(replay_parallelism))
-    # Persist the aggregate: repartitionByRange samples its input to
-    # compute range bounds, which would otherwise run the (expensive)
-    # python replay twice.
-    agg = build_agg_entries(entries).persist()
+    entries = explode_positions(
+        games.repartition(replay_parallelism), include_eran=retractions
+    )
+    if retractions:
+        # Pre-aggregate WITH eran (finest grain), then roll up — the
+        # python replay runs once; both tables derive from `pre`.
+        pre = (
+            entries.groupBy(*AGG_KEY, "eran")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum("elo_diff").alias("elo_diff_sum"),
+                F.min("game_id").alias("first_game_id"),
+                F.max("game_id").alias("last_game_id"),
+            )
+            .persist()
+        )
+        agg = pre.groupBy(*AGG_KEY).agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("elo_diff_sum").alias("elo_diff_sum"),
+            F.min("first_game_id").alias("first_game_id"),
+            F.max("last_game_id").alias("last_game_id"),
+        )
+        retr = (
+            pre.filter(F.col("eran").isNotNull())
+            .groupBy("pos_key", "reverse_move", "eran")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.min("first_game_id").alias("first_game_id"),
+            )
+        )
+        layout.write_sorted_run(
+            retr,
+            f"{db_dir}/retractions",
+            key=["pos_key"],
+            partitions=partitions,
+        )
+    else:
+        # Persist the aggregate: repartitionByRange samples its input to
+        # compute range bounds, which would otherwise run the (expensive)
+        # python replay twice.
+        pre = None
+        agg = build_agg_entries(entries).persist()
 
     layout.write_sorted_run(
         games.drop("sans"), f"{db_dir}/games", key=["game_id"], partitions=partitions
@@ -490,7 +554,7 @@ def import_pgn(
     layout.write_sorted_run(
         agg, f"{db_dir}/entries", key=["pos_key"], partitions=partitions
     )
-    agg.unpersist()
+    (pre if retractions else agg).unpersist()
 
     n_games = games.count()
     n_skipped = games.filter(F.col("result").isNull()).count()

@@ -240,6 +240,70 @@ def retractions(
     )
 
 
+def retractions_exact(
+    spark: SparkSession,
+    retr: DataFrame,
+    fen: str,
+) -> DataFrame:
+    """J5 exact form: which moves lead INTO this position, with the
+    EXACT parent position each came from — the stored ERAN carries the
+    prior castling/ep/halfmove a packed reverse move cannot recover
+    (reference `Query.h` retractions + `Eran.h` †). Input is the
+    `retractions/` sidecar written by import_pgn(retractions=True).
+
+    The pos_key filter reaches the parquet scan (the sidecar is
+    pos_key-sorted, so row-group stats prune like the entries probe);
+    post-filter cardinality is ≤ distinct inbound (move, prior-rights)
+    variants — tiny — so the python unmove step is negligible."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    pos = Position.from_fen(fen)
+    key = pos.key()
+    pos_fen = pos.fen()
+
+    agg = (
+        retr.filter(F.col("pos_key") == key)
+        .groupBy("eran")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.min("first_game_id").alias("first_game_id"),
+        )
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import eran as eran_mod
+        from .board import sq_name
+
+        cols = ["move_uci", "parent_fen", "eran", "cnt", "first_game_id"]
+        for pdf in it:
+            out = []
+            for text, cnt, fgid in zip(
+                pdf["eran"], pdf["cnt"], pdf["first_game_id"]
+            ):
+                e = eran_mod.Eran.parse(text)
+                parent = eran_mod.unmove(Position.from_fen(pos_fen), e)
+                out.append(
+                    {
+                        "move_uci": sq_name(e.from_sq)
+                        + sq_name(e.to_sq)
+                        + (e.promo or ""),
+                        "parent_fen": parent.fen(),
+                        "eran": text,
+                        "cnt": int(cnt),
+                        "first_game_id": int(fgid),
+                    }
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return agg.mapInPandas(
+        batches,
+        schema="move_uci string, parent_fen string, eran string, "
+        "cnt long, first_game_id long",
+    )
+
+
 def epd_lines(entries_with_pos: DataFrame, min_count: int = 1) -> DataFrame:
     """EPD dump plan: one `line` per distinct position with
     cnt >= min_count. Requires entries built with

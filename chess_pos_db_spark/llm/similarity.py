@@ -270,10 +270,15 @@ LIMIT {_TOP_K}
 """
 
 
-@register("similarity_ivf", oracle=_ivf_oracle())
-def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: assign vectors to nearest coarse centroid (cell),
-    search only the query's top-``_IVF_NPROBE`` cells.
+def _ivf_query(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids,
+    cnorms,
+    nprobe: int = _IVF_NPROBE,
+) -> DataFrame:
+    """Shared IVF search path: assign vectors to nearest coarse centroid
+    (cell), search only the query's top-``nprobe`` cells.
 
     Scale path: cell assignment is one vectorized numpy matmul per Arrow
     batch (mapInPandas); the corpus would be written partitioned by
@@ -282,8 +287,6 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan is the same brute-force cosine as ``similarity_topk``.
     """
     import pandas as pd
-
-    centroids, cnorms = _ivf_centroids(spark, sf_dir)
 
     def assign(batches):
         import numpy as np
@@ -311,7 +314,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_scores = np.round((centroids @ qv) / cnorms, 6)
     # Stable sort ⇒ ties broken by lowest c_idx, matching ORDER BY ..., c_idx.
     probe_cells = [
-        int(c) for c in np.argsort(-q_scores, kind="stable")[:_IVF_NPROBE]
+        int(c) for c in np.argsort(-q_scores, kind="stable")[:nprobe]
     ]
 
     q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
@@ -326,3 +329,65 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(_TOP_K)
+
+
+@register("similarity_ivf", oracle=_ivf_oracle())
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the relational (oracle-exact) deterministic
+    quantizer; see _ivf_query for the search path."""
+    centroids, cnorms = _ivf_centroids(spark, sf_dir)
+    return _ivf_query(spark, sf_dir, centroids, cnorms)
+
+
+# --- trained IVF: deterministic k-means over a corpus sample -----------------
+
+_IVF_TRAIN_SAMPLE = 512
+_IVF_TRAIN_ITERS = 10
+
+
+def _ivf_trained_centroids(spark: SparkSession, sf_dir: str):
+    """K-means (Lloyd) over a deterministic sample, driver-side numpy.
+
+    The sample is the ``_IVF_TRAIN_SAMPLE`` lowest-vec_id vectors and
+    init is the first K of them, so training is bit-reproducible across
+    runs — the faiss posture (train on a sample, index everything)
+    without RNG state. Cosine-space k-means: train on L2-normalized
+    vectors, re-normalize centroids each round; empty cells keep their
+    previous centroid. At 100 TB the sample collect stays exactly this
+    size — training cost is independent of corpus scale, and only the
+    K×dims centroid matrix ships to executors.
+    """
+    import numpy as np
+
+    rows = (
+        t(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(_IVF_TRAIN_SAMPLE)
+        .select("embedding")
+        .collect()
+    )
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms == 0, 1.0, norms)
+
+    c = x[:_IVF_K].copy()
+    for _ in range(_IVF_TRAIN_ITERS):
+        assign = np.argmax(x @ c.T, axis=1)
+        for k in range(_IVF_K):
+            members = x[assign == k]
+            if len(members):
+                c[k] = members.mean(axis=0)
+        cn = np.linalg.norm(c, axis=1, keepdims=True)
+        c = c / np.where(cn == 0, 1.0, cn)
+    cnorms = np.linalg.norm(c, axis=1)
+    return c, np.where(cnorms == 0, 1.0, cnorms)
+
+
+@register("similarity_ivf_trained")  # rows-only: k-means isn't SQL
+def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer — the real-recall scale
+    path (the relational quantizer of similarity_ivf exists for oracle
+    exactness). Declared rows-only for the driver; recall@10 ≥ 0.9 vs
+    the brute-force similarity_topk is pinned in test_similarity."""
+    centroids, cnorms = _ivf_trained_centroids(spark, sf_dir)
+    return _ivf_query(spark, sf_dir, centroids, cnorms)

@@ -53,6 +53,93 @@ def test_eran_text_roundtrip(seed):
         pos = pos.make_move(m)
 
 
+# A legal line exercising double pushes, an en-passant capture, piece
+# captures, and kingside castling by both sides.
+_RICH_SANS = [
+    "e4", "Nf6", "e5", "d5", "exd6", "Qxd6", "Nf3", "Nc6",
+    "Be2", "e5", "O-O", "Be7", "d4", "exd4", "Nxd4", "O-O",
+]
+
+
+def _fen_chain(sans):
+    pos = Position.from_fen(START_FEN)
+    fens = [pos.fen()]
+    for san in sans:
+        pos = pos.make_move(pos.parse_san(san))
+        fens.append(pos.fen())
+    return fens
+
+
+def test_retractions_consume_stored_eran(spark, tmp_path):
+    """Round-trip (VERDICT item 8): import a game with retractions
+    enabled, retract EVERY position, recover the exact predecessor FEN
+    chain — castling rights, ep square, and clocks included."""
+    from pyspark.sql import functions as F
+
+    from chess_pos_db_spark.chess import importer, pgn, query
+
+    p = tmp_path / "rich.pgn"
+    p.write_text(
+        pgn.format_game({"Event": "ERAN round-trip"}, _RICH_SANS, "W")
+    )
+    db = str(tmp_path / "db")
+    importer.import_pgn(spark, [(str(p), "human")], db, retractions=True)
+
+    retr = spark.read.parquet(f"{db}/retractions").cache()
+    assert retr.filter(F.col("eran").isNull()).count() == 0
+
+    fens = _fen_chain(_RICH_SANS)
+    for ply in range(1, len(fens)):
+        rows = query.retractions_exact(spark, retr, fens[ply]).collect()
+        # a single linear game: exactly one way into each position
+        assert len(rows) == 1, (ply, rows)
+        assert rows[0]["parent_fen"] == fens[ply - 1], ply
+        assert rows[0]["cnt"] == 1
+    retr.unpersist()
+
+
+def test_retractions_exact_merges_same_move_different_rights(spark):
+    """Two games reach the SAME position via the same move but from
+    parents with different castling rights → two distinct ERAN rows,
+    two distinct parent FENs (what the packed reverse move alone could
+    never distinguish)."""
+    from chess_pos_db_spark.chess import importer, query
+
+    # A king move clears the mover's castling rights in the child no
+    # matter what the parent had — so the SAME child position arises
+    # from parents that differ only in prior rights, and only the
+    # stored ERAN can tell them apart.
+    from chess_pos_db_spark.chess.board import Position
+    from chess_pos_db_spark.chess import eran as eran_mod
+
+    pa = Position.from_fen("4k3/8/8/8/8/8/8/R3K2R w KQ - 0 1")
+    ma = pa.parse_san("Ke2")
+    ea = eran_mod.describe(pa, ma)
+    pb = Position.from_fen("4k3/8/8/8/8/8/8/R3K2R w K - 0 1")
+    mb = pb.parse_san("Ke2")
+    eb = eran_mod.describe(pb, mb)
+    child = pa.make_move(ma)
+    assert pb.make_move(mb).fen() == child.fen()  # identical children
+    assert ea.text() != eb.text()
+
+    retr = spark.createDataFrame(
+        [
+            (child.key(), 0, ea.text(), 3, 100),
+            (child.key(), 0, eb.text(), 2, 200),
+        ],
+        "pos_key long, reverse_move int, eran string, cnt long, "
+        "first_game_id long",
+    )
+    rows = {
+        r["eran"]: r
+        for r in query.retractions_exact(spark, retr, child.fen()).collect()
+    }
+    assert len(rows) == 2
+    assert rows[ea.text()]["parent_fen"] == pa.fen()
+    assert rows[eb.text()]["parent_fen"] == pb.fen()
+    assert rows[ea.text()]["cnt"] == 3 and rows[eb.text()]["cnt"] == 2
+
+
 def test_special_moves_explicit():
     # en passant
     p = Position.from_fen(START_FEN)

@@ -98,6 +98,25 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_global_sort_is_range_partitioned(spark, sf_dir):
+    """O1: an unlimited global sort must plan as a range-partitioned
+    exchange (P parallel sort tasks whose outputs concatenate in key
+    order) — never a single-reducer sort. This is the 'no single
+    reducer' property SCALE.md claims for the sorted-write path."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from chess_pos_db_spark.tables import t as _t
+
+    df = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    )
+    plan = _plan(df)
+    assert "Exchange rangepartitioning" in plan, plan[:1500]
+    assert "Exchange SinglePartition" not in plan, plan[:1500]
+
+
 def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
     """Φ9: scan+filter+project+partial-agg fuse into WholeStageCodegen
     spans (no interpreted row-at-a-time evaluation in the hot path).
