@@ -1,0 +1,301 @@
+"""Training-data pipeline operators beyond the core dedup/similarity
+blocks (SURVEY.md §2.11 N6+): benchmark-contamination detection,
+token-stream sequence packing, n-gram LM counts, cross-source dedup,
+denylist scrubbing, and the contamination-free curation composition.
+
+Every operator is pure JVM expressions (no UDFs) and oracle-exact; the
+scale arguments live next to each query. The `source = 'src0'` subset
+plays the held-out evaluation set in the contamination queries — in a
+real deployment that side is the benchmark corpus, typically small
+enough to broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import t
+from .text import _SEL_HASH, _SEL_HASH_DUCK, _SEL_RATES, _STOPWORDS
+
+_EVAL_SOURCE = "src0"
+_SHINGLE_N = 5
+
+
+def _shingles(n: int):
+    """Column: array of n-token shingles of `text` (empty when the doc
+    is shorter than one shingle — sequence() DESCENDS for stop<start,
+    so the guard is load-bearing)."""
+    toks = F.split("text", " ")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _shingle_sql(n: int) -> str:
+    """DuckDB zipped-unnest n-gram expression over token list `s`."""
+    parts = []
+    for j in range(n):
+        hi = "len(s)" if j == n - 1 else f"len(s)-{n - 1 - j}"
+        parts.append(f"unnest(s[{j + 1}:{hi}])")
+    return " || ' ' || ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# N6a — benchmark-contamination check: which training docs contain an
+# n-gram that also appears in the held-out eval set. THE pre-training
+# hygiene query (decontamination); n-gram granularity (5 here, 13 in
+# common practice) trades recall vs false positives. Scale: the eval
+# shingle set is benchmark-sized (≪ corpus) → broadcast; the corpus side
+# is one shingle explode + semi-aggregation, never doc×doc.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_contamination",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, source, STRING_SPLIT(text, ' ') AS s FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, source, {_shingle_sql(_SHINGLE_N)} AS shingle
+    FROM tok WHERE len(s) >= {_SHINGLE_N}
+),
+eval_sh AS (
+    SELECT DISTINCT shingle FROM sh WHERE source = '{_EVAL_SOURCE}'
+)
+SELECT t.doc_id, CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_overlap
+FROM sh t JOIN eval_sh e ON t.shingle = e.shingle
+WHERE t.source <> '{_EVAL_SOURCE}'
+GROUP BY t.doc_id
+""",
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.explode(_shingles(_SHINGLE_N)).alias("shingle")
+    ).distinct()
+    eval_sh = (
+        sh.filter(F.col("source") == _EVAL_SOURCE).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("source") != _EVAL_SOURCE)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_overlap"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# N6b — token-stream sequence packing: concatenate docs (per shard, in
+# deterministic order) into a token stream and slice it into fixed-
+# budget training sequences; each doc reports its stream offset and the
+# sequence its first token lands in. This is the document-concatenation
+# packing step of LLM pre-training dataloaders, as a window cumsum —
+# shard-parallel (one window group per shard), no single-partition
+# stage, fully deterministic.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256
+_PACK_SHARDS = 8
+
+
+@register(
+    "doc_pack_sequences",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+)
+SELECT doc_id, shard, n_tok,
+       CAST(SUM(n_tok) OVER w - n_tok AS BIGINT)  AS stream_offset,
+       CAST((SUM(n_tok) OVER w - n_tok) // {_PACK_BUDGET} AS BIGINT) AS seq_id
+FROM d WINDOW w AS (PARTITION BY shard ORDER BY doc_id)
+""",
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    return (
+        d.withColumn("stream_offset", F.sum("n_tok").over(w) - F.col("n_tok"))
+        .withColumn("seq_id", F.expr(f"stream_offset div {_PACK_BUDGET}"))
+        .select("doc_id", "shard", "n_tok", "stream_offset", "seq_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N6c — corpus n-gram counts (bigram LM table, top-k): the classic
+# count-based language-model / corpus-statistics query. One explode +
+# one map-side-combined groupBy + TakeOrdered; ties broken on the
+# bigram text so the top-k is deterministic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_ngram_counts",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS s FROM documents),
+grams AS (
+    SELECT {_shingle_sql(2)} AS bigram FROM tok WHERE len(s) >= 2
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM grams GROUP BY bigram
+ORDER BY cnt DESC, bigram
+LIMIT 20
+""",
+)
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    grams = docs.select(F.explode(_shingles(2)).alias("bigram"))
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# N6d — cross-source duplicate detection: canonical-form fingerprint
+# groups that span MORE THAN ONE source — the "same document crawled
+# from two snapshots/mirrors" audit, which per-source dedup misses.
+# The canonical form here is the sorted DISTINCT-token set (one level
+# coarser than dedup_fingerprint_groups' sorted multiset): mirrors that
+# reflow/repeat content keep their vocabulary, not their token counts.
+# Same single map-side-combined shuffle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cross_source",
+    oracle="""
+WITH fp AS (
+    SELECT doc_id, source,
+           MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+               STRING_SPLIT(text, ' '))), ' ')) AS f
+    FROM documents
+)
+SELECT f AS fingerprint,
+       CAST(MIN(doc_id) AS BIGINT)          AS keep_id,
+       CAST(COUNT(*) AS BIGINT)             AS n_copies,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM fp GROUP BY f HAVING COUNT(DISTINCT source) > 1
+""",
+)
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    )
+    return (
+        docs.groupBy(fp.alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_sources") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# N6e — denylist scrubbing (the PII-redaction shape): replace every
+# denylisted term, report redaction counts and the digest of the
+# scrubbed text (so the transform itself is oracle-checked, not just
+# the counts). Map-only — at 100 TB this is a pure scan-rewrite with
+# zero shuffle; a real deployment swaps the term list for PII regexes
+# (emails/phones/SSNs), same plan.
+# ---------------------------------------------------------------------------
+
+_SCRUB_PATTERN = r"\b(key|hash|value)\b"
+_SCRUB_TOKEN = "<X>"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text, '{_SCRUB_PATTERN}', 1)) AS BIGINT)
+           AS n_redactions,
+       MD5(regexp_replace(text, '{_SCRUB_PATTERN}', '{_SCRUB_TOKEN}', 'g'))
+           AS scrubbed_digest
+FROM documents
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_SCRUB_PATTERN), 1))
+        .cast("bigint")
+        .alias("n_redactions"),
+        F.md5(F.regexp_replace("text", _SCRUB_PATTERN, _SCRUB_TOKEN)).alias(
+            "scrubbed_digest"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N6f — the composed curation endpoint, contamination-aware: quality
+# gate → per-language stratified sampling (select_training_docs) MINUS
+# benchmark-contaminated docs (anti-join on text_contamination). The
+# full pre-training selection pipeline in one declarative plan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "select_contamination_free",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+    FROM documents
+),
+stats AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           (SUM(CASE WHEN token IN {_STOPWORDS!r} THEN 1 ELSE 0 END) * 1.0
+            / COUNT(*)) AS stop_ratio
+    FROM tok GROUP BY doc_id
+),
+tokl AS (
+    SELECT doc_id, source, STRING_SPLIT(text, ' ') AS s FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, source, {_shingle_sql(_SHINGLE_N)} AS shingle
+    FROM tokl WHERE len(s) >= {_SHINGLE_N}
+),
+eval_sh AS (
+    SELECT DISTINCT shingle FROM sh WHERE source = '{_EVAL_SOURCE}'
+),
+contaminated AS (
+    SELECT DISTINCT t.doc_id
+    FROM sh t JOIN eval_sh e ON t.shingle = e.shingle
+    WHERE t.source <> '{_EVAL_SOURCE}'
+)
+SELECT d.doc_id, d.lang, s.n_tokens
+FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+WHERE s.n_tokens >= 5
+  AND s.stop_ratio <= 0.5
+  AND {_SEL_HASH_DUCK} < ({_SEL_RATES})
+  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+""",
+)
+def select_contamination_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import select_training_docs
+
+    sel = select_training_docs(spark, sf_dir)
+    cont = text_contamination(spark, sf_dir).select("doc_id")
+    return sel.join(cont, "doc_id", "left_anti")

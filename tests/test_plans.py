@@ -67,7 +67,7 @@ def test_map_only_queries_have_no_shuffle(spark, sf_dir):
     """Pure projections/filters (including the BPE tokenizer and the
     hash sampler) must stay map-only: zero shuffle exchanges."""
     for name in ["project_compute", "filter_compound", "text_token_count_bpe",
-                 "sample_hash", "sample_stratified"]:
+                 "sample_hash", "sample_stratified", "text_pii_scrub"]:
         plan = _plan(q(name, spark, sf_dir))
         assert _n_exchanges(plan) == 0, f"{name} shuffles:\n{plan[:2000]}"
 
@@ -198,3 +198,19 @@ def test_training_selection_single_shuffle(spark, sf_dir):
     predicates are plain filters."""
     plan = _plan(q("select_training_docs", spark, sf_dir))
     assert _n_exchanges(plan) == 1, plan[:2000]
+
+
+def test_pack_sequences_shard_parallel(spark, sf_dir):
+    """N6b: sequence packing is ONE shard-partitioned window — no
+    single-partition exchange (a global cumsum would serialize the
+    whole corpus through one task)."""
+    plan = _plan(q("doc_pack_sequences", spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+    assert _n_exchanges(plan) == 1, plan[:2000]
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    """N6a: the eval shingle set (benchmark-sized) must broadcast; the
+    corpus side never shuffles doc×doc."""
+    plan = _plan(q("text_contamination", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
