@@ -200,6 +200,21 @@ def test_training_selection_single_shuffle(spark, sf_dir):
     assert _n_exchanges(plan) == 1, plan[:2000]
 
 
+def test_tpch_q1_partial_agg_single_shuffle(spark, sf_dir):
+    """Φ-Q1: the full-scan pricing summary is map-side-combined around
+    exactly one exchange — the plan that holds at any scan size."""
+    plan = _plan(q("tpch_q1", spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert _n_exchanges(plan) == 1, plan[:2000]
+
+
+def test_tpch_q5_broadcasts_dims(spark, sf_dir):
+    """Φ-Q5: nation/region (25/5 rows) must broadcast — a shuffled join
+    against them at 100 TB would move the whole fact table."""
+    plan = _plan(q("tpch_q5", spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
 def test_pack_sequences_shard_parallel(spark, sf_dir):
     """N6b: sequence packing is ONE shard-partitioned window — no
     single-partition exchange (a global cumsum would serialize the
