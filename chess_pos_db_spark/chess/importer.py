@@ -163,7 +163,7 @@ _SPLIT_SCHEMA = T.StructType(
 
 
 def plan_pgn_splits(
-    files: list[tuple[str, str]], chunk_bytes: int
+    files: list[tuple[str, str]], chunk_bytes: int, file_idx_base: int = 0
 ) -> list[tuple]:
     """Driver-side split planning (the Hadoop FileInputFormat analogue):
     byte-range chunks per file, metadata only — no file contents touch
@@ -173,7 +173,7 @@ def plan_pgn_splits(
 
     seen = set()
     rows = []
-    for idx, (path, level) in enumerate(files):
+    for idx, (path, level) in enumerate(files, start=file_idx_base):
         ap = os.path.abspath(path)
         if ap in seen:
             raise ValueError(f"duplicate input path in import list: {path}")
@@ -206,6 +206,7 @@ def parse_games_chunked(
     spark: SparkSession,
     files: list[tuple[str, str]],
     chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    file_idx_base: int = 0,
 ) -> DataFrame:
     """Chunk-splitting PGN source: ONE large file imports in parallel.
 
@@ -241,7 +242,7 @@ def parse_games_chunked(
     eff_chunk = min(
         chunk_bytes, max(MIN_CHUNK_BYTES, -(-total // target_chunks))
     )
-    rows = plan_pgn_splits(files, eff_chunk)
+    rows = plan_pgn_splits(files, eff_chunk, file_idx_base)
 
     def count_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -582,11 +583,24 @@ def append_pgn(
     """`append` command: new files become new runs; a compaction merge
     (layout.compact_runs) re-establishes the single sorted table. The
     run staging dir is transient — leaving it around would double-count
-    on the next append."""
+    on the next append.
+
+    Appended files continue the database's file-ordinal sequence (next
+    free file_idx from the existing games table), so game_ids never
+    collide with earlier imports — the reference's continuing game-id
+    allocation on append."""
     import shutil
 
     runs_dir = f"{db_dir}/_append_runs_tmp"
-    games = parse_games_chunked(spark, files, chunk_bytes)
+    prev_max = (
+        spark.read.parquet(f"{db_dir}/games")
+        .agg(F.max(F.shiftright("game_id", 32)))
+        .first()[0]
+    )
+    next_file_idx = int(prev_max) + 1 if prev_max is not None else 0
+    games = parse_games_chunked(
+        spark, files, chunk_bytes, file_idx_base=next_file_idx
+    )
     agg = build_agg_entries(explode_positions(games))
     games.drop("sans").write.mode("append").parquet(f"{db_dir}/games")
     agg.write.mode("overwrite").parquet(runs_dir)

@@ -270,6 +270,40 @@ LIMIT {_TOP_K}
 """
 
 
+def _cell_assignments(emb: DataFrame, centroids, cnorms) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment, one vectorized numpy
+    matmul per Arrow batch. Assignment score = ROUND(raw_dot /
+    centroid_norm, 6) — the oracle's exact formula; rounding BEFORE the
+    argmax keeps a last-ulp summation-order difference from flipping a
+    cell. First index wins ties (= ORDER BY score DESC, c_idx)."""
+    import pandas as pd
+
+    def assign(batches):
+        import numpy as np
+
+        for pdf in batches:
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            scores = np.round((v @ centroids.T) / cnorms, 6)
+            cells = np.argmax(scores, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cells.astype("int64")}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, cell long"
+    )
+
+
+def _probe_cells(q_embedding, centroids, cnorms, nprobe: int) -> list[int]:
+    """The query's top-nprobe cells (driver-side: K is tiny). Stable
+    sort ⇒ ties broken by lowest c_idx, matching ORDER BY ..., c_idx."""
+    import numpy as np
+
+    qv = np.array(q_embedding, dtype=np.float64)
+    q_scores = np.round((centroids @ qv) / cnorms, 6)
+    return [int(c) for c in np.argsort(-q_scores, kind="stable")[:nprobe]]
+
+
 def _ivf_query(
     spark: SparkSession,
     sf_dir: str,
@@ -286,36 +320,12 @@ def _ivf_query(
     pruning — the IVF index realized as Parquet layout). The in-cell
     scan is the same brute-force cosine as ``similarity_topk``.
     """
-    import pandas as pd
-
-    def assign(batches):
-        import numpy as np
-
-        for pdf in batches:
-            v = np.array(list(pdf["embedding"]), dtype=np.float64)
-            # Assignment score = ROUND(raw_dot / centroid_norm, 6) — the
-            # oracle's exact formula; rounding BEFORE the argmax keeps a
-            # last-ulp summation-order difference from flipping a cell.
-            scores = np.round((v @ centroids.T) / cnorms, 6)
-            cells = np.argmax(scores, axis=1)  # first index wins ties
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cells.astype("int64")})
-
     emb = t(spark, sf_dir, "embeddings")
-    cells = emb.select("vec_id", "embedding").mapInPandas(
-        assign, schema="vec_id long, cell long"
-    )
+    cells = _cell_assignments(emb, centroids, cnorms)
     bucketed = emb.join(cells, "vec_id")
 
-    # Query vector + its nprobe nearest cells (driver-side: K is tiny).
-    import numpy as np
-
     qrow = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").head()
-    qv = np.array(qrow.embedding, dtype=np.float64)
-    q_scores = np.round((centroids @ qv) / cnorms, 6)
-    # Stable sort ⇒ ties broken by lowest c_idx, matching ORDER BY ..., c_idx.
-    probe_cells = [
-        int(c) for c in np.argsort(-q_scores, kind="stable")[:nprobe]
-    ]
+    probe_cells = _probe_cells(qrow.embedding, centroids, cnorms, nprobe)
 
     q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("embedding").alias("qv")
@@ -391,3 +401,62 @@ def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     the brute-force similarity_topk is pinned in test_similarity."""
     centroids, cnorms = _ivf_trained_centroids(spark, sf_dir)
     return _ivf_query(spark, sf_dir, centroids, cnorms)
+
+
+# --- IVF index as Parquet LAYOUT: partition pruning does the probing ---------
+
+
+def write_ivf_layout(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> tuple:
+    """Materialize the IVF index as physical layout: the corpus written
+    `partitionBy(cell)`. A query then reads ONLY its nprobe cell
+    directories — partition pruning IS the index probe, so the scan cost
+    is nprobe/K of the corpus regardless of corpus size (plus zero
+    per-query assignment work, since cells were assigned at write time).
+    Returns (centroids, cnorms) — the quantizer is part of the index and
+    must be reused at query time.
+    """
+    centroids, cnorms = _ivf_trained_centroids(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    (
+        emb.join(_cell_assignments(emb, centroids, cnorms), "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out_dir)
+    )
+    return centroids, cnorms
+
+
+def ivf_query_layout(
+    spark: SparkSession,
+    layout_dir: str,
+    centroids,
+    cnorms,
+    query_vec_id: int = _QUERY_VEC_ID,
+    nprobe: int = _IVF_NPROBE,
+    k: int = _TOP_K,
+) -> DataFrame:
+    """ANN top-k over an IVF layout: the cell IN-list filter prunes to
+    nprobe partition directories (PartitionFilters in the scan — pinned
+    in test_similarity), then brute-force cosine inside them."""
+    layout = spark.read.parquet(layout_dir)
+    qrow = (
+        layout.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .head()
+    )
+    probe = _probe_cells(qrow.embedding, centroids, cnorms, nprobe)
+    q = spark.createDataFrame([(list(qrow.embedding),)], "qv array<float>")
+    return (
+        layout.filter(F.col("cell").isin(probe))
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )

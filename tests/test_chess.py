@@ -258,6 +258,16 @@ def test_append_then_query(spark, chess_db, tmp_path):
         by_level.setdefault(r["level"], 0)
         by_level[r["level"]] += r["cnt"]
     assert by_level == {"human": 3, "engine": 3}
+    # appended files continue the file-ordinal sequence: game_ids from
+    # the append must not collide with the original import's
+    games = spark.read.parquet(f"{db_dir}/games")
+    n = games.count()
+    assert games.select("game_id").distinct().count() == n
+    appended = games.filter(games.level == "engine")
+    assert appended.count() == 4
+    assert all(
+        (r["game_id"] >> 32) >= 1 for r in appended.select("game_id").collect()
+    )
 
 
 def test_dump_epd(spark, tmp_path):

@@ -30,6 +30,31 @@ def test_ivf_trained_centroids_deterministic(spark, sf_dir):
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
 
 
+def test_ivf_layout_partition_pruning(spark, sf_dir, tmp_path):
+    """The IVF-as-layout scale path: results identical to the in-query
+    trained IVF, and the probe reaches the scan as a PARTITION filter —
+    only nprobe of K cell directories are read."""
+    out = str(tmp_path / "ivf")
+    centroids, cnorms = sim.write_ivf_layout(spark, sf_dir, out)
+    df = sim.ivf_query_layout(spark, out, centroids, cnorms)
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[cell#\d+ IN \(", plan), plan[:2000]
+
+    got = [(r["vec_id"], r["cos_sim"]) for r in df.collect()]
+    want = [
+        (r["vec_id"], r["cos_sim"])
+        for r in sim.similarity_ivf_trained(spark, sf_dir).collect()
+    ]
+    assert got == want
+    # pruning is real: fewer files read than cell directories exist
+    import glob
+
+    n_cells = len(glob.glob(f"{out}/cell=*"))
+    assert n_cells > sim._IVF_NPROBE
+
+
 def test_ivf_trained_beats_or_matches_untrained_recall(spark, sf_dir):
     """The point of training: recall from k-means cells should be at
     least as good as the untrained lowest-vec_id quantizer's."""
