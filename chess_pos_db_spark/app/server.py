@@ -11,7 +11,13 @@ Commands (one JSON object per line, response is one JSON line):
     {"command": "query",  "query": {<explorer request, see chess/query.py>}}
     {"command": "stats"}
     {"command": "dump",   "files": {...}, "destination": path, "minCount": N}
+    {"command": "retractions", "fen": <fen>}
     {"command": "close"} / {"command": "exit"}
+
+`create` accepts "retractions": true to write the ERAN sidecar; the
+`retractions` command then resolves EXACT parent FENs (castling/ep
+included), falling back to packed-reverse-move placement reconstruction
+when the sidecar is absent.
 
 A command either returns {"ok": true, ...} or {"ok": false, "error":
 ...} — errors never kill the session (the reference's server loop
@@ -75,7 +81,12 @@ class Engine:
         fmt = cmd.get("format", "pgn")
         db_dir = cmd["destination"]
         if fmt == "pgn":
-            stats = importer.import_pgn(self.spark, files, db_dir)
+            stats = importer.import_pgn(
+                self.spark,
+                files,
+                db_dir,
+                retractions=bool(cmd.get("retractions", False)),
+            )
         else:
             from ..plans import layout
 
@@ -115,6 +126,56 @@ class Engine:
             self.spark, self._entries, self._games, cmd.get("query") or {}
         )
         return {"response": resp}
+
+    def cmd_dump(self, cmd: dict) -> dict:
+        """EPD dump (reference `dump` command): positions reached by the
+        given game files, one EPD line per distinct position with count
+        >= minCount."""
+        files = self._files_arg(cmd)
+        games = self._load_games(files, cmd.get("format", "pgn"))
+        entries = importer.explode_positions(games, include_positions=True)
+        query.dump_epd(
+            entries, cmd["destination"], int(cmd.get("minCount", 1))
+        )
+        return {"destination": cmd["destination"]}
+
+    def cmd_retractions(self, cmd: dict) -> dict:
+        """Moves INTO the given position; exact parent FENs when the
+        database carries the ERAN sidecar."""
+        import os
+
+        self._require_open()
+        fen = cmd["fen"]
+        sidecar = f"{self.db_dir}/retractions"
+        if os.path.isdir(sidecar):
+            retr = self.spark.read.parquet(sidecar)
+            rows = query.retractions_exact(self.spark, retr, fen).collect()
+            return {
+                "exact": True,
+                "retractions": [
+                    {
+                        "uci": r["move_uci"],
+                        "parentFen": r["parent_fen"],
+                        "eran": r["eran"],
+                        "count": r["cnt"],
+                        "firstGame": r["first_game_id"],
+                    }
+                    for r in rows
+                ],
+            }
+        rows = query.retractions(self.spark, self._entries, fen).collect()
+        return {
+            "exact": False,
+            "retractions": [
+                {
+                    "uci": r["move_uci"],
+                    "parentPlacement": r["parent_placement"],
+                    "count": r["cnt"],
+                    "firstGame": r["first_game_id"],
+                }
+                for r in rows
+            ],
+        }
 
     def cmd_stats(self, cmd: dict) -> dict:
         self._require_open()

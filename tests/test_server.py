@@ -65,6 +65,63 @@ def test_unknown_command(engine_db):
     assert not resp["ok"]
 
 
+def test_dump_command(engine_db, tmp_path):
+    pgn_path = tmp_path / "d.pgn"
+    pgn_path.write_text(PGN_TEXT)
+    out = str(tmp_path / "epd")
+    resp = engine_db.handle(
+        {
+            "command": "dump",
+            "files": {"human": [str(pgn_path)]},
+            "destination": out,
+            "minCount": 2,
+        }
+    )
+    assert resp["ok"], resp
+    lines = [
+        r["value"] for r in engine_db.spark.read.text(out).collect()
+    ]
+    assert lines and all(int(ln.rsplit(" ", 1)[-1]) >= 2 for ln in lines)
+
+
+def test_retractions_command_exact_and_fallback(spark, tmp_path):
+    """Without the sidecar: placement-only fallback. With
+    create(retractions=true): exact parent FENs."""
+    from chess_pos_db_spark.chess.board import Position
+
+    pgn_path = tmp_path / "g.pgn"
+    pgn_path.write_text(PGN_TEXT)
+    after_e4 = Position.from_fen(START_FEN)
+    after_e4 = after_e4.make_move(after_e4.parse_san("e4"))
+
+    eng = server.Engine(spark)
+    r1 = eng.handle(
+        {
+            "command": "create",
+            "destination": str(tmp_path / "db1"),
+            "files": {"human": [str(pgn_path)]},
+        }
+    )
+    assert r1["ok"], r1
+    fb = eng.handle({"command": "retractions", "fen": after_e4.fen()})
+    assert fb["ok"] and fb["exact"] is False
+    assert fb["retractions"][0]["uci"] == "e2e4"
+
+    r2 = eng.handle(
+        {
+            "command": "create",
+            "destination": str(tmp_path / "db2"),
+            "files": {"human": [str(pgn_path)]},
+            "retractions": True,
+        }
+    )
+    assert r2["ok"], r2
+    ex = eng.handle({"command": "retractions", "fen": after_e4.fen()})
+    assert ex["ok"] and ex["exact"] is True
+    assert ex["retractions"][0]["uci"] == "e2e4"
+    assert ex["retractions"][0]["parentFen"] == START_FEN
+
+
 def test_tcp_roundtrip(engine_db):
     srv, thread, port = server.serve_tcp(engine_db)
     try:
