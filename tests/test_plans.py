@@ -229,3 +229,49 @@ def test_contamination_broadcasts_eval_side(spark, sf_dir):
     corpus side never shuffles doc×doc."""
     plan = _plan(q("text_contamination", spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_tpch_q2_correlated_min_shape(spark, sf_dir):
+    """Φ-Q2: the correlated-MIN join-back must be a window over the
+    already-joined rows (one hash exchange on p_partkey), never a
+    re-aggregation + self-join; the filtered part side and the EU
+    supplier dim must broadcast so the derived supply-cost fact is the
+    only shuffled input."""
+    plan = _plan(q("tpch_q2", spark, sf_dir))
+    assert "Window" in plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q17_threshold_is_joined_not_collected(spark, sf_dir):
+    """Φ-Q17: the per-part avg-quantity threshold is computed as an
+    aggregate and JOINED back (broadcast at this SF, SMJ under AQE at
+    scale) — no driver-side collect, no cartesian."""
+    plan = _plan(q("tpch_q17", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # lineitem appears twice (probe + threshold agg), parts broadcast
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def test_tpch_q21_semi_anti_on_equi_keys(spark, sf_dir):
+    """Φ-Q21: EXISTS/NOT-EXISTS both lower to hash-partitioned
+    semi/anti joins on the orderkey equi-conjunct, with the supplier
+    inequality as a residual condition — never a nested-loop join, the
+    shape that survives a fact-×-fact self-correlation at scale."""
+    plan = _plan(q("tpch_q21", spark, sf_dir))
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q11_q15_scalar_subquery_broadcast(spark, sf_dir):
+    """Φ-Q11/Q15: the one-row scalar threshold (grand total / MAX) must
+    broadcast into the filter — shuffling the grouped values against a
+    single row would be a degenerate join."""
+    for name in ("tpch_q11", "tpch_q15"):
+        plan = _plan(q(name, spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+            name, plan[:2000])
+        assert "CartesianProduct" not in plan, name
