@@ -790,3 +790,97 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+# --- embedding near-dup at scale: sign-LSH bucketed candidate pairs ---------
+
+
+def _embedding_ann_oracle() -> str:
+    """Oracle: the SAME md5-derived hyperplanes as similarity_ann_lsh,
+    embedded as a VALUES table, reproduce the bucket assignment — so the
+    candidate PAIR SET (and the exact cosine over it) is deterministic
+    and SQL-checkable, exactly like the brute-force baseline."""
+    from .similarity import _N_PLANES, _plane
+
+    rows = ", ".join(
+        f"({p}, {d + 1}, {w!r})"
+        for p in range(_N_PLANES)
+        for d, w in enumerate(_plane(p))
+    )
+    return f"""
+WITH planes(p, i, w) AS (VALUES {rows}),
+dots AS (
+    SELECT e.vec_id, pl.p,
+           SUM(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w) AS dot
+    FROM embeddings e JOIN planes pl ON TRUE
+    GROUP BY e.vec_id, pl.p
+),
+buckets AS (
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                AS BIGINT) AS bucket
+    FROM dots GROUP BY vec_id
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+    SELECT p.id_a, p.id_b,
+           SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS dot,
+           SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)) AS na,
+           SUM(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS nb
+    FROM pairs p
+    JOIN embeddings ea ON ea.vec_id = p.id_a
+    JOIN embeddings eb ON eb.vec_id = p.id_b,
+    GENERATE_SERIES(1, {_EMB_DIMS}) AS t(i)
+    GROUP BY p.id_a, p.id_b
+)
+SELECT id_a, id_b, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cos_sim
+FROM scored
+WHERE dot / (SQRT(na) * SQRT(nb)) > 0.45
+"""
+
+
+@register("dedup_embedding_ann", oracle=_embedding_ann_oracle())
+def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs with sign-LSH candidate pruning —
+    the scale path for `dedup_embedding_cosine`.
+
+    Same exact-cosine verifier, but the pair space is restricted to
+    vectors sharing an 8-bit hyperplane sign bucket: the self-join runs
+    on the bucket key (≈n²/2^8 candidate pairs for balanced buckets,
+    and the join itself shuffles each side once on the bucket), never
+    all-pairs. At 100 TB this is the standard two-phase semantic-dedup
+    pipeline: cheap signature → bucket join → exact verify; recall is
+    traded by bucket count exactly as in similarity_ann_lsh.
+    """
+    from .similarity import cosine, sign_lsh_bucket
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        sign_lsh_bucket(F.col("embedding")).alias("bucket"),
+    )
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("bucket").alias("bucket_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("bucket_a") == F.col("bucket_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") > 0.45)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
+    )

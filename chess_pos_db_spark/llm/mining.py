@@ -1,0 +1,273 @@
+"""Corpus-mining operators for the training-data pipeline (SURVEY.md
+§2.11 N-block extensions): repeated-substring inventory, per-document
+duplicated-span fractions, intra-document repetition signals, and
+source mixing weights.
+
+These are the scan-shaped hygiene passes a pre-training pipeline runs
+between raw crawl and tokenization — substring-level dedup (the
+ExactSubstr idea from Lee et al. 2021, "Deduplicating Training Data
+Makes Language Models Better", approximated at fixed n-gram
+granularity), repetition-based quality filters (the Falcon/RefinedWeb
+heuristics), and DoReMi-style domain reweighting. All are expressed as
+built-in DataFrame ops (explode → groupBy / window), map-side combined,
+and every ratio divides EXACT INTEGER counts so both engines produce
+bit-identical doubles (the lang-ID integer-ratio discipline).
+
+Scale notes: every operator here shuffles n-gram or (doc, token) keys
+once with partial aggregation; none ever joins doc×doc. The per-gram
+document frequency reuses the window-count trick (count over partition
+instead of groupBy+join-back) that saves two exchanges — see
+text_tfidf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import t
+from .pipeline import _shingle_sql, _shingles
+
+_SUB_N = 8  # substring granularity in tokens: long enough that shared
+# spans are near-certain duplication, short enough to catch partial
+# overlap (the reference point is 50 tokens at real corpus scale)
+
+
+# ---------------------------------------------------------------------------
+# N2s — repeated-substring inventory: every 8-token span that occurs in
+# MORE THAN ONE document, with its document and occurrence counts. The
+# corpus-level "what text is duplicated" audit; feeds span-level
+# removal. One explode + one map-side-combined groupBy on the gram —
+# never doc×doc.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_substring",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS s FROM documents),
+g AS (
+    SELECT doc_id, {_shingle_sql(_SUB_N)} AS gram
+    FROM tok WHERE len(s) >= {_SUB_N}
+)
+SELECT gram,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT)               AS n_occ,
+       CAST(MIN(doc_id) AS BIGINT)            AS first_doc
+FROM g
+GROUP BY gram
+HAVING COUNT(DISTINCT doc_id) > 1
+ORDER BY n_docs DESC, n_occ DESC, gram
+LIMIT 50
+""",
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", F.explode(_shingles(_SUB_N)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("gram"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# N2s — per-document duplicated-span fraction: what share of each
+# document's 8-gram spans also occur in some OTHER document. This is the
+# per-doc decision signal (drop/trim docs that are mostly duplicated
+# text). Document frequency comes from a window count over the distinct
+# (gram, doc) pairs — no groupBy+join-back — then one aggregation per
+# doc. dup_fraction divides exact integers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_substring_fraction",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS s FROM documents),
+g AS (
+    SELECT doc_id, {_shingle_sql(_SUB_N)} AS gram
+    FROM tok WHERE len(s) >= {_SUB_N}
+),
+per_pair AS (
+    SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
+    FROM g GROUP BY doc_id, gram
+),
+with_df AS (
+    SELECT doc_id, gram, c,
+           COUNT(*) OVER (PARTITION BY gram) AS n_docs
+    FROM per_pair
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN n_docs > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup,
+       ROUND(CAST(SUM(CASE WHEN n_docs > 1 THEN c ELSE 0 END) AS DOUBLE)
+             / SUM(c), 6) AS dup_fraction
+FROM with_df
+GROUP BY doc_id
+""",
+)
+def dedup_substring_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", F.explode(_shingles(_SUB_N)).alias("gram"))
+    per_pair = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    with_df = per_pair.withColumn(
+        "n_docs", F.count("*").over(Window.partitionBy("gram"))
+    )
+    dup_c = F.when(F.col("n_docs") > 1, F.col("c")).otherwise(F.lit(0))
+    return with_df.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.sum(dup_c).alias("n_dup"),
+        F.round(
+            F.sum(dup_c).cast("double") / F.sum("c"), 6
+        ).alias("dup_fraction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N4r — intra-document repetition signals (the RefinedWeb repetition
+# filters): share of tokens taken by the single most frequent token,
+# type/token ratio, and the share of bigram instances that repeat
+# within the document. Three exact-integer ratios per doc; two
+# map-side-combined explode→groupBy chains joined on doc_id.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(STRING_SPLIT(text, ' ')) AS token FROM documents
+),
+tc AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+    FROM tok GROUP BY doc_id, token
+),
+uni AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT)   AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(c) AS BIGINT)   AS top_c
+    FROM tc GROUP BY doc_id
+),
+bg AS (
+    SELECT doc_id, {_shingle_sql(2)} AS bigram
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS s FROM documents)
+    WHERE len(s) >= 2
+),
+bc AS (
+    SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS c
+    FROM bg GROUP BY doc_id, bigram
+),
+bi AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_rep
+    FROM bc GROUP BY doc_id
+)
+SELECT uni.doc_id,
+       n_tokens,
+       ROUND(CAST(top_c AS DOUBLE) / n_tokens, 6)      AS top_token_share,
+       ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+       ROUND(CAST(n_rep AS DOUBLE) / n_bigrams, 6)     AS rep_bigram_share
+FROM uni JOIN bi ON uni.doc_id = bi.doc_id
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    uni = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    bc = (
+        docs.select("doc_id", F.explode(_shingles(2)).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+    )
+    rep_c = F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))
+    bi = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.sum(rep_c).alias("n_rep")
+    )
+    return uni.join(bi, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("top_c").cast("double") / F.col("n_tokens"), 6).alias(
+            "top_token_share"
+        ),
+        F.round(
+            F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+        ).alias("type_token_ratio"),
+        F.round(F.col("n_rep").cast("double") / F.col("n_bigrams"), 6).alias(
+            "rep_bigram_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N6m — domain mixing weights (the DoReMi/data-mixture shape): per-source
+# token mass and the resampling weight that would equalize source shares
+# (uniform target; a real deployment substitutes learned targets).
+# weight = total / (n_sources × source_tokens) — pure integer inputs, so
+# the doubles are bit-identical across engines. Map-side-combined
+# single-key aggregation + one-row broadcast; zero risk at any scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mix_source_weights",
+    oracle="""
+WITH src AS (
+    SELECT source,
+           CAST(SUM(len(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT)      AS n_sources
+    FROM src
+)
+SELECT source, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / total, 6) AS actual_share,
+       ROUND(CAST(total AS DOUBLE) / (n_sources * n_tokens), 6) AS weight
+FROM src, tot
+ORDER BY source
+""",
+)
+def mix_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens")
+    )
+    tot = src.agg(
+        F.sum("n_tokens").alias("total"), F.count("*").alias("n_sources")
+    )
+    return (
+        src.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("total"), 6).alias(
+                "actual_share"
+            ),
+            F.round(
+                F.col("total").cast("double")
+                / (F.col("n_sources") * F.col("n_tokens")),
+                6,
+            ).alias("weight"),
+        )
+        .orderBy("source")
+    )

@@ -62,6 +62,7 @@ def load_all() -> None:
     from .functions import scalar  # noqa: F401
     from .functions import udfs  # noqa: F401
     from .llm import dedup  # noqa: F401
+    from .llm import mining  # noqa: F401
     from .llm import pipeline  # noqa: F401
     from .llm import similarity  # noqa: F401
     from .llm import text  # noqa: F401

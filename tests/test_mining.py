@@ -1,0 +1,113 @@
+"""Behavioral and plan contracts for the corpus-mining operators
+(llm/mining.py + dedup_embedding_ann): the ANN candidate set must be a
+subset of the exact baseline, ratios must be internally consistent, and
+the plans must keep the no-doc×doc / bounded-shuffle shapes the 100 TB
+design depends on."""
+
+from __future__ import annotations
+
+import re
+
+import chess_pos_db_spark as engine
+
+
+def q(name, spark, sf_dir):
+    return engine.get_queries()[name](spark, sf_dir)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_exchanges(plan: str) -> int:
+    return len(
+        re.findall(r"Exchange (?:hash|range|rangepartitioning|SinglePartition)", plan)
+    )
+
+
+def test_embedding_ann_pairs_subset_of_exact(spark, sf_dir):
+    """LSH bucketing prunes candidates — it must never ADD a pair the
+    exact all-pairs baseline doesn't have, and surviving pairs carry
+    identical cosine scores."""
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in q("dedup_embedding_cosine", spark, sf_dir).collect()
+    }
+    ann = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in q("dedup_embedding_ann", spark, sf_dir).collect()
+    }
+    assert set(ann) <= set(exact)
+    for pair, cs in ann.items():
+        assert cs == exact[pair]
+
+
+def test_substring_fraction_consistency(spark, sf_dir):
+    """n_dup ≤ n_grams, dup_fraction = n_dup/n_grams, and every doc with
+    ≥ one 8-token span appears exactly once."""
+    rows = q("dedup_substring_fraction", spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.doc_id not in seen
+        seen.add(r.doc_id)
+        assert 0 <= r.n_dup <= r.n_grams
+        assert abs(r.dup_fraction - round(r.n_dup / r.n_grams, 6)) < 1e-12
+
+
+def test_substring_inventory_docs_bound(spark, sf_dir):
+    """Every inventoried gram occurs in >1 distinct doc and occurrence
+    count ≥ doc count."""
+    for r in q("dedup_substring", spark, sf_dir).collect():
+        assert r.n_docs > 1
+        assert r.n_occ >= r.n_docs
+
+
+def test_repetition_ratios_bounded(spark, sf_dir):
+    for r in q("text_repetition", spark, sf_dir).collect():
+        assert 0 < r.top_token_share <= 1
+        assert 0 < r.type_token_ratio <= 1
+        assert 0 <= r.rep_bigram_share <= 1
+
+
+def test_mix_weights_inverse_share(spark, sf_dir):
+    """weight × actual_share × n_sources ≈ 1 for every source (the
+    defining property of uniform-target reweighting)."""
+    rows = q("mix_source_weights", spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 1
+    for r in rows:
+        assert abs(r.weight * r.actual_share * n - 1.0) < 1e-4
+
+
+def test_substring_fraction_plan_uses_window_df(spark, sf_dir):
+    """Per-gram document frequency must come from a window over the
+    (doc, gram) pairs — no groupBy+join-back: exactly 3 hash exchanges
+    (pair agg, gram window, doc agg) and no join at all."""
+    plan = _plan(q("dedup_substring_fraction", spark, sf_dir))
+    assert "Join" not in plan, plan[:2000]
+    assert _n_exchanges(plan) == 3, plan[:2000]
+
+
+def test_mining_no_cartesian_or_nlj(spark, sf_dir):
+    """None of the mining ops may degenerate into an unbounded join:
+    the only tolerated nested-loop is a one-row broadcast (scalar
+    totals)."""
+    for name in (
+        "dedup_substring",
+        "dedup_substring_fraction",
+        "text_repetition",
+    ):
+        plan = _plan(q(name, spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_embedding_ann_joins_on_bucket(spark, sf_dir):
+    """The ANN pair join must use the bucket as an equi-key (hash or
+    sort-merge join on bucket), never a pure theta join over all
+    pairs."""
+    plan = _plan(q("dedup_embedding_ann", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[bucket", plan), plan[:3000]
