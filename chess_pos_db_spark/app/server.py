@@ -12,6 +12,7 @@ Commands (one JSON object per line, response is one JSON line):
     {"command": "stats"}
     {"command": "dump",   "files": {...}, "destination": path, "minCount": N}
     {"command": "retractions", "fen": <fen>}
+    {"command": "merge", "databases": [dir1, dir2, ...], "destination": dir}
     {"command": "close"} / {"command": "exit"}
 
 `create` accepts "retractions": true to write the ERAN sidecar; the
@@ -176,6 +177,17 @@ class Engine:
                 for r in rows
             ],
         }
+
+    def cmd_merge(self, cmd: dict) -> dict:
+        """Merge N databases into one (reference §3.3 maintenance path):
+        entries aggregate-combine on the entry key, game ids re-based by
+        cumulative file ordinal so the result is identical to a single
+        import of all source files. Opens the merged database."""
+        stats = importer.merge_databases(
+            self.spark, list(cmd["databases"]), cmd["destination"]
+        )
+        self.cmd_open({"database": cmd["destination"]})
+        return {"merge": stats}
 
     def cmd_stats(self, cmd: dict) -> dict:
         self._require_open()

@@ -622,3 +622,95 @@ def append_pgn(
     )
     shutil.rmtree(runs_dir, ignore_errors=True)
     return {"db_dir": db_dir}
+
+
+def merge_databases(
+    spark: SparkSession,
+    db_dirs: list[str],
+    dest_dir: str,
+    partitions: int = 8,
+) -> dict:
+    """`merge` command (reference §3.3 maintenance path): consolidate N
+    databases into one, combining equal entry keys and keeping every
+    game exactly once.
+
+    game_id is (file_idx << 32) | ordinal, so each source database's
+    ids are shifted by the cumulative file-ordinal base of the
+    databases before it — the same continuing-allocation rule append
+    uses. Merging db(files A) with db(files B) therefore produces a
+    database IDENTICAL (game_ids included) to importing A+B in one
+    shot; first/last_game_id min/max-combine correctly because the
+    shift preserves within-database order and earlier databases get
+    smaller ids.
+
+    Retraction sidecars merge the same way when EVERY source has one
+    (a partial merge would silently under-count); otherwise the
+    destination has none.
+    """
+    import os
+
+    bases: list[int] = []
+    next_base = 0
+    games_parts = []
+    for d in db_dirs:
+        bases.append(next_base)
+        g = spark.read.parquet(f"{d}/games")
+        mx = g.agg(F.max(F.shiftright("game_id", 32))).first()[0]
+        next_base += int(mx) + 1 if mx is not None else 0
+
+    def _shift(col: str, base: int):
+        return (F.col(col) + F.lit(base << 32)).alias(col)
+
+    for d, base in zip(db_dirs, bases):
+        g = spark.read.parquet(f"{d}/games")
+        games_parts.append(g.withColumn("game_id", _shift("game_id", base)))
+    games = games_parts[0]
+    for g in games_parts[1:]:
+        games = games.unionByName(g)
+    layout.write_sorted_run(
+        games, f"{dest_dir}/games", key=["game_id"], partitions=partitions
+    )
+
+    entry_parts = []
+    for d, base in zip(db_dirs, bases):
+        e = spark.read.parquet(f"{d}/entries")
+        entry_parts.append(
+            e.withColumn("first_game_id", _shift("first_game_id", base))
+            .withColumn("last_game_id", _shift("last_game_id", base))
+        )
+    union = entry_parts[0]
+    for e in entry_parts[1:]:
+        union = union.unionByName(e)
+    merged = union.groupBy(*AGG_KEY).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("elo_diff_sum").alias("elo_diff_sum"),
+        F.min("first_game_id").alias("first_game_id"),
+        F.max("last_game_id").alias("last_game_id"),
+    )
+    layout.write_sorted_run(
+        merged, f"{dest_dir}/entries", key=["pos_key"], partitions=partitions
+    )
+
+    if all(os.path.isdir(f"{d}/retractions") for d in db_dirs):
+        retr_parts = []
+        for d, base in zip(db_dirs, bases):
+            r = spark.read.parquet(f"{d}/retractions")
+            retr_parts.append(
+                r.withColumn("first_game_id", _shift("first_game_id", base))
+            )
+        runion = retr_parts[0]
+        for r in retr_parts[1:]:
+            runion = runion.unionByName(r)
+        rmerged = runion.groupBy("pos_key", "reverse_move", "eran").agg(
+            F.sum("cnt").alias("cnt"),
+            F.min("first_game_id").alias("first_game_id"),
+        )
+        layout.write_sorted_run(
+            rmerged,
+            f"{dest_dir}/retractions",
+            key=["pos_key"],
+            partitions=partitions,
+        )
+
+    n_games = spark.read.parquet(f"{dest_dir}/games").count()
+    return {"db_dir": dest_dir, "games": n_games, "sources": len(db_dirs)}

@@ -301,3 +301,63 @@ def test_probe_entries_key_pushdown(spark, chess_db):
     )
     assert "PushedFilters" in plan
     assert "In(pos_key" in plan.split("PushedFilters")[1][:300]
+
+
+def test_merge_databases_equals_single_import(spark, tmp_path):
+    """merge(db(A), db(B)) must be byte-equivalent (game_ids included)
+    to import(A+B): the re-based file ordinals reproduce the continuing
+    allocation a single create would have used."""
+    a = tmp_path / "a.pgn"
+    b = tmp_path / "b.pgn"
+    a.write_text(PGN_TEXT)
+    b.write_text(PGN_TEXT)
+    importer.import_pgn(spark, [(str(a), "human")], str(tmp_path / "dba"))
+    importer.import_pgn(spark, [(str(b), "engine")], str(tmp_path / "dbb"))
+    stats = importer.merge_databases(
+        spark,
+        [str(tmp_path / "dba"), str(tmp_path / "dbb")],
+        str(tmp_path / "merged"),
+    )
+    assert stats["sources"] == 2
+    importer.import_pgn(
+        spark,
+        [(str(a), "human"), (str(b), "engine")],
+        str(tmp_path / "single"),
+    )
+
+    def rows(path, table):
+        df = spark.read.parquet(f"{tmp_path}/{path}/{table}")
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows("merged", "entries") == rows("single", "entries")
+    assert rows("merged", "games") == rows("single", "games")
+
+
+def test_merge_databases_retraction_sidecars(spark, tmp_path):
+    """When every source carries the ERAN sidecar, the merged database
+    does too — identical to the single-shot import's sidecar."""
+    a = tmp_path / "a.pgn"
+    b = tmp_path / "b.pgn"
+    a.write_text(PGN_TEXT)
+    b.write_text(PGN_TEXT)
+    importer.import_pgn(
+        spark, [(str(a), "human")], str(tmp_path / "ra"), retractions=True
+    )
+    importer.import_pgn(
+        spark, [(str(b), "human")], str(tmp_path / "rb"), retractions=True
+    )
+    importer.merge_databases(
+        spark, [str(tmp_path / "ra"), str(tmp_path / "rb")], str(tmp_path / "rm")
+    )
+    importer.import_pgn(
+        spark,
+        [(str(a), "human"), (str(b), "human")],
+        str(tmp_path / "rs"),
+        retractions=True,
+    )
+
+    def rows(path):
+        df = spark.read.parquet(f"{tmp_path}/{path}/retractions")
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows("rm") == rows("rs")

@@ -145,3 +145,43 @@ def test_tcp_roundtrip(engine_db):
     stats = out[1]["response"]["positions"][0]["stats"]["all"]["human"]
     assert {k: v["count"] for k, v in stats.items()} == {"W": 1, "B": 1, "D": 1}
     assert not out[2]["ok"]
+
+
+def test_merge_command(spark, tmp_path):
+    """merge over the wire protocol: two single-file databases →
+    consolidated database, opened and queryable."""
+    a = tmp_path / "a.pgn"
+    b = tmp_path / "b.pgn"
+    a.write_text(PGN_TEXT)
+    b.write_text(PGN_TEXT)
+    eng = server.Engine(spark)
+    for name, path in (("d1", a), ("d2", b)):
+        resp = eng.handle(
+            {
+                "command": "create",
+                "destination": str(tmp_path / name),
+                "files": {"human": [str(path)]},
+                "format": "pgn",
+            }
+        )
+        assert resp["ok"], resp
+    resp = eng.handle(
+        {
+            "command": "merge",
+            "databases": [str(tmp_path / "d1"), str(tmp_path / "d2")],
+            "destination": str(tmp_path / "out"),
+        }
+    )
+    assert resp["ok"], resp
+    assert resp["merge"]["games"] == 8
+    stats = eng.handle({"command": "stats"})
+    assert stats["ok"] and stats["stats"]["games"] == 8
+    q = eng.handle(
+        {
+            "command": "query",
+            "query": {"positions": [{"fen": START_FEN}], "fetchChildren": False},
+        }
+    )
+    assert q["ok"]
+    got = q["response"]["positions"][0]["stats"]["all"]["human"]
+    assert {k: v["count"] for k, v in got.items()} == {"W": 2, "B": 2, "D": 2}
