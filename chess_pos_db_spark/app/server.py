@@ -13,6 +13,7 @@ Commands (one JSON object per line, response is one JSON line):
     {"command": "dump",   "files": {...}, "destination": path, "minCount": N}
     {"command": "retractions", "fen": <fen>}
     {"command": "merge", "databases": [dir1, dir2, ...], "destination": dir}
+    {"command": "bench", "files": {...}, "format": ...}
     {"command": "close"} / {"command": "exit"}
 
 `create` accepts "retractions": true to write the ERAN sidecar; the
@@ -188,6 +189,37 @@ class Engine:
         )
         self.cmd_open({"database": cmd["destination"]})
         return {"merge": stats}
+
+    def cmd_bench(self, cmd: dict) -> dict:
+        """`bench` command (reference: import-throughput measurement
+        doubling as a smoke test): parse+replay the given files into a
+        throwaway aggregation — nothing is written — and report games,
+        positions and positions/second."""
+        import time
+
+        from pyspark.sql import functions as F
+
+        files = self._files_arg(cmd)
+        fmt = cmd.get("format", "pgn")
+        start = time.perf_counter()
+        games = self._load_games(files, fmt)
+        agg = importer.build_agg_entries(importer.explode_positions(games))
+        row = agg.agg(
+            F.sum("cnt").alias("positions"),
+            F.count("*").alias("unique_entries"),
+        ).first()
+        elapsed = time.perf_counter() - start
+        positions = int(row["positions"] or 0)
+        return {
+            "bench": {
+                "seconds": round(elapsed, 3),
+                "positions": positions,
+                "unique_entries": row["unique_entries"],
+                "positions_per_sec": round(positions / elapsed, 1)
+                if elapsed > 0
+                else None,
+            }
+        }
 
     def cmd_stats(self, cmd: dict) -> dict:
         self._require_open()

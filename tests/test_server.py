@@ -185,3 +185,17 @@ def test_merge_command(spark, tmp_path):
     assert q["ok"]
     got = q["response"]["positions"][0]["stats"]["all"]["human"]
     assert {k: v["count"] for k, v in got.items()} == {"W": 2, "B": 2, "D": 2}
+
+
+def test_bench_command(spark, tmp_path):
+    """bench measures parse+replay throughput without writing anything."""
+    p = tmp_path / "g.pgn"
+    p.write_text(PGN_TEXT)
+    eng = server.Engine(spark)
+    resp = eng.handle({"command": "bench", "files": {"human": [str(p)]}})
+    assert resp["ok"], resp
+    b = resp["bench"]
+    assert b["positions"] == 14
+    assert b["seconds"] > 0
+    assert b["positions_per_sec"] > 0
+    assert not (tmp_path / "db").exists()
