@@ -271,3 +271,65 @@ def mix_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# N4b — BPE vocabulary induction, one training iteration: corpus-wide
+# adjacent-symbol pair counts with every symbol an initial character.
+# The counting runs at VOCAB granularity — token types and their corpus
+# frequencies first (one map-side-combined shuffle over instances),
+# then character pairs weighted by type frequency (a vocab-sized
+# input) — which is exactly why BPE training scales: 100 TB of text
+# collapses to a few million (type, count) rows before any pair work.
+# The full trainer is this query in a loop with a merge-table update.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bpe_merge_pairs",
+    oracle="""
+WITH tok AS (
+    SELECT unnest(STRING_SPLIT(text, ' ')) AS token FROM documents
+),
+tc AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM tok WHERE len(token) >= 2 GROUP BY token
+),
+ch AS (SELECT token, freq, STRING_SPLIT(token, '') AS c FROM tc),
+pairs AS (
+    SELECT unnest(c[1:len(c)-1]) || unnest(c[2:len(c)]) AS pair, freq
+    FROM ch
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+FROM pairs
+GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT 20
+""",
+)
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") >= 2)
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    chars = F.split("token", "")
+    pairs = tc.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(chars) - 1),
+                lambda i: F.concat(
+                    F.element_at(chars, i), F.element_at(chars, i + 1)
+                ),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+    )
