@@ -1,0 +1,171 @@
+"""Event-analytics composites over the events fixture (SURVEY.md §2.12
+extension): funnel conversion, weekly cohort retention, and path
+analysis — the canonical product-analytics shapes, built purely from
+the window/join/agg primitives the engine already proves pointwise.
+
+Scale notes: every query here keys its shuffles on user_id (funnel,
+retention cohorts, per-user paths) — the natural partitioning of an
+event stream — with map-side partial aggregation everywhere; nothing
+collects, nothing joins event×event. The one-row scalar combines at
+the end of the funnel are broadcast joins of single-row aggregates
+(the scalar-subquery shape tpch_q11/q15 pin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import t
+
+
+# Φ-E1 — three-step funnel: users who signed up, then viewed AFTER
+# first signing up, then purchased AFTER that first view. Classic
+# min-timestamp chain: each stage is a per-user aggregate joined to the
+# next stage's events with a strict inequality. Timestamps compare
+# exactly (micros in both engines), so stage membership is discrete.
+@register(
+    "events_funnel",
+    oracle="""
+WITH s AS (
+    SELECT user_id, MIN(ts) AS ts1 FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+v AS (
+    SELECT e.user_id, MIN(e.ts) AS ts2
+    FROM events e JOIN s ON e.user_id = s.user_id
+    WHERE e.event_type = 'view' AND e.ts > s.ts1
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS ts3
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > v.ts2
+    GROUP BY e.user_id
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS signup_users,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS viewed_after,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS purchased_after
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+    return (
+        s.agg(F.count("*").alias("signup_users"))
+        .join(F.broadcast(v.agg(F.count("*").alias("viewed_after"))))
+        .join(F.broadcast(p.agg(F.count("*").alias("purchased_after"))))
+    )
+
+
+# Φ-E2 — weekly cohort retention matrix: users grouped by the ISO week
+# of their first event; each cell counts cohort members active in a
+# later week, keyed by integer week offset. date_trunc('week') lands on
+# Monday 00:00 in both engines and offsets divide exact day counts.
+@register(
+    "events_retention",
+    oracle="""
+WITH first_seen AS (
+    SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+    FROM events GROUP BY user_id
+),
+active AS (
+    SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS active_week
+    FROM events
+)
+SELECT cohort_week,
+       CAST(DATE_DIFF('day', cohort_week, active_week) / 7 AS BIGINT)
+           AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM first_seen JOIN active USING (user_id)
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    # to_date: DuckDB's DATE_TRUNC('week') yields DATE while Spark's
+    # yields TIMESTAMP — normalize so the hash compares equal values.
+    first_seen = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("active_week")
+    ).distinct()
+    return (
+        first_seen.join(active, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# Φ-E3 — path analysis: the 10 most common 3-step event-type sequences
+# across per-user timelines. Per-user ordering needs the full tie-break
+# (ts, event_id) — event ids are unique, so the LEAD chain is
+# deterministic in both engines.
+@register(
+    "events_path_trigrams",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_type,
+           LEAD(event_type, 1) OVER w AS nxt,
+           LEAD(event_type, 2) OVER w AS nxt2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || nxt || '>' || nxt2 AS path,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM ordered
+WHERE nxt IS NOT NULL AND nxt2 IS NOT NULL
+GROUP BY path
+ORDER BY cnt DESC, path
+LIMIT 10
+""",
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    )
+    return (
+        ordered.filter(F.col("nxt").isNotNull() & F.col("nxt2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "nxt", "nxt2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("path"))
+        .limit(10)
+    )

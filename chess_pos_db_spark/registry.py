@@ -55,6 +55,7 @@ def load_all() -> None:
     from .operators import windows  # noqa: F401
     from .operators import sorts  # noqa: F401
     from .operators import setops  # noqa: F401
+    from .operators import events  # noqa: F401
     from .operators import extras  # noqa: F401
     from .operators import extras2  # noqa: F401
     from .operators import tpch  # noqa: F401
