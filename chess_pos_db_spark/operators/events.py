@@ -169,3 +169,28 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("path"))
         .limit(10)
     )
+
+
+# Φ-E4 — purchase attribution: signup→purchase pairs within 7 days
+# (the batch form of streaming/jobs.purchase_attribution, which runs
+# the SAME expression as a watermarked stream-stream interval join —
+# batch≡stream pinned in tests/test_streaming.py). Timestamps compare
+# exactly; the interval bound is the state-eviction contract at scale.
+@register(
+    "events_purchase_attribution",
+    oracle="""
+SELECT s.user_id, s.ts AS signup_ts, p.ts AS purchase_ts, p.value
+FROM events s
+JOIN events p
+  ON p.user_id = s.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= s.ts
+ AND p.ts <= s.ts + INTERVAL 7 DAY
+WHERE s.event_type = 'signup'
+""",
+)
+def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import purchase_attribution
+
+    e = t(spark, sf_dir, "events")
+    return purchase_attribution(e, e)

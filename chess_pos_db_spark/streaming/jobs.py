@@ -165,3 +165,46 @@ def stateful_running_stats(e: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def purchase_attribution(
+    signups: DataFrame, purchases: DataFrame, delay: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join (T-block: the two-stream shape):
+    attribute each purchase to the user's signup when it happens within
+    7 days AFTER that signup.
+
+    Both sides carry watermarks and the join condition bounds the event
+    time range, so Spark can evict join state once the watermark passes
+    `delay` + the interval — state is O(events in the retention window),
+    not O(stream history). `delay` is the out-of-orderness bound: rows
+    arriving more than `delay` behind the observed max event time are
+    dropped, exactly like any watermarked op (the equivalence test uses
+    a delay covering the fixture's span because its micro-batches are
+    NOT time-ordered; a production deployment tunes it to real arrival
+    skew). The identical expression over two batch frames is the
+    equivalence oracle (watermark is a batch no-op).
+    """
+    s = (
+        signups.filter(F.col("event_type") == "signup")
+        .withWatermark("ts", delay)
+        .select(F.col("user_id"), F.col("ts").alias("signup_ts"))
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", delay)
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+    )
+    return s.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")
+        ),
+    ).select("user_id", "signup_ts", "purchase_ts", "value")

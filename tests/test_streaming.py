@@ -119,3 +119,22 @@ def test_stateful_running_stats_equals_batch(spark, events_dir):
         .collect()
     }
     assert final == want
+
+
+def test_stream_stream_join_equals_batch(spark, events_dir):
+    """T: stream-stream interval join (purchase attribution) must equal
+    the same join over the batch frames."""
+    streamed = jobs.run_available_now(
+        jobs.purchase_attribution(
+            jobs.read_events_stream(spark, events_dir),
+            jobs.read_events_stream(spark, events_dir),
+            # chunks are not time-ordered: the watermark must tolerate
+            # the full fixture span for exact batch equivalence
+            delay="40 days",
+        ),
+        output_mode="append",
+    )
+    batch_events = spark.read.parquet(events_dir)
+    expected = jobs.purchase_attribution(batch_events, batch_events)
+    assert _rows(streamed) == _rows(expected)
+    assert streamed.count() > 0
