@@ -275,3 +275,29 @@ def test_tpch_q11_q15_scalar_subquery_broadcast(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
             name, plan[:2000])
         assert "CartesianProduct" not in plan, name
+
+
+def test_events_funnel_no_cartesian(spark, sf_dir):
+    """Φ-E1: every funnel stage joins/aggregates on user_id; the only
+    nested-loop joins are the final one-row scalar combines."""
+    plan = _plan(q("events_funnel", spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_events_retention_user_keyed(spark, sf_dir):
+    """Φ-E2: cohort assignment and activity dedup both shuffle on
+    user_id and join on it — no event×event join, no single-partition
+    exchange before the final (small) matrix."""
+    plan = _plan(q("events_retention", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_events_attribution_equi_join_on_user(spark, sf_dir):
+    """Φ-E4: the interval join must use user_id as the equi-key with
+    the time range as residual — the shape that becomes a watermarked
+    stream-stream join, never a pure theta join."""
+    plan = _plan(q("events_purchase_attribution", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[(user_id|p_user_id)", plan), plan[:3000]
