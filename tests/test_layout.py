@@ -78,3 +78,45 @@ def test_sorted_run_is_key_clustered(spark, entries, tmp_path):
     assert by_file, "no files written"
     for keys in by_file.values():
         assert keys == sorted(keys)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order on (l_orderkey, l_partkey) must cluster FILE min/max
+    stats on BOTH columns — a narrow range predicate on either one can
+    skip most files — while a linear sort clusters only its leading
+    column (the partkey stats span everything, nothing prunable)."""
+    from chess_pos_db_spark.tables import t as load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    layout.write_zorder_run(li, zpath, ["l_orderkey", "l_partkey"], partitions=16)
+    layout.write_sorted_run(li, spath, ["l_orderkey"], partitions=16)
+
+    import glob
+
+    def overlap_fraction(path, col, lo, hi):
+        files = glob.glob(f"{path}/part-*.parquet")
+        assert len(files) >= 8, files
+        touched = 0
+        for f in files:
+            mn, mx = (
+                spark.read.parquet(f)
+                .agg(F.min(col), F.max(col))
+                .first()
+            )
+            if mx >= lo and mn <= hi:
+                touched += 1
+        return touched / len(files)
+
+    ok_mn, ok_mx = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    pk_mn, pk_mx = li.agg(F.min("l_partkey"), F.max("l_partkey")).first()
+    ok_window = (ok_mn, ok_mn + (ok_mx - ok_mn) // 16)
+    pk_window = (pk_mn, pk_mn + (pk_mx - pk_mn) // 16)
+
+    # z-order: a 1/16th range on EITHER dimension skips >= ~40% of files
+    assert overlap_fraction(zpath, "l_orderkey", *ok_window) <= 0.6
+    assert overlap_fraction(zpath, "l_partkey", *pk_window) <= 0.6
+    # linear sort: leading column prunes hard, the other not at all
+    assert overlap_fraction(spath, "l_orderkey", *ok_window) <= 0.25
+    assert overlap_fraction(spath, "l_partkey", *pk_window) >= 0.9
