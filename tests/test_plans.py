@@ -301,3 +301,43 @@ def test_events_attribution_equi_join_on_user(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[(user_id|p_user_id)", plan), plan[:3000]
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Scale lever: a selective dimension side of a shuffle join must be
+    able to inject a runtime Bloom filter into the fact scan (Spark's
+    row-level runtime filtering — the dynamic analogue of the static
+    IN-list pushdown J1 pins). The capability is on by default; its
+    application-side threshold (10 GB scan) only engages at real scale,
+    so the test lowers it to demonstrate the plan the 100 TB run gets."""
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        import pyspark.sql.functions as F
+        from chess_pos_db_spark.tables import t as load
+
+        li = load(spark, sf_dir, "lineitem")
+        o = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan.lower(), plan[:3000]
+        assert "bloom_filter_agg" in plan.lower()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thr,
+        )
