@@ -191,6 +191,11 @@ class Position:
     ep: Optional[int] = None  # en-passant target square (0x88)
     halfmove: int = 0
     fullmove: int = 1
+    # per-instance king-square / in-check memos, created lazily (a
+    # dict-per-Position factory measurably slows make_move);
+    # compare=False keeps Position equality semantic
+    _ksq: Optional[dict] = field(default=None, repr=False, compare=False)
+    _chk: Optional[dict] = field(default=None, repr=False, compare=False)
 
     # -- FEN ------------------------------------------------------------------
 
@@ -348,9 +353,16 @@ class Position:
     # -- attacks --------------------------------------------------------------
 
     def king_sq(self, color: str) -> int:
+        memo = self._ksq
+        if memo is None:
+            memo = self._ksq = {}
+        cached = memo.get(color)
+        if cached is not None:
+            return cached
         k = "K" if color == WHITE else "k"
         for s in range(128):
             if not (s & 0x88) and self.board[s] == k:
+                memo[color] = s
                 return s
         raise ValueError("no king on board")
 
@@ -393,8 +405,16 @@ class Position:
 
     def in_check(self, color: Optional[str] = None) -> bool:
         c = color or self.side
+        memo = self._chk
+        if memo is None:
+            memo = self._chk = {}
+        cached = memo.get(c)
+        if cached is not None:
+            return cached
         other = BLACK if c == WHITE else WHITE
-        return self.attacked(self.king_sq(c), other)
+        result = self.attacked(self.king_sq(c), other)
+        memo[c] = result
+        return result
 
     # -- move generation ------------------------------------------------------
 
@@ -490,12 +510,49 @@ class Position:
                     yield Move(ks, sq(2, rank), king, flag=F_CASTLE_Q)
 
     def legal_moves(self) -> list[Move]:
-        out = []
-        for m in self._pseudo_moves():
-            nxt = self.make_move(m)
-            if not nxt.in_check(self.side):
-                out.append(m)
-        return out
+        return [m for m in self._pseudo_moves() if self._king_safe(m)]
+
+    def _king_safe(self, m: Move) -> bool:
+        """King-safety filter WITHOUT building the child position (the
+        replay hot path — saves a board copy + zobrist update per
+        candidate). Full make/check only for the hard cases: king moves
+        (incl. castling), en passant, or when already in check.
+        Otherwise a non-king move is legal unless the mover is the
+        single blocker on a slider ray to its own king AND leaves that
+        ray — the standard pin test. Perft (incl. kiwipete) and the SAN
+        round-trip suite pin equivalence with the make-move check."""
+        us = self.side
+        if m.piece in "Kk" or m.flag == F_EP or self.in_check(us):
+            return not self.make_move(m).in_check(us)
+        b = self.board
+        k = self.king_sq(us)
+        for deltas, sliders in (
+            (BISHOP_DELTAS, "bq" if us == WHITE else "BQ"),
+            (ROOK_DELTAS, "rq" if us == WHITE else "RQ"),
+        ):
+            for d in deltas:
+                s = k + d
+                while on_board(s) and not b[s]:
+                    s += d
+                if not on_board(s) or s != m.from_sq:
+                    continue
+                # mover is the first piece from the king along d; it is
+                # pinned iff the next piece beyond it is an enemy slider
+                # matching the ray type
+                s2 = s + d
+                while on_board(s2) and not b[s2]:
+                    s2 += d
+                if not on_board(s2) or b[s2] not in sliders:
+                    return True
+                # pinned: legal iff the destination stays on the open
+                # ray between king (exclusive) and slider (inclusive)
+                t = k + d
+                while t != s2:
+                    if t == m.to_sq:
+                        return True
+                    t += d
+                return m.to_sq == s2
+        return True
 
     # -- make move ------------------------------------------------------------
 
@@ -624,6 +681,9 @@ class Position:
         disambiguation rule is relative to legal moves, so the
         legality filter runs before the ambiguity decision."""
         core = san.rstrip("+#!?").replace("0", "O")
+        # NOTE: the make-move child check is optimal here (measured):
+        # with ~1 candidate per SAN it costs exactly one attack scan,
+        # which also subsumes the in-check test _king_safe would need.
         candidates = [
             m
             for m in self._san_candidates(core)
