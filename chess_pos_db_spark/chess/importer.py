@@ -588,10 +588,18 @@ def append_pgn(
     Appended files continue the database's file-ordinal sequence (next
     free file_idx from the existing games table), so game_ids never
     collide with earlier imports — the reference's continuing game-id
-    allocation on append."""
+    allocation on append.
+
+    A retractions sidecar, when present, is appended to the same way —
+    leaving it stale would silently undercount exact retraction queries
+    for positions reached by appended games."""
+    import os
     import shutil
 
     runs_dir = f"{db_dir}/_append_runs_tmp"
+    retr_dir = f"{db_dir}/retractions"
+    retr_runs_dir = f"{db_dir}/_append_retr_tmp"
+    has_retr = os.path.isdir(retr_dir)
     prev_max = (
         spark.read.parquet(f"{db_dir}/games")
         .agg(F.max(F.shiftright("game_id", 32)))
@@ -601,7 +609,27 @@ def append_pgn(
     games = parse_games_chunked(
         spark, files, chunk_bytes, file_idx_base=next_file_idx
     )
-    agg = build_agg_entries(explode_positions(games))
+    pre = None
+    if has_retr:
+        entries = explode_positions(games, include_eran=True)
+        pre = (
+            entries.groupBy(*AGG_KEY, "eran")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum("elo_diff").alias("elo_diff_sum"),
+                F.min("game_id").alias("first_game_id"),
+                F.max("game_id").alias("last_game_id"),
+            )
+            .persist()
+        )
+        agg = pre.groupBy(*AGG_KEY).agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("elo_diff_sum").alias("elo_diff_sum"),
+            F.min("first_game_id").alias("first_game_id"),
+            F.max("last_game_id").alias("last_game_id"),
+        )
+    else:
+        agg = build_agg_entries(explode_positions(games))
     games.drop("sans").write.mode("append").parquet(f"{db_dir}/games")
     agg.write.mode("overwrite").parquet(runs_dir)
 
@@ -621,6 +649,30 @@ def append_pgn(
         partitions=partitions,
     )
     shutil.rmtree(runs_dir, ignore_errors=True)
+
+    if has_retr:
+        new_retr = (
+            pre.filter(F.col("eran").isNotNull())
+            .groupBy("pos_key", "reverse_move", "eran")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.min("first_game_id").alias("first_game_id"),
+            )
+        )
+        new_retr.write.mode("overwrite").parquet(retr_runs_dir)
+        spark.read.parquet(retr_dir).write.mode("append").parquet(
+            retr_runs_dir
+        )
+        layout.compact_runs(
+            spark,
+            [retr_runs_dir],
+            retr_dir,
+            key=["pos_key", "reverse_move", "eran"],
+            agg_spec={"cnt": "sum", "first_game_id": "min"},
+            partitions=partitions,
+        )
+        shutil.rmtree(retr_runs_dir, ignore_errors=True)
+        pre.unpersist()
     return {"db_dir": db_dir}
 
 

@@ -140,10 +140,11 @@ def parse_file(text: str) -> Iterator[dict]:
 # starts at any '['-line once movetext has been seen — so a chunked
 # import yields byte-identical game records (and therefore identical
 # game_ids) to the sequential parse. Scans started mid-file synchronize
-# by dropping the first partial line and running the state machine
-# through the lookback window; the state is provably correct at any
-# candidate preceded by at least one full movetext line within the
-# lookback (i.e. unless a single tag section exceeds the lookback).
+# by dropping the first partial line and running the state machine from
+# a lookback window that GROWS (doubling) until it contains a complete
+# state-determining line — so arbitrarily long single-line movetext
+# (one-line exporters, huge {comments}) cannot desynchronize a
+# boundary; see _resolve_read_from.
 # ---------------------------------------------------------------------------
 
 
@@ -165,7 +166,12 @@ class GameStartScanner:
         self.starts: list[int] = []
 
     def feed(self, block: bytes, final: bool = False) -> None:
-        self.buf += block
+        # \r → \n (1:1, offsets preserved): classic-Mac \r-only line
+        # terminators must split here exactly as str.splitlines does in
+        # the text path; \r\n becomes \n\n, and the extra blank line is
+        # state-neutral. A pair split across feeds still works — each
+        # half independently maps to \n.
+        self.buf += block.replace(b"\r", b"\n")
         buf = self.buf
         n = len(buf)
         i = self.scanned
@@ -202,6 +208,39 @@ def game_is_kept(text: str) -> bool:
     return bool(g["sans"] or g["tags"])
 
 
+def _resolve_read_from(path: str, start: int, lookback: int) -> int:
+    """Smallest window start ≤ `start` whose complete lines pin the
+    scanner's movetext state at `start`.
+
+    The scanner must discard the partial line a mid-file seek lands in,
+    so the window needs at least one COMPLETE line that determines
+    state: non-blank and not a '%'-escape (a movetext line sets the
+    flag, a '['-tag line resolves it false). A fixed window fails
+    silently when a single movetext line exceeds it — the game start
+    after it would never register and the game would be dropped — so
+    the window doubles until it qualifies or reaches the file start.
+    """
+    lb = lookback
+    while True:
+        read_from = max(0, start - lb)
+        if read_from == 0:
+            return 0
+        with open(path, "rb") as f:
+            f.seek(read_from)
+            window = f.read(start - read_from).replace(b"\r", b"\n")
+        # Complete lines live strictly between the window's first and
+        # last newline: before the first the line started pre-window,
+        # after the last it continues past `start`.
+        first_nl = window.find(b"\n")
+        if first_nl != -1:
+            last_nl = window.rfind(b"\n")
+            for line in window[first_nl + 1 : last_nl].split(b"\n"):
+                s = line.strip()
+                if s and s[:1] != b"%":
+                    return read_from
+        lb *= 2
+
+
 def chunk_game_slices(
     path: str, start: int, end: int, lookback: int = 8192
 ) -> list[tuple[int, str]]:
@@ -211,21 +250,46 @@ def chunk_game_slices(
     beyond the next game start).
 
     A chunk interior to one huge game returns [] — that game belongs to
-    the chunk containing its first byte. Uses plain ranged reads
-    (seek + read); an object-store deployment swaps these for ranged
-    GETs.
+    the chunk containing its first byte, and detecting that costs at
+    most one extra line past `end`, never a scan to the next game. Uses
+    plain ranged reads (seek + read); an object-store deployment swaps
+    these for ranged GETs.
     """
-    read_from = max(0, start - lookback)
+    read_from = _resolve_read_from(path, start, lookback)
     sc = GameStartScanner(read_from, skip_first_partial=read_from > 0)
     with open(path, "rb") as f:
         f.seek(read_from)
         sc.feed(f.read(end - read_from))
-        while not (sc.starts and sc.starts[-1] >= end):
-            block = f.read(4 << 20)
+        # A game-start line beginning just before `end` only registers
+        # once its newline arrives. Classify the straddling line with
+        # BOUNDED reads: its first non-blank byte decides — only a
+        # '['-prefixed line can be a start, so a megabyte movetext line
+        # stops the read at its first visible byte instead of being
+        # scanned to its end.
+        def _tail_maybe_start() -> bool:
+            tail = bytes(sc.buf[sc.scanned :]).lstrip()
+            return not tail or tail[:1] == b"["
+
+        while (
+            sc.buf.find(b"\n", max(0, end - read_from - 1)) == -1
+            and _tail_maybe_start()
+        ):
+            block = f.read(4 << 10)
             if not block:
                 sc.feed(b"", final=True)
                 break
             sc.feed(block)
+        # Only a chunk that OWNS a game start must read on to complete
+        # its last game; a chunk interior to one huge game stops here
+        # (otherwise every such chunk would scan to the next start —
+        # quadratic I/O when a game spans many chunks).
+        if start == 0 or any(start <= p < end for p in sc.starts):
+            while not (sc.starts and sc.starts[-1] >= end):
+                block = f.read(4 << 20)
+                if not block:
+                    sc.feed(b"", final=True)
+                    break
+                sc.feed(block)
     end_abs = read_from + len(sc.buf)
 
     starts = [p for p in sc.starts if start <= p < end]

@@ -103,6 +103,11 @@ def zorder_column(
     dimension, so range-partitioning by this key clusters row-group
     min/max stats on all of them at once.
     """
+    # The interleaved key must stay inside a positive signed long:
+    # bits*len(cols) > 63 would push the top column's high bit into the
+    # sign bit (negative keys sort first, breaking the curve) or wrap
+    # the shift mod 64.
+    bits = min(bits, 63 // len(cols))
     stats = df.agg(
         *[F.min(c).alias(f"mn_{c}") for c in cols],
         *[F.max(c).alias(f"mx_{c}") for c in cols],
@@ -111,6 +116,12 @@ def zorder_column(
     norms = []
     for c in cols:
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None:
+            # empty input or all-NULL column: constant key — the write
+            # degrades to a plain (possibly empty) write instead of
+            # raising at plan time
+            norms.append(F.lit(0).cast("long"))
+            continue
         span = (mx - mn) or 1
         norms.append(
             ((F.col(c) - F.lit(mn)).cast("double") * top / span).cast("long")

@@ -361,3 +361,28 @@ def test_merge_databases_retraction_sidecars(spark, tmp_path):
         return sorted(tuple(r) for r in df.collect())
 
     assert rows("rm") == rows("rs")
+
+
+def test_append_updates_retraction_sidecar(spark, tmp_path):
+    """Appending to a retractions-enabled database must bring the
+    sidecar forward: afterwards it equals the sidecar of a single-shot
+    import of both file sets."""
+    a = tmp_path / "a.pgn"
+    b = tmp_path / "b.pgn"
+    a.write_text(PGN_TEXT)
+    b.write_text(PGN_TEXT)
+    db = str(tmp_path / "adb")
+    importer.import_pgn(spark, [(str(a), "human")], db, retractions=True)
+    importer.append_pgn(spark, [(str(b), "human")], db)
+    importer.import_pgn(
+        spark,
+        [(str(a), "human"), (str(b), "human")],
+        str(tmp_path / "single"),
+        retractions=True,
+    )
+
+    def rows(path):
+        df = spark.read.parquet(f"{path}/retractions")
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(db) == rows(str(tmp_path / "single"))

@@ -210,3 +210,108 @@ def test_duplicate_paths_rejected(spark, tmp_path):
         importer.parse_games_chunked(
             spark, [(str(p), "human"), (str(p), "engine")]
         )
+
+
+def test_chunked_movetext_line_longer_than_lookback(spark, tmp_path):
+    """A single movetext LINE longer than the 8 KB lookback followed by
+    a new game: the chunk owning the next game start must extend its
+    lookback until a complete state-determining line appears — a fixed
+    window silently dropped the following game."""
+    long_comment = "{" + "y " * 8000 + "}"  # ~16 KB on ONE line
+    text = (
+        '[Event "Long"]\n[Result "1-0"]\n\n'
+        f"1. e4 {long_comment} e5 1-0\n\n"
+        '[Event "After"]\n[Result "0-1"]\n\n1. d4 d5 0-1\n\n'
+        '[Event "Tail"]\n[Result "1/2-1/2"]\n\n1. c4 c5 1/2-1/2\n'
+    )
+    p = tmp_path / "longline.pgn"
+    p.write_text(text)
+    seq = importer.parse_games(
+        importer.read_pgn_files(spark, [(str(p), "human")])
+    )
+    for cb in [1024, 4096, 12000]:
+        chk = importer.parse_games_chunked(
+            spark, [(str(p), "human")], chunk_bytes=cb
+        )
+        assert _rows(chk) == _rows(seq), cb
+        assert len(_rows(chk)) == 3, cb
+
+
+def test_chunked_cr_only_line_terminators(spark, tmp_path):
+    """Classic-Mac \\r-only terminators: str.splitlines treats them as
+    newlines, so the byte scanner must too — otherwise chunked parsing
+    merges every game into one."""
+    text = (
+        '[Event "A"]\r[Result "1-0"]\r\r1. e4 e5 1-0\r\r'
+        '[Event "B"]\r[Result "0-1"]\r\r1. d4 d5 0-1\r'
+    )
+    p = tmp_path / "cr.pgn"
+    p.write_bytes(text.encode())
+    seq = importer.parse_games(
+        importer.read_pgn_files(spark, [(str(p), "human")])
+    )
+    assert len(_rows(seq)) == 2
+    for cb in [16, 40, 1 << 20]:
+        chk = importer.parse_games_chunked(
+            spark, [(str(p), "human")], chunk_bytes=cb
+        )
+        assert _rows(chk) == _rows(seq), cb
+
+
+def test_interior_chunk_reads_are_bounded(tmp_path):
+    """A chunk interior to one huge game must return [] after reading
+    at most one line past its end — not scan to the next game start
+    (quadratic I/O when a game spans many chunks)."""
+    big_comment = "{" + "z " * (1 << 20) + "}"  # ~4 MB game body
+    text = (
+        '[Event "Huge"]\n[Result "1-0"]\n\n'
+        f"1. e4 {big_comment} e5 1-0\n\n"
+        '[Event "Tail"]\n[Result "0-1"]\n\n1. d4 d5 0-1\n'
+    )
+    p = tmp_path / "giant.pgn"
+    p.write_text(text)
+
+    import chess_pos_db_spark.chess.pgn as pgn_mod
+
+    reads = []
+    orig_read = None
+
+    class CountingFile:
+        def __init__(self, f):
+            self._f = f
+
+        def seek(self, *a):
+            return self._f.seek(*a)
+
+        def read(self, *a):
+            data = self._f.read(*a)
+            reads.append(len(data))
+            return data
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            self._f.close()
+
+    import builtins
+
+    real_open = builtins.open
+
+    def counting_open(path, mode="r", *a, **kw):
+        f = real_open(path, mode, *a, **kw)
+        if "b" in mode and str(path).endswith("giant.pgn"):
+            return CountingFile(f)
+        return f
+
+    # interior chunk: starts well inside the huge comment
+    start, end = 100_000, 164_000
+    builtins.open = counting_open
+    try:
+        out = pgn_mod.chunk_game_slices(str(p), start, end)
+    finally:
+        builtins.open = real_open
+    assert out == []
+    # reads: the lookback resolution windows + the chunk body + at most
+    # ~one 64 KB line-completion block — nothing near the 4 MB game
+    assert sum(reads) < (end - start) + 512 * 1024, sum(reads)

@@ -120,3 +120,23 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
     # linear sort: leading column prunes hard, the other not at all
     assert overlap_fraction(spath, "l_orderkey", *ok_window) <= 0.25
     assert overlap_fraction(spath, "l_partkey", *pk_window) >= 0.9
+
+
+def test_zorder_many_columns_and_empty_input(spark, sf_dir, tmp_path):
+    """4 columns at the default 16 bits must clamp below the sign bit
+    (keys stay non-negative), and an empty input writes an empty
+    dataset instead of raising."""
+    from chess_pos_db_spark.tables import t as load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"
+    )
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    z = layout.zorder_column(li, cols)
+    mn = li.select(F.min(z).alias("m")).first()["m"]
+    assert mn is not None and mn >= 0
+
+    empty = li.filter(F.lit(False))
+    path = str(tmp_path / "zempty")
+    layout.write_zorder_run(empty, path, cols, partitions=4)
+    assert spark.read.parquet(path).count() == 0
