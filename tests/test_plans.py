@@ -341,3 +341,29 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_thr,
         )
+
+
+def test_lm_familiarity_no_join(spark, sf_dir):
+    """N4+: the corpus bigram count is a window over the gram partition
+    — no groupBy + join-back pair (saves two exchanges), so the plan
+    has NO join at all: gram shuffle + doc shuffle only."""
+    plan = _plan(q("text_lm_familiarity", spark, sf_dir))
+    assert "Join" not in plan, plan[:2000]
+    assert _n_exchanges(plan) == 2, plan[:2000]
+
+
+def test_knn_label_broadcasts_probes(spark, sf_dir):
+    """N3+: the bounded probe set is the broadcast side; the corpus
+    scans once and is never shuffled pairwise (no SortMergeJoin)."""
+    plan = _plan(q("similarity_knn_label", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_label_cohesion_broadcasts_centroids(spark, sf_dir):
+    """N3+: the n_labels x dims centroid table (KB-sized at any corpus
+    scale) broadcasts back to the member dims — the fact side never
+    shuffles for the join."""
+    plan = _plan(q("embedding_label_cohesion", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
