@@ -299,3 +299,97 @@ def select_contamination_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = select_training_docs(spark, sf_dir)
     cont = text_contamination(spark, sf_dir).select("doc_id")
     return sel.join(cont, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# N6e — the full curation DAG as ONE Catalyst plan: exact dedup (keep
+# the lowest doc_id per md5 fingerprint) ∩ quality gate ∩ per-language
+# stratified sampling ∩ decontamination, then packing the survivors
+# into fixed-budget training sequences. This is the whole
+# raw-corpus→training-shards pipeline expressed declaratively — every
+# stage is a filter/window over the same scan lineage, so Catalyst
+# fuses the gates and the optimizer sees the complete data flow (no
+# materialization barriers between "steps" the way a stage-per-script
+# pipeline would force). Survivor packing re-shards by doc_id, so the
+# cumsum window is shard-parallel — no single-partition stage.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_end_to_end",
+    oracle=f"""
+WITH keepers AS (
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY MD5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+),
+tok AS (
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+    FROM documents
+),
+stats AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           (SUM(CASE WHEN token IN {_STOPWORDS!r} THEN 1 ELSE 0 END) * 1.0
+            / COUNT(*)) AS stop_ratio
+    FROM tok GROUP BY doc_id
+),
+tokl AS (
+    SELECT doc_id, source, STRING_SPLIT(text, ' ') AS s FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, source, {_shingle_sql(_SHINGLE_N)} AS shingle
+    FROM tokl WHERE len(s) >= {_SHINGLE_N}
+),
+eval_sh AS (
+    SELECT DISTINCT shingle FROM sh WHERE source = '{_EVAL_SOURCE}'
+),
+contaminated AS (
+    SELECT DISTINCT t.doc_id
+    FROM sh t JOIN eval_sh e ON t.shingle = e.shingle
+    WHERE t.source <> '{_EVAL_SOURCE}'
+),
+survivors AS (
+    SELECT d.doc_id, d.lang, s.n_tokens
+    FROM documents d
+    JOIN stats s ON d.doc_id = s.doc_id
+    JOIN keepers k ON d.doc_id = k.doc_id
+    WHERE s.n_tokens >= 5
+      AND s.stop_ratio <= 0.5
+      AND {_SEL_HASH_DUCK} < ({_SEL_RATES})
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(doc_id % {_PACK_SHARDS} AS BIGINT) AS shard,
+       CAST((SUM(n_tokens) OVER w - n_tokens) // {_PACK_BUDGET} AS BIGINT)
+           AS seq_id
+FROM survivors
+WINDOW w AS (PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id)
+""",
+)
+def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    w_dup = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    keepers = (
+        docs.withColumn("rn", F.row_number().over(w_dup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    sel = select_contamination_free(spark, sf_dir)
+    survivors = sel.join(keepers, "doc_id")
+    w_pack = W.partitionBy(F.col("doc_id") % _PACK_SHARDS).orderBy("doc_id")
+    return survivors.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (F.col("doc_id") % _PACK_SHARDS).cast("bigint").alias("shard"),
+        F.expr(
+            f"(sum(n_tokens) OVER (PARTITION BY doc_id % {_PACK_SHARDS}"
+            f" ORDER BY doc_id) - n_tokens) div {_PACK_BUDGET}"
+        ).alias("seq_id"),
+    )

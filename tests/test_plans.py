@@ -367,3 +367,11 @@ def test_label_cohesion_broadcasts_centroids(spark, sf_dir):
     plan = _plan(q("embedding_label_cohesion", spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_curation_end_to_end_shard_parallel(spark, sf_dir):
+    """N6e: the composed curation DAG packs survivors with a
+    shard-partitioned window — the full pipeline has no
+    single-partition exchange anywhere."""
+    plan = _plan(q("curation_end_to_end", spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
