@@ -178,3 +178,87 @@ def resize(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
     return media.filter(F.col("kind") == "image").mapInPandas(
         batches, schema=RESIZED_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: decode stub + per-window waveform features — completes the
+# image / audio / video triple. The decode seam mirrors decode_image
+# (swap for soundfile/librosa in a real deployment); the feature pass
+# is the standard frame-level front end: fixed-length windows, RMS
+# energy + zero-crossing count + peak per window, vectorized numpy over
+# Arrow batches. One media row fans out to duration/window feature
+# rows — the audio analogue of frame_sample's explode, but computed,
+# so it runs in mapInPandas rather than a generated sequence.
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("window_idx", T.IntegerType(), False),
+        T.StructField("rms", T.FloatType(), False),
+        T.StructField("zero_crossings", T.IntegerType(), False),
+        T.StructField("peak", T.FloatType(), False),
+    ]
+)
+
+
+def decode_audio(blob: bytes, duration_ms: int) -> np.ndarray:
+    """STUB — no audio libraries in this container.
+
+    A real deployment replaces this body with e.g. soundfile.read.
+    The deterministic fake synthesizes a waveform (float32 in [-1, 1],
+    8 samples/ms) from the blob digest so window math, dtypes, and
+    batch shapes are exercised honestly.
+    """
+    n = max(1, duration_ms * 8)
+    h = np.frombuffer(
+        (hashlib.sha256(blob).digest() * ((n * 4) // 32 + 1))[: n * 4],
+        dtype=np.uint32,
+    )
+    return (h.astype(np.float64) / np.float64(2**31) - 1.0).astype(
+        np.float32
+    )[:n]
+
+
+def audio_features(media: DataFrame, window: int = 2048) -> DataFrame:
+    """Audio table → per-window waveform features (Arrow-batched
+    mapInPandas; trailing partial window dropped, matching the usual
+    frame-synchronous front ends)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, row in pdf.iterrows():
+                wave = decode_audio(
+                    bytes(row["blob"]), int(row["duration_ms"])
+                )
+                n_win = len(wave) // window
+                if n_win == 0:
+                    continue
+                frames = wave[: n_win * window].reshape(n_win, window)
+                rms = np.sqrt((frames.astype(np.float64) ** 2).mean(axis=1))
+                zc = (np.diff(np.signbit(frames), axis=1) != 0).sum(axis=1)
+                peak = np.abs(frames).max(axis=1)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "media_id": row["media_id"],
+                            "window_idx": np.arange(n_win, dtype=np.int32),
+                            "rms": rms.astype(np.float32),
+                            "zero_crossings": zc.astype(np.int32),
+                            "peak": peak.astype(np.float32),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(out, ignore_index=True)
+                if out
+                else pd.DataFrame(
+                    {f.name: pd.Series(dtype="object") for f in AUDIO_FRAME_SCHEMA}
+                )
+            )
+
+    aud = media.filter(F.col("kind") == "audio").filter(
+        F.col("duration_ms") > 0
+    )
+    return aud.mapInPandas(batches, schema=AUDIO_FRAME_SCHEMA)
