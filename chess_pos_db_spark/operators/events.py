@@ -194,3 +194,47 @@ def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "events")
     return purchase_attribution(e, e)
+
+
+# ---------------------------------------------------------------------------
+# Event anomaly surfacing: top-k events by per-type z-score. The
+# per-type mean/stddev are windows over the event_type partition (no
+# groupBy + join-back — the text_tfidf exchange-saving trick), so the
+# whole query is one shuffle on event_type plus a TakeOrdered. The
+# z-score is rounded at 4dp on BOTH sides before the rank and the
+# ordering carries event_id, so the top-k is deterministic across
+# engines; a top-k (not a threshold flag) keeps boundary comparisons
+# out of the oracle contract entirely.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_anomaly",
+    oracle="""
+WITH scored AS (
+    SELECT event_id, event_type, value,
+           ROUND(ABS(value - AVG(value) OVER w)
+                 / STDDEV_SAMP(value) OVER w, 4) AS z
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_id, event_type, value, z
+FROM scored
+ORDER BY z DESC, event_id
+LIMIT 10
+""",
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    scored = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(
+            F.abs(F.col("value") - F.avg("value").over(w))
+            / F.stddev_samp("value").over(w),
+            4,
+        ).alias("z"),
+    )
+    return scored.orderBy(F.desc("z"), F.asc("event_id")).limit(10)

@@ -375,3 +375,13 @@ def test_curation_end_to_end_shard_parallel(spark, sf_dir):
     single-partition exchange anywhere."""
     plan = _plan(q("curation_end_to_end", spark, sf_dir))
     assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+def test_events_anomaly_single_shuffle_topk(spark, sf_dir):
+    """Anomaly top-k: per-type stats are windows (no groupBy+join-back)
+    — one event_type shuffle, and the rank is TakeOrdered, never a
+    global sort."""
+    plan = _plan(q("events_anomaly", spark, sf_dir))
+    assert "Join" not in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert _n_exchanges(plan) == 1, plan[:2000]
