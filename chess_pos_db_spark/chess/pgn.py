@@ -26,6 +26,10 @@ _CASTLE_FIX = str.maketrans({"0": "O"})
 
 def split_games(text: str) -> Iterator[str]:
     """Split a PGN file into per-game chunks (tag section + movetext)."""
+    # A UTF-8 BOM would otherwise classify the first tag line as
+    # movetext (it no longer starts with '['), splitting the first
+    # game's tags into a bogus extra game.
+    text = text.lstrip("﻿")
     chunk: list[str] = []
     seen_movetext = False
     for line in text.splitlines():
@@ -191,6 +195,8 @@ class GameStartScanner:
             self._skipped = True  # landed in — its start is unknowable
             return
         stripped = bytes(self.buf[a:b]).strip()
+        if stripped[:3] == b"\xef\xbb\xbf":  # UTF-8 BOM, see split_games
+            stripped = stripped[3:].strip()
         if stripped[:1] == b"[" and self.seen_movetext:
             self.starts.append(self.abs_base + a)
             self.seen_movetext = False
@@ -308,6 +314,8 @@ def chunk_game_slices(
         text = bytes(sc.buf[a - read_from : b - read_from]).decode(
             "utf-8", "replace"
         )
+        if a == 0:
+            text = text.lstrip("﻿")
         out.append((a, text))
     return out
 

@@ -315,3 +315,26 @@ def test_interior_chunk_reads_are_bounded(tmp_path):
     # reads: the lookback resolution windows + the chunk body + at most
     # ~one 64 KB line-completion block — nothing near the 4 MB game
     assert sum(reads) < (end - start) + 512 * 1024, sum(reads)
+
+
+def test_bom_prefixed_file(spark, tmp_path):
+    """A UTF-8 BOM must not desynchronize either state machine: without
+    the guard the BOM'd first tag line classifies as movetext, so the
+    sequential path splits the first game's tags into a bogus game and
+    the scanner registers a false start at its second tag line."""
+    text = (
+        '[Event "A"]\n[Result "1-0"]\n\n1. e4 e5 1-0\n\n'
+        '[Event "B"]\n[Result "0-1"]\n\n1. d4 d5 0-1\n'
+    )
+    p = tmp_path / "bom.pgn"
+    p.write_bytes(b"\xef\xbb\xbf" + text.encode())
+    seq = importer.parse_games(
+        importer.read_pgn_files(spark, [(str(p), "human")])
+    )
+    rows_seq = _rows(seq)
+    assert len(rows_seq) == 2
+    for cb in [16, 64, 1 << 20]:
+        chk = importer.parse_games_chunked(
+            spark, [(str(p), "human")], chunk_bytes=cb
+        )
+        assert _rows(chk) == rows_seq, cb
