@@ -275,3 +275,37 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.round(F.avg("l_quantity").over(w), 6).alias("qty_ma3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch rollup (A6 scale path): per-group HyperLogLog
+# sketches that UNION to coarser groups without a re-scan — the
+# two-level pre-aggregation that makes distinct-count rollups feasible
+# at 100 TB (sketches are ~KB constants per group crossing the shuffle;
+# re-aggregating exact distincts would re-shuffle raw keys). Spark's
+# hll_sketch_agg/hll_union_agg are Apache DataSketches HLL under the
+# hood — engine-native binary, so the query is declared rows-only; the
+# pytest gate checks both levels against exact distinct counts (±5%)
+# and that the union path equals a direct whole-table sketch estimate.
+# ---------------------------------------------------------------------------
+
+
+@register("agg_hll_mergeable")  # rows-only: engine-native sketch values
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.count_distinct("l_orderkey").alias("exact_distinct"),
+    )
+    rolled = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+            "est_total_distinct"
+        ),
+        F.sum("exact_distinct").alias("sum_group_distinct"),
+    )
+    per = per_flag.select(
+        "l_returnflag",
+        F.hll_sketch_estimate("sk").alias("est_distinct"),
+        "exact_distinct",
+    )
+    return per.crossJoin(F.broadcast(rolled))

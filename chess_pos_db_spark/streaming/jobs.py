@@ -208,3 +208,58 @@ def purchase_attribution(
             <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")
         ),
     ).select("user_id", "signup_ts", "purchase_ts", "value")
+
+
+def stateful_running_stats_tws(e: DataFrame) -> DataFrame:
+    """T7 on the Spark 4 state API: the same per-event_type running
+    {cnt, sum_value} operator as ``stateful_running_stats``, expressed
+    with ``transformWithStateInPandas`` (StatefulProcessor + ValueState)
+    — the successor API whose explicit state variables map to RocksDB
+    column families, giving per-variable TTL/eviction instead of one
+    opaque state tuple. Same bounded-state argument: one (long, double)
+    pair per key.
+
+    Environment note: the TWS state-server protocol requires
+    ``google.protobuf`` (broken in this container — the equivalence
+    test skips when the import fails); ``stateful_running_stats`` is
+    the always-runnable form of the same operator. The query also needs
+    ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider — set it on the session before starting.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "cnt long, sum_value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, sum_value = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                cnt += int(len(pdf))
+                sum_value += float(pdf["value"].sum())
+            self._state.update((cnt, sum_value))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "cnt": [cnt],
+                    "sum_value": [sum_value],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return e.groupBy("event_type").transformWithStateInPandas(
+        RunningStats(),
+        outputStructType="event_type string, cnt long, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

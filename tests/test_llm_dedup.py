@@ -134,3 +134,23 @@ def test_true_duplicates_still_cluster(spark):
     }
     assert ver[10] == ver[11]
     assert ver[12] != ver[10]
+
+
+def test_hll_mergeable_rollup_accuracy(spark, sf_dir):
+    """A6 scale path: per-group HLL estimates within 5% of exact, and
+    the sketch UNION's total estimate within 5% of the true whole-table
+    distinct (which group-sum overcounts when keys span groups)."""
+    import chess_pos_db_spark as engine
+    from chess_pos_db_spark.tables import t as load
+
+    rows = engine.get_queries()["agg_hll_mergeable"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["est_distinct"] - r["exact_distinct"]) <= max(
+            2, 0.05 * r["exact_distinct"]
+        )
+    true_total = (
+        load(spark, sf_dir, "lineitem").select("l_orderkey").distinct().count()
+    )
+    est_total = rows[0]["est_total_distinct"]
+    assert abs(est_total - true_total) <= max(2, 0.05 * true_total)

@@ -138,3 +138,42 @@ def test_stream_stream_join_equals_batch(spark, events_dir):
     expected = jobs.purchase_attribution(batch_events, batch_events)
     assert _rows(streamed) == _rows(expected)
     assert streamed.count() > 0
+
+
+def test_tws_running_stats_equals_batch(spark, events_dir):
+    """transformWithStateInPandas (Spark 4 state API) running totals
+    must converge to the same final per-key totals as the one-shot
+    batch aggregation — and as the applyInPandasWithState form."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "TWS state protocol needs google.protobuf (broken in this "
+            "container); stateful_running_stats covers the operator"
+        )
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = jobs.read_events_stream(spark, events_dir)
+    got = jobs.run_available_now(
+        jobs.stateful_running_stats_tws(stream), "update"
+    )
+    final = {}
+    for r in got.collect():
+        if r.event_type not in final or r.cnt > final[r.event_type][0]:
+            final[r.event_type] = (r.cnt, round(r.sum_value, 6))
+    want = {
+        r.event_type: (r.cnt, round(r.sum_value, 6))
+        for r in spark.read.parquet(events_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert final == want
