@@ -338,3 +338,41 @@ def test_bom_prefixed_file(spark, tmp_path):
             spark, [(str(p), "human")], chunk_bytes=cb
         )
         assert _rows(chk) == rows_seq, cb
+
+
+def test_pgn_datasource_reads_games(spark, tmp_path):
+    """spark.read.format('pgn'): game records equal the importer's
+    sequential parse, and a large file splits into multiple input
+    partitions (parallel scan of one dump)."""
+    from chess_pos_db_spark.chess.datasource import (
+        PgnDataSource,
+        PgnDataSourceReader,
+    )
+
+    many = '\n'.join(
+        f'[Event "G{i}"]\n[Result "1-0"]\n\n1. e4 e5 1-0\n'
+        for i in range(200)
+    )
+    p = tmp_path / "big.pgn"
+    p.write_text(many)
+    spark.dataSource.register(PgnDataSource)
+    df = (
+        spark.read.format("pgn")
+        .option("chunk_bytes", 1024)
+        .load(str(p))
+    )
+    rows = df.collect()
+    assert len(rows) == 200
+    assert sorted(r["tags"]["Event"] for r in rows) == sorted(
+        f"G{i}" for i in range(200)
+    )
+    # order by (file_idx, game_offset) reproduces the sequential order
+    ordered = [
+        r["tags"]["Event"]
+        for r in sorted(rows, key=lambda r: (r["file_idx"], r["game_offset"]))
+    ]
+    assert ordered == [f"G{i}" for i in range(200)]
+    parts = PgnDataSourceReader(
+        {"path": str(p), "chunk_bytes": 1024}
+    ).partitions()
+    assert len(parts) > 4
