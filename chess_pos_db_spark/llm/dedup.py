@@ -884,3 +884,82 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") > 0.45)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
     )
+
+
+# --- SemDeDup: semantic dedup within coarse-quantizer cells ------------------
+# (Abbas et al. 2023 "SemDeDup" shape): cluster the corpus with the IVF
+# coarse quantizer, then prune near-duplicates ONLY within each cell —
+# the quadratic cosine verify runs per cell (n/K per cell in
+# expectation), never corpus x corpus. A pruned vector reports its
+# keeper (the smallest same-cell near-dup), how many near-dups it has
+# in-cell, and the strongest similarity. The quantizer is the shared
+# relational one (similarity.py _CELLS_CTE), so the WHOLE pipeline —
+# assignment, pairing, verification, pruning — is oracle-exact.
+# Scale: one mapInPandas assignment scan + one shuffle on cell; at
+# 100 TB the corpus is written partitioned by cell (the IVF-as-layout
+# argument) and each cell's pair verify is an independent task.
+
+_SEMDEDUP_COS = 0.45
+
+
+def _semdedup_oracle() -> str:
+    from .similarity import _CELLS_CTE
+
+    return f"""
+WITH {_CELLS_CTE},
+pairs AS (
+    SELECT ca.vec_id AS id_a, cb.vec_id AS id_b,
+           SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+           SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na,
+           SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb
+    FROM cells ca
+    JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+    JOIN embeddings a ON a.vec_id = ca.vec_id
+    JOIN embeddings b ON b.vec_id = cb.vec_id,
+    GENERATE_SERIES(1, {_EMB_DIMS}) AS t(i)
+    GROUP BY ca.vec_id, cb.vec_id
+),
+near AS (
+    SELECT id_a, id_b, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cos_sim
+    FROM pairs
+    WHERE dot / (SQRT(na) * SQRT(nb)) > {_SEMDEDUP_COS}
+)
+SELECT id_b AS pruned_vec_id,
+       MIN(id_a) AS keeper_vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_near,
+       MAX(cos_sim) AS max_cos
+FROM near
+GROUP BY id_b
+"""
+
+
+@register("dedup_semdedup", oracle=_semdedup_oracle())
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _cell_assignments, _ivf_centroids, cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids, cnorms = _ivf_centroids(spark, sf_dir)
+    cells = _cell_assignments(emb, centroids, cnorms)
+    sided = emb.join(cells, "vec_id")
+    a = sided.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        "cell",
+    )
+    b = sided.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        "cell",
+    )
+    near = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("raw_cos", cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("raw_cos") > _SEMDEDUP_COS)
+        .select("id_a", "id_b", F.round("raw_cos", 6).alias("cos_sim"))
+    )
+    return near.groupBy(F.col("id_b").alias("pruned_vec_id")).agg(
+        F.min("id_a").alias("keeper_vec_id"),
+        F.count("*").alias("n_near"),
+        F.max("cos_sim").alias("max_cos"),
+    )

@@ -393,3 +393,42 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ORDER BY doc_id) - n_tokens) div {_PACK_BUDGET}"
         ).alias("seq_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N6f — per-source document cap (the CCNet/RefinedWeb "domain cap"):
+# no single source may contribute more than CAP docs to the training
+# mix, and the docs it does contribute are its best by a deterministic
+# priority (longest first, doc_id tie-break). One window partitioned
+# by source — at 100 TB the key space is the domain space (millions of
+# groups), so the shuffle is fine-grained and skew-safe; a pathological
+# mega-domain is exactly what the cap bounds.
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAP = 20
+
+
+@register(
+    "curation_domain_cap",
+    oracle=f"""
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+           ) AS rk
+    FROM documents
+)
+WHERE rk <= {_DOMAIN_CAP}
+""",
+)
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _DOMAIN_CAP)
+        .select("doc_id", "source", "rk")
+    )

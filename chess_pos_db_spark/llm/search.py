@@ -1,0 +1,166 @@
+"""Full-text relevance search over the document corpus (SURVEY §2.11
+N4+): BM25 ranked retrieval and exact phrase matching as pure
+relational plans — the corpus-search primitives a training-data
+pipeline uses for targeted subset extraction ("give me the docs about
+X") and for building retrieval eval sets.
+
+Scale shape: both queries are map-side per-document scoring against a
+tiny broadcast query-term set — no inverted index is materialized, so
+the plan is one corpus scan + one final TakeOrdered. At 100 TB the
+same plan holds (scan-parallel scoring); a reusable inverted index
+would be the `plans/layout.py` sorted-run treatment of the
+(term, doc_id, tf) postings — the BM25 expression itself is unchanged.
+
+Cross-engine discipline: tf/df/dl are exact integers; the only
+transcendental is ln() in the IDF, and scores are ROUND()ed at 6 dp on
+both sides before the ORDER BY (same posture as the cosine queries —
+a last-ulp libm difference cannot flip the hash except exactly on a
+rounding boundary, and ties are broken by doc_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import t
+
+_QUERY_TERMS = ["window", "table", "merge"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_TOP_K = 10
+
+_TERMS_SQL = ", ".join(f"('{q}')" for q in _QUERY_TERMS)
+
+
+@register(
+    "search_bm25",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, STRING_SPLIT(text, ' ') AS s,
+           len(STRING_SPLIT(text, ' ')) AS dl
+    FROM documents
+),
+corpus AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(dl) / COUNT(*) AS avgdl
+    FROM d
+),
+q(term) AS (VALUES {_TERMS_SQL}),
+tf AS (
+    SELECT d.doc_id, d.dl, q.term,
+           CAST(len(list_filter(d.s, x -> x = q.term)) AS BIGINT) AS tf
+    FROM d, q
+),
+df AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+    FROM tf WHERE tf > 0 GROUP BY term
+),
+scored AS (
+    SELECT tf.doc_id,
+           SUM(
+             LN(1 + (c.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+             tf.tf * ({_BM25_K1} + 1) /
+             (tf.tf + {_BM25_K1} *
+              (1 - {_BM25_B} + {_BM25_B} * tf.dl / c.avgdl))
+           ) AS score
+    FROM tf JOIN df USING (term), corpus c
+    WHERE tf.tf > 0
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 6) AS bm25
+FROM scored
+ORDER BY ROUND(score, 6) DESC, doc_id
+LIMIT {_TOP_K}
+""",
+)
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k: per-doc term frequencies via JVM array expressions
+    (no explode of the token stream), corpus stats and per-term df as
+    broadcast one-row/tiny aggregates (the tpch_q11 scalar-threshold
+    pattern), final TakeOrderedAndProject."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("s"),
+        F.size(F.split("text", " ")).cast("long").alias("dl"),
+    )
+    corpus = d.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    terms = spark.createDataFrame(
+        [(q,) for q in _QUERY_TERMS], "term string"
+    )
+    tf = d.join(F.broadcast(terms)).select(
+        "doc_id",
+        "dl",
+        "term",
+        F.size(
+            F.filter(F.col("s"), lambda x: x == F.col("term"))
+        ).cast("long").alias("tf"),
+    )
+    df = (
+        tf.filter(F.col("tf") > 0)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = (
+        tf.filter(F.col("tf") > 0)
+        .join(F.broadcast(df), "term")
+        .join(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (_BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_TOP_K)
+    )
+
+
+_PHRASE = "value table"
+
+
+@register(
+    "search_phrase",
+    oracle=f"""
+SELECT doc_id,
+       CAST((len(text) - len(REPLACE(text, '{_PHRASE}', '')))
+            / len('{_PHRASE}') AS BIGINT) AS n_hits
+FROM documents
+WHERE text LIKE '%{_PHRASE}%'
+ORDER BY n_hits DESC, doc_id
+LIMIT {_TOP_K}
+""",
+)
+def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase-occurrence count per doc (length-difference trick —
+    exact integers, map-only scan + TakeOrdered; the LIKE predicate
+    reaches the scan as a pushed StringContains filter)."""
+    docs = t(spark, sf_dir, "documents")
+    n_hits = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(_PHRASE))))
+        / F.length(F.lit(_PHRASE))
+    ).cast("long")
+    return (
+        docs.filter(F.col("text").contains(_PHRASE))
+        .select("doc_id", n_hits.alias("n_hits"))
+        .orderBy(F.col("n_hits").desc(), "doc_id")
+        .limit(_TOP_K)
+    )

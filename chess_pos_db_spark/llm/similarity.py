@@ -202,18 +202,10 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
     return c, np.where(norms == 0, 1.0, norms)
 
 
-def _ivf_oracle() -> str:
-    """Oracle: the coarse quantizer is itself relational — centroids are
-    the K lowest-vec_id vectors, cell assignment is the argmax of
-    ROUND(dot / centroid_norm, 6) with numpy's first-index tie-break
-    (ORDER BY score DESC, c_idx), probe cells are the query's top-nprobe
-    centroids under the same ordering. Dividing by the centroid norm
-    (not the vector norm) preserves the per-vector argmax ordering; the
-    ROUND on BOTH sides keeps a near-tie (numpy pairwise summation vs
-    DuckDB sequential SUM, ~1 ulp apart) from flipping a vector's cell
-    and hence the candidate set."""
-    return f"""
-WITH cent AS (
+# The relational coarse-quantizer CTE chain (cent/cnorm/vdot/cells) is
+# shared verbatim by every oracle that needs cell assignments
+# (similarity_ivf here; dedup_semdedup in llm/dedup.py).
+_CELLS_CTE = f"""cent AS (
     SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c_idx, embedding AS cv
     FROM (SELECT vec_id, embedding FROM embeddings
           ORDER BY vec_id LIMIT {_IVF_K})
@@ -242,7 +234,21 @@ cells AS (
                ) AS rn
         FROM vdot v JOIN cnorm n USING (c_idx)
     ) WHERE rn = 1
-),
+)"""
+
+
+def _ivf_oracle() -> str:
+    """Oracle: the coarse quantizer is itself relational — centroids are
+    the K lowest-vec_id vectors, cell assignment is the argmax of
+    ROUND(dot / centroid_norm, 6) with numpy's first-index tie-break
+    (ORDER BY score DESC, c_idx), probe cells are the query's top-nprobe
+    centroids under the same ordering. Dividing by the centroid norm
+    (not the vector norm) preserves the per-vector argmax ordering; the
+    ROUND on BOTH sides keeps a near-tie (numpy pairwise summation vs
+    DuckDB sequential SUM, ~1 ulp apart) from flipping a vector's cell
+    and hence the candidate set."""
+    return f"""
+WITH {_CELLS_CTE},
 probe AS (
     SELECT v.c_idx
     FROM vdot v JOIN cnorm n USING (c_idx)

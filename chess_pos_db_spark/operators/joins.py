@@ -397,3 +397,54 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(s, s.o_custkey == c.c_custkey, "full_outer").select(
         "c_custkey", "c_name", "n_big", "max_price"
     )
+
+
+# J12 — fuzzy entity-resolution join: blocked candidate generation +
+# edit-distance verification. The standard record-linkage shape (and
+# the training-data pipeline's fuzzy metadata-matching step): a cheap
+# blocking key bounds the candidate set so the quadratic verify runs
+# per block, never corpus x corpus. Blocking here = the name's first
+# token; verification = levenshtein <= 2 (JVM built-in both engines).
+# Scale: one shuffle of (block_key) on each side, per-block pair
+# expansion bounded by the largest block — at 100 TB pick a key with
+# bounded selectivity (here: adjective vocabulary) or df-cap blocks
+# exactly as dedup_jaccard caps token postings.
+@register(
+    "join_fuzzy_levenshtein",
+    oracle="""
+WITH p AS (
+    SELECT p_partkey, p_name, STRING_SPLIT(p_name, ' ')[1] AS blk
+    FROM part
+)
+SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split("p_name", " ").getItem(0).alias("blk"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("partkey_a"),
+        F.col("p_name").alias("name_a"),
+        "blk",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("partkey_b"),
+        F.col("p_name").alias("name_b"),
+        "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("partkey_a") < F.col("partkey_b"))
+        .withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b").cast("int")
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .select("partkey_a", "partkey_b", "name_a", "name_b", "edit_dist")
+    )

@@ -66,6 +66,7 @@ def load_all() -> None:
     from .llm import mining  # noqa: F401
     from .llm import pipeline  # noqa: F401
     from .llm import scoring  # noqa: F401
+    from .llm import search  # noqa: F401
     from .llm import similarity  # noqa: F401
     from .llm import text  # noqa: F401
     from .streaming import windows as stream_windows  # noqa: F401
