@@ -385,3 +385,50 @@ def test_events_anomaly_single_shuffle_topk(spark, sf_dir):
     assert "Join" not in plan, plan[:2000]
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert _n_exchanges(plan) == 1, plan[:2000]
+
+
+def test_fuzzy_join_blocked_no_cartesian(spark, sf_dir):
+    """J12: the fuzzy ER join must pair within blocks (equi-join on the
+    blocking key), never via a cartesian/NLJ over the corpus."""
+    plan = _plan(q("join_fuzzy_levenshtein", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_search_phrase_pushes_contains(spark, sf_dir):
+    """Phrase search: the LIKE/contains predicate reaches the scan so a
+    targeted corpus grep never deserializes non-matching docs' columns;
+    top-k is TakeOrdered, not a global sort."""
+    plan = _plan(q("search_phrase", spark, sf_dir))
+    assert "StringContains" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_search_bm25_broadcasts_stats(spark, sf_dir):
+    """BM25: query terms, per-term df, and corpus stats are broadcast —
+    the corpus side never shuffles for the scoring join; the only
+    shuffle is the per-doc score rollup, and the result is TakeOrdered."""
+    plan = _plan(q("search_bm25", spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 3
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semdedup_pairs_within_cells(spark, sf_dir):
+    """SemDeDup: the pair join is an equi-join on the cell key — the
+    quadratic verify is per-cell, never corpus x corpus."""
+    df = q("dedup_semdedup", spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    opt = _optimized(df)
+    assert "cell" in opt
+
+
+def test_domain_cap_window_is_source_keyed(spark, sf_dir):
+    """N6f: the cap window partitions by source (fine-grained domain
+    keys) — no single-partition window/exchange."""
+    plan = _plan(q("curation_domain_cap", spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert re.search(r"Window .*source", plan)
