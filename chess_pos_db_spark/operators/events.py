@@ -238,3 +238,70 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z"),
     )
     return scored.orderBy(F.desc("z"), F.asc("event_id")).limit(10)
+
+
+# Φ-E6 — batch gap-sessionization: the classic lag/cumsum session
+# assignment (a new session starts when the user's inter-event gap
+# exceeds GAP), then per-session rollup. This is the BATCH twin of the
+# streaming session_window query (stream_session) — same semantics,
+# expressed as two user-keyed windows + one grouped agg, so the whole
+# thing shuffles once on user_id and session counts never collect.
+# Gap comparison is exact integer micros on both engines.
+
+_SESSION_GAP_US = 8 * 3600 * 1_000_000  # 8 hours
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+WITH o AS (
+    SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+           LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_us
+    FROM events
+),
+m AS (
+    SELECT user_id, ts, us,
+           SUM(CASE WHEN prev_us IS NULL
+                      OR us - prev_us > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM o
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM m
+GROUP BY user_id, session_seq
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = (
+        e.select(
+            "user_id", "ts", "event_id", F.unix_micros("ts").alias("us")
+        )
+        .withColumn("prev_us", F.lag("us").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("us") - F.col("prev_us") > _SESSION_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("is_new")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+    )
+    return marked.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )

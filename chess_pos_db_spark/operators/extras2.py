@@ -309,3 +309,60 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_distinct",
     )
     return per.crossJoin(F.broadcast(rolled))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-quantile rollup (A6/W7 scale path): per-group KLL sketches
+# that MERGE to coarser groups without a re-scan — the quantile
+# counterpart of agg_hll_mergeable, and the 100 TB answer to
+# agg_median's full-sort-per-group: a KLL sketch is a ~KB constant per
+# group crossing the shuffle, and rollup levels (returnflag x
+# linestatus -> returnflag -> grand total) come from sketch merges,
+# never from re-shuffling raw values. Spark's kll_sketch_* are Apache
+# DataSketches KLL — engine-native binary, so the query is rows-only;
+# the pytest gate bounds the estimated median against the exact one by
+# KLL's rank-error guarantee at this sketch size (k=200 -> ~1.65% rank
+# error, so the estimate must land between the exact 46th and 54th
+# percentiles).
+# ---------------------------------------------------------------------------
+
+
+@register("agg_kll_mergeable")  # rows-only: engine-native sketch values
+def agg_kll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.kll_sketch_agg_double("l_quantity").alias("sk"),
+        F.count("*").alias("n_rows"),
+    )
+    # kll_sketch_merge_double is a binary scalar (two sketches -> one);
+    # the rollup fan-in per group is tiny (|linestatus| sketches), so
+    # collect_list + reduce is a constant-size merge, not a data move.
+    def _merge(col):
+        return F.reduce(
+            F.expr(f"slice({col}, 2, size({col}) - 1)"),
+            F.element_at(F.col(col), 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        )
+
+    per_flag = fine.groupBy("l_returnflag").agg(
+        F.collect_list("sk").alias("sks"),
+        F.sum("n_rows").alias("n_rows"),
+    ).select(
+        "l_returnflag", _merge("sks").alias("sk"), "n_rows"
+    )
+    total = per_flag.agg(
+        F.collect_list("sk").alias("sks"),
+        F.sum("n_rows").alias("total_rows"),
+    ).select(
+        F.kll_sketch_get_quantile_double(
+            _merge("sks"), F.lit(0.5)
+        ).alias("est_total_median"),
+        "total_rows",
+    )
+    per = per_flag.select(
+        "l_returnflag",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("est_median"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("est_p90"),
+        "n_rows",
+    )
+    return per.crossJoin(F.broadcast(total))

@@ -154,3 +154,36 @@ def test_hll_mergeable_rollup_accuracy(spark, sf_dir):
     )
     est_total = rows[0]["est_total_distinct"]
     assert abs(est_total - true_total) <= max(2, 0.05 * true_total)
+
+
+def test_kll_mergeable_rollup_accuracy(spark, sf_dir):
+    """A6/W7 scale path: per-group KLL median estimates must land
+    within KLL's rank-error band (k=200 -> ~1.65% rank error; we allow
+    the 42nd-58th percentile window to be safely loose), and the merged
+    total-median must satisfy the same bound against the whole table —
+    the merge path can't degrade beyond the sketch guarantee."""
+    import chess_pos_db_spark as engine
+    from chess_pos_db_spark.tables import t as load
+
+    rows = engine.get_queries()["agg_kll_mergeable"](spark, sf_dir).collect()
+    assert rows
+    li = load(spark, sf_dir, "lineitem")
+    from pyspark.sql import functions as F
+
+    bands = {
+        r["l_returnflag"]: (r["lo"], r["hi"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.42)").alias("lo"),
+            F.expr("percentile(l_quantity, 0.58)").alias("hi"),
+        )
+        .collect()
+    }
+    for r in rows:
+        lo, hi = bands[r["l_returnflag"]]
+        assert lo <= r["est_median"] <= hi, (r["l_returnflag"], lo, r["est_median"], hi)
+    tot = li.agg(
+        F.expr("percentile(l_quantity, 0.42)").alias("lo"),
+        F.expr("percentile(l_quantity, 0.58)").alias("hi"),
+    ).collect()[0]
+    assert tot["lo"] <= rows[0]["est_total_median"] <= tot["hi"]

@@ -432,3 +432,12 @@ def test_domain_cap_window_is_source_keyed(spark, sf_dir):
     plan = _plan(q("curation_domain_cap", spark, sf_dir))
     assert "SinglePartition" not in plan
     assert re.search(r"Window .*source", plan)
+
+
+def test_sessionize_user_keyed_no_single_partition(spark, sf_dir):
+    """Φ-E6: sessionization windows/aggregates key on user_id — no
+    global window, no single-partition exchange; the second exchange
+    (session rollup) moves post-partial-agg rows only."""
+    plan = _plan(q("events_sessionize", spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert re.search(r"Window .*user_id", plan)
