@@ -103,19 +103,19 @@ def sign_lsh_bucket(vec_col) -> "F.Column":
     return bucket
 
 
-def _ann_lsh_oracle() -> str:
-    """Oracle: the SAME md5-derived hyperplanes, embedded as a VALUES
-    table (``repr(float)`` round-trips exactly in both engines), so the
-    sign-bucket assignment — and therefore the exact candidate set — is
-    reproduced in SQL. ANN *recall* is approximate; the *computation* is
-    deterministic, which is what the oracle checks."""
+def _buckets_cte_sql() -> str:
+    """The sign-LSH bucket-assignment CTE chain (planes/dots/buckets),
+    shared by every oracle that buckets the corpus (similarity_ann_lsh
+    here; ann_knn_graph below). The SAME md5-derived hyperplanes are
+    embedded as a VALUES table (``repr(float)`` round-trips exactly in
+    both engines), so the bucket assignment — and therefore the exact
+    candidate set — is reproduced in SQL."""
     rows = ", ".join(
         f"({p}, {d + 1}, {w!r})"
         for p in range(_N_PLANES)
         for d, w in enumerate(_plane(p))
     )
-    return f"""
-WITH planes(p, i, w) AS (VALUES {rows}),
+    return f"""planes(p, i, w) AS (VALUES {rows}),
 dots AS (
     SELECT e.vec_id, pl.p,
            SUM(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w) AS dot
@@ -127,7 +127,14 @@ buckets AS (
            CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
                 AS BIGINT) AS bucket
     FROM dots GROUP BY vec_id
-),
+)"""
+
+
+def _ann_lsh_oracle() -> str:
+    """ANN *recall* is approximate; the *computation* is deterministic
+    (see _buckets_cte_sql), which is what the oracle checks."""
+    return f"""
+WITH {_buckets_cte_sql()},
 qb AS (SELECT bucket AS q_bucket FROM buckets WHERE vec_id = {_QUERY_VEC_ID}),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
 scored AS (
@@ -465,4 +472,78 @@ def ivf_query_layout(
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(k)
+    )
+
+
+# --- kNN graph construction (N3+) --------------------------------------------
+# The all-vectors variant of ANN search: every vector's top-k nearest
+# neighbors, candidates restricted to its sign-LSH bucket — the
+# building block for graph-based ANN indexes (NSW/HNSW seeding),
+# graph-clustering of a corpus, and SemDeDup-style audits. One
+# bucket-keyed self-join (pairs per bucket ~ (n/2^planes)^2, never
+# corpus x corpus) + one per-vector window. Bucket assignment shares
+# the md5 hyperplanes, so the WHOLE graph is oracle-exact.
+
+_KNN_GRAPH_K = 3
+
+
+def _knn_graph_oracle() -> str:
+    return f"""
+WITH {_buckets_cte_sql()},
+pairs AS (
+    SELECT ba.vec_id AS src, bb.vec_id AS dst,
+           SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+           SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na,
+           SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb
+    FROM buckets ba
+    JOIN buckets bb ON ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id
+    JOIN embeddings a ON a.vec_id = ba.vec_id
+    JOIN embeddings b ON b.vec_id = bb.vec_id,
+    GENERATE_SERIES(1, {_DIMS}) AS t(i)
+    GROUP BY ba.vec_id, bb.vec_id
+),
+ranked AS (
+    SELECT src, dst, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cos_sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY src
+               ORDER BY ROUND(dot / (SQRT(na) * SQRT(nb)), 6) DESC, dst
+           ) AS rk
+    FROM pairs
+)
+SELECT src, dst, cos_sim, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_KNN_GRAPH_K}
+"""
+
+
+@register("ann_knn_graph", oracle=_knn_graph_oracle())
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", "embedding", sign_lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("emb_a"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("emb_b"),
+        "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _KNN_GRAPH_K)
     )

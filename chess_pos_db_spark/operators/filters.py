@@ -222,3 +222,45 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(F.expr(f"{_KEY_HASH} < ({_STRATA_RATES})")).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+
+
+# P9c — fixed-QUOTA deterministic sampling: exactly K rows per stratum
+# (rate-based sampling yields binomial sizes; quotas are what a
+# training-mix spec demands: "exactly 200 docs per language"). The
+# deterministic reservoir: rank rows within each stratum by the
+# md5-derived key hash (uniform, engine-portable, reproducible across
+# partitionings) and keep the first K. One window shuffle on the
+# stratum key; at 100 TB the per-group sort is bounded by a pre-filter
+# at ~2x the quota rate (documented scale refinement), or replaced by
+# the rate sampler when approximate sizes suffice.
+
+_QUOTA_K = 50
+
+
+@register(
+    "sample_quota",
+    oracle=f"""
+SELECT o_orderkey, o_orderstatus, CAST(rk AS BIGINT) AS rk
+FROM (
+    SELECT o_orderkey, o_orderstatus,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY {_KEY_HASH_DUCK}, o_orderkey
+           ) AS rk
+    FROM orders
+)
+WHERE rk <= {_QUOTA_K}
+""",
+)
+def sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.expr(_KEY_HASH), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _QUOTA_K)
+        .select("o_orderkey", "o_orderstatus", "rk")
+    )
