@@ -394,6 +394,212 @@ def component_labels(docs: DataFrame, pairs: DataFrame = None) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# N2b''-scale — the SAME (doc_id, cluster_id) contract computed by the
+# two-phase large-star/small-star edge contraction (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond", SoCC'14) that SCALE.md
+# names as the 100 TB path. Differences from min-label propagation that
+# matter at scale:
+#   - state crossing each round is the EDGE set (which contracts toward
+#     one star edge per non-root node), never an all-nodes label table;
+#   - rounds are O(log d) in component diameter instead of O(d), and
+#     every round is two groupBy(min)+join passes — no driver-side graph.
+# Both implementations share lsh_candidate_pairs and the recursive-CTE
+# oracle; tests pin contraction ≡ propagation on fixture data and on
+# hand-built chain/star/diamond graphs.
+# ---------------------------------------------------------------------------
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For every node u: connect each strictly-larger neighbour to
+    min(N(u) ∪ {u}). Input/output edges are canonical (u > v)."""
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("u", "mn").alias("m"))
+    )
+    # emit (v, m) for v > u; m <= u < v keeps the output canonical.
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For every node u over its smaller neighbours N(u): connect each
+    of N(u) ∪ {u} to m = min(N(u)). Canonical (u > v) in and out."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        e.join(mins, "u")
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .unionAll(mins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+    )
+    return (
+        out.filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+    )
+
+
+def contraction_labels(docs: DataFrame, pairs: DataFrame = None) -> DataFrame:
+    """(doc_id, cluster_id) via alternating large-star/small-star rounds
+    to the edge-set fixpoint, then reading each node's root off its star
+    edge (singletons label themselves)."""
+    if pairs is None:
+        pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _fingerprint(e: DataFrame):
+        # order-insensitive exact-enough convergence probe: count plus a
+        # 64-bit XOR content checksum (overflow-free under ANSI mode;
+        # edges are distinct so XOR never self-cancels a state change) —
+        # one aggregate over the materialized checkpoint, no diff join.
+        return tuple(
+            e.agg(F.count("*"), F.bit_xor(F.xxhash64("u", "v"))).head()
+        )
+
+    fp = _fingerprint(edges)
+    while True:
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        nfp = _fingerprint(edges)
+        if nfp == fp:
+            break
+        fp = nfp
+    roots = edges.groupBy("u").agg(F.min("v").alias("root"))
+    return docs.select("doc_id").join(
+        roots, docs.doc_id == roots.u, "left"
+    ).select(
+        "doc_id", F.coalesce("root", F.col("doc_id")).alias("cluster_id")
+    )
+
+
+@register(
+    "dedup_components_contraction",
+    oracle=f"""
+WITH RECURSIVE {_sig_ctes()},
+{_banded_cte()},
+pairs AS (
+    {_PAIRS_SELECT}
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+walk(node, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id
+FROM walk GROUP BY node
+""",
+)
+def dedup_components_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return contraction_labels(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# N2-para — CCNet-style paragraph-level dedup: the corpus keeps ONE copy
+# of every paragraph (first occurrence in (doc_id, para_idx) order) and
+# each document is rewritten without its duplicated paragraphs. The
+# fixture text has no newlines, so "paragraph" is a deterministic
+# 20-token chunk — the operator shape (segment → global first-occurrence
+# window → ordered reassembly) is the real thing either way.
+#
+# Scale: segmentation is MAP-ONLY (array slice arithmetic on the token
+# array — no groupBy to form paragraphs); then exactly two shuffles:
+# one window keyed by the paragraph (at 100 TB key by xxhash64(para) so
+# the exchange moves 8-byte keys + payload once), one doc_id rollup for
+# reassembly. Never doc×doc, never corpus-in-driver.
+# ---------------------------------------------------------------------------
+
+PARA_TOKENS = 20
+
+
+@register(
+    "dedup_paragraphs",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+),
+paras0 AS (
+    SELECT doc_id,
+           UNNEST(LIST_TRANSFORM(
+               RANGE(1, CAST(CEIL(ARRAY_LENGTH(toks) / {PARA_TOKENS}.0) AS BIGINT) + 1),
+               i -> STRUCT_PACK(
+                   para_idx := CAST(i - 1 AS BIGINT),
+                   para := ARRAY_TO_STRING(
+                       LIST_SLICE(toks, (i - 1) * {PARA_TOKENS} + 1,
+                                  i * {PARA_TOKENS}), ' ')))) AS p
+    FROM base
+),
+paras AS (
+    SELECT doc_id, p.para_idx AS para_idx, p.para AS para FROM paras0
+),
+ranked AS (
+    SELECT doc_id, para_idx, para,
+           ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn
+    FROM paras
+)
+SELECT doc_id,
+       COALESCE(STRING_AGG(CASE WHEN rn = 1 THEN para END, ' ' ORDER BY para_idx),
+                '') AS clean_text,
+       CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_paras_kept,
+       CAST(COUNT(*) AS BIGINT) AS n_paras_total
+FROM ranked GROUP BY doc_id
+""",
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return paragraph_dedup(t(spark, sf_dir, "documents"))
+
+
+def paragraph_dedup(docs: DataFrame) -> DataFrame:
+    """(doc_id, clean_text, n_paras_kept, n_paras_total) with corpus-wide
+    first-occurrence paragraph dedup applied to every document."""
+    arr = F.split("text", " ")
+    n_paras = F.ceil(F.size(arr) / F.lit(PARA_TOKENS)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_paras - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(arr, i * PARA_TOKENS + 1, PARA_TOKENS)
+        ),
+    )
+    ex = docs.select(
+        "doc_id", F.posexplode(paras).alias("para_idx", "para")
+    ).withColumn("para_idx", F.col("para_idx").cast("long"))
+    w = Window.partitionBy("para").orderBy("doc_id", "para_idx")
+    ranked = ex.withColumn("keep", F.row_number().over(w) == 1)
+    return ranked.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("para_idx", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+        ).alias("clean_text"),
+        F.count_if("keep").alias("n_paras_kept"),
+        F.count("*").alias("n_paras_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # N2b-verify — exact-verification stage between LSH candidate generation
 # and clustering: every banding hit is checked with EXACT Jaccard before
 # it may merge two documents. Without this, ONE band collision (two

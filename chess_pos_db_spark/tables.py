@@ -48,10 +48,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file, surfaced as epoch-nanos LONG
-        # via spark.sql.legacy.parquet.nanosAsLong. Integer DIV keeps full
-        # precision (double division would lose bits at 1e18); truncation
-        # toward zero matches DuckDB's nanos→micros read.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # Fixture generations have shipped ts as either TIMESTAMP(NANOS)
+        # (surfaced as epoch-nanos LONG via nanosAsLong; integer DIV
+        # keeps full precision and truncation toward zero matches
+        # DuckDB's nanos→micros read) or plain TIMESTAMP(MICROS)
+        # (surfaced as TIMESTAMP_NTZ). Normalize both to session-tz
+        # TIMESTAMP — session tz is UTC, so the wall-clock values equal
+        # DuckDB's naive read either way.
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _CACHE[key] = df
     return df

@@ -187,3 +187,74 @@ def test_kll_mergeable_rollup_accuracy(spark, sf_dir):
         F.expr("percentile(l_quantity, 0.58)").alias("hi"),
     ).collect()[0]
     assert tot["lo"] <= rows[0]["est_total_median"] <= tot["hi"]
+
+
+# --- large-star/small-star contraction (the 100 TB CC path) ------------------
+
+
+def _label_partition(rows):
+    """cluster ids are only meaningful up to renaming: reduce to the
+    partition (frozenset of frozensets) they induce."""
+    by_label: dict[int, set[int]] = {}
+    for r in rows:
+        by_label.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    return frozenset(frozenset(s) for s in by_label.values())
+
+
+def test_contraction_equals_propagation_on_graphs(spark):
+    """Chain, star, diamond, singleton — contraction and min-label
+    propagation must produce identical (doc_id, cluster_id) tables
+    (both label with the component min, so equality is exact, not just
+    partition-equal)."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 12)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4), (4, 5),   # chain 1-5
+            (6, 7), (6, 8), (6, 9),           # star rooted low
+            (10, 11), (10, 5),                # bridges chain to 10,11
+        ],
+        "doc_a long, doc_b long",
+    )
+    prop = dedup.component_labels(docs, pairs).collect()
+    cont = dedup.contraction_labels(docs, pairs).collect()
+    assert sorted(map(tuple, prop)) == sorted(map(tuple, cont))
+    # one merged component {1..5,10,11}, one star {6..9}
+    part = _label_partition(cont)
+    assert frozenset({1, 2, 3, 4, 5, 10, 11}) in part
+    assert frozenset({6, 7, 8, 9}) in part
+
+
+def test_contraction_equals_propagation_on_fixture(spark, sf_dir):
+    """On the real documents fixture with real LSH candidate pairs."""
+    from chess_pos_db_spark.tables import t
+
+    docs = t(spark, sf_dir, "documents")
+    prop = dedup.component_labels(docs).collect()
+    cont = dedup.contraction_labels(docs).collect()
+    assert sorted(map(tuple, prop)) == sorted(map(tuple, cont))
+
+
+# --- paragraph-level (CCNet-style) dedup -------------------------------------
+
+
+def test_paragraph_dedup_removes_shared_chunk(spark):
+    """Two docs share an identical 20-token chunk: the earlier doc keeps
+    it, the later doc loses exactly that chunk and keeps its own."""
+    shared = " ".join(f"s{i}" for i in range(dedup.PARA_TOKENS))
+    own_a = " ".join(f"a{i}" for i in range(dedup.PARA_TOKENS))
+    own_b = " ".join(f"b{i}" for i in range(dedup.PARA_TOKENS))
+    docs = spark.createDataFrame(
+        [(1, shared + " " + own_a), (2, own_b + " " + shared)],
+        "doc_id long, text string",
+    )
+    arr_rows = {
+        r["doc_id"]: r
+        for r in dedup.paragraph_dedup(docs).collect()
+    }
+    assert arr_rows[1]["clean_text"] == shared + " " + own_a
+    assert arr_rows[1]["n_paras_kept"] == 2
+    assert arr_rows[2]["clean_text"] == own_b
+    assert arr_rows[2]["n_paras_kept"] == 1
+    assert arr_rows[2]["n_paras_total"] == 2
