@@ -55,17 +55,47 @@ def test_ivf_layout_partition_pruning(spark, sf_dir, tmp_path):
     assert n_cells > sim._IVF_NPROBE
 
 
-def test_ivf_trained_beats_or_matches_untrained_recall(spark, sf_dir):
-    """The point of training: recall from k-means cells should be at
-    least as good as the untrained lowest-vec_id quantizer's."""
+def test_ivf_training_improves_quantization_objective(spark, sf_dir):
+    """The point of training, stated as what k-means actually
+    guarantees: the trained codebook's quantization objective (mean max
+    cosine of sample points to their nearest centroid) must beat the
+    untrained lowest-vec_id codebook's. Recall itself is gated
+    separately (test_ivf_trained_recall) — a single neighbor can sit
+    across a cell boundary for either quantizer at fixed nprobe, so
+    pointwise recall dominance is not a property training promises."""
+    from chess_pos_db_spark.tables import t as load
+
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(sim._IVF_TRAIN_SAMPLE)
+        .select("embedding")
+        .collect()
+    )
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    untrained, un = sim._ivf_centroids(spark, sf_dir)
+    trained, tn = sim._ivf_trained_centroids(spark, sf_dir)
+    obj_u = (x @ (np.asarray(untrained) / np.asarray(un)[:, None]).T).max(1).mean()
+    obj_t = (x @ (np.asarray(trained) / np.asarray(tn)[:, None]).T).max(1).mean()
+    assert obj_t > obj_u, (obj_t, obj_u)
+
+
+def test_pq_recall_and_compression(spark, sf_dir):
+    """PQ/ADC with exact re-rank must reach recall@10 >= 0.9 vs
+    brute-force cosine, codebooks must be deterministic, and codes must
+    be M small ints (the 32x memory story is M bytes vs 4*dims)."""
     truth = [r["vec_id"] for r in sim.similarity_topk(spark, sf_dir).collect()]
-    untrained = {
-        r["vec_id"] for r in sim.similarity_ivf(spark, sf_dir).collect()
-    }
-    trained = {
-        r["vec_id"]
-        for r in sim.similarity_ivf_trained(spark, sf_dir).collect()
-    }
-    r_u = sum(1 for v in truth if v in untrained)
-    r_t = sum(1 for v in truth if v in trained)
-    assert r_t >= r_u
+    got = {r["vec_id"] for r in sim.similarity_ivf_pq(spark, sf_dir).collect()}
+    recall = sum(1 for v in truth if v in got) / len(truth)
+    assert recall >= 0.9, (recall, truth, sorted(got))
+    b1 = sim._pq_codebooks(spark, sf_dir)
+    b2 = sim._pq_codebooks(spark, sf_dir)
+    assert np.array_equal(b1, b2)
+    assert b1.shape == (sim._PQ_M, sim._PQ_K, sim._DIMS // sim._PQ_M)
+    from chess_pos_db_spark.tables import t as load
+
+    codes = sim.pq_encode(load(spark, sf_dir, "embeddings"), b1).head(5)
+    for r in codes:
+        assert len(r["codes"]) == sim._PQ_M
+        assert all(0 <= c < sim._PQ_K for c in r["codes"])
