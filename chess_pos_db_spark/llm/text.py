@@ -329,3 +329,83 @@ def select_training_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# N4-sketch — mergeable heavy-hitters (Misra-Gries / space-saving
+# family): per-partition bounded-memory summaries + candidate recount.
+# The exact text_top_tokens pays one shuffle of |vocab| (token, count)
+# partial aggregates; at 100 TB vocab (counting typos/URLs) that
+# exchange is the bottleneck. The sketch path shuffles AT MOST
+# _MG_CAPACITY rows per partition regardless of vocab size:
+#   1. per-partition Misra-Gries over the token stream (Arrow batches,
+#      state carried across batches inside one mapInPandas task) —
+#      classic guarantee: any token with partition frequency
+#      > n_p/_MG_CAPACITY survives with count undercounted by at most
+#      n_p/_MG_CAPACITY;
+#   2. summaries union + groupBy(token) — the merged lower bounds keep
+#      the global guarantee (freq > n/_MG_CAPACITY => token present);
+#   3. exact recount of ONLY the candidate tokens (broadcast semi-join
+#      on the scan — bounded by capacity × partitions), so reported
+#      counts are exact, not estimates.
+# Step 3 makes the output equal to the exact top-k whenever every true
+# top-k token clears the survival bound — pinned against
+# text_top_tokens in tests; registered rows-only because the sketch
+# isn't SQL-expressible.
+# ---------------------------------------------------------------------------
+
+_MG_CAPACITY = 256
+_MG_TOP_K = 20
+
+
+def _misra_gries_summaries(tokens: DataFrame) -> DataFrame:
+    """(token, cnt_lower) per input partition, ≤ _MG_CAPACITY rows each."""
+    import pandas as pd
+
+    cap = _MG_CAPACITY
+
+    def mg(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["token"]:
+                if tok in counts:
+                    counts[tok] += 1
+                elif len(counts) < cap:
+                    counts[tok] = 1
+                else:
+                    # decrement-all step, dropping zeroed entries
+                    dead = []
+                    for k in counts:
+                        counts[k] -= 1
+                        if counts[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counts[k]
+        if counts:
+            yield pd.DataFrame(
+                {"token": list(counts), "cnt_lower": list(counts.values())}
+            )
+
+    return tokens.mapInPandas(mg, "token string, cnt_lower long")
+
+
+@register("text_heavy_hitters_sketch")  # rows-only: sketch isn't SQL
+def text_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    candidates = (
+        _misra_gries_summaries(tokens)
+        .groupBy("token")
+        .agg(F.sum("cnt_lower").alias("bound"))
+        .orderBy(F.desc("bound"), F.asc("token"))
+        .limit(_MG_TOP_K * 4)  # safety margin over the final k
+        .select("token")
+    )
+    exact_on_candidates = (
+        tokens.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return exact_on_candidates.orderBy(
+        F.desc("cnt"), F.asc("token")
+    ).limit(_MG_TOP_K)

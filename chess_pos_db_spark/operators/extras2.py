@@ -366,3 +366,44 @@ def agg_kll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
     )
     return per.crossJoin(F.broadcast(total))
+
+
+# --- fixed-bin numeric histogram ---------------------------------------------
+# Fixed (not data-dependent) bin edges keep the operator ONE map-only
+# bucket computation + one partial-agg shuffle of (bin, count) rows —
+# the same posture as the flagship grid agg; a data-dependent range
+# would need a pre-pass. Empty bins are absent (sparse histogram), which
+# is the scale-safe contract: materializing 0-rows for all bins is a
+# driver-side cosmetic join over the literal bin table.
+
+_HIST_LO = 0.0
+_HIST_W = 25000.0  # o_totalprice bin width
+_HIST_NBINS = 24
+
+
+@register(
+    "agg_histogram",
+    oracle=f"""
+SELECT CAST(LEAST(FLOOR((o_totalprice - {_HIST_LO}) / {_HIST_W}),
+                  {_HIST_NBINS - 1}) AS BIGINT) AS bin_idx,
+       ROUND({_HIST_LO} + LEAST(FLOOR((o_totalprice - {_HIST_LO}) / {_HIST_W}),
+                                {_HIST_NBINS - 1}) * {_HIST_W}, 2) AS lo_edge,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    bin_idx = F.least(
+        F.floor((F.col("o_totalprice") - _HIST_LO) / _HIST_W),
+        F.lit(_HIST_NBINS - 1),
+    ).cast("long")
+    return (
+        o.select(
+            bin_idx.alias("bin_idx"),
+            F.round(_HIST_LO + bin_idx * _HIST_W, 2).alias("lo_edge"),
+        )
+        .groupBy("bin_idx", "lo_edge")
+        .agg(F.count("*").alias("n"))
+    )

@@ -448,3 +448,88 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 2)
         .select("partkey_a", "partkey_b", "name_a", "name_b", "edit_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# J13 — bloom-prefiltered semi-join: the runtime-filter pattern. A
+# compact bloom filter built from the (bounded, already-filtered) build
+# side is applied to the probe scan BEFORE the join, so at 100 TB the
+# fact scan discards ~99% of non-matching rows pre-shuffle instead of
+# shipping them to the join. The bloom test is pure JVM expression
+# arithmetic (xxhash64 -> packed-long bit probe — no UDF in the scan),
+# the bit array is built by a tiny Spark job over the build keys (same
+# xxhash64 on both sides by construction), and the EXACT semi-join still
+# runs after the prefilter, so bloom false positives cannot change the
+# result — the oracle is the plain IN-subquery. This is the explicit,
+# deterministic form of Spark's own
+# spark.sql.optimizer.runtime.bloomFilter.enabled rewrite.
+# ---------------------------------------------------------------------------
+
+_BLOOM_K = 3  # hash probes per key
+_BLOOM_M = 8192  # bits (128 packed longs); ~13 bits/key at sf0.01
+_BLOOM_BUILD_MIN_PRICE = 480000
+
+
+def bloom_build_words(keys_df: DataFrame, key_col: str, m_bits: int) -> list:
+    """Packed-long bloom bit array from a (bounded) key DataFrame —
+    positions come from the same Spark xxhash64 the probe test uses."""
+    pos_rows = (
+        keys_df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col(key_col), F.lit(i)),
+                            F.lit(m_bits),
+                        )
+                        for i in range(_BLOOM_K)
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in pos_rows:
+        p = int(r["p"])
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement into signed 64-bit literals
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_might_contain(col_name: str, words: list, m_bits: int) -> str:
+    """SQL predicate: all _BLOOM_K probed bits set for this key."""
+    warr = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    conds = []
+    for i in range(_BLOOM_K):
+        p = f"pmod(xxhash64({col_name}, {i}), {m_bits})"
+        w = f"element_at({warr}, cast({p} div 64 AS int) + 1)"
+        conds.append(f"((shiftright({w}, cast({p} % 64 AS int)) & 1) = 1)")
+    return " AND ".join(conds)
+
+
+@register(
+    "join_bloom_semi",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_orderkey IN (
+    SELECT o_orderkey FROM orders WHERE o_totalprice > {_BLOOM_BUILD_MIN_PRICE}
+)
+""",
+)
+def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    hi = t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > _BLOOM_BUILD_MIN_PRICE
+    )
+    words = bloom_build_words(hi, "o_orderkey", _BLOOM_M)
+    prefiltered = li.filter(
+        F.expr(bloom_might_contain("l_orderkey", words, _BLOOM_M))
+    )
+    return prefiltered.join(
+        F.broadcast(hi),
+        prefiltered.l_orderkey == hi.o_orderkey,
+        "left_semi",
+    ).select("l_orderkey", "l_linenumber", "l_quantity")

@@ -258,3 +258,4 @@ def test_paragraph_dedup_removes_shared_chunk(spark):
     assert arr_rows[2]["clean_text"] == own_b
     assert arr_rows[2]["n_paras_kept"] == 1
     assert arr_rows[2]["n_paras_total"] == 2
+

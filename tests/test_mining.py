@@ -111,3 +111,18 @@ def test_embedding_ann_joins_on_bucket(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[bucket", plan), plan[:3000]
+
+
+def test_heavy_hitters_sketch_equals_exact(spark, sf_dir):
+    """The sketch path (bounded per-partition state + candidate
+    recount) must reproduce the exact top-20 — counts included —
+    on the fixture corpus."""
+    import chess_pos_db_spark as engine
+
+    qs = engine.get_queries()
+    exact = [tuple(r) for r in qs["text_top_tokens"](spark, sf_dir).collect()]
+    sk = [
+        tuple(r)
+        for r in qs["text_heavy_hitters_sketch"](spark, sf_dir).collect()
+    ]
+    assert sk == exact

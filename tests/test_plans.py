@@ -441,3 +441,17 @@ def test_sessionize_user_keyed_no_single_partition(spark, sf_dir):
     plan = _plan(q("events_sessionize", spark, sf_dir))
     assert "SinglePartition" not in plan
     assert re.search(r"Window .*user_id", plan)
+
+
+def test_bloom_semi_prefilters_scan(spark, sf_dir):
+    """J13: the bloom bit-probe (xxhash64 arithmetic) must sit on the
+    fact scan BEFORE the exact semi-join, and the semi-join itself must
+    still be there (broadcast) so bloom false positives can't leak."""
+    plan = _plan(q("join_bloom_semi", spark, sf_dir))
+    assert "xxhash64" in plan
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan)
+    # the prefilter lives below the join: Filter node mentioning
+    # xxhash64 appears after the join node in top-down formatted output
+    join_pos = plan.find("LeftSemi")
+    bloom_pos = plan.find("xxhash64")
+    assert join_pos != -1 and bloom_pos > join_pos
