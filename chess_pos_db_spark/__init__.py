@@ -12,13 +12,22 @@ from __future__ import annotations
 
 from . import registry
 from .registry import ORACLES, QUERIES
+from .verification_history import priority
+
+
+def _rotated(d: dict) -> dict:
+    """Stable-reorder so never-externally-verified queries come first
+    (the driver's CORRECTNESS gate covers the first 50 entries — see
+    verification_history)."""
+    names = list(d)
+    return {n: d[n] for n in sorted(names, key=lambda n: (priority(n), names.index(n)))}
 
 
 def get_queries():
     registry.load_all()
-    return dict(QUERIES)
+    return _rotated(dict(QUERIES))
 
 
 def get_oracles():
     registry.load_all()
-    return dict(ORACLES)
+    return _rotated(dict(ORACLES))
