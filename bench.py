@@ -70,10 +70,15 @@ def main() -> None:
     _run(spark.range(64).repartition(32).mapInPandas(lambda it: it, schema="id long"))
     _run(spark.range(100).join(F.broadcast(spark.range(10)), "id"))
 
+    # best-of-N: per-query minimum over N runs. N=3 (overridable) keeps
+    # the floor stable against inter-query GC / scheduler noise, which
+    # at sub-second per-query scale otherwise dominates run-to-run
+    # variance of the TOTAL.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             start = time.perf_counter()
             _run(queries[name](spark, sf_dir))
             best = min(best, time.perf_counter() - start)
@@ -86,7 +91,7 @@ def main() -> None:
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
-                "timing": "best_of_2",
+                "timing": f"best_of_{runs}",
                 "queries": timings,
                 "sf": sf,
             }
