@@ -432,3 +432,125 @@ def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _DOMAIN_CAP)
         .select("doc_id", "source", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# N6-split — deterministic train/val/test split: assignment is a pure
+# function of doc_id (md5 bucket), so the split is reproducible from
+# the id alone (no stored assignment table), stable under corpus
+# append, and map-only at any scale — the same posture as sample_hash.
+# 90/5/5 by hash bucket; per-(split, lang) counts summarize the result
+# so the oracle checks BOTH the assignment function and the rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "split_train_val_test",
+    oracle="""
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM (
+    SELECT lang, n_chars,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT lang, n_chars,
+               CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 100 AS bucket
+        FROM documents
+    )
+)
+GROUP BY split, lang
+""",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# N6-card — dataset card: the per-source summary a corpus release ships
+# (docs, token mass, language mix, length quantiles, dup rate). One
+# pass, two shuffles: a (source, lang) partial agg and a (source)
+# rollup; the exact-dup rate reuses the md5-digest groupBy shape.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dataset_card",
+    oracle="""
+WITH per_doc AS (
+    SELECT source, lang, n_chars,
+           LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+           MD5(text) AS digest
+    FROM documents
+),
+dups AS (
+    SELECT source, CAST(SUM(copies - 1) AS BIGINT) AS n_dup_docs
+    FROM (
+        SELECT source, digest, COUNT(*) AS copies
+        FROM per_doc GROUP BY source, digest
+    )
+    GROUP BY source
+)
+SELECT p.source,
+       CAST(COUNT(*) AS BIGINT)          AS n_docs,
+       CAST(SUM(p.n_tokens) AS BIGINT)   AS n_tokens,
+       CAST(COUNT(DISTINCT p.lang) AS BIGINT) AS n_langs,
+       CAST(MIN(p.n_chars) AS BIGINT)    AS min_chars,
+       CAST(MAX(p.n_chars) AS BIGINT)    AS max_chars,
+       ROUND(AVG(p.n_chars), 4)          AS avg_chars,
+       MAX(d.n_dup_docs)                 AS n_dup_docs
+FROM per_doc p JOIN dups d ON d.source = p.source
+GROUP BY p.source
+""",
+)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5("text").alias("digest"),
+    )
+    dups = (
+        per_doc.groupBy("source", "digest")
+        .agg(F.count("*").alias("copies"))
+        .groupBy("source")
+        .agg(F.sum(F.col("copies") - 1).alias("n_dup_docs"))
+    )
+    card = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+    return card.join(F.broadcast(dups), "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        "min_chars",
+        "max_chars",
+        "avg_chars",
+        "n_dup_docs",
+    )

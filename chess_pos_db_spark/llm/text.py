@@ -409,3 +409,133 @@ def text_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_on_candidates.orderBy(
         F.desc("cnt"), F.asc("token")
     ).limit(_MG_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# N4-bpe-train — ITERATIVE BPE vocabulary training (the full loop;
+# text_bpe_merge_pairs is one iteration of this). Standard algorithm
+# at vocab granularity (Sennrich et al., ACL'16): word-TYPE frequencies
+# are the weights, so each round touches |vocab| rows, not the corpus —
+# after the initial token count, training cost is corpus-size-
+# independent (the 100 TB property). Each round is:
+#   adjacent-pair counts (weighted) → argmax (deterministic tie-break:
+#   highest freq, then lexicographic) → merge applied to every word's
+#   symbol array as a JVM-side fold (no UDF) → localCheckpoint.
+# The merge fold uses '' as the no-pending sentinel (symbols are never
+# empty), reproducing greedy left-to-right merging exactly — "a a a"
+# under rule (a,a) becomes ["aa","a"], matching the reference
+# implementation pinned in tests (pure-python BPE on the same fixture).
+# Registered rows-only: 8 data-dependent argmax rounds aren't SQL.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+def _adjacent_pairs(sym_col):
+    """array<struct<l,r>> of adjacent symbol pairs (empty for len<2)."""
+    return F.when(
+        F.size(sym_col) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(sym_col) - 2),
+            lambda i: F.struct(
+                F.element_at(sym_col, i + 1).alias("l"),
+                F.element_at(sym_col, i + 2).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+
+
+def _merge_fold(sym_col, left: str, right: str):
+    """Fold replacing every adjacent (left, right) with left||right,
+    greedy left-to-right."""
+    merged = F.lit(left + right)
+    step = lambda acc, s: F.when(  # noqa: E731
+        (acc["pend"] == F.lit(left)) & (s == F.lit(right)),
+        F.struct(
+            F.concat(acc["out"], F.array(merged)).alias("out"),
+            F.lit("").alias("pend"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.when(
+                acc["pend"] == F.lit(""), acc["out"]
+            ).otherwise(F.concat(acc["out"], F.array(acc["pend"]))).alias("out"),
+            s.alias("pend"),
+        )
+    )
+    folded = F.aggregate(
+        sym_col,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit("").alias("pend"),
+        ),
+        step,
+    )
+    return F.when(
+        folded["pend"] == F.lit(""), folded["out"]
+    ).otherwise(F.concat(folded["out"], F.array(folded["pend"])))
+
+
+def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = _BPE_MERGES):
+    """Learned merge table [(step, left, right, freq)] plus the final
+    per-word symbolization DataFrame (word, cnt, syms)."""
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "word",
+            "cnt",
+            F.split(F.col("word"), "(?!$)").alias("syms"),
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for step_i in range(n_merges):
+        top = (
+            words.select(
+                "cnt", F.explode(_adjacent_pairs(F.col("syms"))).alias("p")
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, freq = top[0]["l"], top[0]["r"], top[0]["freq"]
+        merges.append((step_i, left, right, freq))
+        words = words.select(
+            "word", "cnt", _merge_fold(F.col("syms"), left, right).alias("syms")
+        ).localCheckpoint()
+    return merges, words
+
+
+@register("text_bpe_train")  # rows-only: iterative argmax isn't SQL
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, freq long"
+    )
+
+
+@register("text_bpe_apply")  # rows-only: consumes the trained merges
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the trained merges: per-doc BPE piece
+    count. The symbolization already exists at vocab granularity from
+    training, so application is one broadcast join of the (small) vocab
+    to the exploded corpus + a doc rollup — the corpus is never
+    re-folded."""
+    _, words = bpe_train(spark, sf_dir)
+    vocab = words.select(
+        "word", F.size("syms").alias("n_pieces_word")
+    )
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    return (
+        toks.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_pieces_word").alias("n_pieces"))
+    )

@@ -305,3 +305,65 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+# Φ-E7 — EWMA feature column: exponentially weighted moving average of
+# `value` over each user's last 8 events (α = 0.5, weights renormalized
+# over the available prefix at partition starts). Expressed as 8 LAG
+# columns — pure window arithmetic, one (user_id) shuffle, no UDF, no
+# per-row list materialization — the standard time-series feature
+# generator for training-data pipelines. The bounded frame is the scale
+# contract: state per row is 8 scalars regardless of history length
+# (an unbounded EWMA needs a running recurrence — that form lives in
+# streaming/jobs.py as stateful_running_stats).
+
+_EWMA_ALPHA = 0.5
+_EWMA_WINDOW = 8
+
+
+def _ewma_terms():
+    num, den = F.lit(0.0), F.lit(0.0)
+    for j in range(_EWMA_WINDOW):
+        w = _EWMA_ALPHA**j
+        lag = F.lag("value", j).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        )
+        num = num + F.when(lag.isNotNull(), F.lit(w) * lag).otherwise(0.0)
+        den = den + F.when(lag.isNotNull(), F.lit(w)).otherwise(0.0)
+    return num, den
+
+
+def _ewma_oracle_terms() -> tuple[str, str]:
+    num = " + ".join(
+        f"COALESCE({_EWMA_ALPHA**j} * LAG(value, {j}) OVER w, 0)"
+        for j in range(_EWMA_WINDOW)
+    )
+    den = " + ".join(
+        f"(CASE WHEN LAG(value, {j}) OVER w IS NULL THEN 0 ELSE {_EWMA_ALPHA**j} END)"
+        for j in range(_EWMA_WINDOW)
+    )
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_oracle_terms()
+
+
+@register(
+    "events_ewma",
+    oracle=f"""
+SELECT event_id, user_id, ts, value,
+       ROUND(({_EWMA_NUM}) / ({_EWMA_DEN}), 6) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    num, den = _ewma_terms()
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(num / den, 6).alias("ewma"),
+    )

@@ -533,3 +533,70 @@ def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefiltered.l_orderkey == hi.o_orderkey,
         "left_semi",
     ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+# J10b — NEAREST-in-time as-of join: each purchase pairs with the click
+# minimizing |click_ts − purchase_ts| within a ±1-day band (backward
+# OR forward, unlike join_asof's latest-≤ contract). The band is the
+# scale contract: it turns the per-user inequality join into a bounded
+# range join (candidates per probe ≈ click rate × 2 days), the same
+# posture as join_range_theta; ties break on smaller delta, then lower
+# click_id, so the result is deterministic and oracle-exact.
+
+_NEAREST_BAND = "INTERVAL 1 DAY"
+
+
+@register(
+    "join_asof_nearest",
+    oracle=f"""
+SELECT purchase_id, user_id, purchase_ts, click_ts, click_id
+FROM (
+    SELECT p.event_id AS purchase_id,
+           p.user_id  AS user_id,
+           p.ts       AS purchase_ts,
+           c.ts       AS click_ts,
+           c.event_id AS click_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY ABS(EPOCH_US(c.ts) - EPOCH_US(p.ts)) ASC NULLS LAST,
+                        c.event_id ASC NULLS LAST
+           ) AS rn
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - {_NEAREST_BAND}
+     AND c.ts <= p.ts + {_NEAREST_BAND}
+)
+WHERE rn = 1
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user_id)
+        & (c.click_ts >= p.purchase_ts - F.expr(_NEAREST_BAND))
+        & (c.click_ts <= p.purchase_ts + F.expr(_NEAREST_BAND)),
+        "left_outer",
+    )
+    delta = F.abs(
+        F.unix_micros("click_ts") - F.unix_micros("purchase_ts")
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        delta.asc_nulls_last(), F.col("click_id").asc_nulls_last()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "user_id", "purchase_ts", "click_ts", "click_id")
+    )

@@ -126,3 +126,65 @@ def test_heavy_hitters_sketch_equals_exact(spark, sf_dir):
         for r in qs["text_heavy_hitters_sketch"](spark, sf_dir).collect()
     ]
     assert sk == exact
+
+
+def test_bpe_train_matches_reference(spark, sf_dir):
+    """The distributed BPE loop must reproduce a pure-python reference
+    BPE (vocab-granularity, greedy left-to-right merge, freq-then-lex
+    tie-break) exactly — merge table AND final piece counts."""
+    import collections
+
+    from chess_pos_db_spark.llm import text as T
+    from chess_pos_db_spark.tables import t as load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    vocab = collections.Counter()
+    for r in docs:
+        vocab.update(r["text"].split(" "))
+    syms = {w: list(w) for w in vocab}
+
+    ref_merges = []
+    for step in range(T._BPE_MERGES):
+        pair_freq = collections.Counter()
+        for w, cnt in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pair_freq[(s[i], s[i + 1])] += cnt
+        if not pair_freq:
+            break
+        (l, r), freq = min(
+            pair_freq.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        ref_merges.append((step, l, r, freq))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+
+    got_merges, got_words = T.bpe_train(spark, sf_dir)
+    assert got_merges == ref_merges
+    got_syms = {r["word"]: list(r["syms"]) for r in got_words.collect()}
+    assert got_syms == syms
+
+    # apply: per-doc piece counts against the reference symbolization
+    ref_counts = {
+        r["doc_id"]: sum(len(syms[w]) for w in r["text"].split(" "))
+        for r in docs
+    }
+    got_counts = {
+        r["doc_id"]: r["n_pieces"]
+        for r in engine_queries()["text_bpe_apply"](spark, sf_dir).collect()
+    }
+    assert got_counts == ref_counts
+
+
+def engine_queries():
+    import chess_pos_db_spark as engine
+
+    return engine.get_queries()
