@@ -539,3 +539,98 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("n_pieces_word").alias("n_pieces"))
     )
+
+
+# ---------------------------------------------------------------------------
+# N4-norm — text normalization: the first stage of every curation DAG
+# (lowercase → strip non-alphanumerics → collapse whitespace → trim).
+# Map-only, zero shuffles, fully codegen-fused; oracle-exact (DuckDB
+# regexp_replace needs the 'g' flag for replace-all, Spark replaces all
+# by default).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_normalize",
+    oracle="""
+SELECT doc_id,
+       TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS norm_text,
+       CAST(LEN(STRING_SPLIT(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT)
+           AS n_tokens_norm
+FROM documents
+""",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(F.split(norm, " ")).cast("long").alias("n_tokens_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N4-model — model-based quality scoring: a fixed-weight logistic
+# classifier over cheap text features (the fastText-quality-filter
+# stand-in — weights would come from offline training; scoring at
+# corpus scale is what the engine owns). Pure JVM arithmetic, map-only
+# over per-doc aggregates of the token stream: one (doc_id) shuffle for
+# the token features, everything else fused.
+# ---------------------------------------------------------------------------
+
+_QM_W = {
+    "bias": -1.2,
+    "log_tokens": 0.35,
+    "ttr": 2.1,  # type/token ratio
+    "avg_len": 0.12,  # average token length
+}
+
+
+@register(
+    "text_quality_model",
+    oracle=f"""
+WITH feats AS (
+    SELECT doc_id,
+           LN(COUNT(*)) AS log_tokens,
+           COUNT(DISTINCT token) * 1.0 / COUNT(*) AS ttr,
+           AVG(LEN(token)) AS avg_len
+    FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+          FROM documents)
+    GROUP BY doc_id
+)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + EXP(-({_QM_W['bias']} + {_QM_W['log_tokens']} * log_tokens
+             + {_QM_W['ttr']} * ttr + {_QM_W['avg_len']} * avg_len))), 6) AS quality,
+       (1.0 / (1.0 + EXP(-({_QM_W['bias']} + {_QM_W['log_tokens']} * log_tokens
+             + {_QM_W['ttr']} * ttr + {_QM_W['avg_len']} * avg_len))) >= 0.5)
+           AS keep
+FROM feats
+""",
+)
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    feats = toks.groupBy("doc_id").agg(
+        F.log(F.count("*")).alias("log_tokens"),
+        (F.countDistinct("token") / F.count("*")).alias("ttr"),
+        F.avg(F.length("token")).alias("avg_len"),
+    )
+    z = (
+        F.lit(_QM_W["bias"])
+        + _QM_W["log_tokens"] * F.col("log_tokens")
+        + _QM_W["ttr"] * F.col("ttr")
+        + _QM_W["avg_len"] * F.col("avg_len")
+    )
+    score = 1.0 / (1.0 + F.exp(-z))
+    return feats.select(
+        "doc_id",
+        F.round(score, 6).alias("quality"),
+        (score >= 0.5).alias("keep"),
+    )

@@ -407,3 +407,46 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin_idx", "lo_edge")
         .agg(F.count("*").alias("n"))
     )
+
+
+# --- equi-depth histogram (per-group quartiles via ntile) --------------------
+# The depth-balanced counterpart of agg_histogram: NTILE(4) within each
+# o_orderpriority partition (parallel window — per-group keys, never a
+# global single-partition sort), rolled up to (group, quartile) min/max/
+# count. The deterministic ordering tie-break (price, then key) makes
+# boundary assignment — and therefore the oracle hash — exact.
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle="""
+SELECT o_orderpriority, quartile,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+    SELECT o_orderpriority, o_totalprice,
+           CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS INT)
+               AS quartile
+    FROM orders
+)
+GROUP BY o_orderpriority, quartile
+""",
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -99,3 +99,40 @@ def test_pq_recall_and_compression(spark, sf_dir):
     for r in codes:
         assert len(r["codes"]) == sim._PQ_M
         assert all(0 <= c < sim._PQ_K for c in r["codes"])
+
+
+def test_pagerank_matches_reference(spark, sf_dir):
+    """Distributed PageRank must match a pure-python power iteration
+    (same damping, same dangling handling) to 1e-6, and total mass
+    must stay 1."""
+    import collections
+
+    edges = [
+        (r["src"], r["dst"])
+        for r in sim.ann_knn_graph(spark, sf_dir).select("src", "dst").collect()
+    ]
+    from chess_pos_db_spark.tables import t as load
+
+    nodes = [r["vec_id"] for r in load(spark, sf_dir, "embeddings").select("vec_id").collect()]
+    n = len(nodes)
+    deg = collections.Counter(s for s, _ in edges)
+    rank = {v: 1.0 / n for v in nodes}
+    d = sim._PR_DAMPING
+    for _ in range(sim._PR_ITERS):
+        contrib = collections.defaultdict(float)
+        for s, t_ in edges:
+            contrib[t_] += rank[s] / deg[s]
+        dangling = sum(r for v, r in rank.items() if v not in deg)
+        base = (1 - d) / n + d * dangling / n
+        rank = {v: base + d * contrib.get(v, 0.0) for v in nodes}
+
+    got = {
+        r["vec_id"]: r["rank"]
+        for r in sim.pagerank(
+            load(spark, sf_dir, "embeddings").select("vec_id"),
+            sim.ann_knn_graph(spark, sf_dir).select("src", "dst"),
+        ).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-6, (v, got[v], rank[v])
