@@ -450,3 +450,71 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+# --- time-interval RANGE frame (trailing-1-hour running aggregate) -----------
+# The time-based sibling of win_range_frame's value-distance frame:
+# per-user count/sum of events in the trailing hour, expressed as a
+# RANGE frame over epoch-micros (Spark's rangeBetween is numeric, so
+# the ordering column is unix_micros — identical arithmetic in the
+# DuckDB oracle). One (user_id) shuffle; frame state is a sliding
+# pointer pair per partition, O(1) memory per row at any history size.
+
+
+@register(
+    "win_time_range_frame",
+    oracle="""
+SELECT event_id, user_id, ts,
+       CAST(COUNT(*) OVER w AS BIGINT)    AS n_last_hour,
+       ROUND(SUM(value) OVER w, 6)        AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 6).alias("sum_last_hour"),
+    )
+
+
+# --- discrete percentile (ordered-set aggregate) ------------------------------
+# percentile_disc returns an ACTUAL data value (the first value whose
+# cumulative rank reaches p) — the form a latency-SLO query needs,
+# where interpolated percentiles (agg_percentile) would invent numbers.
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+SELECT l_returnflag,
+       PERCENTILE_DISC(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50_qty,
+       PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY l_quantity) AS p95_qty,
+       PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").alias(
+            "p50_qty"
+        ),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_quantity)").alias(
+            "p95_qty"
+        ),
+        F.expr(
+            "percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p99_price"),
+    )

@@ -1,0 +1,69 @@
+"""Generic ingest sources: CSV/JSONL round-trips must reproduce the
+parquet-read fixture exactly, and malformed rows must quarantine
+instead of failing or vanishing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chess_pos_db_spark.sources import formats
+from chess_pos_db_spark.tables import t
+
+
+def _docs(spark, sf_dir):
+    return t(spark, sf_dir, "documents")
+
+
+def test_jsonl_roundtrip_exact(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "docs_jsonl")
+    docs.write.mode("overwrite").json(path)
+    back = formats.read_jsonl(spark, path, formats.DOCUMENTS_SCHEMA)
+    clean, bad = formats.split_quarantine(back)
+    assert bad.count() == 0
+    assert sorted(map(tuple, clean.collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+
+
+def test_csv_roundtrip_exact(spark, sf_dir, tmp_path):
+    # documents text has no commas/quotes/newlines; orders exercises
+    # timestamps + doubles. Round-trip both.
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "docs_csv")
+    docs.write.mode("overwrite").option("header", True).csv(path)
+    back = formats.read_csv(spark, path, formats.DOCUMENTS_SCHEMA)
+    clean, bad = formats.split_quarantine(back)
+    assert bad.count() == 0
+    assert sorted(map(tuple, clean.collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+
+
+def test_jsonl_malformed_rows_quarantine(spark, tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok doc", "lang": "en", "source": "s", "n_chars": 6}\n'
+        "this is not json at all\n"
+        '{"doc_id": "NOT_A_NUMBER", "text": "bad id", "lang": "en", "source": "s", "n_chars": 6}\n'
+        '{"doc_id": 2, "text": "another ok", "lang": "de", "source": "s", "n_chars": 10}\n'
+    )
+    back = formats.read_jsonl(spark, str(p), formats.DOCUMENTS_SCHEMA)
+    clean, bad = formats.split_quarantine(back)
+    got = {r["doc_id"] for r in clean.collect()}
+    assert got == {1, 2}
+    assert bad.count() == 2  # the non-JSON line and the bad-typed row
+
+
+def test_csv_malformed_rows_quarantine(spark, tmp_path):
+    p = tmp_path / "mixed.csv"
+    p.write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        "1,ok doc,en,s,6\n"
+        "NOT_A_NUMBER,bad id,en,s,6\n"
+        "2,another ok,de,s,10\n"
+    )
+    back = formats.read_csv(spark, str(p), formats.DOCUMENTS_SCHEMA)
+    clean, bad = formats.split_quarantine(back)
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2}
+    assert bad.count() == 1
