@@ -367,3 +367,38 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+# Φ-E8 — calendar-hierarchy rollup: event volume at (year, month, day)
+# with ROLLUP supertotals — the time-dimension form of agg_rollup.
+# Partial aggregation applies per grouping set, so the exchange moves
+# (calendar keys × sets) rows, not events.
+
+
+@register(
+    "events_time_rollup",
+    oracle="""
+SELECT CAST(EXTRACT(YEAR FROM ts) AS INT)  AS y,
+       CAST(EXTRACT(MONTH FROM ts) AS INT) AS m,
+       CAST(EXTRACT(DAY FROM ts) AS INT)   AS d,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events
+GROUP BY ROLLUP (1, 2, 3)
+""",
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+            "value",
+        )
+        .rollup("y", "m", "d")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )

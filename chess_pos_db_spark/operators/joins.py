@@ -600,3 +600,36 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("purchase_id", "user_id", "purchase_ts", "click_ts", "click_id")
     )
+
+
+# J14 — physical-strategy control: SHUFFLE_HASH hint. For a mid-size
+# build side (too big to broadcast, small enough to hash per task)
+# hash join skips BOTH sort passes a sort-merge join pays; the hint is
+# the per-query escape hatch when the planner's default (SMJ) is wrong
+# for a known workload. Plan-pinned: ShuffledHashJoin, not
+# SortMergeJoin. Semantics are identical to the unhinted join, so the
+# oracle is the plain join — what's under test is that the hint
+# actually changes the physical strategy without changing results.
+
+
+@register(
+    "join_shuffle_hash_hint",
+    oracle="""
+SELECT o.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l.l_extendedprice), 2) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY o.o_orderkey
+""",
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )

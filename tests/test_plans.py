@@ -455,3 +455,11 @@ def test_bloom_semi_prefilters_scan(spark, sf_dir):
     join_pos = plan.find("LeftSemi")
     bloom_pos = plan.find("xxhash64")
     assert join_pos != -1 and bloom_pos > join_pos
+
+
+def test_shuffle_hash_hint_changes_strategy(spark, sf_dir):
+    """J14: the hint must actually produce a ShuffledHashJoin (not SMJ),
+    and correctness is separately oracle-gated."""
+    plan = _plan(q("join_shuffle_hash_hint", spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
