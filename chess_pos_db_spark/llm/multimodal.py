@@ -262,3 +262,82 @@ def audio_features(media: DataFrame, window: int = 2048) -> DataFrame:
         F.col("duration_ms") > 0
     )
     return aud.mapInPandas(batches, schema=AUDIO_FRAME_SCHEMA)
+
+
+# --- media near-dup: the multimodal → dedup wiring ---------------------------
+#
+# Featurize (Arrow-batched decode → 16-bin intensity histogram) feeds
+# the SAME bucketed near-dup shape the text/embedding paths use:
+# sign-LSH bucket the feature vectors (md5-derived hyperplanes, no RNG),
+# generate candidate pairs per bucket, verify with exact cosine — never
+# media×media. Exact dedup falls out of the content digest for free.
+# With the stubbed codec only identical blobs land near each other (the
+# fake decoder is a hash, so similarity has no gradient); a real
+# decoder changes decode_image ONLY, the pipeline below is unchanged.
+
+_MEDIA_PLANES = 6
+_MEDIA_FEAT_DIMS = 16
+_MEDIA_COS_THRESHOLD = 0.98
+
+
+def _media_plane(p: int) -> list:
+    return [
+        int(hashlib.md5(f"m{p}:{d}".encode()).hexdigest()[:8], 16) / 2**32 - 0.5
+        for d in range(_MEDIA_FEAT_DIMS)
+    ]
+
+
+def _media_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def media_near_dup(
+    media: DataFrame, threshold: float = _MEDIA_COS_THRESHOLD
+) -> DataFrame:
+    """(media_a, media_b, cos_sim) candidate pairs from sign buckets,
+    exact-cosine-verified at `threshold` (media_a < media_b)."""
+    feats = featurize(media).select("media_id", "feature")
+    bucket = F.lit(0).cast("long")
+    for p in range(_MEDIA_PLANES):
+        plane = F.array(*[F.lit(x) for x in _media_plane(p)])
+        bit = F.when(_media_dot(F.col("feature"), plane) > 0, 1).otherwise(0)
+        bucket = bucket + F.shiftleft(bit.cast("long"), p)
+    b = feats.select("media_id", "feature", bucket.alias("bucket"))
+    a_side = b.select(
+        F.col("media_id").alias("media_a"),
+        F.col("feature").alias("feat_a"),
+        "bucket",
+    )
+    b_side = b.select(
+        F.col("media_id").alias("media_b"),
+        F.col("feature").alias("feat_b"),
+        "bucket",
+    )
+    cos = _media_dot(F.col("feat_a"), F.col("feat_b")) / (
+        F.sqrt(_media_dot(F.col("feat_a"), F.col("feat_a")))
+        * F.sqrt(_media_dot(F.col("feat_b"), F.col("feat_b")))
+    )
+    return (
+        a_side.join(b_side, "bucket")
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def media_exact_dup_groups(media: DataFrame) -> DataFrame:
+    """(keep_id, n_copies) per identical-content group — the digest
+    groupBy, byte-exact regardless of codec."""
+    feats = featurize(media)
+    return (
+        feats.groupBy("content_digest")
+        .agg(
+            F.min("media_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )

@@ -98,3 +98,33 @@ def test_audio_features_window_math(spark):
     # determinism across runs (stubbed codec is content-derived)
     again = sorted(tuple(r) for r in mm.audio_features(media).collect())
     assert sorted(tuple(r) for r in rows) == again
+
+
+def test_media_near_dup_finds_identical_content(spark):
+    """Two media rows with identical blob bytes must surface as a
+    near-dup pair through the BUCKETED path (and as one exact-dup
+    group); unrelated rows must not pair."""
+    from chess_pos_db_spark.llm import multimodal as M
+    import struct
+
+    base = M.synthetic_media(spark, n=12)
+    dup_blob = struct.pack("<q", 7777) * 10
+    extra = spark.createDataFrame(
+        [
+            (100, "image", 16, 16, None, bytearray(dup_blob)),
+            (101, "image", 16, 16, None, bytearray(dup_blob)),
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    media = base.unionAll(extra)
+    pairs = {
+        (r["media_a"], r["media_b"]) for r in M.media_near_dup(media).collect()
+    }
+    assert (100, 101) in pairs
+    groups = {
+        r["keep_id"]: r["n_copies"]
+        for r in M.media_exact_dup_groups(media).collect()
+    }
+    assert groups[100] == 2
+    # every synthetic blob is distinct content: no other multi-copy group
+    assert all(n == 1 for k, n in groups.items() if k != 100)
