@@ -177,3 +177,42 @@ def test_tws_running_stats_equals_batch(spark, events_dir):
         .collect()
     }
     assert final == want
+
+
+def test_incremental_ingest_restart_resume_exactly_once(spark, sf_dir, tmp_path):
+    """The exactly-once restart story: ingest a first wave of files,
+    then add a second wave and RE-RUN with the same checkpoint. The
+    checkpoint must skip everything already processed (no double
+    counting) and pick up only the new files — final compacted DB
+    equals a one-shot batch aggregate over all files."""
+    import glob
+
+    src = str(tmp_path / "src")
+    ev = t(spark, sf_dir, "events")
+    wave1 = ev.filter(F.col("event_id") % 2 == 0)
+    wave2 = ev.filter(F.col("event_id") % 2 == 1)
+    wave1.repartition(2).write.mode("append").parquet(src)
+
+    runs, compacted = str(tmp_path / "runs"), str(tmp_path / "compacted")
+    jobs.incremental_ingest(spark, src, runs, compacted)
+    n_runs_after_wave1 = len(glob.glob(runs + "/*.parquet"))
+
+    wave2.repartition(2).write.mode("append").parquet(src)
+    final = jobs.incremental_ingest(spark, src, runs, compacted)
+
+    batch = (
+        spark.read.parquet(src)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("value").alias("sum_value"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )
+    got = {(r[0], r[1], r[2], round(r[3], 6), r[4], r[5]) for r in final.collect()}
+    want = {(r[0], r[1], r[2], round(r[3], 6), r[4], r[5]) for r in batch.collect()}
+    assert got == want
+    # the second run appended new runs (processed wave2) rather than
+    # reprocessing wave1 from scratch into a fresh set
+    assert len(glob.glob(runs + "/*.parquet")) > n_runs_after_wave1
