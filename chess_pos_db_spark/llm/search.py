@@ -80,6 +80,16 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no explode of the token stream), corpus stats and per-term df as
     broadcast one-row/tiny aggregates (the tpch_q11 scalar-threshold
     pattern), final TakeOrderedAndProject."""
+    scored = bm25_scores(spark, sf_dir)
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_TOP_K)
+    )
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) for every matching doc — un-truncated BM25."""
     d = t(spark, sf_dir, "documents").select(
         "doc_id",
         F.split("text", " ").alias("s"),
@@ -127,11 +137,7 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score")
         )
     )
-    return (
-        scored.select("doc_id", F.round("score", 6).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(_TOP_K)
-    )
+    return scored
 
 
 _PHRASE = "value table"
@@ -162,5 +168,148 @@ def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("text").contains(_PHRASE))
         .select("doc_id", n_hits.alias("n_hits"))
         .orderBy(F.col("n_hits").desc(), "doc_id")
+        .limit(_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# N4-hybrid — hybrid retrieval via reciprocal-rank fusion (RRF,
+# Cormack et al., SIGIR'09): fuse the LEXICAL ranking (BM25 over the
+# query terms) with the SEMANTIC ranking (cosine to the query
+# embedding) as sum of 1/(K + rank), taking each side's top
+# _RRF_DEPTH. Docs missing from one side simply contribute nothing
+# (full outer fusion) — at sf0.1 the embeddings table covers only part
+# of the corpus, which is exactly the production shape (not everything
+# is embedded). Both sides are already oracle-expressible, so the
+# fusion is too. Scale: each side ends in TakeOrdered(depth); fusion
+# joins two depth-sized tables — driver-independent, corpus scans once
+# per side.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_DEPTH = 50
+_RRF_QUERY_VEC = 0
+
+
+def _rrf_oracle() -> str:
+    dims = 64
+    return f"""
+WITH d AS (
+    SELECT doc_id, STRING_SPLIT(text, ' ') AS s,
+           len(STRING_SPLIT(text, ' ')) AS dl
+    FROM documents
+),
+corpus AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(dl) / COUNT(*) AS avgdl
+    FROM d
+),
+q(term) AS (VALUES {_TERMS_SQL}),
+tf AS (
+    SELECT d.doc_id, d.dl, q.term,
+           CAST(len(list_filter(d.s, x -> x = q.term)) AS BIGINT) AS tf
+    FROM d, q
+),
+df AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+    FROM tf WHERE tf > 0 GROUP BY term
+),
+lex AS (
+    SELECT tf.doc_id,
+           SUM(
+             LN(1 + (c.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+             tf.tf * ({_BM25_K1} + 1) /
+             (tf.tf + {_BM25_K1} *
+              (1 - {_BM25_B} + {_BM25_B} * tf.dl / c.avgdl))
+           ) AS score
+    FROM tf JOIN df USING (term), corpus c
+    WHERE tf.tf > 0
+    GROUP BY tf.doc_id
+),
+lex_rank AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id)
+               AS r_lex
+    FROM lex
+    ORDER BY ROUND(score, 6) DESC, doc_id
+    LIMIT {_RRF_DEPTH}
+),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = {_RRF_QUERY_VEC}),
+cos AS (
+    SELECT e.vec_id AS doc_id,
+           SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(qv.v[i] AS DOUBLE)) /
+           (SQRT(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) *
+            SQRT(SUM(CAST(qv.v[i] AS DOUBLE) * CAST(qv.v[i] AS DOUBLE)))) AS c
+    FROM embeddings e, qv, GENERATE_SERIES(1, {dims}) AS g(i)
+    GROUP BY e.vec_id
+),
+sem_rank AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY ROUND(c, 6) DESC, doc_id) AS r_sem
+    FROM cos
+    ORDER BY ROUND(c, 6) DESC, doc_id
+    LIMIT {_RRF_DEPTH}
+),
+fused AS (
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           COALESCE(1.0 / ({_RRF_K} + l.r_lex), 0) +
+           COALESCE(1.0 / ({_RRF_K} + s.r_sem), 0) AS rrf,
+           l.r_lex AS r_lex, s.r_sem AS r_sem
+    FROM lex_rank l FULL OUTER JOIN sem_rank s USING (doc_id)
+)
+SELECT doc_id, ROUND(rrf, 6) AS rrf, r_lex, r_sem
+FROM fused
+ORDER BY ROUND(rrf, 6) DESC, doc_id
+LIMIT {_TOP_K}
+"""
+
+
+@register("search_hybrid_rrf", oracle=_rrf_oracle())
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .similarity import _QUERY_VEC_ID, cosine  # noqa: F401
+
+    # TakeOrdered(depth) FIRST (parallel per-partition top-k merge),
+    # THEN rank the depth-bounded set — the global row_number window
+    # only ever sees _RRF_DEPTH rows, never the full match set.
+    lex_w = Window.orderBy(F.col("s6").desc(), F.col("doc_id"))
+    lex = (
+        bm25_scores(spark, sf_dir)
+        .select("doc_id", F.round("score", 6).alias("s6"))
+        .orderBy(F.col("s6").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+        .withColumn("r_lex", F.row_number().over(lex_w))
+        .select("doc_id", "r_lex")
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        F.col("embedding").alias("v")
+    )
+    cos = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine(F.col("embedding"), F.col("v")), 6).alias("c"),
+    )
+    sem_w = Window.orderBy(F.col("c").desc(), F.col("doc_id"))
+    sem = (
+        cos.orderBy(F.col("c").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+        .withColumn("r_sem", F.row_number().over(sem_w))
+        .select("doc_id", "r_sem")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("r_sem")), F.lit(0.0))
+        ).alias("rrf"),
+        "r_lex",
+        "r_sem",
+    )
+    return (
+        fused.select(
+            "doc_id", F.round("rrf", 6).alias("rrf"), "r_lex", "r_sem"
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(_TOP_K)
     )
