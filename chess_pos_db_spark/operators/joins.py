@@ -471,31 +471,40 @@ _BLOOM_BUILD_MIN_PRICE = 480000
 
 
 def bloom_build_words(keys_df: DataFrame, key_col: str, m_bits: int) -> list:
-    """Packed-long bloom bit array from a (bounded) key DataFrame —
-    positions come from the same Spark xxhash64 the probe test uses."""
-    pos_rows = (
-        keys_df.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.pmod(
-                            F.xxhash64(F.col(key_col), F.lit(i)),
-                            F.lit(m_bits),
-                        )
-                        for i in range(_BLOOM_K)
-                    ]
-                )
-            ).alias("p")
+    """Packed-long bloom bit array from the build-side keys — positions
+    come from the same Spark xxhash64 the probe test uses.
+
+    The packing happens EXECUTOR-side: bit positions map to
+    (word_idx, single-bit long) and bit_or-aggregate per word, so the
+    driver receives at most m_bits/64 rows regardless of how many build
+    keys there are — the same posture as Spark's own runtime bloom
+    (which builds in a BloomFilterAggregate), kept explicit here.
+    """
+    pos = keys_df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("p")
+    )
+    word_rows = (
+        pos.select(
+            F.expr("cast(p div 64 AS int)").alias("w"),
+            # python F.shiftleft only takes a literal shift; the SQL
+            # form shifts by a column
+            F.expr("shiftleft(1L, cast(p % 64 AS int))").alias("bit"),
         )
-        .distinct()
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
         .collect()
     )
     words = [0] * (m_bits // 64)
-    for r in pos_rows:
-        p = int(r["p"])
-        words[p // 64] |= 1 << (p % 64)
-    # two's-complement into signed 64-bit literals
-    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    for r in word_rows:
+        words[r["w"]] = r["word"]  # already signed 64-bit from the JVM
+    return words
 
 
 def bloom_might_contain(col_name: str, words: list, m_bits: int) -> str:
