@@ -463,3 +463,42 @@ def test_shuffle_hash_hint_changes_strategy(spark, sf_dir):
     plan = _plan(q("join_shuffle_hash_hint", spark, sf_dir))
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_paragraph_dedup_no_doc_cross_join(spark, sf_dir):
+    """N2-para: segmentation is map-only (no groupBy to form
+    paragraphs); the plan has the (para) window + (doc_id) rollup and
+    never a doc×doc join or cartesian."""
+    plan = _plan(q("dedup_paragraphs", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # window + rollup only — zero joins
+    assert re.search(r"Window .*para", plan)
+
+
+def test_pq_scan_is_takeordered_no_udf_scoring(spark, sf_dir):
+    """N3pq: the ADC candidate scan ends in TakeOrderedAndProject and
+    the scoring stage is JVM expressions — the only Python stage is the
+    Arrow encoder (one ArrowEvalPython/MapInPandas, not per-score)."""
+    plan = _plan(q("similarity_ivf_pq", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("MapInPandas") == 1
+
+
+def test_ewma_single_window_node(spark, sf_dir):
+    """Φ-E7: all 16 lag terms share one window spec — the plan must
+    contain exactly ONE Window node (8 lags × 2 uses fuse), keyed by
+    user_id."""
+    plan = _plan(q("events_ewma", spark, sf_dir))
+    assert plan.count("Window") == 1
+    assert re.search(r"Window .*user_id", plan)
+
+
+def test_hybrid_rrf_windows_bounded_by_limit(spark, sf_dir):
+    """N4h: the two global rank windows must sit ABOVE TakeOrdered
+    limits (they only ever see depth rows) — pinned by requiring a
+    GlobalLimit/TakeOrdered below each Window in the tree string."""
+    plan = _plan(q("search_hybrid_rrf", spark, sf_dir))
+    first_window = plan.find("Window")
+    assert first_window != -1
+    tail = plan[first_window:]
+    assert "TakeOrderedAndProject" in tail or "GlobalLimit" in tail
