@@ -1169,3 +1169,35 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_near"),
         F.max("cos_sim").alias("max_cos"),
     )
+
+
+# N1c — normalization-canonical dedup: exact dedup AFTER text
+# normalization (the composition every web-corpus pipeline runs —
+# lowercase/punct-strip/whitespace-collapse first, so cosmetic variants
+# collapse; catches what byte-exact md5 misses and is cheaper than
+# near-dup). Same single map-side-combined digest shuffle as
+# dedup_exact_groups.
+
+
+@register(
+    "dedup_normalized_groups",
+    oracle="""
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT)    AS n_copies
+FROM documents
+GROUP BY MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g')))
+""",
+)
+def dedup_normalized_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return (
+        docs.groupBy(F.md5(norm))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )

@@ -634,3 +634,80 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("quality"),
         (score >= 0.5).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N4-sg — skip-gram co-occurrence counts (window ±2): the
+# word2vec/GloVe training-pair extraction. Pair generation is MAP-ONLY
+# nested array transforms (no token-position self-join — the join form
+# shuffles the whole token stream twice and is quadratic per repeated
+# token); the only exchange is the (center, context) partial-agg
+# count. The oracle uses the equivalent positions self-join, which
+# DuckDB can afford at fixture scale — same result, different plan,
+# which is exactly the point.
+# ---------------------------------------------------------------------------
+
+_SG_WINDOW = 2
+_SG_TOP_K = 20
+
+
+@register(
+    "text_skipgram_pairs",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+),
+tok0 AS (
+    SELECT doc_id,
+           UNNEST(LIST_TRANSFORM(RANGE(1, ARRAY_LENGTH(toks) + 1),
+               i -> STRUCT_PACK(pos := i, tok := toks[i]))) AS p
+    FROM base
+),
+tok AS (SELECT doc_id, p.pos AS pos, p.tok AS tok FROM tok0),
+pairs AS (
+    SELECT a.tok AS center, b.tok AS context
+    FROM tok a JOIN tok b
+      ON a.doc_id = b.doc_id
+     AND ABS(a.pos - b.pos) <= {_SG_WINDOW}
+     AND a.pos <> b.pos
+)
+SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs
+GROUP BY center, context
+ORDER BY n DESC, center, context
+LIMIT {_SG_TOP_K}
+""",
+)
+def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(
+                        F.greatest(F.lit(0), i - _SG_WINDOW),
+                        F.least(n - 1, i + _SG_WINDOW),
+                    ),
+                    lambda j: F.when(
+                        j != i,
+                        F.struct(
+                            F.element_at(toks, i + 1).alias("center"),
+                            F.element_at(toks, j + 1).alias("context"),
+                        ),
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    return (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.center", "p.context")
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "center", "context")
+        .limit(_SG_TOP_K)
+    )
