@@ -344,3 +344,30 @@ def dump_epd(
 ) -> None:
     """EPD dump sink (reference `dump` command)."""
     epd_lines(entries_with_pos, min_count).write.mode("overwrite").text(out_path)
+
+
+def transposition_stats(agg_entries: DataFrame, min_paths: int = 2) -> DataFrame:
+    """Positions reached by MULTIPLE distinct preceding moves — the
+    transposition inventory (reference semantics: an entry key is
+    (pos_key, reverse_move, ...), so the number of distinct
+    reverse_moves per pos_key IS the number of distinct move paths
+    into the position; cf. SURVEY §2 J5/F6 on the packed reverse move).
+
+    One partial-agg shuffle on pos_key; the per-position payload is a
+    count + total, never the move list. Root entries (no reverse move)
+    are excluded — the start position is trivially 'reached' once.
+    """
+    from pyspark.sql import functions as F
+
+    from .importer import NO_REVERSE_MOVE
+
+    return (
+        agg_entries.filter(F.col("reverse_move") != NO_REVERSE_MOVE)
+        .groupBy("pos_key")
+        .agg(
+            F.countDistinct("reverse_move").alias("n_paths"),
+            F.sum("cnt").alias("n_visits"),
+        )
+        .filter(F.col("n_paths") >= min_paths)
+        .orderBy(F.desc("n_paths"), F.desc("n_visits"), F.asc("pos_key"))
+    )

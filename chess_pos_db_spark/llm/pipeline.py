@@ -554,3 +554,121 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_chars",
         "n_dup_docs",
     )
+
+
+# ---------------------------------------------------------------------------
+# N6-funnel — curation observability: the per-stage survivor counts of
+# the curation DAG (raw → exact-dedup → quality gate → hash sampling →
+# decontamination) in ONE pass. Every stage is expressed as a per-doc
+# flag and the funnel is a single aggregate of flag sums — no stage
+# materializes its survivor set, so the whole report costs the union
+# of the stages' shuffles (window + stats agg + shingle semi-set),
+# same as curation_end_to_end. This is the drop-accounting a corpus
+# release publishes next to its dataset_card.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_funnel",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+    FROM documents
+),
+stats AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           (SUM(CASE WHEN token IN {_STOPWORDS!r} THEN 1 ELSE 0 END) * 1.0
+            / COUNT(*)) AS stop_ratio
+    FROM tok GROUP BY doc_id
+),
+tokl AS (
+    SELECT doc_id, source, STRING_SPLIT(text, ' ') AS s FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, source, {_shingle_sql(_SHINGLE_N)} AS shingle
+    FROM tokl WHERE len(s) >= {_SHINGLE_N}
+),
+eval_sh AS (
+    SELECT DISTINCT shingle FROM sh WHERE source = '{_EVAL_SOURCE}'
+),
+contaminated AS (
+    SELECT DISTINCT t.doc_id
+    FROM sh t JOIN eval_sh e ON t.shingle = e.shingle
+    WHERE t.source <> '{_EVAL_SOURCE}'
+),
+flags AS (
+    SELECT d.doc_id,
+           (ROW_NUMBER() OVER (PARTITION BY MD5(d.text) ORDER BY d.doc_id) = 1)
+               AS keep_dedup,
+           (s.n_tokens >= 5 AND s.stop_ratio <= 0.5) AS keep_quality,
+           ({_SEL_HASH_DUCK} < ({_SEL_RATES})) AS keep_sample,
+           (d.doc_id NOT IN (SELECT doc_id FROM contaminated)) AS keep_clean
+    FROM documents d JOIN stats s ON s.doc_id = d.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(SUM(CASE WHEN keep_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
+       CAST(SUM(CASE WHEN keep_dedup AND keep_quality THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_quality,
+       CAST(SUM(CASE WHEN keep_dedup AND keep_quality AND keep_sample
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN keep_dedup AND keep_quality AND keep_sample
+                AND keep_clean THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+FROM flags
+""",
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _SEL_HASH, _SEL_RATES, _STOPWORDS  # noqa: F401
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    stats = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        (
+            F.sum(F.when(F.col("token").isin(*_STOPWORDS), 1).otherwise(0))
+            / F.count("*")
+        ).alias("stop_ratio"),
+    )
+    sh = (
+        docs.select("doc_id", "source", _shingles(_SHINGLE_N).alias("shs"))
+        .select("doc_id", "source", F.explode("shs").alias("shingle"))
+        .distinct()
+    )
+    eval_sh = sh.filter(F.col("source") == _EVAL_SOURCE).select("shingle").distinct()
+    contaminated = (
+        sh.filter(F.col("source") != _EVAL_SOURCE)
+        .join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    flags = (
+        docs.join(stats, "doc_id")
+        .join(
+            contaminated.withColumn("is_cont", F.lit(True)), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            (F.row_number().over(w) == 1).alias("keep_dedup"),
+            ((F.col("n_tokens") >= 5) & (F.col("stop_ratio") <= 0.5)).alias(
+                "keep_quality"
+            ),
+            F.expr(f"{_SEL_HASH} < ({_SEL_RATES})").alias("keep_sample"),
+            F.coalesce(~F.col("is_cont"), F.lit(True)).alias("keep_clean"),
+        )
+    )
+    k = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return flags.agg(
+        F.count("*").alias("n_raw"),
+        k(F.col("keep_dedup")).alias("n_after_dedup"),
+        k(F.col("keep_dedup") & F.col("keep_quality")).alias("n_quality"),
+        k(
+            F.col("keep_dedup") & F.col("keep_quality") & F.col("keep_sample")
+        ).alias("n_sampled"),
+        k(
+            F.col("keep_dedup")
+            & F.col("keep_quality")
+            & F.col("keep_sample")
+            & F.col("keep_clean")
+        ).alias("n_final"),
+    )

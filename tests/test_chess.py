@@ -386,3 +386,37 @@ def test_append_updates_retraction_sidecar(spark, tmp_path):
         return sorted(tuple(r) for r in df.collect())
 
     assert rows(db) == rows(str(tmp_path / "single"))
+
+
+def test_transposition_stats(spark, tmp_path):
+    """Two games reaching the same position via different move orders
+    (1.d3 d6 2.Nf3 vs 1.Nf3 d6 2.d3 — no double-push last move, so no
+    ep ambiguity) must yield one position with two distinct paths."""
+    text = """\
+[Event "T"]
+[White "A"]
+[Black "B"]
+[Result "1-0"]
+
+1. d3 d6 2. Nf3 1-0
+
+[Event "T"]
+[White "C"]
+[Black "D"]
+[Result "0-1"]
+
+1. Nf3 d6 2. d3 0-1
+"""
+    p = tmp_path / "t.pgn"
+    p.write_text(text)
+    games = importer.parse_games(
+        importer.read_pgn_files(spark, [(str(p), "human")])
+    )
+    entries = importer.explode_positions(games)
+    agg = importer.build_agg_entries(entries)
+    stats = query.transposition_stats(agg).collect()
+    # exactly one transposition point: the position after both move
+    # orders converge, reached via reverse moves Nf3 and d3
+    assert len(stats) == 1
+    assert stats[0]["n_paths"] == 2
+    assert stats[0]["n_visits"] == 2
