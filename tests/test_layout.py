@@ -140,3 +140,32 @@ def test_zorder_many_columns_and_empty_input(spark, sf_dir, tmp_path):
     path = str(tmp_path / "zempty")
     layout.write_zorder_run(empty, path, cols, partitions=4)
     assert spark.read.parquet(path).count() == 0
+
+
+def test_entries_storage_density(spark, tmp_path):
+    """Storage-density gate (BASELINE.md: the reference's hand-packed
+    formats are ~16-32 B/position entry): our snappy-Parquet
+    agg_entries must land in the same decade — < 96 encoded bytes per
+    stored entry row on a real (generated) corpus, parquet footers
+    included."""
+    import glob
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench_import import make_corpus
+    from chess_pos_db_spark.chess import importer
+
+    src = tmp_path / "pgns"
+    src.mkdir()
+    files = make_corpus(4, 128, str(src))
+    db = str(tmp_path / "db")
+    importer.import_pgn(spark, [(f, "human") for f in files], db)
+    entries = spark.read.parquet(f"{db}/entries")
+    n = entries.count()
+    nbytes = sum(
+        os.path.getsize(p) for p in glob.glob(f"{db}/entries/*.parquet")
+    )
+    assert n > 1000
+    density = nbytes / n
+    assert density < 96, (density, n, nbytes)
