@@ -263,3 +263,27 @@ def stateful_running_stats_tws(e: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-STATIC dimension enrichment: join the event stream to a
+    batch dimension table. Spark broadcasts the static side into every
+    micro-batch (no stream-side state, no watermark needed — unlike
+    stream-stream joins); the batch twin is the identical expression,
+    which the equivalence test exploits. The 100 TB posture is the
+    same as join_dim_chain: the fact stream never shuffles for the
+    join."""
+    d = F.broadcast(
+        dim.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return (
+        events.join(d, "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )

@@ -216,3 +216,16 @@ def test_incremental_ingest_restart_resume_exactly_once(spark, sf_dir, tmp_path)
     # the second run appended new runs (processed wave2) rather than
     # reprocessing wave1 from scratch into a fresh set
     assert len(glob.glob(runs + "/*.parquet")) > n_runs_after_wave1
+
+
+def test_stream_static_enrich_equals_batch(spark, sf_dir, events_dir):
+    """Stream-static broadcast enrichment must equal the same join over
+    the batch frame."""
+    dim = t(spark, sf_dir, "customer")
+    got = jobs.run_available_now(
+        jobs.enrich_stream(jobs.read_events_stream(spark, events_dir), dim),
+        "complete",
+    )
+    want = jobs.enrich_stream(spark.read.parquet(events_dir), dim)
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
