@@ -70,19 +70,19 @@ def main() -> None:
     _run(spark.range(64).repartition(32).mapInPandas(lambda it: it, schema="id long"))
     _run(spark.range(100).join(F.broadcast(spark.range(10)), "id"))
 
-    # best-of-N: per-query minimum over N runs. N=3 (overridable) keeps
-    # the floor stable against inter-query GC / scheduler noise, which
-    # at sub-second per-query scale otherwise dominates run-to-run
-    # variance of the TOTAL.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(runs):
+    # best-of-N: per-query minimum over N INTERLEAVED rounds (all queries
+    # once, then again, ...). N=3 (overridable) keeps the floor stable
+    # against inter-query GC / scheduler noise; interleaving means a
+    # multi-second host-noise burst degrades one round of many queries
+    # instead of every repeat of one query, so the per-query min survives.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
+    timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for _ in range(runs):
+        for name in HEADLINE:
             start = time.perf_counter()
             _run(queries[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            timings[name] = min(timings[name], time.perf_counter() - start)
+    timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(
