@@ -402,3 +402,83 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
     )
+
+
+# Φ-E9 — interval-overlap join WITHOUT an equi-key (the generic
+# temporal-overlap shape: ad impressions × sessions, outages ×
+# requests). Naively this is a theta join — a cartesian product at
+# scale. The scale-safe plan decomposes time into fixed buckets sized
+# >= the interval length, explodes each interval to the 1-2 buckets it
+# covers (map-only), and equi-joins on the bucket; the exact overlap
+# predicate then verifies candidates. A pair whose intervals share two
+# buckets would match twice, so each pair is emitted ONLY in the bucket
+# containing the overlap's start (max of the two starts) — dedup by
+# construction, no distinct needed. Candidate volume per bucket is
+# (clicks/bucket × purchases/bucket), bounded by bucket granularity,
+# never |A|×|B|. Overlap arithmetic is exact integer micros.
+
+_IVL_LEN_US = 30 * 60 * 1_000_000  # each event opens a 30-min interval
+_IVL_BUCKET_US = 3_600 * 1_000_000  # 1-hour buckets (>= interval length)
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+WITH a AS (
+    SELECT event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'
+),
+b AS (
+    SELECT event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'
+)
+SELECT a.event_id AS click_id,
+       CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+       CAST(SUM({_IVL_LEN_US} - ABS(a.us - b.us)) AS BIGINT) AS total_overlap_us
+FROM a JOIN b
+  ON a.us <= b.us + {_IVL_LEN_US} AND b.us <= a.us + {_IVL_LEN_US}
+GROUP BY a.event_id
+ORDER BY n_overlaps DESC, click_id
+LIMIT 50
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    L, B = _IVL_LEN_US, _IVL_BUCKET_US
+
+    def side(ev_type: str, id_alias: str, us_alias: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == ev_type)
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.unix_micros("ts").alias(us_alias),
+            )
+            .withColumn(
+                "bucket",
+                F.explode(
+                    F.sequence(
+                        F.expr(f"{us_alias} div {B}"),
+                        F.expr(f"({us_alias} + {L}) div {B}"),
+                    )
+                ),
+            )
+        )
+
+    a = side("click", "click_id", "a_us")
+    b = side("purchase", "b_id", "b_us")
+    pairs = a.join(
+        b,
+        (a["bucket"] == b["bucket"])
+        & (F.col("a_us") <= F.col("b_us") + L)
+        & (F.col("b_us") <= F.col("a_us") + L)
+        # emit each pair once: only in the overlap-start's bucket
+        & (F.expr(f"greatest(a_us, b_us) div {B}") == a["bucket"]),
+    )
+    return (
+        pairs.groupBy("click_id")
+        .agg(
+            F.count("*").alias("n_overlaps"),
+            F.sum(F.lit(L) - F.abs(F.col("a_us") - F.col("b_us")))
+            .alias("total_overlap_us"),
+        )
+        .orderBy(F.desc("n_overlaps"), F.asc("click_id"))
+        .limit(50)
+    )

@@ -264,3 +264,42 @@ def sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _QUOTA_K)
         .select("o_orderkey", "o_orderstatus", "rk")
     )
+
+
+# P9d — WEIGHTED sampling without replacement (Efraimidis–Spirakis
+# A-ES): each row draws a uniform u and ranks by ln(u)/w — the top-K of
+# that key is an exact weighted sample without replacement. Here u is
+# the md5-derived engine-portable uniform (deterministic: reproducible
+# across reruns, engines, partitionings — the same discipline as
+# sample_hash/sample_stratified), weight = document length, so longer
+# documents are proportionally more likely to be kept — the
+# token-budget-aware corpus downsampling move. One TakeOrdered (top-K),
+# no full sort, no shuffle before it: scan-speed at 100 TB.
+_W_SAMPLE_K = 200
+_W_U_SPARK = (
+    "((cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10)"
+    " AS bigint) % 1000000) + 0.5) / 1000000.0"
+)
+_W_U_DUCK = (
+    "((('0x' || substr(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    " % 1000000) + 0.5) / 1000000.0"
+)
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+SELECT doc_id, n_chars
+FROM documents
+ORDER BY LN({_W_U_DUCK}) / n_chars DESC, doc_id
+LIMIT {_W_SAMPLE_K}
+""",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    key = F.log(F.expr(_W_U_SPARK)) / F.col("n_chars")
+    return (
+        docs.orderBy(key.desc(), F.col("doc_id").asc())
+        .select("doc_id", "n_chars")
+        .limit(_W_SAMPLE_K)
+    )

@@ -62,6 +62,7 @@ def load_all() -> None:
     from .operators import tpch2  # noqa: F401
     from .functions import scalar  # noqa: F401
     from .functions import udfs  # noqa: F401
+    from .llm import chunking  # noqa: F401
     from .llm import dedup  # noqa: F401
     from .llm import mining  # noqa: F401
     from .llm import pipeline  # noqa: F401
