@@ -1201,3 +1201,67 @@ def dedup_normalized_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
         .select("keep_id", "n_copies")
     )
+
+
+# ---------------------------------------------------------------------------
+# N1i — INCREMENTAL exact dedup: the append path of a live corpus. A
+# deduplicated corpus already exists (here: docs whose md5-derived
+# bucket < 8 of 10 — a deterministic stand-in for "yesterday's
+# corpus"); a new crawl batch arrives (the other buckets). A new doc
+# survives iff (a) its content digest matches nothing in the existing
+# corpus — LEFT ANTI against the digest STORE, not the corpus text —
+# and (b) it is the first occurrence of its digest within the batch.
+#
+# Scale shape: the store is digests only (16 B/doc, written bucketed by
+# digest at corpus-build time), so the anti-join shuffles the NEW BATCH
+# only against a bucket-pruned store read — the 100-TB corpus text is
+# never touched. The within-batch tiebreak windows over the same digest
+# partitioning the anti-join just produced.
+# ---------------------------------------------------------------------------
+
+_INC_BUCKET = (
+    "cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10)"
+    " AS bigint) % 10"
+)
+_INC_BUCKET_DUCK = (
+    "(('0x' || substr(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10)"
+)
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+WITH existing AS (
+    SELECT MD5(text) AS digest FROM documents WHERE {_INC_BUCKET_DUCK} < 8
+),
+batch AS (
+    SELECT doc_id, source, MD5(text) AS digest
+    FROM documents WHERE {_INC_BUCKET_DUCK} >= 8
+)
+SELECT b.doc_id, b.source
+FROM (
+    SELECT doc_id, source, digest,
+           ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+    FROM batch
+) b
+WHERE b.rn = 1
+  AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.digest = b.digest)
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.expr(_INC_BUCKET)
+    existing = docs.filter(bucket < 8).select(F.md5("text").alias("digest"))
+    batch = docs.filter(bucket >= 8).select(
+        "doc_id", "source", F.md5("text").alias("digest")
+    )
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    first_in_batch = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        first_in_batch.join(existing, "digest", "left_anti")
+        .select("doc_id", "source")
+    )

@@ -333,3 +333,102 @@ def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# N4s2 — Count-Min sketch frequency estimation (Cormode & Muthukrishnan
+# 2005): d=4 hash rows × w=512 counters. Unlike the heavy-hitter
+# sketches (Misra-Gries: only frequent items), a CMS answers point
+# frequency queries for ANY key with one-sided error
+# (est >= true, est <= true + eps*N w.h.p.). It is fully mergeable —
+# the sketch IS a (row, col) -> count table, and merging is element-wise
+# sum, i.e. exactly what a second-level groupBy does — so per-shard
+# sketches roll up to corpus level without re-scanning text.
+#
+# The hash family is the md5 Kirsch-Mitzenmacher derivation the minhash
+# block established (g_i = h1 + i*h2, pure BIGINT, bit-identical in
+# DuckDB), so the ENTIRE sketch — cells and estimates — is oracle-exact,
+# not just rows-only: the query emits the exact top-20 tokens with true
+# count next to CMS estimate, and the one-sided-error property is
+# pinned over every token in the fixture by pytest.
+#
+# Scale shape: one shuffle of (row, col) keys — at most d*w = 2048
+# cells regardless of corpus size thanks to map-side combine — then the
+# 2048-cell sketch BROADCASTS to the candidate probe. Nothing pairwise,
+# nothing collected.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 512
+_CMS_KM_MOD = 1 << 58
+_H1 = (
+    f"cast(conv(substring(md5(token), 1, 15), 16, 10) AS bigint) % {_CMS_KM_MOD}"
+)
+_H2 = (
+    f"cast(conv(substring(md5(token), 16, 15), 16, 10) AS bigint) % {_CMS_KM_MOD}"
+)
+_H1_DUCK = f"(('0x' || substr(MD5(token), 1, 15))::BIGINT % {_CMS_KM_MOD})"
+_H2_DUCK = f"(('0x' || substr(MD5(token), 16, 15))::BIGINT % {_CMS_KM_MOD})"
+
+
+@register(
+    "text_count_min",
+    oracle=f"""
+WITH occ AS (
+    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+),
+hk AS (SELECT token, {_H1_DUCK} AS h1, {_H2_DUCK} AS h2 FROM occ),
+cells AS (
+    SELECT i, (h1 + i * h2) % {_CMS_W} AS col, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM hk, (SELECT UNNEST(generate_series(0, {_CMS_D - 1})) AS i)
+    GROUP BY 1, 2
+),
+top AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n_true
+    FROM occ GROUP BY token
+    ORDER BY n_true DESC, token LIMIT 20
+),
+probe AS (SELECT token, n_true, {_H1_DUCK} AS h1, {_H2_DUCK} AS h2 FROM top)
+SELECT p.token, p.n_true, MIN(c.cnt) AS cms_est
+FROM probe p JOIN cells c ON c.col = (p.h1 + c.i * p.h2) % {_CMS_W}
+GROUP BY p.token, p.n_true
+""",
+)
+def text_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    return cms_estimate(occ, cms_cells(occ))
+
+
+def cms_cells(occ: DataFrame) -> DataFrame:
+    """The mergeable sketch: (i, col) -> cnt, at most d*w rows."""
+    hk = occ.selectExpr("token", f"{_H1} AS h1", f"{_H2} AS h2")
+    return (
+        hk.withColumn(
+            "i", F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)]))
+        )
+        .groupBy(
+            "i",
+            ((F.col("h1") + F.col("i") * F.col("h2")) % _CMS_W).alias("col"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(occ: DataFrame, cells: DataFrame) -> DataFrame:
+    """Point-query the exact top-20 tokens against the sketch."""
+    top = (
+        occ.groupBy("token")
+        .agg(F.count("*").alias("n_true"))
+        .orderBy(F.desc("n_true"), F.asc("token"))
+        .limit(20)
+    )
+    probe = top.selectExpr("token", "n_true", f"{_H1} AS h1", f"{_H2} AS h2")
+    return (
+        probe.join(
+            F.broadcast(cells),
+            F.col("col") == (F.col("h1") + F.col("i") * F.col("h2")) % _CMS_W,
+        )
+        .groupBy("token", "n_true")
+        .agg(F.min("cnt").alias("cms_est"))
+    )

@@ -159,3 +159,93 @@ def write_zorder_run(
         .parquet(path)
     )
     _write_manifest(path, [f"zorder({', '.join(cols)})"])
+
+
+# ---------------------------------------------------------------------------
+# Zone-map file pruning (the reference's sparse per-run index, lifted to
+# the file level). Parquet row-group stats already prune WITHIN a file,
+# but Spark still has to list, schedule, and open the footer of every
+# file in the run. At 100 TB a run is O(10^5) files; a key-range probe
+# should touch the handful whose [min,max] intersects the probe. The
+# manifest therefore records a per-file zone map (min/max of the leading
+# sort key, read once from the parquet footers at write time — metadata
+# only, no data scan), and the pruned reader resolves the file list
+# driver-side BEFORE Spark's listing: the job that runs never knows the
+# other files existed.
+# ---------------------------------------------------------------------------
+
+
+def _file_zone_map(path: str, key_col: str) -> list[dict]:
+    """Per-file [min,max] of `key_col` from parquet footer statistics."""
+    import pyarrow.parquet as pq
+
+    zones = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(key_col)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                mins, maxs = [], []
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        zones.append(
+            {
+                "file": name,
+                "min": min(mins) if mins else None,  # None → never pruned
+                "max": max(maxs) if maxs else None,
+            }
+        )
+    return zones
+
+
+def write_sorted_run_with_zonemap(
+    df: DataFrame,
+    path: str,
+    key: Sequence[str],
+    partitions: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """write_sorted_run + per-file zone map on the leading key column."""
+    write_sorted_run(df, path, key, partitions=partitions, mode=mode)
+    manifest = read_manifest(path)
+    manifest["zone_map"] = {
+        "column": key[0],
+        "files": _file_zone_map(path, key[0]),
+    }
+    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, default=str)
+
+
+def read_run_pruned(
+    spark: SparkSession, path: str, lo, hi
+) -> tuple[DataFrame, int, int]:
+    """Read a zone-mapped run restricted to key in [lo, hi].
+
+    Driver-side file pruning against the manifest zone map, then a scan
+    of ONLY the surviving files with the residual predicate re-applied
+    (zone maps overlap at file boundaries; pruning is a superset, the
+    filter is the truth). Returns (df, files_read, files_total).
+    """
+    manifest = read_manifest(path)
+    zm = manifest["zone_map"]
+    key_col = zm["column"]
+    keep = [
+        z["file"]
+        for z in zm["files"]
+        if z["min"] is None or not (z["max"] < lo or z["min"] > hi)
+    ]
+    total = len(zm["files"])
+    if not keep:
+        empty = spark.read.parquet(path).filter(F.lit(False))
+        return empty, 0, total
+    df = spark.read.parquet(*[os.path.join(path, f) for f in keep])
+    return (
+        df.filter((F.col(key_col) >= lo) & (F.col(key_col) <= hi)),
+        len(keep),
+        total,
+    )

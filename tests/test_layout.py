@@ -169,3 +169,39 @@ def test_entries_storage_density(spark, tmp_path):
     assert n > 1000
     density = nbytes / n
     assert density < 96, (density, n, nbytes)
+
+
+def test_zonemap_prunes_files_and_stays_exact(spark, sf_dir, tmp_path):
+    """File-level zone-map pruning: a narrow key probe must read a
+    small fraction of the run's files driver-side (before Spark ever
+    lists them) and still return exactly the full-scan answer."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_run")
+    layout.write_sorted_run_with_zonemap(
+        orders, path, ["o_orderkey"], partitions=16
+    )
+    lo, hi = 100, 200
+    df, files_read, files_total = layout.read_run_pruned(spark, path, lo, hi)
+    expected = sorted(
+        tuple(r) for r in orders.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == expected
+    assert files_total >= 8  # the run actually split into many files
+    # range-clustered write → a 100-key probe touches O(1) of them
+    assert files_read <= max(2, files_total // 4), (files_read, files_total)
+
+
+def test_zonemap_empty_probe_reads_zero_files(spark, sf_dir, tmp_path):
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = str(tmp_path / "orders_run2")
+    layout.write_sorted_run_with_zonemap(
+        orders, path, ["o_orderkey"], partitions=8
+    )
+    df, files_read, _ = layout.read_run_pruned(spark, path, -50, -1)
+    assert files_read == 0
+    assert df.count() == 0

@@ -188,3 +188,81 @@ def engine_queries():
     import chess_pos_db_spark as engine
 
     return engine.get_queries()
+
+
+def test_cms_one_sided_error_every_token(spark, sf_dir):
+    """CMS never underestimates: est >= true for EVERY distinct token
+    in the fixture (the defining guarantee), and the overestimate is
+    bounded by the eps*N envelope of a d=4, w=512 sketch."""
+    from chess_pos_db_spark.llm.mining import cms_cells, cms_estimate, _CMS_W
+    from chess_pos_db_spark.tables import t as load
+    from pyspark.sql import functions as F
+
+    occ = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    cells = cms_cells(occ).cache()
+    n_total = occ.count()
+    truth = {r["token"]: r["n_true"] for r in
+             occ.groupBy("token").agg(F.count("*").alias("n_true")).collect()}
+    probe = occ.distinct()
+    from chess_pos_db_spark.llm.mining import _H1, _H2, _CMS_W as W
+    est = (
+        probe.selectExpr("token", f"{_H1} AS h1", f"{_H2} AS h2")
+        .join(F.broadcast(cells),
+              F.col("col") == (F.col("h1") + F.col("i") * F.col("h2")) % W)
+        .groupBy("token").agg(F.min("cnt").alias("cms_est"))
+        .collect()
+    )
+    assert len(est) == len(truth)
+    # eps = e/w; P(overshoot > eps*N) < e^-d per query — allow 2x slack
+    bound = 2 * 2.7182818 * n_total / _CMS_W
+    for r in est:
+        assert r["cms_est"] >= truth[r["token"]], r
+        assert r["cms_est"] - truth[r["token"]] <= bound, r
+
+
+def test_cms_shards_merge_to_corpus_sketch(spark, sf_dir):
+    """Mergeability: per-shard sketches element-wise-summed must equal
+    the corpus sketch built in one pass."""
+    from chess_pos_db_spark.llm.mining import cms_cells
+    from chess_pos_db_spark.tables import t as load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    occ = lambda d: d.select(F.explode(F.split("text", " ")).alias("token"))
+    whole = {(r["i"], r["col"]): r["cnt"]
+             for r in cms_cells(occ(docs)).collect()}
+    a = cms_cells(occ(docs.filter(F.col("doc_id") % 2 == 0)))
+    b = cms_cells(occ(docs.filter(F.col("doc_id") % 2 == 1)))
+    merged = {
+        (r["i"], r["col"]): r["cnt"]
+        for r in a.unionByName(b)
+        .groupBy("i", "col").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    assert merged == whole
+
+
+def test_incremental_dedup_semantics(spark, sf_dir):
+    """Every kept doc is genuinely new (digest absent from the existing
+    corpus) and exactly one survivor per new digest; existing ∪ kept
+    covers every distinct digest in the whole corpus."""
+    import chess_pos_db_spark as engine
+    from chess_pos_db_spark.llm.dedup import _INC_BUCKET
+    from chess_pos_db_spark.tables import t as load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "bucket", F.expr(_INC_BUCKET)
+    ).withColumn("digest", F.md5("text"))
+    existing = {r["digest"] for r in
+                docs.filter(F.col("bucket") < 8).select("digest").collect()}
+    batch = docs.filter(F.col("bucket") >= 8).select("doc_id", "digest").collect()
+    kept = [r["doc_id"] for r in
+            engine.get_queries()["dedup_incremental"](spark, sf_dir).collect()]
+    digest_of = {r["doc_id"]: r["digest"] for r in batch}
+    kept_digests = [digest_of[i] for i in kept]
+    assert len(set(kept_digests)) == len(kept_digests)  # one per digest
+    assert not (set(kept_digests) & existing)  # all genuinely new
+    batch_new = {d for d in digest_of.values() if d not in existing}
+    assert set(kept_digests) == batch_new  # nothing new is dropped
