@@ -672,3 +672,61 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("keep_clean")
         ).alias("n_final"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N6d — embedding-DIVERSITY-stratified selection (the cluster-balanced
+# subset move: DataComp/SemDeDup-era curation selects training docs per
+# embedding cluster instead of globally, so one dominant mode can't
+# crowd out the tails). Compose the pieces the engine already proves:
+# the relational IVF coarse quantizer (llm/similarity.py — K=16 cells,
+# numpy argmax ≡ SQL window, oracle-exact) assigns each document's
+# embedding a cell; the deterministic md5-rank quota (sample_quota
+# discipline) keeps the best K_PER_CELL docs per cell.
+#
+# Scale shape: centroids ship in the UDF closure (K×dims floats), the
+# embeddings scan is map-only into (vec_id, cell), one broadcast-able
+# join to documents, one window per cell for the quota. No pairwise
+# anything; the whole selection is two shuffles at 100 TB.
+# ---------------------------------------------------------------------------
+
+_DIVERSE_K_PER_CELL = 8
+_DIV_HASH = (
+    "cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10)"
+    " AS bigint)"
+)
+_DIV_HASH_DUCK = "(('0x' || substr(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
+
+from .similarity import _CELLS_CTE as _SIM_CELLS_CTE  # noqa: E402
+
+
+@register(
+    "select_diverse_docs",
+    oracle=f"""
+WITH {_SIM_CELLS_CTE},
+ranked AS (
+    SELECT d.doc_id, d.lang, c.cell,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.cell
+               ORDER BY {_DIV_HASH_DUCK}, d.doc_id
+           ) AS rk
+    FROM documents d JOIN cells c ON c.vec_id = d.doc_id
+)
+SELECT doc_id, lang, CAST(cell AS BIGINT) AS cell, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_DIVERSE_K_PER_CELL}
+""",
+)
+def select_diverse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _cell_assignments, _ivf_centroids
+
+    centroids, cnorms = _ivf_centroids(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    cells = _cell_assignments(emb, centroids, cnorms)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("cell").orderBy(F.expr(_DIV_HASH), F.col("doc_id"))
+    return (
+        docs.join(cells, docs["doc_id"] == cells["vec_id"])
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _DIVERSE_K_PER_CELL)
+        .select("doc_id", "lang", "cell", "rk")
+    )

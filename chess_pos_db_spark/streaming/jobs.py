@@ -287,3 +287,40 @@ def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
     )
+
+
+def streaming_cms(
+    spark: SparkSession, src_dir: str, cells_dir: str
+) -> DataFrame:
+    """Streaming Count-Min maintenance: each micro-batch's token stream
+    is sketched (d×w cells, map-side combined inside the batch) and the
+    per-batch cells APPENDED to the cells store; the live sketch at any
+    moment is `SUM(cnt) GROUP BY (i, col)` over the store — the
+    mergeability property doing the work (llm/mining.py cms_cells). No
+    per-key streaming state: the sketch's fixed 2048-cell footprint IS
+    the state, which is why a CMS is the streaming answer to "frequency
+    of anything seen so far" at 100 TB/day ingest rates. Periodic
+    compaction of the store is compact_runs with agg sum (same merge).
+
+    Returns the merged sketch after draining (availableNow).
+    """
+    from ..llm.mining import cms_cells
+
+    events = read_events_stream(spark, src_dir)
+
+    def sketch_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        occ = batch_df.select(F.col("event_type").alias("token"))
+        cms_cells(occ).write.mode("append").parquet(cells_dir)
+
+    q = (
+        events.writeStream.foreachBatch(sketch_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", cells_dir + "_chk")
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(cells_dir)
+        .groupBy("i", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -266,3 +266,27 @@ def test_incremental_dedup_semantics(spark, sf_dir):
     assert not (set(kept_digests) & existing)  # all genuinely new
     batch_new = {d for d in digest_of.values() if d not in existing}
     assert set(kept_digests) == batch_new  # nothing new is dropped
+
+
+def test_diverse_selection_is_cluster_balanced(spark, sf_dir):
+    """Every IVF cell contributes at most K docs and no non-empty cell
+    is left out — the selection can't be crowded by one dominant mode."""
+    import chess_pos_db_spark as engine
+    from chess_pos_db_spark.llm.pipeline import _DIVERSE_K_PER_CELL
+    from chess_pos_db_spark.llm.similarity import (
+        _cell_assignments, _ivf_centroids)
+    from chess_pos_db_spark.tables import t as load
+
+    rows = engine.get_queries()["select_diverse_docs"](spark, sf_dir).collect()
+    per_cell: dict[int, int] = {}
+    for r in rows:
+        per_cell[r["cell"]] = per_cell.get(r["cell"], 0) + 1
+    assert all(n <= _DIVERSE_K_PER_CELL for n in per_cell.values())
+    centroids, cnorms = _ivf_centroids(spark, sf_dir)
+    occupied = {
+        r["cell"]
+        for r in _cell_assignments(
+            load(spark, sf_dir, "embeddings"), centroids, cnorms
+        ).collect()
+    }
+    assert set(per_cell) == occupied

@@ -229,3 +229,20 @@ def test_stream_static_enrich_equals_batch(spark, sf_dir, events_dir):
     want = jobs.enrich_stream(spark.read.parquet(events_dir), dim)
     assert _rows(got) == _rows(want)
     assert got.count() > 0
+
+
+def test_streaming_cms_equals_batch_sketch(spark, events_dir, tmp_path):
+    """Mergeable-sketch law, streaming form: per-micro-batch CMS cells
+    appended then summed must equal the one-pass batch sketch over the
+    same files."""
+    from chess_pos_db_spark.llm.mining import cms_cells
+
+    merged = jobs.streaming_cms(spark, events_dir, str(tmp_path / "cells"))
+    batch = cms_cells(
+        spark.read.parquet(events_dir).select(
+            F.col("event_type").alias("token")
+        )
+    )
+    got = {(r["i"], r["col"]): r["cnt"] for r in merged.collect()}
+    want = {(r["i"], r["col"]): r["cnt"] for r in batch.collect()}
+    assert got == want
