@@ -313,3 +313,80 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# N4ix — MATERIALIZED inverted index + index-backed BM25. The map-side
+# scorer above re-scans the corpus per query — right for one-off subset
+# extraction, wrong for a query workload. The index is the classic IR
+# layout re-expressed as bucketed tables (plans/bucketing.py):
+#
+#   postings (token, doc_id, tf)  bucketed+sorted by token
+#   doclen   (doc_id, dl)         bucketed by doc_id
+#   df       (token, df)          bucketed by token
+#   stats    (n_docs, avgdl)      one row
+#
+# A query then reads ONLY the buckets its terms hash into (Catalyst
+# bucket pruning: SelectedBucketsCount q/16 in the scan — pinned in
+# tests), joins the candidate postings to doclen on doc_id, and scores
+# the identical BM25 expression. Build cost: one (token, doc_id)
+# shuffle over the corpus — after which every query touches
+# O(matching postings), not O(corpus). Equivalence with the scan-based
+# scorer is pinned exactly (same top-k, same 6-dp scores).
+# ---------------------------------------------------------------------------
+
+
+def build_inverted_index(
+    spark: SparkSession, docs: DataFrame, prefix: str, buckets: int = 16
+) -> None:
+    """Build the four index tables under catalog names `{prefix}_*`."""
+    from ..plans.bucketing import write_bucketed
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    postings = (
+        toks.groupBy("token", "doc_id").agg(F.count("*").cast("long").alias("tf"))
+    )
+    write_bucketed(postings, f"{prefix}_postings", ["token"], buckets=buckets)
+    doclen = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    write_bucketed(doclen, f"{prefix}_doclen", ["doc_id"], buckets=buckets)
+    dft = postings.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    write_bucketed(dft, f"{prefix}_df", ["token"], buckets=buckets)
+    doclen.groupBy().agg(
+        F.count("*").alias("n_docs"), (F.sum("dl") / F.count("*")).alias("avgdl")
+    ).write.mode("overwrite").saveAsTable(f"{prefix}_stats")
+
+
+def search_indexed(
+    spark: SparkSession,
+    prefix: str,
+    terms: list[str],
+    k: int = _TOP_K,
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+) -> DataFrame:
+    """Index-backed BM25 top-k for `terms` — bucket-pruned postings
+    probe, candidate-only doclen join, identical scoring expression to
+    bm25_scores (equivalence pinned in tests)."""
+    p = spark.table(f"{prefix}_postings").filter(F.col("token").isin(terms))
+    dft = spark.table(f"{prefix}_df").filter(F.col("token").isin(terms))
+    st = spark.table(f"{prefix}_stats").first()
+    n_docs, avgdl = st["n_docs"], st["avgdl"]
+    doclen = spark.table(f"{prefix}_doclen")
+    idf = F.log(
+        1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score_term = idf * F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        p.join(F.broadcast(dft), "token")
+        .join(doclen, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score_term), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(k)
+    )

@@ -290,3 +290,29 @@ def test_diverse_selection_is_cluster_balanced(spark, sf_dir):
         ).collect()
     }
     assert set(per_cell) == occupied
+
+
+def test_indexed_bm25_equals_scan_bm25_and_prunes_buckets(spark, sf_dir):
+    """The materialized inverted index must (a) return EXACTLY the
+    scan-based BM25 top-k with identical 6-dp scores and (b) read only
+    the buckets the query terms hash into (bucket pruning in the scan)."""
+    import chess_pos_db_spark as engine
+    from chess_pos_db_spark.llm import search as S
+    from chess_pos_db_spark.tables import t as load
+
+    docs = load(spark, sf_dir, "documents")
+    S.build_inverted_index(spark, docs, "ix_test", buckets=16)
+    try:
+        got = S.search_indexed(spark, "ix_test", S._QUERY_TERMS)
+        want = engine.get_queries()["search_bm25"](spark, sf_dir)
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in want.collect()
+        ]
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        import re
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan[:2000]
+        assert int(m.group(1)) < int(m.group(2))  # pruning engaged
+    finally:
+        for suffix in ["postings", "doclen", "df", "stats"]:
+            spark.sql(f"DROP TABLE IF EXISTS ix_test_{suffix}")
