@@ -249,3 +249,110 @@ def read_run_pruned(
         len(keep),
         total,
     )
+
+
+# ---------------------------------------------------------------------------
+# Versioned runs: snapshot isolation + time travel for the append/merge
+# lifecycle (the table-format idea — Iceberg/Delta snapshots — scaled
+# down to the manifest we already keep). Every append lands its files
+# under v{n}/ and records a manifest snapshot entry; a reader resolves
+# the FILE LIST for a snapshot driver-side (like the zone map: the scan
+# never lists superseded or in-flight data), so
+#   - readers are never torn by a concurrent append (they read the
+#     snapshot that existed when they resolved),
+#   - `read_snapshot(path, v)` reproduces any historical state — the
+#     "which corpus trained this model" audit question,
+#   - compaction REPLACES the accumulated snapshots atomically: it
+#     writes a new version whose entry supersedes all priors, and time
+#     travel before the compaction point still works because superseded
+#     files are retained until an explicit vacuum.
+# ---------------------------------------------------------------------------
+
+
+def append_versioned(df: DataFrame, path: str, key: Sequence[str],
+                     partitions: int = 8) -> int:
+    """Append `df` as a new snapshot version; returns the version id."""
+    os.makedirs(path, exist_ok=True)
+    try:
+        manifest = read_manifest(path)
+    except FileNotFoundError:
+        manifest = {
+            "format": FORMAT_NAME,
+            "version": FORMAT_VERSION,
+            "sort_key": list(key),
+            "snapshots": [],
+        }
+    snaps = manifest.setdefault("snapshots", [])
+    v = (max((s["id"] for s in snaps), default=0)) + 1
+    vdir = f"v{v}"
+    (
+        df.repartitionByRange(partitions, *[F.col(k) for k in key])
+        .sortWithinPartitions(*key)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, vdir))
+    )
+    snaps.append({"id": v, "dirs": [vdir], "supersedes": []})
+    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f)
+    return v
+
+
+def compact_versioned(
+    spark: SparkSession,
+    path: str,
+    key: Sequence[str],
+    agg_spec: dict[str, str],
+    partitions: int = 8,
+) -> int:
+    """Aggregate-combining merge of every live version into ONE new
+    version that supersedes them (the reference's `merge` command with
+    snapshot semantics). Old files stay for time travel."""
+    fns = {"sum": F.sum, "min": F.min, "max": F.max}
+    manifest = read_manifest(path)
+    live = _live_snapshot_ids(manifest)
+    df = _read_dirs(spark, path, manifest, live)
+    aggs = [fns[how](c).alias(c) for c, how in agg_spec.items()]
+    merged = df.groupBy(*key).agg(*aggs)
+    v = (max(s["id"] for s in manifest["snapshots"])) + 1
+    vdir = f"v{v}"
+    (
+        merged.repartitionByRange(partitions, *[F.col(k) for k in key])
+        .sortWithinPartitions(*key)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, vdir))
+    )
+    manifest["snapshots"].append(
+        {"id": v, "dirs": [vdir], "supersedes": sorted(live)}
+    )
+    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f)
+    return v
+
+
+def _live_snapshot_ids(manifest: dict, as_of: int | None = None) -> set[int]:
+    """Snapshot ids visible at version `as_of` (default: latest):
+    every id <= as_of not superseded by a compaction <= as_of."""
+    snaps = [s for s in manifest["snapshots"]
+             if as_of is None or s["id"] <= as_of]
+    dead: set[int] = set()
+    for s in snaps:
+        dead.update(s.get("supersedes", []))
+    return {s["id"] for s in snaps if s["id"] not in dead}
+
+
+def _read_dirs(spark, path, manifest, ids) -> DataFrame:
+    dirs = [
+        os.path.join(path, d)
+        for s in manifest["snapshots"]
+        if s["id"] in ids
+        for d in s["dirs"]
+    ]
+    return spark.read.parquet(*dirs)
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table as of `version` (default: latest live state)."""
+    manifest = read_manifest(path)
+    return _read_dirs(spark, path, manifest, _live_snapshot_ids(manifest, version))

@@ -205,3 +205,36 @@ def test_zonemap_empty_probe_reads_zero_files(spark, sf_dir, tmp_path):
     df, files_read, _ = layout.read_run_pruned(spark, path, -50, -1)
     assert files_read == 0
     assert df.count() == 0
+
+
+def test_versioned_snapshots_time_travel_and_compaction(spark, tmp_path):
+    """Append → snapshot ids; read_snapshot(v) reproduces history;
+    compaction supersedes prior versions atomically but time travel
+    before the compaction point still sees the uncompacted state;
+    appends after compaction stack on top of it."""
+    path = str(tmp_path / "versioned")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, cnt long")
+    v1 = layout.append_versioned(mk([(1, 1), (2, 1)]), path, ["k"])
+    v2 = layout.append_versioned(mk([(1, 5), (3, 1)]), path, ["k"])
+    assert (v1, v2) == (1, 2)
+
+    snap1 = {(r["k"], r["cnt"]) for r in layout.read_snapshot(spark, path, 1).collect()}
+    assert snap1 == {(1, 1), (2, 1)}
+    latest = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+    assert latest == [(1, 1), (1, 5), (2, 1), (3, 1)]
+
+    v3 = layout.compact_versioned(spark, path, ["k"], {"cnt": "sum"})
+    compacted = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+    assert compacted == [(1, 6), (2, 1), (3, 1)]
+    # time travel to BEFORE the compaction: raw appends, not merged rows
+    pre = sorted(tuple(r) for r in layout.read_snapshot(spark, path, 2).collect())
+    assert pre == [(1, 1), (1, 5), (2, 1), (3, 1)]
+
+    v4 = layout.append_versioned(mk([(1, 100)]), path, ["k"])
+    assert (v3, v4) == (3, 4)
+    after = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+    assert after == [(1, 6), (1, 100), (2, 1), (3, 1)]
+    # and compacting again folds the post-compaction append in
+    layout.compact_versioned(spark, path, ["k"], {"cnt": "sum"})
+    final = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+    assert final == [(1, 106), (2, 1), (3, 1)]
