@@ -60,6 +60,7 @@ def load_all() -> None:
     from .operators import extras2  # noqa: F401
     from .operators import tpch  # noqa: F401
     from .operators import tpch2  # noqa: F401
+    from .operators import validate  # noqa: F401
     from .functions import scalar  # noqa: F401
     from .functions import udfs  # noqa: F401
     from .llm import chunking  # noqa: F401
