@@ -316,3 +316,53 @@ def test_indexed_bm25_equals_scan_bm25_and_prunes_buckets(spark, sf_dir):
     finally:
         for suffix in ["postings", "doclen", "df", "stats"]:
             spark.sql(f"DROP TABLE IF EXISTS ix_test_{suffix}")
+
+
+def test_pipeline_spec_runner(spark, sf_dir):
+    """The declarative runner must compose stages in order into one
+    lazy plan whose result equals applying the same operations by hand,
+    and must reject unknown stages at bind time."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from chess_pos_db_spark.llm.spec import run_pipeline, _HASH
+    from chess_pos_db_spark.tables import t as load
+
+    docs = load(spark, sf_dir, "documents")
+    spec = {
+        "stages": [
+            {"op": "normalize"},
+            {"op": "dedup_exact"},
+            {"op": "lang_filter", "langs": ["en", "de"]},
+            {"op": "quality_gate", "min_tokens": 5},
+            {"op": "sample_hash", "permille": 700},
+            {"op": "domain_cap", "per_source": 40},
+        ]
+    }
+    got = {r["doc_id"] for r in run_pipeline(docs, spec).collect()}
+
+    norm = docs.withColumn(
+        "text", F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = (
+        norm.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    filt = dedup.filter(F.col("lang").isin("en", "de")).filter(
+        F.size(F.split("text", " ")) >= 5
+    ).filter(F.expr(_HASH) % 1000 < 700)
+    wc = Window.partitionBy("source").orderBy(F.expr(_HASH), F.col("doc_id"))
+    want = {
+        r["doc_id"]
+        for r in filt.withColumn("rk", F.row_number().over(wc))
+        .filter("rk <= 40")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    with pytest.raises(ValueError, match="unknown pipeline stage"):
+        run_pipeline(docs, {"stages": [{"op": "nope"}]})
+
+    # one composed plan: the runner's output is lazy and survives explain
+    plan = run_pipeline(docs, spec)._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan or "FileScan" in plan
