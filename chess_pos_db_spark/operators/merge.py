@@ -1,0 +1,163 @@
+"""MERGE INTO / CDC upsert: apply a changeset (insert / update /
+delete rows) to a target table in one declarative plan.
+
+Reference parity: the reference's `append` + `merge` maintenance pair
+(SURVEY §3.2/§3.3) only ever ADDS entries; a production corpus store
+additionally needs the CDC shape — upstream rows get corrected or
+retracted, and the store must converge to the latest state. This is
+the Delta-Lake/Iceberg `MERGE INTO` semantic expressed as a plain
+Catalyst plan:
+
+    target FULL OUTER JOIN changes ON key
+      change absent          -> keep target row
+      op = 'D'               -> drop
+      op = 'U' / 'I'         -> COALESCE(change payload, target payload)
+                                (partial updates: NULL payload columns
+                                 inherit the target's value; an 'I'
+                                 whose key already exists upserts)
+
+Scale shape: ONE equi-join. The changeset is normally orders of
+magnitude smaller than the target, so AQE picks a broadcast-hash join
+and the 100 TB target never shuffles; when a backfill-sized changeset
+arrives the SAME logical plan degrades to a co-partitioned sort-merge
+join. With the target stored bucketed by key (plans/bucketing) even
+that shuffles only the changeset side. `latest_per_key` pre-collapses
+a multi-version change feed with one (key) window so the merge join
+sees exactly one row per key.
+
+The streaming twin (streaming/jobs.cdc_apply_stream) applies each
+micro-batch of changes through THIS function inside foreachBatch —
+batch and stream converge to identical stores (pinned in
+tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import t
+
+
+def latest_per_key(
+    changes: DataFrame, key: Sequence[str], seq_col: str, op_col: str = "op"
+) -> DataFrame:
+    """Collapse a multi-version change feed to the latest op per key.
+
+    One (key) window; ties on seq_col break on op descending
+    ('U' > 'I' > 'D') so replays are deterministic.
+    """
+    w = Window.partitionBy(*key).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    key: Sequence[str],
+    op_col: str = "op",
+    seq_col: Optional[str] = None,
+) -> DataFrame:
+    """Apply a CDC changeset to ``target``; returns the merged table.
+
+    ``changes`` carries the key columns, ``op_col`` in {'I','U','D'},
+    and any subset of the target's payload columns (missing / NULL
+    payload columns keep the target's value — partial update).
+    """
+    if seq_col is not None:
+        changes = latest_per_key(changes, key, seq_col, op_col)
+    payload = [c for c in target.columns if c not in key]
+    change_payload = set(changes.columns) - set(key) - {op_col, seq_col}
+    tgt = target.alias("t")
+    chg = changes.alias("c")
+    joined = tgt.join(chg, on=list(key), how="full_outer")
+    keep = F.col(f"c.{op_col}").isNull() | (F.col(f"c.{op_col}") != "D")
+    cols = [
+        (
+            F.coalesce(F.col(f"c.{p}"), F.col(f"t.{p}"))
+            if p in change_payload
+            else F.col(f"t.{p}")
+        ).alias(p)
+        for p in payload
+    ]
+    # on=list(key) coalesces the key columns of a full-outer join for us
+    return joined.filter(keep).select(*key, *cols)
+
+
+@register(
+    "merge_into_cdc",
+    oracle="""
+WITH del AS (
+    SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 0
+),
+upd AS (
+    -- +1.0 not ×1.1: addition of doubles is bit-identical across
+    -- engines, a rounded product can tie-break differently (see the
+    -- rounding discipline in registry.py)
+    SELECT o_orderkey, o_totalprice + 1.0 AS new_price
+    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+),
+ins AS (
+    SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+           'N' AS o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT o.o_orderkey, o.o_custkey,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN 'R'
+            ELSE o.o_orderstatus END AS o_orderstatus,
+       COALESCE(u.new_price, o.o_totalprice) AS o_totalprice,
+       o.o_orderdate, o.o_orderpriority
+FROM orders o
+LEFT JOIN upd u ON o.o_orderkey = u.o_orderkey
+WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM del)
+UNION ALL
+SELECT * FROM ins
+""",
+)
+def merge_into_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE: deterministic changeset (deletes %11, updates %7,
+    inserts re-keyed %13) applied to orders through merge_changes.
+
+    The changeset derives from the target scan itself so the oracle
+    can rebuild it; precedence conflicts are excluded at construction
+    (an update never targets a deleted key), which is the
+    latest_per_key invariant a real feed would guarantee.
+    """
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    deletes = o.filter(k % 11 == 0).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    updates = o.filter((k % 7 == 0) & (k % 11 != 0)).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit("R").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+    )
+    inserts = o.filter(k % 13 == 0).select(
+        (k + 10000000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+        "o_custkey",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    changes = deletes.unionByName(
+        updates, allowMissingColumns=True
+    ).unionByName(inserts, allowMissingColumns=True)
+    return merge_changes(o, changes, ["o_orderkey"])

@@ -324,3 +324,73 @@ def streaming_cms(
         .groupBy("i", "col")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def cdc_apply_stream(
+    spark: SparkSession,
+    src_dir: str,
+    changes_schema: T.StructType,
+    store_dir: str,
+    seed_df: DataFrame,
+    key: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Streaming CDC upsert: each micro-batch of change rows is applied
+    to the store through operators/merge.merge_changes (the SAME plan
+    batch MERGE INTO uses), producing a new immutable store version —
+    read-side never sees a half-applied batch.
+
+    Recovery contract: the checkpoint makes batch delivery
+    at-least-once across restarts, and a CDC merge is IDEMPOTENT —
+    re-applying a batch re-sets the same values ('U'), re-deletes
+    already-absent keys ('D'), and re-upserts identical rows ('I') —
+    so replays converge to the same store (pinned in
+    tests/test_streaming.py). At scale each version is metadata plus
+    the merged files; GC of old versions is the compaction job's
+    concern (plans/layout.compact_versioned is the same pattern).
+
+    Returns the final store DataFrame after draining (availableNow).
+    """
+    import os
+
+    from ..operators.merge import merge_changes
+
+    latest_path = os.path.join(store_dir, "_LATEST")
+
+    def _read_latest() -> int:
+        with open(latest_path) as f:
+            return int(f.read().strip())
+
+    def _write_latest(v: int) -> None:
+        tmp = latest_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, latest_path)  # atomic pointer swap
+
+    os.makedirs(store_dir, exist_ok=True)
+    if not os.path.exists(latest_path):
+        seed_df.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "v1")
+        )
+        _write_latest(1)
+
+    changes = spark.readStream.schema(changes_schema).parquet(src_dir)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        v = _read_latest()
+        cur = spark.read.parquet(os.path.join(store_dir, f"v{v}"))
+        merged = merge_changes(cur, batch_df, key, op_col, seq_col)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"v{v + 1}")
+        )
+        _write_latest(v + 1)
+
+    q = (
+        changes.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", store_dir + "_chk")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(store_dir, f"v{_read_latest()}"))

@@ -1,0 +1,116 @@
+"""CDC MERGE INTO (operators/merge.py) + streaming twin
+(streaming/jobs.cdc_apply_stream): semantics on hand-built frames,
+multi-version collapse, idempotence, batch ≡ stream convergence, and
+the plan pin (one equi-join, no nested loop)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+import chess_pos_db_spark as engine
+from chess_pos_db_spark.operators.merge import latest_per_key, merge_changes
+
+CHANGES_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, v string, n long"
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_merge_semantics(spark):
+    """Insert, full update, PARTIAL update (NULL payload column keeps
+    the target value), delete, upsert-on-existing-key."""
+    chg = spark.createDataFrame(
+        [
+            (2, "U", "B", None, 1),  # partial: n stays 20
+            (3, "D", None, None, 1),
+            (4, "I", "d", 40, 1),
+            (1, "I", "A", 11, 1),  # insert on existing key = upsert
+        ],
+        CHANGES_SCHEMA,
+    )
+    out = merge_changes(_target(spark), chg, ["k"])
+    assert _rows(out) == [(1, "A", 11), (2, "B", 20), (4, "d", 40)]
+
+
+def test_latest_per_key_collapse(spark):
+    """A multi-version feed collapses to the highest seq per key before
+    the merge join ever sees it."""
+    chg = spark.createDataFrame(
+        [
+            (2, "U", "first", 1, 1),
+            (2, "U", "second", 2, 2),
+            (2, "D", None, None, 3),  # latest wins: delete
+            (4, "I", "d", 40, 1),
+            (4, "U", "dd", 44, 2),
+        ],
+        CHANGES_SCHEMA,
+    )
+    collapsed = latest_per_key(chg, ["k"], "seq")
+    assert collapsed.count() == 2
+    out = merge_changes(_target(spark), chg, ["k"], seq_col="seq")
+    assert _rows(out) == [(1, "a", 10), (3, "c", 30), (4, "dd", 44)]
+
+
+def test_merge_idempotent(spark):
+    """Applying the same changeset twice converges to the same table —
+    the property that makes at-least-once streaming delivery safe."""
+    chg = spark.createDataFrame(
+        [(2, "U", "B", 22, 1), (3, "D", None, None, 1), (4, "I", "d", 40, 1)],
+        CHANGES_SCHEMA,
+    )
+    once = merge_changes(_target(spark), chg, ["k"])
+    twice = merge_changes(once, chg, ["k"])
+    assert _rows(once) == _rows(twice)
+
+
+def test_merge_plan_single_equijoin(spark, sf_dir):
+    """The registered CDC query must lower to hash/sort-merge equi-joins
+    only — a nested-loop merge would be a 100 TB disaster."""
+    df = engine.get_queries()["merge_into_cdc"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_stream_equals_batch(spark, tmp_path):
+    """Change files applied as a stream (micro-batch per file boundary)
+    converge to exactly the batch MERGE of the concatenated feed."""
+    from chess_pos_db_spark.streaming import jobs
+
+    src = str(tmp_path / "changes")
+    store = str(tmp_path / "store")
+    batch1 = spark.createDataFrame(
+        [(2, "U", "B", None, 1), (4, "I", "d", 40, 2)], CHANGES_SCHEMA
+    )
+    batch2 = spark.createDataFrame(
+        [(4, "U", "DD", 44, 3), (1, "D", None, None, 4)], CHANGES_SCHEMA
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    final = jobs.cdc_apply_stream(
+        spark, src, CHANGES_SCHEMA, store, _target(spark), ["k"], seq_col="seq"
+    )
+
+    batch_merge = merge_changes(
+        _target(spark), batch1.unionByName(batch2), ["k"], seq_col="seq"
+    )
+    assert _rows(final.drop("seq")) == _rows(batch_merge)
