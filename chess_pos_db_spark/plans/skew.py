@@ -20,8 +20,11 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import t
 
 _DECOMPOSE = {
     # final-phase function for each partial-phase aggregate
@@ -58,3 +61,44 @@ def salted_agg(
         _DECOMPOSE[how](out).alias(out) for out, (how, _) in agg_spec.items()
     ]
     return phase1.groupBy(*key).agg(*phase2_aggs)
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-phase aggregation as a driver query: 3 grouping
+    values over the whole fact table is the worst aggregation-skew
+    case (each reducer owns a third of 100 TB under naive groupBy).
+    salted_agg spreads phase 1 over (key, salt) reducers; results are
+    equal to the plain GROUP BY by construction — which is exactly
+    what the oracle checks.
+    """
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "l_qty_int", F.col("l_quantity").cast("bigint")
+    )
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": ("sum", "l_qty_int"),
+            "cnt": ("count", "l_qty_int"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("bigint").alias("sum_qty"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        "min_price",
+        "max_price",
+    )

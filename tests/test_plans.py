@@ -502,3 +502,31 @@ def test_hybrid_rrf_windows_bounded_by_limit(spark, sf_dir):
     assert first_window != -1
     tail = plan[first_window:]
     assert "TakeOrderedAndProject" in tail or "GlobalLimit" in tail
+
+
+def test_quality_signals_map_only(spark, sf_dir):
+    """N4 quality module: the Gopher battery and char entropy must be
+    pure scans — higher-order functions in the row, ZERO exchanges.
+    (text_quality's explode+groupBy shape is the contrast case: these
+    get the same class of per-doc signal without shuffling tokens.)"""
+    for name in ("text_gopher_quality", "text_char_entropy"):
+        plan = _plan(q(name, spark, sf_dir))
+        assert _n_exchanges(plan) == 0, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_salted_agg_two_phase(spark, sf_dir):
+    """Skew defense: the salted aggregation must plan BOTH phases as
+    hash aggregates over different keys — (key, salt) then (key) — so
+    no reducer ever owns a whole hot key."""
+    plan = _plan(q("agg_salted_skew", spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4  # partial+final × 2 phases
+    assert "_salt" in plan
+
+
+def test_merge_cdc_no_nested_loop(spark, sf_dir):
+    """CDC MERGE lowers to equi-joins only; the changeset side may
+    broadcast but the target must never feed a nested loop."""
+    plan = _plan(q("merge_into_cdc", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
