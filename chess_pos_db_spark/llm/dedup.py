@@ -198,9 +198,18 @@ _N_BANDS = NUM_HASHES // ROWS_PER_BAND
 
 # Kirsch-Mitzenmacher family: one md5 per token, split into two 60-bit
 # halves h1/h2 (15 hex chars each), reduced mod 2^58 so that
-# g_i = h1 + i*h2 stays under 2^62 for i < 16 — pure BIGINT arithmetic,
-# no overflow, identical in Spark and DuckDB.
+# g_i = (h1 + i*h2) mod P stays under 2^62 BEFORE the reduction for
+# i < 16 — pure BIGINT arithmetic, no overflow, identical in Spark and
+# DuckDB. The final "mod P" (P = 2^61-1, Mersenne prime) is
+# LOAD-BEARING for MinHash: without the wrap, min over tokens of
+# h1 + i*h2 is dominated by the min-h2 token for growing i, so the 16
+# coordinates correlate and banding recall collapses (measured on the
+# sf0.001 corpus: 76.8% of Jaccard≥0.7 pairs surfaced unwrapped vs
+# 97.6% wrapped vs 99.8% for 16 independent md5s — the wrap buys back
+# almost all the recall at one md5/token; tests/test_ml_parity.py
+# pins recall parity against pyspark.ml's MinHashLSH).
 _KM_MOD = 1 << 58
+_KM_P = (1 << 61) - 1
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
@@ -217,7 +226,8 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         f" % {_KM_MOD}L AS h2",
     )
     aggs = [
-        F.expr(f"min(h1 + {i}L * h2) AS mh_{i}") for i in range(NUM_HASHES)
+        F.expr(f"min((h1 + {i}L * h2) % {_KM_P}L) AS mh_{i}")
+        for i in range(NUM_HASHES)
     ]
     return hk.groupBy("doc_id").agg(*aggs)
 
@@ -225,7 +235,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 def _sig_ctes() -> str:
     """Shared oracle CTEs: distinct tokens → per-doc minhash signature."""
     cols = ",\n           ".join(
-        f"MIN(h1 + {i} * h2) AS mh_{i}" for i in range(NUM_HASHES)
+        f"MIN((h1 + {i} * h2) % {_KM_P}) AS mh_{i}" for i in range(NUM_HASHES)
     )
     return f"""
 tok AS (

@@ -207,14 +207,19 @@ def decode_audio(blob: bytes, duration_ms: int) -> np.ndarray:
 
     A real deployment replaces this body with e.g. soundfile.read.
     The deterministic fake synthesizes a waveform (float32 in [-1, 1],
-    8 samples/ms) from the blob digest so window math, dtypes, and
-    batch shapes are exercised honestly.
+    8 samples/ms) from POSITION-CHAINED blob digests — tiling one
+    digest would make the wave periodic (every window identical),
+    which degenerates window-level ops like fingerprinting; chained
+    blocks give each window honest distinct content.
     """
     n = max(1, duration_ms * 8)
-    h = np.frombuffer(
-        (hashlib.sha256(blob).digest() * ((n * 4) // 32 + 1))[: n * 4],
-        dtype=np.uint32,
-    )
+    n_blocks = (n * 4) // 32 + 1
+    seed = hashlib.sha256(blob).digest()
+    buf = b"".join(
+        hashlib.sha256(seed + struct.pack("<q", i)).digest()
+        for i in range(n_blocks)
+    )[: n * 4]
+    h = np.frombuffer(buf, dtype=np.uint32)
     return (h.astype(np.float64) / np.float64(2**31) - 1.0).astype(
         np.float32
     )[:n]
@@ -340,4 +345,250 @@ def media_exact_dup_groups(media: DataFrame) -> DataFrame:
             F.count("*").alias("n_copies"),
         )
         .select("keep_id", "n_copies")
+    )
+
+
+# --- perceptual hash (aHash family) ------------------------------------------
+#
+# decode → pool to 8×8 → bit per cell (above/below mean) → 64-bit hash.
+# Near-dup at hamming ≤ 3 is found WITHOUT pairwise comparison: the 64
+# bits split into 4 16-bit bands; ≤3 differing bits can dirty at most 3
+# bands (pigeonhole), so every true pair shares ≥1 exact band — the
+# same banding soundness argument as MinHash-LSH, but exact rather than
+# probabilistic. Band-bucket equi-join generates candidates; bit_count
+# of the XOR verifies, JVM-side. The hash computes in the SAME Arrow
+# pass as featurize at 8 B/item of state — at 100 TB the pair join
+# moves 4 × (16-bit band, 64-bit hash) rows per item, never pixels.
+
+_PHASH_BANDS = 4
+_PHASH_BAND_BITS = 16
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+def _phash_from_pixels(pixels: np.ndarray) -> int:
+    h, w = pixels.shape
+    if h < 8 or w < 8:
+        pixels = np.pad(
+            pixels, ((0, max(0, 8 - h)), (0, max(0, 8 - w))), mode="edge"
+        )
+        h, w = pixels.shape
+    bh, bw = h // 8, w // 8
+    pooled = (
+        pixels[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    )
+    bits = (pooled > pooled.mean()).ravel()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    # two's-complement into signed 64-bit (Spark LongType)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def phash(media: DataFrame) -> DataFrame:
+    """Image table → (media_id, 64-bit perceptual hash)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, row in pdf.iterrows():
+                px = decode_image(bytes(row["blob"]))
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "phash": _phash_from_pixels(px),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        batches, schema=PHASH_SCHEMA
+    )
+
+
+def phash_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(media_a, media_b, hamming) pairs at hamming ≤ max_hamming via
+    exact 4-band blocking (sound for max_hamming ≤ 3) + XOR popcount
+    verify. Takes the hash table so callers can persist hashes once."""
+    bands = []
+    for b in range(_PHASH_BANDS):
+        band_val = F.shiftrightunsigned(
+            F.col("phash"), b * _PHASH_BAND_BITS
+        ).bitwiseAND(F.lit((1 << _PHASH_BAND_BITS) - 1))
+        bands.append(
+            hashes.select(
+                "media_id",
+                "phash",
+                F.lit(b).alias("band_idx"),
+                band_val.alias("band_val"),
+            )
+        )
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionByName(extra)
+    a = banded.select(
+        F.col("media_id").alias("media_a"),
+        F.col("phash").alias("ha"),
+        "band_idx",
+        "band_val",
+    )
+    b2 = banded.select(
+        F.col("media_id").alias("media_b"),
+        F.col("phash").alias("hb"),
+        "band_idx",
+        "band_val",
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b2, ["band_idx", "band_val"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a close pair may share several bands
+    )
+
+
+# --- video scene cuts --------------------------------------------------------
+#
+# frame_sample generates timestamps; decode_frame (stub seam, like
+# decode_image/decode_audio) yields per-frame pixels; the cut detector
+# is then pure relational: per-frame quadrant-mean features, LAG window
+# per media_id ordered by frame_ts, L1 delta > threshold ⇒ cut. The
+# window is media-keyed so a 100 TB corpus parallelizes per video; per
+# frame only a 4-float feature row survives the decode pass.
+
+FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_ts_ms", T.IntegerType(), False),
+        T.StructField("quad", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+_SCENE_LEN_MS = 5000
+
+
+def decode_frame(blob: bytes, frame_ts_ms: int) -> np.ndarray:
+    """STUB — a real deployment seeks the container to frame_ts_ms and
+    decodes (ffmpeg). The deterministic fake derives pixels from
+    (blob digest, ts // scene_len): frames inside the same simulated
+    5-second scene decode identically, so cut GROUND TRUTH exists for
+    the detector test — honest semantics, fake pixels."""
+    scene = frame_ts_ms // _SCENE_LEN_MS
+    h = hashlib.sha256(blob + struct.pack("<q", scene)).digest()
+    arr = np.frombuffer((h * 8)[:256], dtype=np.uint8).astype(np.float32)
+    return arr.reshape(16, 16)
+
+
+def frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Sampled frames → 4-quadrant mean-intensity features (one Arrow
+    pass over (media, frame_ts) rows; blob joins in by media_id)."""
+    frames = frame_sample(media, every_ms).join(
+        media.select("media_id", "blob"), "media_id"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, row in pdf.iterrows():
+                px = decode_frame(bytes(row["blob"]), int(row["frame_ts_ms"]))
+                qh, qw = px.shape[0] // 2, px.shape[1] // 2
+                quad = [
+                    float(px[:qh, :qw].mean()),
+                    float(px[:qh, qw:].mean()),
+                    float(px[qh:, :qw].mean()),
+                    float(px[qh:, qw:].mean()),
+                ]
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "frame_ts_ms": row["frame_ts_ms"],
+                        "quad": quad,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(batches, schema=FRAME_FEATURE_SCHEMA)
+
+
+def scene_cuts(media: DataFrame, every_ms: int = 1000, threshold: float = 1.0) -> DataFrame:
+    """(media_id, frame_ts_ms) rows where the frame's feature L1-delta
+    vs the previous frame exceeds threshold — scene boundaries."""
+    from pyspark.sql.window import Window
+
+    feats = frame_features(media, every_ms)
+    w = Window.partitionBy("media_id").orderBy("frame_ts_ms")
+    prev = F.lag("quad").over(w)
+    l1 = F.aggregate(
+        F.zip_with(F.col("quad"), prev, lambda x, y: F.abs(x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    return (
+        feats.withColumn("delta", l1)
+        .filter(F.col("delta") > threshold)
+        .select("media_id", "frame_ts_ms", F.round("delta", 4).alias("delta"))
+    )
+
+
+# --- audio fingerprint match -------------------------------------------------
+#
+# Shazam-lite: the windowed RMS sequence (audio_features) quantizes to
+# a bit per step (energy rising/falling); 16 consecutive bits shingle
+# into a fingerprint hash at each window index. Matching joins probe
+# fingerprints against corpus fingerprints on the hash and votes on
+# the ALIGNMENT OFFSET (corpus_idx - probe_idx): a true containment
+# match concentrates votes at one offset, noise spreads them. All
+# relational after the feature pass: one equi-join on fp_hash + one
+# (probe, candidate, offset) count — at 100 TB the corpus fingerprint
+# table is the only big side and it shuffles once on fp_hash.
+
+_FP_BITS = 16
+
+
+def audio_fingerprints(media: DataFrame, window: int = 2048) -> DataFrame:
+    """(media_id, widx, fp_hash): one hash per window position from the
+    next _FP_BITS rising/falling-energy bits."""
+    from pyspark.sql.window import Window
+
+    feats = audio_features(media, window)
+    w = Window.partitionBy("media_id").orderBy("window_idx")
+    bit = (F.lead("rms").over(w) > F.col("rms")).cast("long")
+    with_bits = feats.select(
+        "media_id", F.col("window_idx").alias("widx"), bit.alias("bit")
+    ).filter(F.col("bit").isNotNull())
+    fp = F.lit(0).cast("long")
+    cols = {}
+    for i in range(_FP_BITS):
+        cols[f"b{i}"] = F.lead("bit", i).over(
+            Window.partitionBy("media_id").orderBy("widx")
+        )
+    df = with_bits.select("media_id", "widx", *[c.alias(n) for n, c in cols.items()])
+    for i in range(_FP_BITS):
+        fp = fp + F.shiftleft(F.coalesce(F.col(f"b{i}"), F.lit(0)).cast("long"), i)
+    return (
+        df.filter(F.col(f"b{_FP_BITS - 1}").isNotNull())  # full shingles only
+        .select("media_id", "widx", fp.alias("fp_hash"))
+    )
+
+
+def audio_match(corpus_fps: DataFrame, probe_fps: DataFrame) -> DataFrame:
+    """(probe_id, media_id, offset, votes) ranked by votes — which
+    corpus track contains each probe clip, and where."""
+    p = probe_fps.select(
+        F.col("media_id").alias("probe_id"),
+        F.col("widx").alias("p_idx"),
+        "fp_hash",
+    )
+    c = corpus_fps.select("media_id", F.col("widx").alias("c_idx"), "fp_hash")
+    return (
+        p.join(c, "fp_hash")
+        .groupBy("probe_id", "media_id", (F.col("c_idx") - F.col("p_idx")).alias("offset"))
+        .agg(F.count("*").alias("votes"))
     )

@@ -128,3 +128,85 @@ def test_media_near_dup_finds_identical_content(spark):
     assert groups[100] == 2
     # every synthetic blob is distinct content: no other multi-copy group
     assert all(n == 1 for k, n in groups.items() if k != 100)
+
+
+def test_phash_identical_blobs_hamming_zero(spark):
+    """synthetic_media reuses blob content across ids (blob depends on
+    i and i%5 only through repetition count... construct explicitly):
+    two media rows with the SAME bytes must collide at hamming 0."""
+    rows = [
+        (1, "image", 16, 16, None, bytearray(b"samebytes")),
+        (2, "image", 16, 16, None, bytearray(b"samebytes")),
+        (3, "image", 16, 16, None, bytearray(b"different")),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    hashes = mm.phash(media)
+    pairs = mm.phash_pairs(hashes, max_hamming=0).collect()
+    assert [(r.media_a, r.media_b, r.hamming) for r in pairs] == [(1, 2, 0)]
+
+
+def test_phash_band_blocking_sound_at_hamming_3(spark):
+    """Hand-built hashes differing in exactly 3 bits spread across 3
+    DIFFERENT bands must still be found (pigeonhole: one clean band
+    remains), and a 4-bits-in-4-bands pair must NOT appear at
+    max_hamming=3 (it is genuinely farther than the radius)."""
+    base = 0x0123456789ABCDEF
+    three = base ^ (1 << 0) ^ (1 << 16) ^ (1 << 32)  # 3 bands dirtied
+    four = base ^ (1 << 0) ^ (1 << 16) ^ (1 << 32) ^ (1 << 48)  # all 4
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    hashes = spark.createDataFrame(
+        [(1, signed(base)), (2, signed(three)), (3, signed(four))],
+        mm.PHASH_SCHEMA,
+    )
+    got = {
+        (r.media_a, r.media_b): r.hamming
+        for r in mm.phash_pairs(hashes, max_hamming=3).collect()
+    }
+    assert got.get((1, 2)) == 3
+    assert (1, 3) not in got  # hamming 4 > radius
+    # (2,3) differ in exactly 1 bit (bit 48) -> must be found
+    assert got.get((2, 3)) == 1
+
+
+def test_scene_cuts_at_simulated_boundaries(spark):
+    """decode_frame simulates 5-second scenes; sampling at 1 fps must
+    report cuts exactly at the 5000/10000/... ms frames."""
+    rows = [(1, "video", None, None, 15000, bytearray(b"vid-a"))]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    cuts = sorted(
+        r.frame_ts_ms for r in mm.scene_cuts(media, every_ms=1000).collect()
+    )
+    assert cuts == [5000, 10000]
+
+
+def test_audio_fingerprint_match_finds_clip(spark):
+    """A probe made from a contiguous widx slice of one track's
+    fingerprints must vote that track at the slicing offset."""
+    rows = [
+        (1, "audio", None, None, 6000, bytearray(b"track-one")),
+        (2, "audio", None, None, 6000, bytearray(b"track-two")),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    fps = mm.audio_fingerprints(media, window=512).cache()
+    from pyspark.sql import functions as F
+
+    probe = (
+        fps.filter((F.col("media_id") == 1) & F.col("widx").between(10, 40))
+        .select(
+            F.lit(99).alias("media_id"),
+            (F.col("widx") - 10).alias("widx"),
+            "fp_hash",
+        )
+    )
+    ranked = (
+        mm.audio_match(fps, probe)
+        .orderBy(F.col("votes").desc())
+        .collect()
+    )
+    top = ranked[0]
+    assert (top.probe_id, top.media_id, top.offset) == (99, 1, 10)
+    # the true alignment must dominate: full agreement over the slice
+    assert top.votes == 31
