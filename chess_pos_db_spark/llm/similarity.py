@@ -746,3 +746,97 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round("rank", 8).alias("rank"))
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# N3g' — triangle counting on the kNN graph (the clustering-coefficient
+# numerator: how locally dense is each vector's neighborhood — a
+# standard graph-structure signal over a similarity corpus, and THE
+# canonical "make the quadratic join survive scale" exercise).
+#
+# Scale shape (Suri & Vassilvitskii, WWW'11 "Counting Triangles and the
+# Curse of the Last Reducer" — public): orient every undirected edge
+# from its lower-DEGREE endpoint to the higher (ties by id). Each
+# triangle is then generated EXACTLY once, and the wedge join fans out
+# per-node by ORIENTED out-degree, which is O(sqrt(m)) for any graph —
+# a celebrity node with 10^6 neighbors contributes 10^12 wedges
+# unoriented but only ~m wedges oriented. Three shuffles total: degree
+# agg, wedge self-join on the hinge, closing-edge semi-join. The oracle
+# brute-forces the same triangles relationally (a<b<c chains).
+# ---------------------------------------------------------------------------
+
+
+def _tri_edges_cte() -> str:
+    return f"""knn AS (
+    {_knn_graph_oracle().replace(chr(10), chr(10) + '    ')}
+),
+edges AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM knn
+)"""
+
+
+@register(
+    "graph_triangles",
+    oracle=f"""
+WITH {_tri_edges_cte()},
+tri AS (
+    SELECT e1.a AS u, e1.b AS v, e2.b AS w
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+member AS (
+    SELECT u AS node FROM tri
+    UNION ALL SELECT v FROM tri
+    UNION ALL SELECT w FROM tri
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM member GROUP BY node
+""",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, n_triangles) over the undirected kNN graph via
+    degree-ordered wedge counting."""
+    knn = ann_knn_graph(spark, sf_dir)
+    edges = (
+        knn.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    return triangle_counts(edges)
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts for an undirected edge set given as
+    canonical (a < b) pairs."""
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # rank = (degree, id): the total order that bounds oriented out-degree
+    ranked = edges.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")), "b")
+    a_lower = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_lower, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_lower, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    # wedges hinged at the lowest-rank vertex; (v, w) canonicalized so the
+    # closing-edge probe hits the undirected edge set once
+    w1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    w2 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
+    wedges = w1.join(w2, "u").filter(F.col("v") < F.col("w"))
+    closing = edges.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])  # (u, v, w) exactly once
+    member = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("v").alias("node")))
+        .unionByName(tri.select(F.col("w").alias("node")))
+    )
+    return member.groupBy("node").agg(F.count("*").alias("n_triangles"))

@@ -136,3 +136,37 @@ def test_pagerank_matches_reference(spark, sf_dir):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     for v in nodes:
         assert abs(got[v] - rank[v]) < 1e-6, (v, got[v], rank[v])
+
+
+def test_triangle_counts_known_graph(spark):
+    """Hand-built graph: K4 on {1,2,3,4} (4 triangles, each node in 3)
+    plus a pendant star hub 5-{6,7,8} (no triangles). Degree-ordered
+    wedge counting must reproduce the exact per-node counts."""
+    from chess_pos_db_spark.llm.similarity import triangle_counts
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    star = [(5, 6), (5, 7), (5, 8)]
+    edges = spark.createDataFrame(k4 + star, "a long, b long")
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_wedge_join_is_oriented(spark, sf_dir):
+    """The wedge join must hinge on the ORIENTED edge set: the plan has
+    equi-joins only (no cartesian), and a high-degree hub generates no
+    quadratic wedge blowup — hub wedges hinge at the leaves."""
+    import chess_pos_db_spark as engine
+
+    df = engine.get_queries()["graph_triangles"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # star hub: leaves all rank below the hub only if degree-ordered —
+    # hub (deg 99) receives every orientation, so hub out-degree = 0
+    from chess_pos_db_spark.llm.similarity import triangle_counts
+    from pyspark.sql import functions as F
+
+    hub = [(0, i) for i in range(1, 100)] + [(1, 2)]
+    edges = spark.createDataFrame(hub, "a long, b long")
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
