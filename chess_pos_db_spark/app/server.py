@@ -221,6 +221,42 @@ class Engine:
             }
         }
 
+    def cmd_sql(self, cmd: dict) -> dict:
+        """Ad-hoc read-only SQL over the open database — the Spark-first
+        capability the reference's fixed command set never had: the
+        opened `entries`/`games` tables register as temp views and the
+        query plans through Catalyst like any engine query (pushdown
+        into the sorted runs included). Guarded to SELECT/WITH; result
+        capped at maxRows (default 100) — the cap bounds the driver
+        collect, the aggregation itself still runs distributed."""
+        self._require_open()
+        text = cmd["sql"]
+        first = text.lstrip().split(None, 1)[0].lower() if text.strip() else ""
+        if first not in ("select", "with"):
+            raise ValueError("only SELECT/WITH queries are allowed")
+        self._entries.createOrReplaceTempView("entries")
+        self._games.createOrReplaceTempView("games")
+        df = self.spark.sql(text)
+        n = int(cmd.get("maxRows", 100))
+        rows = df.limit(n).collect()
+
+        def safe(v):
+            if v is None or isinstance(v, (bool, int, float, str)):
+                return v
+            if isinstance(v, (bytes, bytearray)):
+                return bytes(v).hex()
+            if isinstance(v, (list, tuple)):
+                return [safe(x) for x in v]
+            if isinstance(v, dict):
+                return {k: safe(x) for k, x in v.items()}
+            return str(v)
+
+        return {
+            "columns": df.columns,
+            "rows": [[safe(v) for v in r] for r in rows],
+            "truncated": len(rows) == n,
+        }
+
     def cmd_stats(self, cmd: dict) -> dict:
         self._require_open()
         from pyspark.sql import functions as F

@@ -355,4 +355,49 @@ def read_snapshot(
 ) -> DataFrame:
     """The table as of `version` (default: latest live state)."""
     manifest = read_manifest(path)
+    floor = manifest.get("min_time_travel")
+    if version is not None and floor is not None and version < floor:
+        raise ValueError(
+            f"time travel to v{version} expired (floor is v{floor})"
+        )
     return _read_dirs(spark, path, manifest, _live_snapshot_ids(manifest, version))
+
+
+def expire_snapshots(path: str, before: int) -> list[str]:
+    """Vacuum: give up time travel EARLIER than version `before` and
+    delete the files only that history was keeping alive.
+
+    A snapshot's files are needed iff it is live at SOME readable
+    version >= `before`; liveness only ever decreases (a compaction
+    kills it for all later versions), so that reduces to "live at
+    `before`". Everything else is physically removed and dropped from
+    the manifest; `min_time_travel` records the new floor so stale
+    time-travel reads fail loudly instead of resurrecting partial
+    state. Returns the deleted directories.
+
+    Scale note: this is pure manifest arithmetic + file deletion —
+    no data is read or rewritten. Run it after compactions the same
+    way the reference's merge is followed by deleting source runs
+    (and Iceberg by expire_snapshots/remove_orphan_files).
+    """
+    import shutil
+
+    manifest = read_manifest(path)
+    keep = _live_snapshot_ids(manifest, before) | {
+        s["id"] for s in manifest["snapshots"] if s["id"] > before
+    }
+    doomed = [s for s in manifest["snapshots"] if s["id"] not in keep]
+    deleted = []
+    for s in doomed:
+        for d in s["dirs"]:
+            full = os.path.join(path, d)
+            if os.path.isdir(full):
+                shutil.rmtree(full)
+            deleted.append(d)
+    manifest["snapshots"] = [
+        s for s in manifest["snapshots"] if s["id"] in keep
+    ]
+    manifest["min_time_travel"] = before
+    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f)
+    return deleted

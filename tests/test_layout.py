@@ -238,3 +238,44 @@ def test_versioned_snapshots_time_travel_and_compaction(spark, tmp_path):
     layout.compact_versioned(spark, path, ["k"], {"cnt": "sum"})
     final = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
     assert final == [(1, 106), (2, 1), (3, 1)]
+
+
+def test_expire_snapshots_vacuum(spark, tmp_path):
+    """Vacuum drops exactly the files only pre-compaction history kept
+    alive: latest state unchanged, expired time travel fails loudly,
+    post-floor history still works."""
+    import os
+
+    path = str(tmp_path / "vacuum")
+    df1 = spark.createDataFrame([(1, 10), (2, 20)], "k long, cnt long")
+    df2 = spark.createDataFrame([(1, 5), (3, 30)], "k long, cnt long")
+    assert layout.append_versioned(df1, path, key=["k"]) == 1
+    assert layout.append_versioned(df2, path, key=["k"]) == 2
+    v3 = layout.compact_versioned(spark, path, key=["k"], agg_spec={"cnt": "sum"})
+    assert v3 == 3
+    before = sorted(
+        tuple(r) for r in layout.read_snapshot(spark, path).collect()
+    )
+
+    deleted = layout.expire_snapshots(path, before=v3)
+    assert sorted(deleted) == ["v1", "v2"]
+    assert not os.path.isdir(os.path.join(path, "v1"))
+    assert os.path.isdir(os.path.join(path, "v3"))
+
+    # latest state is untouched
+    after = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+    assert after == before == [(1, 15), (2, 20), (3, 30)]
+
+    # expired history fails loudly, post-floor history still resolves
+    with pytest.raises(ValueError, match="expired"):
+        layout.read_snapshot(spark, path, 2)
+    still = sorted(tuple(r) for r in layout.read_snapshot(spark, path, 3).collect())
+    assert still == after
+
+    # appends continue normally after a vacuum
+    v4 = layout.append_versioned(
+        spark.createDataFrame([(9, 1)], "k long, cnt long"), path, key=["k"]
+    )
+    assert v4 == 4
+    final = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+    assert final == [(1, 15), (2, 20), (3, 30), (9, 1)]

@@ -199,3 +199,33 @@ def test_bench_command(spark, tmp_path):
     assert b["seconds"] > 0
     assert b["positions_per_sec"] > 0
     assert not (tmp_path / "db").exists()
+
+
+def test_sql_command(engine_db):
+    """Ad-hoc SELECT over the opened database's temp views."""
+    resp = engine_db.handle(
+        {
+            "command": "sql",
+            "sql": "SELECT level, COUNT(*) AS n FROM entries "
+            "GROUP BY level ORDER BY level",
+        }
+    )
+    assert resp["ok"], resp
+    assert resp["columns"] == ["level", "n"]
+    assert len(resp["rows"]) >= 1
+    assert not resp["truncated"]
+
+    # joins against games work too
+    resp2 = engine_db.handle(
+        {"command": "sql", "sql": "SELECT COUNT(*) AS games FROM games"}
+    )
+    assert resp2["ok"]
+    assert resp2["rows"][0][0] == 4
+
+
+def test_sql_command_rejects_writes(engine_db):
+    for bad in ("DROP TABLE entries", "INSERT INTO entries VALUES (1)",
+                "CREATE TABLE x (a INT)"):
+        resp = engine_db.handle({"command": "sql", "sql": bad})
+        assert not resp["ok"]
+        assert "SELECT" in resp["error"]
