@@ -114,3 +114,62 @@ def test_cdc_stream_equals_batch(spark, tmp_path):
         _target(spark), batch1.unionByName(batch2), ["k"], seq_col="seq"
     )
     assert _rows(final.drop("seq")) == _rows(batch_merge)
+
+
+# --- property-based: CDC merge vs a pure-python reference apply ------------
+
+import pytest  # noqa: E402
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_ch = st.tuples(
+    st.integers(min_value=0, max_value=5),  # key
+    st.sampled_from(["I", "U", "D"]),
+    st.one_of(st.none(), st.text(alphabet="abc", min_size=1, max_size=3)),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=99)),
+)
+
+
+def _ref_merge(target, changes):
+    """Pure-python oracle: latest (seq, op desc) change per key wins;
+    D deletes, U/I upsert with per-column coalesce."""
+    best = {}
+    for k, op, v, n, seq in changes:
+        cur = best.get(k)
+        if cur is None or (seq, op) > (cur[4], cur[1]):
+            best[k] = (k, op, v, n, seq)
+    out = dict(target)
+    for k, (_, op, v, n, _) in best.items():
+        if op == "D":
+            out.pop(k, None)
+        else:
+            old = out.get(k, (None, None))
+            out[k] = (v if v is not None else old[0],
+                      n if n is not None else old[1])
+    return sorted((k, v, n) for k, (v, n) in out.items())
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_ch, max_size=12))
+def test_merge_matches_python_reference(changes):
+    spark = _SPARK[0]
+    target = {1: ("a", 10), 2: ("b", 20), 3: ("c", 30)}
+    seqd = [(k, op, v, n, i) for i, (k, op, v, n) in enumerate(changes)]
+    tgt_df = spark.createDataFrame(
+        [(k, v, n) for k, (v, n) in target.items()], "k long, v string, n long"
+    )
+    if seqd:
+        chg_df = spark.createDataFrame(seqd, CHANGES_SCHEMA)
+        got = _rows(merge_changes(tgt_df, chg_df, ["k"], seq_col="seq"))
+    else:
+        got = _rows(tgt_df)
+    assert got == _ref_merge(target, seqd)
+
+
+_SPARK = []
+
+
+@pytest.fixture(autouse=True)
+def _capture_spark(spark):
+    # hypothesis @given can't take the pytest fixture directly; stash it
+    _SPARK.clear()
+    _SPARK.append(spark)
