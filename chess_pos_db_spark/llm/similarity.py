@@ -809,7 +809,14 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle counts for an undirected edge set given as
-    canonical (a < b) pairs."""
+    canonical (a < b) pairs.
+
+    The edge set is consumed FIVE times (degree ×2, both wedge sides,
+    closing probe); localCheckpoint materializes it once so the plan
+    reuses the m-row edge list instead of replaying its producer —
+    with the kNN-graph producer inlined the audit counted 100
+    exchanges, checkpointed it is the 3 the algorithm needs."""
+    edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionByName(edges.select(F.col("b").alias("node")))
@@ -826,7 +833,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     oriented = ranked.select(
         F.when(a_lower, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_lower, F.col("b")).otherwise(F.col("a")).alias("hi"),
-    )
+    ).localCheckpoint(eager=True)  # consumed by BOTH wedge sides
     # wedges hinged at the lowest-rank vertex; (v, w) canonicalized so the
     # closing-edge probe hits the undirected edge set once
     w1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
