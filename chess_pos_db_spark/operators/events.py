@@ -482,3 +482,89 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_overlaps"), F.asc("click_id"))
         .limit(50)
     )
+
+
+@register(
+    "events_resample_ffill",
+    oracle="""
+WITH e AS (SELECT * FROM events WHERE user_id <= 3),
+b AS (
+    SELECT user_id, date_trunc('hour', MIN(ts))::TIMESTAMP AS h0,
+           date_trunc('hour', MAX(ts))::TIMESTAMP AS h1
+    FROM e GROUP BY user_id
+),
+grid AS (
+    SELECT user_id,
+           UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_start
+    FROM b
+),
+obs AS (
+    SELECT user_id, date_trunc('hour', ts)::TIMESTAMP AS hour_start, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM e
+),
+lo AS (SELECT user_id, hour_start, value AS obs_value FROM obs WHERE rn = 1)
+SELECT g.user_id, g.hour_start,
+       ROUND(LAST_VALUE(l.obs_value IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.hour_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS filled_value,
+       l.obs_value IS NOT NULL AS is_observed
+FROM grid g
+LEFT JOIN lo l ON g.user_id = l.user_id AND g.hour_start = l.hour_start
+""",
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: each user's irregular event
+    stream becomes a dense hourly grid carrying the last observed value
+    (the feature-store/monitoring "as-of each hour" view).
+
+    Scale shape: the grid GENERATES inside the row (sequence+explode —
+    grid size is time-range × users, never a cross join against a
+    calendar table); both windows and the grid↔observation join share
+    the (user_id) key, so one exchange family serves the whole plan and
+    users parallelize independently. The first grid hour is the first
+    observation's hour, so the fill never reads across users.
+    """
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") <= 3)
+    b = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = b.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start"),
+    )
+    w_h = Window.partitionBy("user_id", "hour_start").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last_in_hour = (
+        e.select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .withColumn("rn", F.row_number().over(w_h))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour_start", F.col("value").alias("obs_value"))
+    )
+    w_f = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(last_in_hour, ["user_id", "hour_start"], "left").select(
+        "user_id",
+        "hour_start",
+        F.round(F.last("obs_value", ignorenulls=True).over(w_f), 2).alias(
+            "filled_value"
+        ),
+        F.col("obs_value").isNotNull().alias("is_observed"),
+    )

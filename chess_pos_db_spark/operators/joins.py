@@ -642,3 +642,79 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J12e — END-TO-END entity resolution: blocking → pairwise verify →
+# transitive closure → canonical record. The composition customers of
+# the pieces actually run: join_fuzzy_levenshtein is the edge rule,
+# llm/dedup.component_labels the clustering, and the survivor pick is
+# one deterministic min-per-cluster reduction. Matching is transitive
+# by construction here (A~B, B~C ⇒ same entity even when A,C are >2
+# edits apart) — exactly what the closure models, and what pairwise
+# output alone gets wrong.
+#
+# Scale: blocking bounds the pair join (same argument as J12); the
+# closure runs on the ENTITY graph (pairs, not records); the canonical
+# pick is one (cluster) aggregate. Each stage's 100 TB posture is
+# inherited from the operator it reuses.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "er_resolve",
+    oracle="""
+WITH RECURSIVE p AS (
+    SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk FROM part
+),
+pairs AS (
+    SELECT a.p_partkey AS ka, b.p_partkey AS kb
+    FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+),
+edges AS (
+    SELECT ka AS u, kb AS v FROM pairs
+    UNION ALL
+    SELECT kb AS u, ka AS v FROM pairs
+),
+walk(node, label) AS (
+    SELECT p_partkey, p_partkey FROM p
+    UNION
+    SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+),
+cc AS (
+    SELECT node AS p_partkey, MIN(label) AS entity_id
+    FROM walk GROUP BY node
+)
+SELECT c.p_partkey, c.entity_id, canon.p_name AS canonical_name,
+       CAST(sz.n AS BIGINT) AS entity_size
+FROM cc c
+JOIN p canon ON canon.p_partkey = c.entity_id
+JOIN (SELECT entity_id AS eid, COUNT(*) AS n FROM cc GROUP BY entity_id) sz
+  ON sz.eid = c.entity_id
+""",
+)
+def er_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(record, entity_id, canonical_name, entity_size): every part
+    resolved to its duplicate-entity cluster."""
+    from ..llm.dedup import component_labels
+
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = join_fuzzy_levenshtein(spark, sf_dir).select(
+        F.col("partkey_a").alias("doc_a"), F.col("partkey_b").alias("doc_b")
+    )
+    nodes = p.select(F.col("p_partkey").alias("doc_id"))
+    cc = component_labels(nodes, pairs).select(
+        F.col("doc_id").alias("p_partkey"),
+        F.col("cluster_id").alias("entity_id"),
+    )
+    canon = p.select(
+        F.col("p_partkey").alias("entity_id"),
+        F.col("p_name").alias("canonical_name"),
+    )
+    size = cc.groupBy("entity_id").agg(F.count("*").alias("entity_size"))
+    return (
+        cc.join(F.broadcast(canon), "entity_id")
+        .join(size, "entity_id")
+        .select("p_partkey", "entity_id", "canonical_name", "entity_size")
+    )
