@@ -129,3 +129,64 @@ def grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").applyInPandas(
         _normalize, schema="event_id long, event_type string, norm_value double"
     )
+
+
+# X5 — Arrow-OPTIMIZED Python UDF (Spark 3.5+/4 `useArrow=True`): the
+# modern replacement for row-at-a-time F.udf — same scalar Python
+# semantics, Arrow-batched transfer, no pandas dependency in the UDF
+# body. The third point on the Python-boundary spectrum next to
+# pandas_udf (X1) and mapInPandas (X3).
+def _clamp_py(x):
+    return min(max(x, 10.0), 40.0)
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       LEAST(GREATEST(l_quantity, 10.0), 40.0) AS qty_clamped
+FROM lineitem
+""",
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clamp = F.udf(_clamp_py, T.DoubleType(), useArrow=True)
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", clamp("l_quantity").alias("qty_clamped")
+    )
+
+
+# X6 — mapInArrow: the zero-copy end of the spectrum — batches arrive
+# as pyarrow.RecordBatch, no pandas materialization at all. The right
+# seam for codecs that already speak Arrow (vector libs, image
+# decoders emitting tensors).
+def _arrow_double_qty(batches):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("l_orderkey"),
+                batch.column("l_linenumber"),
+                pc.multiply(batch.column("l_quantity"), pa.scalar(2.0)),
+            ],
+            names=["l_orderkey", "l_linenumber", "qty_doubled"],
+        )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity * 2.0 AS qty_doubled
+FROM lineitem
+""",
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return li.mapInArrow(
+        _arrow_double_qty,
+        schema="l_orderkey long, l_linenumber int, qty_doubled double",
+    )

@@ -568,3 +568,105 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("obs_value").isNotNull().alias("is_observed"),
     )
+
+
+@register(
+    "scd2_build",
+    oracle="""
+WITH attr AS (
+    SELECT user_id, ts, value, event_id
+    FROM events WHERE event_type = 'signup' AND user_id <= 20
+)
+SELECT user_id,
+       ROUND(value, 2) AS attr_value,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           AS is_current
+FROM attr
+""",
+)
+def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: an attribute change feed
+    becomes validity-interval rows (valid_from, valid_to, is_current) —
+    the warehouse artifact a temporal lookup joins against.
+
+    One (user_id) window over the change feed; at 100 TB the feed
+    shuffles once on the dimension key and each key's history is
+    independent. valid_to is exclusive (next change's timestamp),
+    NULL = open-ended current row.
+    """
+    attr = t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "signup") & (F.col("user_id") <= 20)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return attr.select(
+        "user_id",
+        F.round("value", 2).alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "join_scd2_temporal",
+    oracle="""
+WITH attr AS (
+    SELECT user_id, ts, value, event_id
+    FROM events WHERE event_type = 'signup' AND user_id <= 20
+),
+dim AS (
+    SELECT user_id, ROUND(value, 2) AS attr_value, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+    FROM attr
+),
+fact AS (
+    SELECT event_id, user_id, ts
+    FROM events WHERE event_type = 'purchase' AND user_id <= 20
+)
+SELECT f.event_id, f.user_id, d.attr_value
+FROM fact f
+JOIN dim d
+  ON d.user_id = f.user_id
+ AND d.valid_from <= f.ts
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+""",
+)
+def join_scd2_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-time) lookup against the SCD2 dimension:
+    each purchase reads the attribute version valid AT ITS OWN event
+    time — the correctness property a plain latest-value join gets
+    wrong for historical facts.
+
+    Plan: equi-join on the dimension key carries the whole shuffle;
+    the interval predicate is a post-join filter on co-located rows
+    (each key's versions are few), so this stays a hash/SMJ join —
+    never an interval cross join. The as-of window form (join_asof)
+    is the same semantics when the dim fits the window side; this is
+    the form you use when the SCD2 table is the shared artifact.
+    """
+    # both sides derive from the same events scan — alias to keep the
+    # join predicate unambiguous (self-join lineage)
+    dim = (
+        scd2_build(spark, sf_dir)
+        .select(
+            F.col("user_id").alias("d_user_id"),
+            "attr_value",
+            "valid_from",
+            "valid_to",
+        )
+    )
+    fact = (
+        t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") <= 20))
+        .select("event_id", "user_id", "ts")
+    )
+    cond = (
+        (F.col("d_user_id") == F.col("user_id"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return fact.join(dim, cond).select("event_id", "user_id", "attr_value")
