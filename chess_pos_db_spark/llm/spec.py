@@ -16,6 +16,10 @@ oracle-verifies individually):
   {"op": "dedup_exact"}                    — first doc per content digest
   {"op": "sample_hash", "permille": N}     — deterministic hash-mod rate
   {"op": "domain_cap", "per_source": N}    — best-N per source, md5 rank
+  {"op": "gopher_gate", ...}               — Gopher rule battery (map-only,
+        thresholds override llm/quality.py defaults)
+  {"op": "entropy_gate", "min_entropy": X} — char-entropy floor (gibberish
+        and filler collapse to low entropy; map-only)
 """
 
 from __future__ import annotations
@@ -77,6 +81,47 @@ def _domain_cap(df: DataFrame, stage: dict) -> DataFrame:
     )
 
 
+def _gopher_gate(df: DataFrame, stage: dict) -> DataFrame:
+    from . import quality as q
+
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("bigint")
+    mean_word_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    ) * F.lit(1.0) / n_words
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+        * F.lit(1.0)
+        / n_words
+    )
+    return df.filter(
+        n_words.between(
+            int(stage.get("min_words", q._MIN_WORDS)),
+            int(stage.get("max_words", q._MAX_WORDS)),
+        )
+        & mean_word_len.between(
+            float(stage.get("min_mwl", q._MIN_MWL)),
+            float(stage.get("max_mwl", q._MAX_MWL)),
+        )
+        & (alpha_frac >= float(stage.get("min_alpha_frac", q._MIN_ALPHA_FRAC)))
+    )
+
+
+def _entropy_gate(df: DataFrame, stage: dict) -> DataFrame:
+    chars = F.split("text", "")
+    dchars = F.array_distinct(chars)
+    n = F.size(chars).cast("double")
+    counts = F.transform(
+        dchars, lambda d: F.size(F.filter(chars, lambda c: c == d)).cast("double")
+    )
+    ent = -F.aggregate(
+        counts, F.lit(0.0), lambda acc, c: acc + (c / n) * F.log2(c / n)
+    )
+    return df.filter(ent >= float(stage["min_entropy"]))
+
+
 _STAGES = {
     "normalize": _normalize,
     "lang_filter": _lang_filter,
@@ -84,6 +129,8 @@ _STAGES = {
     "dedup_exact": _dedup_exact,
     "sample_hash": _sample_hash,
     "domain_cap": _domain_cap,
+    "gopher_gate": _gopher_gate,
+    "entropy_gate": _entropy_gate,
 }
 
 

@@ -518,3 +518,74 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)"
         ).alias("p99_price"),
     )
+
+
+@register(
+    "json_variant",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE CAST(props->>'k' AS INTEGER) >= 50
+GROUP BY event_type
+""",
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: parse_json once
+    into the engine-native binary VARIANT encoding, then typed
+    variant_get extraction — the shredded/indexed successor to
+    per-access get_json_object string re-parsing (json_extract is the
+    legacy twin). At 100 TB the difference is parsing each props blob
+    ONCE versus once per accessed field, and VARIANT columns persist
+    to parquet for scan-time pushdown."""
+    e = t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 2
+) t
+WHERE c.c_custkey <= 50
+""",
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer) — the
+    SQL form of top-k-per-group. Catalyst decorrelates this into the
+    same window/limit shapes win_topk_per_group builds by hand, which
+    is the point: the declarative form survives optimization instead
+    of forcing a per-row re-execution (what LATERAL naively means)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_v c,
+        LATERAL (
+            SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+            FROM orders_v o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE c.c_custkey <= 50
+        """
+    )

@@ -366,3 +366,37 @@ def test_pipeline_spec_runner(spark, sf_dir):
     # one composed plan: the runner's output is lazy and survives explain
     plan = run_pipeline(docs, spec)._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" in plan or "FileScan" in plan
+
+
+def test_pipeline_spec_quality_gates(spark, sf_dir):
+    """gopher_gate / entropy_gate stages equal the registry queries'
+    keep semantics and stay map-only inside the composed plan."""
+    from chess_pos_db_spark.llm.spec import run_pipeline
+    from chess_pos_db_spark.tables import t
+    import chess_pos_db_spark as engine
+
+    docs = t(spark, sf_dir, "documents")
+    spec = {
+        "stages": [
+            {"op": "gopher_gate", "min_words": 5, "min_alpha_frac": 0.8},
+            {"op": "entropy_gate", "min_entropy": 3.0},
+        ]
+    }
+    out = run_pipeline(docs, spec)
+    got = {r["doc_id"] for r in out.collect()}
+
+    gq = engine.get_queries()["text_gopher_quality"](spark, sf_dir)
+    eq = engine.get_queries()["text_char_entropy"](spark, sf_dir)
+    # spec thresholds chosen to match the registry defaults for the
+    # rules both apply (stopword rule defaults to 0 = no-op)
+    expect_g = {
+        r["doc_id"]
+        for r in gq.filter("keep").collect()
+    }
+    expect_e = {
+        r["doc_id"] for r in eq.filter("char_entropy >= 3.0").collect()
+    }
+    assert got == (expect_g & expect_e)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # both gates are pure filters
