@@ -394,3 +394,44 @@ def cdc_apply_stream(
     )
     q.awaitTermination()
     return spark.read.parquet(os.path.join(store_dir, f"v{_read_latest()}"))
+
+
+def purchase_attribution_outer(
+    signups: DataFrame, purchases: DataFrame, delay: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every signup emits, with
+    NULL purchase columns when no purchase lands in its 7-day window —
+    the "which signups never converted" stream.
+
+    The outer side is the hard state-management case: the engine may
+    only emit the null-padded row once the watermark proves no matching
+    purchase can still arrive (signup_ts + interval + delay has
+    passed), so results trickle out as event time advances rather than
+    at join time. Same eviction bound as the inner form; the batch
+    twin (watermark a no-op, outer join immediate) is the equivalence
+    oracle in tests/test_streaming.py.
+    """
+    s = (
+        signups.filter(F.col("event_type") == "signup")
+        .withWatermark("ts", delay)
+        .select(F.col("user_id"), F.col("ts").alias("signup_ts"))
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", delay)
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+    )
+    return s.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")
+        ),
+        "left_outer",
+    ).select("user_id", "signup_ts", "purchase_ts", "value")

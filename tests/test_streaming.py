@@ -246,3 +246,69 @@ def test_streaming_cms_equals_batch_sketch(spark, events_dir, tmp_path):
     got = {(r["i"], r["col"]): r["cnt"] for r in merged.collect()}
     want = {(r["i"], r["col"]): r["cnt"] for r in batch.collect()}
     assert got == want
+
+
+def test_stream_stream_left_outer_join_equals_batch(spark, sf_dir, tmp_path):
+    """T8b: LEFT OUTER stream-stream interval join. Outer (null-padded)
+    rows may only emit once the watermark PROVES no match can arrive,
+    so they trickle out as event time advances: run 1 drains the
+    corpus (watermark still inside every window -> inner matches only);
+    a far-future sentinel event then pushes the watermark past every
+    window and run 2 (same checkpoint) flushes exactly the unmatched
+    signups. Union of both runs == the batch outer join."""
+    from pyspark.sql import functions as F
+
+    from chess_pos_db_spark.streaming import jobs
+
+    src = str(tmp_path / "events")
+    out_dir = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    t(spark, sf_dir, "events").repartition(3).write.parquet(src)
+
+    def run_once():
+        stream = jobs.read_events_stream(spark, src)
+        q = (
+            jobs.purchase_attribution_outer(stream, stream, delay="720 hours")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    after_run1 = spark.read.parquet(out_dir)
+    assert after_run1.filter(F.col("purchase_ts").isNull()).count() == 0
+
+    # The sentinels must SURVIVE the event_type filters on both join
+    # inputs: the watermark node sits after the filter, so a filtered
+    # row advances nothing (and with the default min-of-watermarks
+    # policy BOTH sides must advance). Their own windows stay open
+    # (ts + 7d > new watermark), so they add no output rows below
+    # the user_id cutoff.
+    batch = spark.read.schema(jobs.EVENTS_SCHEMA).parquet(src)
+    max_ts = batch.agg(F.max("ts")).head()[0]
+    sentinels = spark.createDataFrame(
+        [
+            (10**9, max_ts, 10**6, "signup", 0.0, "{}"),
+            (10**9 + 1, max_ts, 10**6 + 1, "purchase", 0.0, "{}"),
+        ],
+        jobs.EVENTS_SCHEMA,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 5000 HOURS"))
+    sentinels.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = sorted(
+        (r["user_id"], str(r["signup_ts"]), str(r["purchase_ts"]))
+        for r in spark.read.parquet(out_dir)
+        .filter(F.col("user_id") < 10**6)
+        .collect()
+    )
+    expect = sorted(
+        (r["user_id"], str(r["signup_ts"]), str(r["purchase_ts"]))
+        for r in jobs.purchase_attribution_outer(batch, batch).collect()
+    )
+    assert got == expect
+    # the outer semantics actually bite: some signups never converted
+    assert any(p == "None" for _, _, p in got)
