@@ -134,14 +134,37 @@ _STAGES = {
 }
 
 
-def run_pipeline(docs: DataFrame, spec: dict) -> DataFrame:
+def run_pipeline(docs: DataFrame, spec: dict, observe: bool = False):
     """Bind `spec["stages"]` in order over `docs`; returns the composed
     lazy plan. Unknown ops raise at bind time (config errors surface
-    before any cluster time is spent)."""
+    before any cluster time is spent).
+
+    With observe=True, returns (df, observations): an `Observation`
+    row count at the input and after every stage. These piggyback on
+    the SAME execution (accumulator-style, no extra pass and no plan
+    barrier — Catalyst still fuses across stage boundaries), so the
+    per-stage survivor funnel costs nothing beyond the job the caller
+    was already running — the execution-time twin of the
+    curation_funnel query. Read `obs.get` after any action on the
+    returned plan."""
+    from pyspark.sql import Observation
+
     out = docs
-    for stage in spec["stages"]:
+    observations: dict[str, "Observation"] = {}
+
+    def tap(df: DataFrame, name: str) -> DataFrame:
+        if not observe:
+            return df
+        ob = Observation(name)
+        observations[name] = ob
+        return df.observe(ob, F.count(F.lit(1)).alias("rows"))
+
+    out = tap(out, "input")
+    for i, stage in enumerate(spec["stages"]):
         op = stage.get("op")
         if op not in _STAGES:
             raise ValueError(f"unknown pipeline stage {op!r}")
-        out = _STAGES[op](out, stage)
+        out = tap(_STAGES[op](out, stage), f"{i}:{op}")
+    if observe:
+        return out, observations
     return out

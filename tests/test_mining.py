@@ -400,3 +400,31 @@ def test_pipeline_spec_quality_gates(spark, sf_dir):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # both gates are pure filters
+
+
+def test_pipeline_observed_funnel(spark, sf_dir):
+    """observe=True: per-stage survivor counts ride the SAME execution
+    (no extra jobs) and equal independently-computed stage counts."""
+    from chess_pos_db_spark.llm.spec import run_pipeline
+    from chess_pos_db_spark.tables import t
+
+    docs = t(spark, sf_dir, "documents")
+    spec = {
+        "stages": [
+            {"op": "lang_filter", "langs": ["es", "de"]},
+            {"op": "dedup_exact"},
+            {"op": "sample_hash", "permille": 500},
+        ]
+    }
+    out, obs = run_pipeline(docs, spec, observe=True)
+    final_rows = out.count()  # one action drives every observation
+
+    got = {name: ob.get["rows"] for name, ob in obs.items()}
+    # independent recomputation, stage by stage
+    s0 = docs
+    s1 = run_pipeline(s0, {"stages": spec["stages"][:1]})
+    s2 = run_pipeline(s0, {"stages": spec["stages"][:2]})
+    assert got["input"] == s0.count()
+    assert got["0:lang_filter"] == s1.count()
+    assert got["1:dedup_exact"] == s2.count()
+    assert got["2:sample_hash"] == final_rows
