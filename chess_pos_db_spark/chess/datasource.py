@@ -28,7 +28,12 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 from . import pgn
@@ -129,3 +134,83 @@ class PgnDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return PgnDataSourceReader(self.options)
+
+    def streamReader(self, schema: StructType) -> "PgnStreamReader":
+        return PgnStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming form: the reference's `append` loop (watch a directory, new
+# game files become new database runs) as a NATIVE streaming source —
+# micro-batches are planned from the set of not-yet-seen files, each
+# file still fans out into byte-range chunk partitions, and the
+# checkpoint holds the offset (the seen-file list), so restarts resume
+# exactly-once without rescanning imported dumps.
+#
+#     spark.dataSource.register(PgnDataSource)
+#     spark.readStream.format("pgn").load(dir)  ->  foreachBatch(import)
+#
+# Offsets are JSON dicts per the Python Data Source streaming API; a
+# file is identified by (path, size) — PGN dumps are immutable once
+# written, the standard file-source contract.
+# ---------------------------------------------------------------------------
+
+
+class PgnStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self._options = dict(options)
+        self._chunk_bytes = int(options.get("chunk_bytes", DEFAULT_CHUNK_BYTES))
+
+    def _current_files(self) -> list[str]:
+        import glob
+        import os
+
+        raw = self._options.get("path")
+        if not raw:
+            raise ValueError("pgn source requires a path")
+        if os.path.isdir(raw):
+            return sorted(
+                os.path.abspath(os.path.join(raw, f))
+                for f in os.listdir(raw)
+                if f.endswith(".pgn")
+            )
+        if any(c in raw for c in "*?["):
+            return sorted(os.path.abspath(p) for p in glob.glob(raw))
+        return [os.path.abspath(raw)] if os.path.exists(raw) else []
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:
+        return {"seen": self._current_files()}
+
+    def partitions(self, start: dict, end: dict):
+        import os
+
+        new = [p for p in end["seen"] if p not in set(start["seen"])]
+        out = []
+        cb = self._chunk_bytes
+        for idx, path in enumerate(new):
+            size = os.path.getsize(path)
+            n_chunks = max(1, -(-size // cb))
+            for ci in range(n_chunks):
+                out.append(
+                    PgnInputPartition(
+                        path, idx, ci * cb, min((ci + 1) * cb, size)
+                    )
+                )
+        # the API requires >= 1 partition per plan; an empty batch reads
+        # an empty byte range
+        if not out and end["seen"]:
+            out.append(PgnInputPartition(end["seen"][0], 0, 0, 0))
+        return out or [PgnInputPartition("", 0, 0, 0)]
+
+    def read(self, partition: PgnInputPartition):
+        if partition.end <= partition.start:
+            return iter(())
+        # same per-chunk row logic as the batch reader (the method only
+        # touches the partition, so it is shared unbound)
+        return PgnDataSourceReader.read(self, partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # the checkpoint already persisted `end`

@@ -67,3 +67,55 @@ def test_csv_malformed_rows_quarantine(spark, tmp_path):
     clean, bad = formats.split_quarantine(back)
     assert {r["doc_id"] for r in clean.collect()} == {1, 2}
     assert bad.count() == 1
+
+
+def test_pgn_stream_source_incremental(spark, tmp_path):
+    """Streaming form of the pgn data source: new files in the watched
+    directory arrive as new micro-batches; the checkpointed seen-file
+    offset makes re-imports exactly-once across restarts; accumulated
+    stream output equals a batch read of the same files."""
+    from chess_pos_db_spark.chess.datasource import PgnDataSource
+    from .test_chess import PGN_TEXT
+
+    try:
+        spark.dataSource.register(PgnDataSource)
+    except Exception:
+        pass  # already registered by an earlier test
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    (watch / "a.pgn").write_text(PGN_TEXT)
+
+    out_dir = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+
+    def drain():
+        q = (
+            spark.readStream.format("pgn")
+            .load(str(watch))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == 4  # PGN_TEXT holds 4 kept games
+
+    # second file arrives; restart the stream from the checkpoint
+    (watch / "b.pgn").write_text(PGN_TEXT)
+    drain()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 8
+    # a.pgn was NOT re-imported (exactly-once over the offset log)
+    assert got.filter("path LIKE '%a.pgn'").count() == 4
+
+    batch = spark.read.format("pgn").load(str(watch))
+    assert sorted(
+        (r["path"], r["game_offset"], r["result"]) for r in got.collect()
+    ) == sorted(
+        (r["path"], r["game_offset"], r["result"]) for r in batch.collect()
+    )
