@@ -589,3 +589,36 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey <= 50
         """
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+SELECT l_returnflag, metric, ROUND(val, 2) AS val
+FROM (
+    SELECT l_returnflag,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           ROUND(SUM(l_discount), 2) AS sum_disc
+    FROM lineitem GROUP BY l_returnflag
+)
+UNPIVOT (val FOR metric IN (sum_qty, sum_price, sum_disc))
+""",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — wide-to-long reshape of an aggregate grid (the
+    inverse of agg_pivot). Map-only after the aggregation: each wide
+    row emits one row per named column, no shuffle and no UDF; at any
+    scale the reshape rides the aggregate's existing exchange."""
+    li = t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).select("l_returnflag", "metric", F.round("val", 2).alias("val"))
