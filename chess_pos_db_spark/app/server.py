@@ -257,6 +257,31 @@ class Engine:
             "truncated": len(rows) == n,
         }
 
+    def cmd_explain(self, cmd: dict) -> dict:
+        """Physical plan of a read-only SQL query over the open
+        database — the operational "why is this slow" surface: shows
+        whether the probe pushed into the scan, which joins broadcast,
+        where exchanges sit. Same guard as cmd_sql; nothing executes."""
+        self._require_open()
+        text = cmd["sql"]
+        first = text.lstrip().split(None, 1)[0].lower() if text.strip() else ""
+        if first not in ("select", "with"):
+            raise ValueError("only SELECT/WITH queries are allowed")
+        self._entries.createOrReplaceTempView("entries")
+        self._games.createOrReplaceTempView("games")
+        df = self.spark.sql(text)
+        mode = cmd.get("mode", "formatted")
+        plan = df._jdf.queryExecution()
+        if mode == "formatted":
+            out = plan.explainString(
+                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        else:
+            out = plan.executedPlan().toString()
+        return {"plan": out}
+
     def cmd_stats(self, cmd: dict) -> dict:
         self._require_open()
         from pyspark.sql import functions as F

@@ -229,3 +229,18 @@ def test_sql_command_rejects_writes(engine_db):
         resp = engine_db.handle({"command": "sql", "sql": bad})
         assert not resp["ok"]
         assert "SELECT" in resp["error"]
+
+
+def test_explain_command(engine_db):
+    """Plan inspection over the protocol: a probe filter must show as
+    pushed into the parquet scan, and nothing executes."""
+    resp = engine_db.handle(
+        {
+            "command": "explain",
+            "sql": "SELECT level, cnt FROM entries WHERE pos_key = 42",
+        }
+    )
+    assert resp["ok"], resp
+    assert "PushedFilters" in resp["plan"] or "Filter" in resp["plan"]
+    bad = engine_db.handle({"command": "explain", "sql": "DROP TABLE entries"})
+    assert not bad["ok"]
