@@ -58,6 +58,7 @@ def load_all() -> None:
     from .operators import events  # noqa: F401
     from .operators import extras  # noqa: F401
     from .operators import extras2  # noqa: F401
+    from .operators import ivm  # noqa: F401
     from .operators import merge  # noqa: F401
     from .operators import tpch  # noqa: F401
     from .operators import tpch2  # noqa: F401
