@@ -347,7 +347,11 @@ def _read_dirs(spark, path, manifest, ids) -> DataFrame:
         if s["id"] in ids
         for d in s["dirs"]
     ]
-    return spark.read.parquet(*dirs)
+    # mergeSchema: snapshots written before a column existed read as
+    # NULL for it — additive schema evolution without rewriting history
+    # (the Iceberg/Delta add-column semantic; footer union is per-file
+    # metadata work, not data). Rename/retype still require a rewrite.
+    return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
 
 def read_snapshot(

@@ -279,3 +279,24 @@ def test_expire_snapshots_vacuum(spark, tmp_path):
     assert v4 == 4
     final = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
     assert final == [(1, 15), (2, 20), (3, 30), (9, 1)]
+
+
+def test_snapshot_additive_schema_evolution(spark, tmp_path):
+    """A later snapshot adds a column; history reads as NULL for it,
+    compaction carries it, nothing is rewritten."""
+    path = str(tmp_path / "evolve")
+    v1 = spark.createDataFrame([(1, 10)], "k long, cnt long")
+    v2 = spark.createDataFrame(
+        [(2, 20, "s1")], "k long, cnt long, source string"
+    )
+    layout.append_versioned(v1, path, key=["k"])
+    layout.append_versioned(v2, path, key=["k"])
+
+    latest = layout.read_snapshot(spark, path)
+    assert set(latest.columns) == {"k", "cnt", "source"}
+    got = {r["k"]: (r["cnt"], r["source"]) for r in latest.collect()}
+    assert got == {1: (10, None), 2: (20, "s1")}
+
+    # time travel to v1 still resolves (schema is the union, values null)
+    old = layout.read_snapshot(spark, path, 1)
+    assert {r["k"] for r in old.collect()} == {1}
