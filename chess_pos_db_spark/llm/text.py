@@ -389,7 +389,21 @@ def _misra_gries_summaries(tokens: DataFrame) -> DataFrame:
     return tokens.mapInPandas(mg, "token string, cnt_lower long")
 
 
-@register("text_heavy_hitters_sketch")  # rows-only: sketch isn't SQL
+@register(
+    "text_heavy_hitters_sketch",
+    # The SKETCH isn't SQL, but its exact-recount tail makes the final
+    # top-20 equal to the exact answer whenever the Misra-Gries
+    # candidate margin holds (guaranteed for counts > N/capacity;
+    # pinned against the exact path in tests/test_mining.py) — so the
+    # exact top-20 IS the oracle.
+    oracle="""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 20
+""",
+)
 def text_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
