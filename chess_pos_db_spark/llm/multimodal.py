@@ -592,3 +592,88 @@ def audio_match(corpus_fps: DataFrame, probe_fps: DataFrame) -> DataFrame:
         .groupBy("probe_id", "media_id", (F.col("c_idx") - F.col("p_idx")).alias("offset"))
         .agg(F.count("*").alias("votes"))
     )
+
+
+# --- cross-modal retrieval ---------------------------------------------------
+#
+# Media features (16-dim histograms) project into the shared 64-dim
+# embedding space through a FIXED md5-derived matrix (the stand-in for
+# a trained CLIP-style projection head; swapping in learned weights
+# changes one constant). After projection, media rows are ordinary
+# vectors: retrieval against the embeddings corpus reuses the exact
+# JVM-side cosine machinery (zip_with/aggregate) — no new join shapes,
+# which is the point: multimodal search is the SAME plan family as
+# text-embedding search once the projection has run.
+
+_XMODAL_IN = _MEDIA_FEAT_DIMS
+_XMODAL_OUT = 64
+
+
+def _projection_matrix() -> np.ndarray:
+    rows = []
+    for i in range(_XMODAL_OUT):
+        row = [
+            int(hashlib.md5(f"xm{i}:{j}".encode()).hexdigest()[:8], 16)
+            / 2**32
+            - 0.5
+            for j in range(_XMODAL_IN)
+        ]
+        rows.append(row)
+    return np.asarray(rows, dtype=np.float32)
+
+
+def media_embeddings(media: DataFrame) -> DataFrame:
+    """(media_id, embedding[64]): featurize → fixed linear projection,
+    one Arrow pass (the matmul rides the same batch as the decode)."""
+    proj = _projection_matrix()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, row in pdf.iterrows():
+                blob = bytes(row["blob"])
+                pixels = decode_image(blob)
+                hist, _ = np.histogram(pixels, bins=16, range=(0, 256))
+                feat = (hist / max(1, pixels.size)).astype(np.float32)
+                emb = proj @ feat
+                out.append(
+                    {"media_id": row["media_id"], "embedding": emb.tolist()}
+                )
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+    return media.mapInPandas(batches, schema=schema)
+
+
+def cross_modal_topk(
+    media: DataFrame, query_vec: list, k: int = 5
+) -> DataFrame:
+    """Top-k media for a 64-dim query vector (e.g. a text embedding):
+    broadcast query, JVM cosine, TakeOrdered — identical plan shape to
+    llm/similarity.similarity_topk, media side instead of corpus."""
+    emb = media_embeddings(media)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qlit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_m = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda a: a.cast("double") * a),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    qn = float(np.sqrt(sum(float(x) * float(x) for x in query_vec))) or 1.0
+    cos = dot / (norm_m * F.lit(qn))
+    return (
+        emb.select("media_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("media_id"))
+        .limit(k)
+    )

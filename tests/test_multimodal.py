@@ -210,3 +210,19 @@ def test_audio_fingerprint_match_finds_clip(spark):
     assert (top.probe_id, top.media_id, top.offset) == (99, 1, 10)
     # the true alignment must dominate: full agreement over the slice
     assert top.votes == 31
+
+
+def test_cross_modal_retrieval_shape_and_selfmatch(spark):
+    """Projection + retrieval: querying WITH a media item's own
+    projected embedding must rank that item first (cos 1.0), and the
+    plan must be the broadcast-cosine/TakeOrdered family (no join,
+    no shuffle on the media side beyond the top-k merge)."""
+    media = mm.synthetic_media(spark, n=24)
+    embs = {r["media_id"]: r["embedding"] for r in mm.media_embeddings(media).collect()}
+    probe_id = sorted(embs)[3]
+    top = mm.cross_modal_topk(media, embs[probe_id], k=3).collect()
+    assert top[0]["media_id"] == probe_id
+    assert abs(top[0]["cos_sim"] - 1.0) < 1e-6
+    plan = mm.cross_modal_topk(media, embs[probe_id], k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
