@@ -81,3 +81,27 @@ DOCUMENTS_SCHEMA = T.StructType(
         T.StructField("n_chars", T.LongType()),
     ]
 )
+
+
+def write_orc_run(
+    df: DataFrame, path: str, key: list[str], partitions: int = 8
+) -> None:
+    """Sorted ORC run — the alternate columnar container. ORC carries
+    the same pruning machinery as Parquet (stripe-level min/max +
+    optional bloom per column), so a key-clustered ORC run serves the
+    probe-join workload identically; which container wins is a
+    deployment question (existing lakes, Hive compatibility), not an
+    engine one. Same layout discipline as plans/layout.write_sorted_run."""
+    (
+        df.repartitionByRange(partitions, *[F.col(k) for k in key])
+        .sortWithinPartitions(*key)
+        .write.mode("overwrite")
+        .option("orc.bloom.filter.columns", ",".join(key))
+        .orc(path)
+    )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan; predicate pushdown reaches stripe stats exactly like
+    the Parquet path (pinned in tests/test_sources.py)."""
+    return spark.read.orc(path)

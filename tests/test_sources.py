@@ -119,3 +119,27 @@ def test_pgn_stream_source_incremental(spark, tmp_path):
     ) == sorted(
         (r["path"], r["game_offset"], r["result"]) for r in batch.collect()
     )
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC as the alternate columnar container: sorted-run write,
+    byte-identical read-back, and probe predicates pushed to the scan
+    (stripe-pruning analogue of the Parquet path)."""
+    from chess_pos_db_spark.sources import formats
+    from chess_pos_db_spark.tables import t
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    path = str(tmp_path / "orc_run")
+    formats.write_orc_run(li, path, key=["l_orderkey"])
+
+    back = formats.read_orc(spark, path)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in li.collect()
+    )
+
+    probe = back.filter("l_orderkey = 7")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_orderkey" in plan
+    assert probe.count() == li.filter("l_orderkey = 7").count()
