@@ -300,3 +300,28 @@ def test_snapshot_additive_schema_evolution(spark, tmp_path):
     # time travel to v1 still resolves (schema is the union, values null)
     old = layout.read_snapshot(spark, path, 1)
     assert {r["k"] for r in old.collect()} == {1}
+
+
+def test_snapshot_diff(spark, tmp_path):
+    """Diff across append+compact: added, removed (via full retraction
+    pattern: compaction output drops nothing here, so craft with two
+    appends), and changed keys all classified."""
+    path = str(tmp_path / "diff")
+    layout.append_versioned(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, cnt long"),
+        path, key=["k"],
+    )
+    layout.append_versioned(
+        spark.createDataFrame([(2, 5), (3, 30)], "k long, cnt long"),
+        path, key=["k"],
+    )
+    v3 = layout.compact_versioned(
+        spark, path, key=["k"], agg_spec={"cnt": "sum"}
+    )
+    d = {
+        r["k"]: (r["change"], r["old"], r["new"])
+        for r in layout.snapshot_diff(spark, path, 1, v3, ["k"]).collect()
+    }
+    assert d[2][0] == "changed" and d[2][1]["cnt"] == 20 and d[2][2]["cnt"] == 25
+    assert d[3][0] == "added"
+    assert 1 not in d  # unchanged keys are excluded
