@@ -847,3 +847,73 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .unionByName(tri.select(F.col("w").alias("node")))
     )
     return member.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+@register(
+    "graph_clustering_coeff",
+    oracle=f"""
+WITH {_tri_edges_cte()},
+tri AS (
+    SELECT e1.a AS u, e1.b AS v, e2.b AS w
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+member AS (
+    SELECT u AS node FROM tri
+    UNION ALL SELECT v FROM tri
+    UNION ALL SELECT w FROM tri
+),
+tcnt AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM member GROUP BY node
+),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+    ) GROUP BY node
+)
+SELECT d.node, COALESCE(t.n_triangles, 0) AS n_triangles, d.deg,
+       ROUND(COALESCE(t.n_triangles, 0) * 2.0
+             / (d.deg * (d.deg - 1)), 6) AS clustering
+FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+WHERE d.deg >= 2
+""",
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node: triangles / C(deg, 2) —
+    the neighborhood-density signal over the kNN graph (high = the
+    vector sits in a tight semantic cluster; low = a hub bridging
+    modes). Rides the SAME oriented-wedge machinery as
+    graph_triangles plus one degree rollup and a left join — nothing
+    new moves at scale."""
+    knn = ann_knn_graph(spark, sf_dir)
+    edges = (
+        knn.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tcnt = triangle_counts(edges)
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tcnt, "node", "left")
+        .select(
+            "node",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            "deg",
+            F.round(
+                F.coalesce("n_triangles", F.lit(0))
+                * 2.0
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ).alias("clustering"),
+        )
+    )
