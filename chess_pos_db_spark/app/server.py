@@ -221,6 +221,22 @@ class Engine:
             }
         }
 
+    def cmd_tree(self, cmd: dict) -> dict:
+        """Opening-tree expansion: top-N continuations followed D plies
+        from a position, one batched probe job per level (the whole
+        frontier probes together — a depth-4 tree is 4 jobs, not 40
+        requests)."""
+        self._require_open()
+        tree = query.explorer_tree(
+            self.spark,
+            self._entries,
+            self._games,
+            cmd["fen"],
+            depth=int(cmd.get("depth", 2)),
+            top_n=int(cmd.get("topN", 3)),
+        )
+        return {"tree": tree}
+
     def cmd_sql(self, cmd: dict) -> dict:
         """Ad-hoc read-only SQL over the open database — the Spark-first
         capability the reference's fixed command set never had: the

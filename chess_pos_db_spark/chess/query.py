@@ -371,3 +371,68 @@ def transposition_stats(agg_entries: DataFrame, min_paths: int = 2) -> DataFrame
         .filter(F.col("n_paths") >= min_paths)
         .orderBy(F.desc("n_paths"), F.desc("n_visits"), F.asc("pos_key"))
     )
+
+
+def explorer_tree(
+    spark: SparkSession,
+    entries: DataFrame,
+    games: Optional[DataFrame],
+    fen: str,
+    depth: int = 2,
+    top_n: int = 3,
+    select: str = "continuation",
+) -> dict:
+    """Opening-tree expansion: the explorer followed `depth` plies down
+    the `top_n` most-played continuations from `fen` — what the
+    reference's GUI builds with one request per click, answered here in
+    ONE batched probe job PER LEVEL (the frontier of level d probes as
+    a single explorer_query batch), so a depth-4 × top-3 tree costs 4
+    jobs, not 40 requests. Frontier size is bounded by top_n^depth;
+    the scan side stays the pruned probe join of the single-position
+    path.
+
+    Returns {"fen", "stats", "children": {san: {uci, total, subtree}}}.
+    """
+    from .board import Position
+
+    def total_count(child_stats: dict) -> int:
+        tot = 0
+        for lvl_bucket in child_stats.get(select, {}).values():
+            for cell in lvl_bucket.values():
+                tot += cell.get("count", 0)
+        return tot
+
+    root = {"fen": fen, "stats": None, "children": {}}
+    frontier = [(root, fen)]
+    for _ in range(depth):
+        if not frontier:
+            break
+        request = {
+            "token": "tree",
+            "positions": [{"fen": f} for _, f in frontier],
+        }
+        resp = explorer_query(spark, entries, games, request)
+        next_frontier = []
+        for (node, f), pos_resp in zip(frontier, resp["positions"]):
+            node["stats"] = pos_resp["stats"]
+            ranked = sorted(
+                pos_resp["children"].items(),
+                key=lambda kv: (-total_count(kv[1]["stats"]), kv[0]),
+            )[:top_n]
+            pos = Position.from_fen(f)
+            for san, child in ranked:
+                try:
+                    child_fen = pos.make_move(pos.parse_san(san)).fen()
+                except Exception:
+                    continue  # unparsable edge (corrupt SAN) — skip
+                child_node = {
+                    "fen": child_fen,
+                    "uci": child["uci"],
+                    "total": total_count(child["stats"]),
+                    "stats": child["stats"],
+                    "children": {},
+                }
+                node["children"][san] = child_node
+                next_frontier.append((child_node, child_fen))
+        frontier = next_frontier
+    return root

@@ -244,3 +244,23 @@ def test_explain_command(engine_db):
     assert "PushedFilters" in resp["plan"] or "Filter" in resp["plan"]
     bad = engine_db.handle({"command": "explain", "sql": "DROP TABLE entries"})
     assert not bad["ok"]
+
+
+def test_tree_command(engine_db):
+    """Depth-2 opening tree from the start position: root stats filled,
+    children ranked by total count, grandchildren expanded, child FENs
+    legal (the SAN replay round-trips)."""
+    start = "rnbqkbnr/pppppppp/8/8/8/8/PPPPPPPP/RNBQKBNR w KQkq - 0 1"
+    resp = engine_db.handle(
+        {"command": "tree", "fen": start, "depth": 2, "topN": 2}
+    )
+    assert resp["ok"], resp
+    tree = resp["tree"]
+    assert tree["fen"] == start
+    assert tree["stats"]  # root has stats
+    assert tree["children"]  # at least one continuation
+    for san, child in tree["children"].items():
+        assert child["total"] > 0
+        assert child["fen"].count("/") == 7  # a real FEN board
+        # depth-2: grandchildren were expanded where data exists
+        assert "children" in child
