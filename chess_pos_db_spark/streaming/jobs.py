@@ -435,3 +435,72 @@ def purchase_attribution_outer(
         ),
         "left_outer",
     ).select("user_id", "signup_ts", "purchase_ts", "value")
+
+
+def ivm_apply_stream(
+    spark: SparkSession,
+    src_dir: str,
+    changes_schema: T.StructType,
+    store_dir: str,
+    seed_base: DataFrame,
+    key: list[str],
+    val: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Streaming incremental view maintenance: a change stream of
+    (+row / -row) events keeps a stored (cnt, total) aggregate view
+    current — operators/ivm.maintain_agg_view inside foreachBatch,
+    versioned store dirs like cdc_apply_stream. The true streaming
+    materialized view: each micro-batch costs one shuffle over the
+    BATCH (partial-agg of its rows), never a base rescan.
+
+    Change rows: key columns + `val` + op ∈ {'I','D'}.
+    """
+    import os
+
+    from ..operators.ivm import agg_view, maintain_agg_view
+
+    latest_path = os.path.join(store_dir, "_LATEST")
+
+    def _read_latest() -> int:
+        with open(latest_path) as f:
+            return int(f.read().strip())
+
+    def _write_latest(v: int) -> None:
+        tmp = latest_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, latest_path)
+
+    os.makedirs(store_dir, exist_ok=True)
+    if not os.path.exists(latest_path):
+        agg_view(seed_base, key, val).write.mode("overwrite").parquet(
+            os.path.join(store_dir, "v1")
+        )
+        _write_latest(1)
+
+    changes = spark.readStream.schema(changes_schema).parquet(src_dir)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        v = _read_latest()
+        view = spark.read.parquet(os.path.join(store_dir, f"v{v}"))
+        updated = maintain_agg_view(
+            view,
+            key,
+            val,
+            inserts=batch_df.filter(F.col(op_col) == "I"),
+            deletes=batch_df.filter(F.col(op_col) == "D"),
+        )
+        updated.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"v{v + 1}")
+        )
+        _write_latest(v + 1)
+
+    q = (
+        changes.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", store_dir + "_chk")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(store_dir, f"v{_read_latest()}"))

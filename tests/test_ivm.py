@@ -99,3 +99,34 @@ _SPARK = []
 def _capture_spark(spark):
     _SPARK.clear()
     _SPARK.append(spark)
+
+
+def test_ivm_stream_equals_recompute(spark, tmp_path):
+    """Streaming IVM: a change stream of +/- events maintains the view
+    to exactly the recomputed aggregate of the final base state."""
+    from pyspark.sql import types as T
+    from chess_pos_db_spark.streaming import jobs
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "changes")
+    store = str(tmp_path / "view")
+    base_rows = [("a", 1), ("a", 4), ("b", 2)]
+    base = spark.createDataFrame(base_rows, "k string, v long")
+
+    b1 = [("c", 7, "I"), ("a", 1, "D")]
+    b2 = [("b", 2, "D"), ("c", 3, "I")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    final = jobs.ivm_apply_stream(
+        spark, src, schema, store, base, ["k"], "v"
+    )
+    got = sorted(tuple(r) for r in final.collect())
+    # final base: a:4, c:7, c:3  (b fully retracted)
+    assert got == [("a", 1, 4), ("c", 2, 10)]
