@@ -325,3 +325,36 @@ def test_snapshot_diff(spark, tmp_path):
     assert d[2][0] == "changed" and d[2][1]["cnt"] == 20 and d[2][2]["cnt"] == 25
     assert d[3][0] == "added"
     assert 1 not in d  # unchanged keys are excluded
+
+
+def test_zstd_codec_density_improvement(spark, sf_dir, tmp_path):
+    """Cold-storage codec option: the same sorted run written zstd must
+    be SMALLER than snappy (zstd wins on text-light fixed-width rows
+    too) while reading back identically — the compaction job's
+    hot-tier/cold-tier knob, one write option, no layout change."""
+    import glob
+    import os
+
+    from chess_pos_db_spark.tables import t
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
+    )
+
+    def write(codec, path):
+        (
+            li.repartitionByRange(4, "l_orderkey")
+            .sortWithinPartitions("l_orderkey")
+            .write.option("compression", codec)
+            .mode("overwrite")
+            .parquet(path)
+        )
+        return sum(
+            os.path.getsize(p) for p in glob.glob(f"{path}/*.parquet")
+        )
+
+    snappy = write("snappy", str(tmp_path / "snappy"))
+    zstd = write("zstd", str(tmp_path / "zstd"))
+    assert zstd < snappy, (zstd, snappy)
+    back = spark.read.parquet(str(tmp_path / "zstd"))
+    assert back.count() == li.count()
