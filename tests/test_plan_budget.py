@@ -1,0 +1,63 @@
+"""Shuffle-budget lockfile for the 25 headline (bench.py) queries: each
+query's physical plan may not grow MORE shuffle exchanges than its
+audited count (PLANS.md). A silent extra Exchange is a scale
+regression even while results stay correct — this is the CI tripwire
+tools/audit_plans.py only reports after the fact. Shrinking is fine;
+growth fails and forces the budget (and SCALE.md) to be revisited
+deliberately."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import chess_pos_db_spark as engine
+
+# audited shuffle-exchange counts (PLANS.md, sf0.01) at lock time
+SHUFFLE_BUDGET = {
+    "agg_groupcount": 1,
+    "agg_rollup": 1,
+    "filter_range": 0,
+    "join_broadcast_lookup": 1,
+    "join_sortmerge": 1,
+    "join_dim_chain": 1,
+    "join_asof": 1,
+    "win_topk_per_group": 1,
+    "win_lag_lead": 1,
+    "win_moving_avg": 1,
+    "sort_topk": 0,
+    "sort_merge_compact": 2,
+    "set_distinct": 1,
+    "sample_hash": 0,
+    "subquery_exists": 0,
+    "udtf_expand": 0,
+    "stream_session": 1,
+    "agg_median": 1,
+    "text_token_stats": 2,
+    "text_token_count_bpe": 0,
+    "dedup_exact_groups": 1,
+    "dedup_simhash": 1,
+    "dedup_minhash_cluster": 2,
+    "similarity_topk": 0,
+    "similarity_ivf": 0,
+}
+
+
+def _n_exchanges(plan: str) -> int:
+    return len(
+        re.findall(
+            r"Exchange (?:hash|range|rangepartitioning|SinglePartition)", plan
+        )
+    )
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_shuffle_budget(name, spark, sf_dir):
+    df = engine.get_queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    got = _n_exchanges(plan)
+    assert got <= SHUFFLE_BUDGET[name], (
+        f"{name}: {got} shuffle exchanges > audited budget "
+        f"{SHUFFLE_BUDGET[name]} — plan regressed (see PLANS.md)"
+    )
