@@ -51,30 +51,62 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS signup_users,
 """,
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed single-pass funnel: ONE (user_id) exchange serves the
+    whole three-step chain. Running conditional mins over the user's
+    time-ordered events replace the join-per-step form (which cost a
+    join+agg exchange pair PER STEP — 8 exchanges at three steps):
+
+        ts1_run = min signup ts among STRICTLY PRECEDING rows
+        a view qualifies when ts > ts1_run   -> ts2_run likewise
+        a purchase qualifies when ts > ts2_run
+
+    Strictness matches the join form exactly: an equal-ts signup
+    neither qualifies the view there (ts > ts1 fails) nor here (the
+    running min is <= ts, and the > check fails). The per-user rollup
+    after the window reuses the window's hash partitioning, so no new
+    exchange; the final three counts are one scalar aggregate. State
+    per row is O(1) — no per-user event collection — so a power user
+    with 10^6 events costs a longer partition, not memory.
+    """
     e = t(spark, sf_dir, "events")
-    s = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ts1"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .join(s, "user_id")
-        .filter(F.col("ts") > F.col("ts1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ts2"))
+    ts1_run = F.min(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    step = e.withColumn("ts1_run", ts1_run)
+    qual_view = (
+        (F.col("event_type") == "view")
+        & F.col("ts1_run").isNotNull()
+        & (F.col("ts") > F.col("ts1_run"))
     )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("ts2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ts3"))
+    step = step.withColumn(
+        "ts2_run",
+        F.min(F.when(qual_view, F.col("ts"))).over(w),
     )
-    return (
-        s.agg(F.count("*").alias("signup_users"))
-        .join(F.broadcast(v.agg(F.count("*").alias("viewed_after"))))
-        .join(F.broadcast(p.agg(F.count("*").alias("purchased_after"))))
+    qual_buy = (
+        (F.col("event_type") == "purchase")
+        & F.col("ts2_run").isNotNull()
+        & (F.col("ts") > F.col("ts2_run"))
+    )
+    per_user = (
+        step.withColumn("is_signup", (F.col("event_type") == "signup").cast("int"))
+        .withColumn("is_view_after", qual_view.cast("int"))
+        .withColumn("is_buy_after", qual_buy.cast("int"))
+        .groupBy("user_id")
+        .agg(
+            F.max("is_signup").alias("signed"),
+            F.max("is_view_after").alias("viewed"),
+            F.max("is_buy_after").alias("bought"),
+        )
+    )
+    return per_user.agg(
+        F.sum("signed").cast("bigint").alias("signup_users"),
+        F.sum("viewed").cast("bigint").alias("viewed_after"),
+        F.sum("bought").cast("bigint").alias("purchased_after"),
     )
 
 
