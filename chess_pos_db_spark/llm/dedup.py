@@ -155,6 +155,10 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") <= JACCARD_DF_CAP)
         .drop("df")
+        # three consumers (both self-join sides + the size rollup):
+        # materialize the capped postings once instead of replaying
+        # explode+distinct+window per consumer
+        .localCheckpoint(eager=True)
     )
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     a = tok.alias("a")

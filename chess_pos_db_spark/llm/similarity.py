@@ -822,6 +822,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .unionByName(edges.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)  # joined twice (a side, b side)
     )
     # rank = (degree, id): the total order that bounds oriented out-degree
     ranked = edges.join(
@@ -841,10 +842,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     wedges = w1.join(w2, "u").filter(F.col("v") < F.col("w"))
     closing = edges.select(F.col("a").alias("v"), F.col("b").alias("w"))
     tri = wedges.join(closing, ["v", "w"])  # (u, v, w) exactly once
-    member = (
-        tri.select(F.col("u").alias("node"))
-        .unionByName(tri.select(F.col("v").alias("node")))
-        .unionByName(tri.select(F.col("w").alias("node")))
+    # one explode, not a 3-way union — a union would CONSUME tri three
+    # times and replay the wedge+closing joins per branch
+    member = tri.select(
+        F.explode(F.array("u", "v", "w")).alias("node")
     )
     return member.groupBy("node").agg(F.count("*").alias("n_triangles"))
 
