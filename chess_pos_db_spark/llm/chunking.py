@@ -133,6 +133,9 @@ def containment_pairs(
         tok0.withColumn("df", F.count("*").over(Window.partitionBy("token")))
         .filter(F.col("df") <= cap)
         .drop("df")
+        # three consumers (self-join sides + size rollup) — same
+        # materialize-once move as dedup_jaccard
+        .localCheckpoint(eager=True)
     )
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     a, b = tok.alias("a"), tok.alias("b")

@@ -988,9 +988,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = docs.select(
-        "doc_id", F.explode(shingles).alias("shingle")
-    ).distinct()
+    sh = (
+        docs.select("doc_id", F.explode(shingles).alias("shingle"))
+        .distinct()
+        # three consumers (self-join sides + size rollup)
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
