@@ -622,3 +622,50 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     ).select("l_returnflag", "metric", F.round("val", 2).alias("val"))
+
+
+@register("agg_hll_intersect")  # rows-only: engine-native sketch values
+def agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-overlap estimation via inclusion-exclusion over HLL sketches:
+    |A∩B| ≈ est(A) + est(B) − est(A∪B), where A/B are the orderkey sets
+    of two lineitem slices. The composition a cross-corpus overlap
+    audit runs at 100 TB: each corpus keeps a KB-sized sketch (built
+    incrementally, merged across shards), and ANY pairwise overlap
+    estimate is sketch arithmetic — no re-scan, no join of the corpora.
+    Exact distinct counts ride along as the pytest accuracy gate
+    (inclusion-exclusion inherits ~3× the union's relative error, so
+    the gate is loose but real — see test_extras_sketches).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "N").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.count_distinct("l_orderkey").alias("exact"),
+    ).select(F.lit("A").alias("side"), "sk", "exact")
+    b = li.filter(F.col("l_linestatus") == "F").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.count_distinct("l_orderkey").alias("exact"),
+    ).select(F.lit("B").alias("side"), "sk", "exact")
+    both = a.unionByName(b)
+    rolled = both.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+        F.sum("exact").alias("sum_exact"),
+    )
+    wide = (
+        both.groupBy()
+        .pivot("side", ["A", "B"])
+        .agg(
+            F.first(F.hll_sketch_estimate("sk")).alias("est"),
+            F.first("exact").alias("exact"),
+        )
+        .crossJoin(F.broadcast(rolled))
+    )
+    return wide.select(
+        F.col("A_est").alias("est_a"),
+        F.col("B_est").alias("est_b"),
+        "est_union",
+        (F.col("A_est") + F.col("B_est") - F.col("est_union")).alias(
+            "est_intersect"
+        ),
+        F.col("A_exact").alias("exact_a"),
+        F.col("B_exact").alias("exact_b"),
+    )

@@ -259,3 +259,31 @@ def test_paragraph_dedup_removes_shared_chunk(spark):
     assert arr_rows[2]["n_paras_kept"] == 1
     assert arr_rows[2]["n_paras_total"] == 2
 
+
+
+def test_hll_intersect_inclusion_exclusion(spark, sf_dir):
+    """HLL overlap estimate: est_intersect = est_a + est_b - est_union
+    by construction, and within 5% of the exact intersection (the
+    inclusion-exclusion error envelope at this sketch size)."""
+    import duckdb
+
+    import chess_pos_db_spark as engine
+
+    row = (
+        engine.get_queries()["agg_hll_intersect"](spark, sf_dir).collect()[0]
+    )
+    assert abs(
+        row["est_intersect"] - (row["est_a"] + row["est_b"] - row["est_union"])
+    ) < 1e-6
+    con = duckdb.connect()
+    exact = con.execute(
+        f"""
+SELECT COUNT(*) FROM (
+  SELECT DISTINCT l_orderkey
+  FROM read_parquet('{sf_dir}/lineitem.parquet') WHERE l_returnflag='N'
+  INTERSECT
+  SELECT DISTINCT l_orderkey
+  FROM read_parquet('{sf_dir}/lineitem.parquet') WHERE l_linestatus='F'
+)"""
+    ).fetchone()[0]
+    assert abs(row["est_intersect"] - exact) / max(1, exact) < 0.05
