@@ -730,3 +730,51 @@ def select_diverse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _DIVERSE_K_PER_CELL)
         .select("doc_id", "lang", "cell", "rk")
     )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+WITH fp AS (
+    SELECT DISTINCT source,
+           MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+               STRING_SPLIT(text, ' '))), ' ')) AS fingerprint
+    FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_docs
+FROM fp a JOIN fp b
+  ON a.fingerprint = b.fingerprint AND a.source < b.source
+GROUP BY a.source, b.source
+""",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between sources — the corpus-governance
+    matrix behind licensing/provenance review ("how much of source X
+    also ships in source Y"). Content identity = the reorder-invariant
+    token-set fingerprint (dedup_cross_source's), distinct per
+    (source, fingerprint) so within-source copies count once.
+
+    Scale shape: ONE fingerprint shuffle; the self-join keys on the
+    16-byte digest, so pairs exist only where content actually
+    collides — never source×source×docs. At PB scale the HLL twin
+    (agg_hll_intersect per source pair over these fingerprints) drops
+    even that join to sketch arithmetic.
+    """
+    docs = t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    )
+    fps = (
+        docs.select("source", fp.alias("fingerprint"))
+        .distinct()
+        .localCheckpoint(eager=True)  # both self-join sides
+    )
+    a = fps.select(F.col("source").alias("source_a"), "fingerprint")
+    b = fps.select(F.col("source").alias("source_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_docs"))
+    )
