@@ -725,3 +725,46 @@ def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "center", "context")
         .limit(_SG_TOP_K)
     )
+
+
+@register(
+    "lang_id_eval",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+    FROM documents
+),
+pred AS (
+    SELECT doc_id, lang,
+           (SUM(CASE WHEN token IN {_STOPWORDS} THEN 1 ELSE 0 END) * 1.0
+            / COUNT(*)) > 0.02 AS looks_english
+    FROM tok GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN looks_english THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged,
+       ROUND(SUM(CASE WHEN looks_english THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 4) AS flag_rate
+FROM pred GROUP BY lang
+""",
+)
+def lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation rollup for the lang-ID heuristic: per TRUE
+    language, how often the looks-english detector fires — the
+    confusion/flag-rate report every heuristic filter ships with (at
+    100 TB this is how you notice the detector eating a language).
+    One extra (lang) rollup on top of the per-doc prediction —
+    evaluation rides the same shuffle family as the classifier."""
+    pred = text_lang_id(spark, sf_dir)
+    return pred.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("looks_english"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.round(
+            F.sum(F.when(F.col("looks_english"), 1).otherwise(0))
+            / F.count("*"),
+            4,
+        ).alias("flag_rate"),
+    )
