@@ -702,3 +702,72 @@ def join_scd2_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
     )
     return fact.join(dim, cond).select("event_id", "user_id", "attr_value")
+
+
+@register(
+    "events_basket_lift",
+    oracle="""
+WITH u AS (
+    SELECT DISTINCT user_id, event_type FROM events
+),
+n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+supp AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY event_type
+),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM u a JOIN u b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       ROUND(p.n_both * 1.0 / n.n_users, 4) AS support,
+       ROUND((p.n_both * 1.0 / n.n_users)
+             / ((sa.n * 1.0 / n.n_users) * (sb.n * 1.0 / n.n_users)),
+             4) AS lift
+FROM pairs p
+JOIN supp sa ON sa.event_type = p.type_a
+JOIN supp sb ON sb.event_type = p.type_b, n
+""",
+)
+def events_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pairwise association over event types: for every
+    type pair, co-occurrence support across users and lift vs
+    independence — the "users who did X also did Y" report.
+
+    Scale shape: the per-user distinct shuffle is the only data-sized
+    exchange; the pair self-join keys on user_id over the ALREADY
+    DISTINCT (user, type) rows, so fan-out per user is bounded by the
+    type-vocabulary (k² per user worst case, with k = distinct types —
+    catalog-sized, not event-sized); supports broadcast back.
+    """
+    e = t(spark, sf_dir, "events")
+    u = e.select("user_id", "event_type").distinct().localCheckpoint(eager=True)
+    n_users = e.select("user_id").distinct().count()  # driver scalar
+    supp = u.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = u.select("user_id", F.col("event_type").alias("type_a"))
+    b = u.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = supp.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = supp.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    support = F.col("n_both") / F.lit(n_users)
+    lift = support / (
+        (F.col("n_a") / F.lit(n_users)) * (F.col("n_b") / F.lit(n_users))
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(support, 4).alias("support"),
+            F.round(lift, 4).alias("lift"),
+        )
+    )
