@@ -1,0 +1,239 @@
+"""Materialized aggregate views + the aggregate navigator.
+
+The reference IS a materialized pre-aggregation engine: its entry store
+keeps (pos_key, reverse_move, level, result) → combined counts, and
+every explorer query is answered from that rollup, never from raw games
+(SURVEY.md §0: per-(level,result) accumulation; §3.3 aggregate-combining
+merge). This module generalizes that design move into a first-class
+capability: declare an aggregate view at a chosen grain, materialize it
+once, and have coarser aggregation queries ANSWERED FROM THE VIEW —
+provably, because each requested aggregate must be derivable from the
+view's partial states.
+
+Derivability (the classic aggregate-navigator rules):
+
+    count(*)  → sum(view.count_partial)
+    count(c)  → sum(view.count_c_partial)      (non-null count)
+    sum(c)    → sum(view.sum_c_partial)
+    min(c)    → min(view.min_c_partial)
+    max(c)    → max(view.max_c_partial)
+    avg(c)    → sum(sum_c_partial) / sum(count_c_partial)
+
+Group keys may be the view's dims or any deterministic expression over
+them (year(ship_month), substr(flag,1,1), …) — the time-hierarchy case.
+A request that needs anything else (a non-dim column, a median, a
+distinct count) is NOT derivable and raises — the honest boundary; such
+queries go to the base table (or to the mergeable-sketch views:
+agg_hll_mergeable / agg_kll_mergeable cover distinct/quantile rollups).
+
+100 TB posture: the view is |grain| rows regardless of base size — the
+(returnflag, linestatus, ship_month) grain here is ~10^4 rows for a
+10^10-row base. Building it is one map-side-combined shuffle of the
+base (the same single pass the flagship grid agg already costs); every
+subsequent rollup at or above that grain reads ONLY the view — the
+exact economics that let the reference answer interactive queries over
+billions of positions. Freshness is pinned to the snapshot-store
+version (plans/layout.append_versioned): a view built at version v
+refuses to answer once the base has moved on, closing the silent-stale
+trap; rebuild (or IVM-maintain via operators/ivm.py for count/sum
+views) and re-pin.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import t
+
+_PARTIAL_FNS = ("count", "sum", "min", "max")
+_MANIFEST = "_mv_manifest.json"
+
+
+class NotDerivableError(ValueError):
+    """The requested aggregate cannot be answered from the view."""
+
+
+class StaleViewError(RuntimeError):
+    """The view was built against an older base version."""
+
+
+def _mcol(fn: str, col: str) -> str:
+    """Canonical view column name for one partial state."""
+    return f"m_{fn}_star" if col == "*" else f"m_{fn}_{col}"
+
+
+def build_view(
+    base: DataFrame, dims: Sequence[str], measures: Sequence[tuple[str, str]]
+) -> DataFrame:
+    """Aggregate ``base`` to the view grain: groupBy(dims) with one
+    partial-state column per measure. ``measures`` is a list of
+    (fn, col) with fn in {count, sum, min, max}; col "*" only for
+    count. One shuffle, map-side combined."""
+    aggs = []
+    for fn, col in measures:
+        if fn not in _PARTIAL_FNS:
+            raise ValueError(f"unsupported view measure: {fn}")
+        expr = F.count("*") if (fn, col) == ("count", "*") else getattr(F, fn)(col)
+        aggs.append(expr.alias(_mcol(fn, col)))
+    return base.groupBy(*dims).agg(*aggs)
+
+
+def write_view(
+    view: DataFrame,
+    path: str,
+    dims: Sequence[str],
+    measures: Sequence[tuple[str, str]],
+    base_version: int | None = None,
+) -> None:
+    """Materialize the view + manifest (spec and base-version pin)."""
+    view.write.mode("overwrite").parquet(os.path.join(path, "data"))
+    manifest = {
+        "dims": list(dims),
+        "measures": [list(m) for m in measures],
+        "base_version": base_version,
+    }
+    with open(os.path.join(path, _MANIFEST), "w") as f:
+        json.dump(manifest, f)
+
+
+def read_view(
+    spark: SparkSession, path: str, expect_base_version: int | None = None
+) -> tuple[DataFrame, list[str], list[tuple[str, str]]]:
+    """Open a materialized view; raises StaleViewError if the base has
+    moved past the version the view was built at."""
+    with open(os.path.join(path, _MANIFEST)) as f:
+        manifest = json.load(f)
+    if expect_base_version is not None and manifest["base_version"] != expect_base_version:
+        raise StaleViewError(
+            f"view built at base version {manifest['base_version']}, "
+            f"base is now at {expect_base_version}"
+        )
+    df = spark.read.parquet(os.path.join(path, "data"))
+    return df, manifest["dims"], [tuple(m) for m in manifest["measures"]]
+
+
+def answer(
+    view: DataFrame,
+    dims: Sequence[str],
+    measures: Sequence[tuple[str, str]],
+    group_exprs: Sequence[tuple[str, str]],
+    aggs: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Rewrite an aggregation query onto the view.
+
+    ``group_exprs``: (sql_expr, alias) pairs; each expr may reference
+    ONLY the view's dims (enforced by analyzing it against a dim-only
+    projection, so an expr touching a partial-state column fails at
+    bind time, not silently). ``aggs``: alias → (fn, col) with fn in
+    {count, sum, min, max, avg}; every needed partial must exist in the
+    view spec or NotDerivableError is raised.
+    """
+    have = {(fn, col) for fn, col in measures}
+
+    def need(fn: str, col: str) -> str:
+        if (fn, col) not in have:
+            raise NotDerivableError(
+                f"{fn}({col}) needs partial {_mcol(fn, col)} not in view"
+            )
+        return _mcol(fn, col)
+
+    # Dim-only projection: group exprs bind against this, so any
+    # reference outside the dims is an analysis error here and now.
+    grouped = view.select(*dims).limit(0)
+    for expr, alias in group_exprs:
+        grouped.selectExpr(f"({expr}) AS {alias}")  # bind check only
+
+    out_groups = [F.expr(expr).alias(alias) for expr, alias in group_exprs]
+    out_aggs = []
+    for alias, (fn, col) in aggs.items():
+        if fn == "count":
+            out_aggs.append(F.sum(need("count", col)).cast("long").alias(alias))
+        elif fn == "sum":
+            out_aggs.append(F.sum(need("sum", col)).alias(alias))
+        elif fn == "min":
+            out_aggs.append(F.min(need("min", col)).alias(alias))
+        elif fn == "max":
+            out_aggs.append(F.max(need("max", col)).alias(alias))
+        elif fn == "avg":
+            out_aggs.append(
+                (F.sum(need("sum", col)) / F.sum(need("count", col))).alias(alias)
+            )
+        else:
+            raise NotDerivableError(f"unsupported aggregate: {fn}")
+    return view.groupBy(*out_groups).agg(*out_aggs)
+
+
+# ---------------------------------------------------------------------------
+# Driver query: the navigator proved correct against the base table.
+# The view grain is (l_returnflag, l_linestatus, ship_month); the query
+# asks a COARSER rollup on (l_returnflag, year(ship_month)) — answered
+# entirely from the view. The oracle aggregates the BASE directly, so
+# hash-equality is exactly the navigator-correctness claim: rewritten-
+# onto-partials ≡ recomputed-from-scratch.
+# ---------------------------------------------------------------------------
+
+_MV_DIMS = ["l_returnflag", "l_linestatus", "ship_month"]
+_MV_MEASURES = [
+    ("count", "*"),
+    ("count", "l_quantity"),
+    ("sum", "l_quantity"),
+    ("min", "l_quantity"),
+    ("max", "l_quantity"),
+    ("count", "l_extendedprice"),
+    ("sum", "l_extendedprice"),
+]
+
+
+@register(
+    "agg_from_view",
+    oracle="""
+SELECT l_returnflag,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+       CAST(COUNT(*) AS BIGINT)       AS n_rows,
+       ROUND(SUM(l_quantity), 2)      AS sum_qty,
+       ROUND(AVG(l_quantity), 4)      AS avg_qty,
+       ROUND(MIN(l_quantity), 2)      AS min_qty,
+       ROUND(MAX(l_quantity), 2)      AS max_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price
+FROM lineitem
+GROUP BY l_returnflag, EXTRACT(year FROM l_shipdate)
+""",
+)
+def agg_from_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.date_trunc("month", F.col("l_shipdate"))
+    )
+    view = build_view(li, _MV_DIMS, _MV_MEASURES)
+    rolled = answer(
+        view,
+        _MV_DIMS,
+        _MV_MEASURES,
+        group_exprs=[
+            ("l_returnflag", "l_returnflag"),
+            ("cast(year(ship_month) AS int)", "ship_year"),
+        ],
+        aggs={
+            "n_rows": ("count", "*"),
+            "sum_qty": ("sum", "l_quantity"),
+            "avg_qty": ("avg", "l_quantity"),
+            "min_qty": ("min", "l_quantity"),
+            "max_qty": ("max", "l_quantity"),
+            "avg_price": ("avg", "l_extendedprice"),
+        },
+    )
+    return rolled.select(
+        "l_returnflag",
+        "ship_year",
+        "n_rows",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("avg_qty", 4).alias("avg_qty"),
+        F.round("min_qty", 2).alias("min_qty"),
+        F.round("max_qty", 2).alias("max_qty"),
+        F.round("avg_price", 4).alias("avg_price"),
+    )

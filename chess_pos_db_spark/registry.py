@@ -70,6 +70,7 @@ def load_all() -> None:
     from .llm import mining  # noqa: F401
     from .llm import pipeline  # noqa: F401
     from .llm import quality  # noqa: F401
+    from .plans import mv  # noqa: F401
     from .plans import skew  # noqa: F401
     from .llm import scoring  # noqa: F401
     from .llm import search  # noqa: F401

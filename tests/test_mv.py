@@ -1,0 +1,151 @@
+"""Aggregate navigator (plans/mv.py): queries rewritten onto a
+materialized aggregate view must equal recomputation from base, the
+materialized path must read ONLY the view, freshness must be enforced
+against the snapshot-store version, and non-derivable requests must
+fail at bind time — never silently fall back or return wrong numbers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chess_pos_db_spark.plans.mv import (
+    NotDerivableError,
+    StaleViewError,
+    answer,
+    build_view,
+    read_view,
+    write_view,
+)
+from chess_pos_db_spark.tables import t
+
+
+DIMS = ["l_returnflag", "l_linestatus"]
+MEASURES = [
+    ("count", "*"),
+    ("count", "l_quantity"),
+    ("sum", "l_quantity"),
+    ("min", "l_quantity"),
+    ("max", "l_quantity"),
+]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _base(spark, sf_dir):
+    return t(spark, sf_dir, "lineitem")
+
+
+def test_rollup_from_view_equals_base(spark, sf_dir):
+    """Coarser grouping answered from the view == direct aggregation."""
+    li = _base(spark, sf_dir)
+    view = build_view(li, DIMS, MEASURES)
+    got = answer(
+        view,
+        DIMS,
+        MEASURES,
+        group_exprs=[("l_returnflag", "l_returnflag")],
+        aggs={
+            "n": ("count", "*"),
+            "s": ("sum", "l_quantity"),
+            "a": ("avg", "l_quantity"),
+            "lo": ("min", "l_quantity"),
+            "hi": ("max", "l_quantity"),
+        },
+    )
+    want = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").alias("s"),
+        F.avg("l_quantity").alias("a"),
+        F.min("l_quantity").alias("lo"),
+        F.max("l_quantity").alias("hi"),
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_group_expression_over_dims(spark, sf_dir):
+    """Group keys may be expressions of dims (hierarchy rollup)."""
+    li = _base(spark, sf_dir)
+    view = build_view(li, DIMS, MEASURES)
+    got = answer(
+        view,
+        DIMS,
+        MEASURES,
+        group_exprs=[("concat(l_returnflag, '/', l_linestatus)", "cell")],
+        aggs={"n": ("count", "*")},
+    )
+    want = li.groupBy(
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("cell")
+    ).agg(F.count("*").alias("n"))
+    assert _rows(got) == _rows(want)
+
+
+def test_materialized_answer_reads_only_view(spark, sf_dir, tmp_path):
+    """The physical plan of a view-answered query must contain exactly
+    one FileScan — the view — and never the base table."""
+    li = _base(spark, sf_dir)
+    path = str(tmp_path / "mv")
+    write_view(build_view(li, DIMS, MEASURES), path, DIMS, MEASURES, base_version=1)
+    view, dims, measures = read_view(spark, path, expect_base_version=1)
+    got = answer(
+        view,
+        dims,
+        measures,
+        group_exprs=[("l_returnflag", "l_returnflag")],
+        aggs={"n": ("count", "*"), "s": ("sum", "l_quantity")},
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    assert "lineitem" not in plan
+    want = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("s")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_stale_view_refuses(spark, sf_dir, tmp_path):
+    li = _base(spark, sf_dir)
+    path = str(tmp_path / "mv")
+    write_view(build_view(li, DIMS, MEASURES), path, DIMS, MEASURES, base_version=1)
+    with pytest.raises(StaleViewError):
+        read_view(spark, path, expect_base_version=2)
+
+
+def test_non_derivable_aggregate_raises(spark, sf_dir):
+    li = _base(spark, sf_dir)
+    view = build_view(li, DIMS, MEASURES)
+    with pytest.raises(NotDerivableError):
+        answer(
+            view,
+            DIMS,
+            MEASURES,
+            group_exprs=[("l_returnflag", "l_returnflag")],
+            aggs={"s": ("sum", "l_extendedprice")},  # partial not in view
+        )
+    with pytest.raises(NotDerivableError):
+        answer(
+            view,
+            DIMS,
+            MEASURES,
+            group_exprs=[("l_returnflag", "l_returnflag")],
+            aggs={"m": ("median", "l_quantity")},  # not decomposable
+        )
+
+
+def test_group_expr_outside_dims_fails_at_bind(spark, sf_dir):
+    """A group expression referencing a non-dim (here a measure-source
+    column that is NOT a dim) must fail analysis, not silently group by
+    a partial-state column."""
+    li = _base(spark, sf_dir)
+    view = build_view(li, DIMS, MEASURES)
+    with pytest.raises(Exception) as exc:
+        answer(
+            view,
+            DIMS,
+            MEASURES,
+            group_exprs=[("l_quantity", "q")],
+            aggs={"n": ("count", "*")},
+        )
+    assert "l_quantity" in str(exc.value)
