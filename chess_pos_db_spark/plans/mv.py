@@ -169,6 +169,60 @@ def answer(
     return view.groupBy(*out_groups).agg(*out_aggs)
 
 
+def maintain_view(
+    view: DataFrame,
+    dims: Sequence[str],
+    measures: Sequence[tuple[str, str]],
+    inserts: DataFrame | None = None,
+    deletes: DataFrame | None = None,
+) -> DataFrame:
+    """IVM for navigator views: apply insert/delete deltas to the
+    partial states without rescanning base (operators/ivm.py technique
+    lifted to the full measure list). Only count/sum partials are
+    inversely maintainable — a view containing min/max refuses deletes
+    (a deleted min needs a rescan of its group); insert-only feeds
+    (the reference's append case) maintain min/max fine.
+    """
+    if deletes is not None and any(fn in ("min", "max") for fn, _ in measures):
+        raise NotDerivableError(
+            "min/max partials are not maintainable under deletes; "
+            "rebuild the view (or drop min/max from its spec)"
+        )
+
+    def delta(df: DataFrame, sign: int) -> DataFrame:
+        aggs = []
+        for fn, col in measures:
+            if (fn, col) == ("count", "*"):
+                expr = F.count("*")
+            else:
+                expr = getattr(F, fn)(col)
+            if fn in ("count", "sum"):
+                expr = expr * sign
+            aggs.append(expr.alias(_mcol(fn, col)))
+        return df.groupBy(*dims).agg(*aggs)
+
+    parts = [view]
+    if inserts is not None:
+        parts.append(delta(inserts, 1))
+    if deletes is not None:
+        parts.append(delta(deletes, -1))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    combines = []
+    for fn, col in measures:
+        c = _mcol(fn, col)
+        comb = F.sum(c) if fn in ("count", "sum") else getattr(F, fn)(c)
+        if fn == "count":
+            comb = comb.cast("long")
+        combines.append(comb.alias(c))
+    out = out.groupBy(*dims).agg(*combines)
+    # fully-retracted grain cells vanish (count(*) partial reaches 0)
+    if ("count", "*") in [tuple(m) for m in measures]:
+        out = out.filter(F.col(_mcol("count", "*")) > 0)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver query: the navigator proved correct against the base table.
 # The view grain is (l_returnflag, l_linestatus, ship_month); the query

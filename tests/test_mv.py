@@ -149,3 +149,35 @@ def test_group_expr_outside_dims_fails_at_bind(spark, sf_dir):
             aggs={"n": ("count", "*")},
         )
     assert "l_quantity" in str(exc.value)
+
+
+def test_maintain_view_equals_rebuild(spark, sf_dir):
+    """Delta-maintained view == view rebuilt over the updated base, and
+    answers from it still equal direct aggregation."""
+    li = _base(spark, sf_dir)
+    ms = [("count", "*"), ("count", "l_quantity"), ("sum", "l_quantity")]
+    k = F.col("l_orderkey")
+    base0 = li.filter(k % 3 != 0)
+    ins = li.filter(k % 3 == 0)
+    dels = base0.filter(k % 5 == 1)
+    from chess_pos_db_spark.plans.mv import maintain_view
+
+    maintained = build_view(base0, DIMS, ms)
+    maintained = maintain_view(maintained, DIMS, ms, inserts=ins, deletes=dels)
+    final_base = base0.filter(k % 5 != 1).unionByName(ins)
+    rebuilt = build_view(final_base, DIMS, ms)
+    assert _rows(maintained) == _rows(rebuilt)
+
+
+def test_maintain_minmax_refuses_deletes(spark, sf_dir):
+    from chess_pos_db_spark.plans.mv import maintain_view
+
+    li = _base(spark, sf_dir)
+    view = build_view(li, DIMS, MEASURES)  # MEASURES includes min/max
+    with pytest.raises(NotDerivableError):
+        maintain_view(view, DIMS, MEASURES, deletes=li.limit(1))
+    # insert-only maintenance of min/max views is allowed and correct
+    extra = li.limit(50)
+    maintained = maintain_view(view, DIMS, MEASURES, inserts=extra)
+    rebuilt = build_view(li.unionByName(extra), DIMS, MEASURES)
+    assert _rows(maintained) == _rows(rebuilt)
