@@ -672,23 +672,30 @@ class Position:
 
     def parse_san(self, san: str) -> Move:
         """SAN string → legal move (raises ValueError if no/ambiguous
-        match). Tolerates check/mate/annotation suffixes.
+        match). Tolerates check/mate/annotation suffixes."""
+        return self.parse_san_child(san)[0]
+
+    def parse_san_child(self, san: str) -> tuple[Move, "Position"]:
+        """SAN string → (legal move, child position after it).
 
         Import hot path: SAN is matched against PSEUDO-legal moves
         first and only the matching candidates pay the make-move
         legality check — ~1 king-safety test per ply instead of one per
         pseudo-legal move (≈10× on replay throughput). SAN's minimal-
         disambiguation rule is relative to legal moves, so the
-        legality filter runs before the ambiguity decision."""
+        legality filter runs before the ambiguity decision. The child
+        built for that legality check IS the next replay state, so it
+        is returned rather than rebuilt — one make_move per ply instead
+        of two (the replay loop's other board construction)."""
         core = san.rstrip("+#!?").replace("0", "O")
         # NOTE: the make-move child check is optimal here (measured):
         # with ~1 candidate per SAN it costs exactly one attack scan,
         # which also subsumes the in-check test _king_safe would need.
-        candidates = [
-            m
-            for m in self._san_candidates(core)
-            if not self.make_move(m).in_check(self.side)
-        ]
+        candidates = []
+        for m in self._san_candidates(core):
+            child = self.make_move(m)
+            if not child.in_check(self.side):
+                candidates.append((m, child))
         if len(candidates) == 1:
             return candidates[0]
         if not candidates:

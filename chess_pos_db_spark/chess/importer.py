@@ -442,7 +442,7 @@ def explode_positions(
                 ok = True
                 for ply, san in enumerate(row["sans"], start=1):
                     try:
-                        m = pos.parse_san(san)
+                        m, child = pos.parse_san_child(san)
                     except ValueError:
                         ok = False  # illegal move → skip whole game
                         break
@@ -452,7 +452,7 @@ def explode_positions(
                         if include_eran
                         else None
                     )
-                    pos = pos.make_move(m)
+                    pos = child
                     rows_game.append(
                         {
                             "pos_key": pos.key(),
