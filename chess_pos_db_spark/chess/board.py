@@ -367,34 +367,33 @@ class Position:
         raise ValueError("no king on board")
 
     def attacked(self, target: int, by: str) -> bool:
+        # Replay hot path: 0x88 bounds checks inlined (s & 0x88 == 0),
+        # per-color piece letters bound to locals once.
         b = self.board
+        if by == WHITE:
+            pawn, knight, king, bq, rq, pdelta = "P", "N", "K", "BQ", "RQ", 16
+        else:
+            pawn, knight, king, bq, rq, pdelta = "p", "n", "k", "bq", "rq", -16
         # pawns
-        pawn = "P" if by == WHITE else "p"
-        pdelta = 16 if by == WHITE else -16
         for d in (-1, 1):
             s = target - pdelta + d
-            if on_board(s) and b[s] == pawn:
+            if not (s & 0x88) and b[s] == pawn:
                 return True
         # knights
-        knight = "N" if by == WHITE else "n"
         for d in KNIGHT_DELTAS:
             s = target + d
-            if on_board(s) and b[s] == knight:
+            if not (s & 0x88) and b[s] == knight:
                 return True
         # king
-        king = "K" if by == WHITE else "k"
         for d in KING_DELTAS:
             s = target + d
-            if on_board(s) and b[s] == king:
+            if not (s & 0x88) and b[s] == king:
                 return True
         # sliders
-        for deltas, pieces in (
-            (BISHOP_DELTAS, "BQ" if by == WHITE else "bq"),
-            (ROOK_DELTAS, "RQ" if by == WHITE else "rq"),
-        ):
+        for deltas, pieces in ((BISHOP_DELTAS, bq), (ROOK_DELTAS, rq)):
             for d in deltas:
                 s = target + d
-                while on_board(s):
+                while not (s & 0x88):
                     p = b[s]
                     if p:
                         if p in pieces:
@@ -581,14 +580,11 @@ class Position:
         if p in "Kk":
             castling = castling.replace("K" if us == WHITE else "k", "")
             castling = castling.replace("Q" if us == WHITE else "q", "")
-        for s_rook, right in (
-            (sq(0, 0), "Q"),
-            (sq(7, 0), "K"),
-            (sq(0, 7), "q"),
-            (sq(7, 7), "k"),
-        ):
-            if m.from_sq == s_rook or m.to_sq == s_rook:
-                castling = castling.replace(right, "")
+        if castling:
+            # corner squares a1/h1/a8/h8 in 0x88 coords
+            for s_rook, right in ((0, "Q"), (7, "K"), (112, "q"), (119, "k")):
+                if m.from_sq == s_rook or m.to_sq == s_rook:
+                    castling = castling.replace(right, "")
         ep = None
         if m.flag == F_DOUBLE_PUSH:
             ep = m.from_sq + (16 if us == WHITE else -16)
@@ -622,6 +618,21 @@ class Position:
             ph ^= _Z_PIECE[(rook, sq64(src))]
             ph ^= _Z_PIECE[(rook, sq64(dst))]
         child._ph = ph
+        # Propagate king squares: the mover's king is at m.to_sq iff the
+        # king moved (castle targets are king destinations too); the
+        # opponent's king is untouched. Only warm entries the parent
+        # already knows are carried — a cold parent memo stays cold.
+        pksq = self._ksq
+        if pksq:
+            cksq = {}
+            for color, s in pksq.items():
+                if color == us and p in "Kk":
+                    cksq[color] = m.to_sq
+                else:
+                    cksq[color] = s
+            child._ksq = cksq
+        elif p in "Kk":
+            child._ksq = {us: m.to_sq}
         return child
 
     # -- SAN ------------------------------------------------------------------
