@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..tables import t
 
-_PARTIAL_FNS = ("count", "sum", "min", "max")
+_PARTIAL_FNS = ("count", "sum", "min", "max", "hll")
 _MANIFEST = "_mv_manifest.json"
 
 
@@ -79,7 +79,15 @@ def build_view(
     for fn, col in measures:
         if fn not in _PARTIAL_FNS:
             raise ValueError(f"unsupported view measure: {fn}")
-        expr = F.count("*") if (fn, col) == ("count", "*") else getattr(F, fn)(col)
+        if (fn, col) == ("count", "*"):
+            expr = F.count("*")
+        elif fn == "hll":
+            # DataSketches HLL partial: distinct counts become mergeable
+            # (register-wise max), so COUNT DISTINCT — the classically
+            # non-additive aggregate — rolls up from the view too.
+            expr = F.hll_sketch_agg(col)
+        else:
+            expr = getattr(F, fn)(col)
         aggs.append(expr.alias(_mcol(fn, col)))
     return base.groupBy(*dims).agg(*aggs)
 
@@ -164,6 +172,16 @@ def answer(
             out_aggs.append(
                 (F.sum(need("sum", col)) / F.sum(need("count", col))).alias(alias)
             )
+        elif fn == "approx_distinct":
+            # Union-of-sketches covers the same value set as a direct
+            # sketch of base; the estimate can differ slightly (a union
+            # promotes sparse-mode sketches to dense HLL, a small direct
+            # sketch may stay sparse/exact) but both sit inside the
+            # sketch's error bounds — pinned at ≤5% vs exact in
+            # tests/test_mv.py.
+            out_aggs.append(
+                F.hll_sketch_estimate(F.hll_union_agg(need("hll", col))).alias(alias)
+            )
         else:
             raise NotDerivableError(f"unsupported aggregate: {fn}")
     return view.groupBy(*out_groups).agg(*out_aggs)
@@ -183,10 +201,10 @@ def maintain_view(
     (a deleted min needs a rescan of its group); insert-only feeds
     (the reference's append case) maintain min/max fine.
     """
-    if deletes is not None and any(fn in ("min", "max") for fn, _ in measures):
+    if deletes is not None and any(fn in ("min", "max", "hll") for fn, _ in measures):
         raise NotDerivableError(
-            "min/max partials are not maintainable under deletes; "
-            "rebuild the view (or drop min/max from its spec)"
+            "min/max/hll partials are not maintainable under deletes; "
+            "rebuild the view (or drop them from its spec)"
         )
 
     def delta(df: DataFrame, sign: int) -> DataFrame:
@@ -194,6 +212,8 @@ def maintain_view(
         for fn, col in measures:
             if (fn, col) == ("count", "*"):
                 expr = F.count("*")
+            elif fn == "hll":
+                expr = F.hll_sketch_agg(col)
             else:
                 expr = getattr(F, fn)(col)
             if fn in ("count", "sum"):
@@ -212,7 +232,12 @@ def maintain_view(
     combines = []
     for fn, col in measures:
         c = _mcol(fn, col)
-        comb = F.sum(c) if fn in ("count", "sum") else getattr(F, fn)(c)
+        if fn in ("count", "sum"):
+            comb = F.sum(c)
+        elif fn == "hll":
+            comb = F.hll_union_agg(c)
+        else:
+            comb = getattr(F, fn)(c)
         if fn == "count":
             comb = comb.cast("long")
         combines.append(comb.alias(c))
@@ -221,6 +246,45 @@ def maintain_view(
     if ("count", "*") in [tuple(m) for m in measures]:
         out = out.filter(F.col(_mcol("count", "*")) > 0)
     return out
+
+
+def route(
+    base: DataFrame,
+    view: DataFrame,
+    dims: Sequence[str],
+    measures: Sequence[tuple[str, str]],
+    group_exprs: Sequence[tuple[str, str]],
+    aggs: dict[str, tuple[str, str]],
+) -> tuple[DataFrame, str]:
+    """The navigator's routing decision: answer from the view when every
+    requested aggregate is derivable, else fall back to the base table
+    with the semantically-identical direct aggregation. Returns
+    (result, "view" | "base") so callers — and tests — can see which
+    path ran. approx_distinct falls back to sketching base directly —
+    same estimator family, same error bounds (estimates may differ
+    within them; see the note in answer())."""
+    try:
+        return answer(view, dims, measures, group_exprs, aggs), "view"
+    except NotDerivableError:
+        pass
+    out_groups = [F.expr(expr).alias(alias) for expr, alias in group_exprs]
+    direct = {
+        "count": lambda c: F.count("*") if c == "*" else F.count(c),
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "avg": F.avg,
+        "approx_distinct": lambda c: F.hll_sketch_estimate(F.hll_sketch_agg(c)),
+    }
+    out_aggs = []
+    for alias, (fn, col) in aggs.items():
+        if fn not in direct:
+            raise NotDerivableError(f"unsupported aggregate: {fn}")
+        expr = direct[fn](col)
+        if fn == "count":
+            expr = expr.cast("long")
+        out_aggs.append(expr.alias(alias))
+    return base.groupBy(*out_groups).agg(*out_aggs), "base"
 
 
 # ---------------------------------------------------------------------------

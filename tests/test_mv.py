@@ -181,3 +181,75 @@ def test_maintain_minmax_refuses_deletes(spark, sf_dir):
     maintained = maintain_view(view, DIMS, MEASURES, inserts=extra)
     rebuilt = build_view(li.unionByName(extra), DIMS, MEASURES)
     assert _rows(maintained) == _rows(rebuilt)
+
+
+def test_hll_distinct_rollup_within_bounds(spark, sf_dir):
+    """The view-answered approx-distinct (union of per-cell sketches)
+    covers the same value set as sketching base directly; both must sit
+    within the HLL error bounds of the exact distinct count. (They are
+    NOT bit-identical in general: a union promotes sparse-mode sketches
+    to dense HLL while a small direct sketch stays sparse/exact.)"""
+    li = _base(spark, sf_dir)
+    ms = [("count", "*"), ("hll", "l_orderkey")]
+    view = build_view(li, DIMS, ms)
+    got = answer(
+        view,
+        DIMS,
+        ms,
+        group_exprs=[("l_returnflag", "l_returnflag")],
+        aggs={"nd": ("approx_distinct", "l_orderkey")},
+    )
+    exact = dict(
+        (r[0], r[1])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey"))
+        .collect()
+    )
+    for flag, nd in _rows(got):
+        assert abs(nd - exact[flag]) <= 0.05 * exact[flag] + 1
+
+
+def test_maintain_hll_insert_only(spark, sf_dir):
+    from chess_pos_db_spark.plans.mv import maintain_view
+
+    li = _base(spark, sf_dir)
+    ms = [("count", "*"), ("hll", "l_orderkey")]
+    k = F.col("l_orderkey")
+    base0 = li.filter(k % 3 != 0)
+    ins = li.filter(k % 3 == 0)
+    maintained = maintain_view(build_view(base0, DIMS, ms), DIMS, ms, inserts=ins)
+    rebuilt = build_view(li, DIMS, ms)
+
+    def estimates(v):
+        return dict(
+            (tuple(r[:-1]), r[-1])
+            for r in v.select(
+                *DIMS, F.hll_sketch_estimate("m_hll_l_orderkey").alias("nd")
+            ).collect()
+        )
+
+    m, r = estimates(maintained), estimates(rebuilt)
+    assert set(m) == set(r)
+    for cell, nd in m.items():
+        # merged vs direct sketches agree within the HLL error bounds
+        assert abs(nd - r[cell]) <= 0.05 * r[cell] + 1
+    with pytest.raises(NotDerivableError):
+        maintain_view(build_view(base0, DIMS, ms), DIMS, ms, deletes=ins)
+
+
+def test_route_picks_view_else_base(spark, sf_dir):
+    from chess_pos_db_spark.plans.mv import route
+
+    li = _base(spark, sf_dir)
+    ms = [("count", "*"), ("sum", "l_quantity"), ("count", "l_quantity")]
+    view = build_view(li, DIMS, ms)
+    groups = [("l_returnflag", "l_returnflag")]
+    res, path = route(li, view, DIMS, ms, groups, {"n": ("count", "*")})
+    assert path == "view"
+    # avg(l_extendedprice) has no partials in the view -> base fallback
+    res2, path2 = route(
+        li, view, DIMS, ms, groups, {"ap": ("avg", "l_extendedprice")}
+    )
+    assert path2 == "base"
+    want = li.groupBy("l_returnflag").agg(F.avg("l_extendedprice").alias("ap"))
+    assert _rows(res2) == _rows(want)
