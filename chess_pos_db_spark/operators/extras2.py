@@ -669,3 +669,54 @@ def agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("A_exact").alias("exact_a"),
         F.col("B_exact").alias("exact_b"),
     )
+
+
+# --- approximate query processing: sample-based estimation with error bars ----
+# At 100 TB an exploratory "how big is this slice?" should not scan the
+# corpus. The deterministic hash sample (sample_hash's P9 primitive, a
+# pushed-down predicate — no shuffle, no RNG) feeds Horvitz-Thompson
+# estimators: under Bernoulli(q) row inclusion, total^ = Σy/q with
+# Var^ = Σy²(1−q)/q² — every quantity is pure arithmetic over the
+# sample, so unlike engine-native approx aggregates this AQP path is
+# ORACLE-EXACT (and the error bars are part of the answer, not a
+# footnote). tests/test_aqp.py pins the exact totals inside ±3σ.
+
+_AQP_Q = 0.1  # inclusion probability of the hash sample
+
+
+@register(
+    "agg_sample_estimate",
+    oracle=f"""
+WITH s AS (
+    SELECT o_orderpriority, o_totalprice
+    FROM orders
+    WHERE (o_orderkey % 1000003) * 2654435761 % 1000 < {int(_AQP_Q * 1000)}
+)
+SELECT o_orderpriority,
+       CAST(ROUND(COUNT(*) / {_AQP_Q}) AS BIGINT)        AS est_rows,
+       ROUND(SUM(o_totalprice) / {_AQP_Q}, 2)            AS est_total,
+       ROUND(SUM(o_totalprice) / {_AQP_Q}
+             - 1.96 * SQRT(SUM(o_totalprice * o_totalprice)
+                           * (1 - {_AQP_Q}) / ({_AQP_Q} * {_AQP_Q})), 2) AS ci_lo,
+       ROUND(SUM(o_totalprice) / {_AQP_Q}
+             + 1.96 * SQRT(SUM(o_totalprice * o_totalprice)
+                           * (1 - {_AQP_Q}) / ({_AQP_Q} * {_AQP_Q})), 2) AS ci_hi
+FROM s
+GROUP BY o_orderpriority
+""",
+)
+def agg_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    q = _AQP_Q
+    s = o.filter(
+        (F.col("o_orderkey") % 1000003) * 2654435761 % 1000 < int(q * 1000)
+    )
+    total = F.sum("o_totalprice") / q
+    var = F.sum(F.col("o_totalprice") * F.col("o_totalprice")) * (1 - q) / (q * q)
+    se = F.sqrt(var)
+    return s.groupBy("o_orderpriority").agg(
+        F.round(F.count("*") / q).cast("long").alias("est_rows"),
+        F.round(total, 2).alias("est_total"),
+        F.round(total - 1.96 * se, 2).alias("ci_lo"),
+        F.round(total + 1.96 * se, 2).alias("ci_hi"),
+    )
