@@ -218,10 +218,16 @@ _KM_P = (1 << 61) - 1
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id → mh_0..mh_{NUM_HASHES-1}: min over distinct tokens of the
-    K-M hash g_i(token) = h1 + i*h2 (one md5 per token, 16 derived)."""
-    tok = docs.selectExpr(
-        "doc_id", "explode(split(text, ' ')) AS token"
-    ).distinct()
+    K-M hash g_i(token) = h1 + i*h2 (one md5 per token, 16 derived).
+
+    No distinct pass: MIN is duplicate-insensitive, so deduplicating
+    (doc_id, token) first would only add a full shuffle of the token
+    stream before the aggregate. Dropping it leaves ONE shuffle whose
+    payload is the map-side-combined 16-long partial signature per doc
+    per partition — at corpus scale the difference between shuffling
+    the token stream and shuffling ~128 B/doc. The oracle keeps
+    SELECT DISTINCT (min over duplicates ≡ min over distinct)."""
+    tok = docs.selectExpr("doc_id", "explode(split(text, ' ')) AS token")
     hk = tok.selectExpr(
         "doc_id",
         "cast(conv(substring(md5(token), 1, 15), 16, 10) AS bigint)"
