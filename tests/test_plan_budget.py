@@ -38,7 +38,7 @@ SHUFFLE_BUDGET = {
     "text_token_count_bpe": 0,
     "dedup_exact_groups": 1,
     "dedup_simhash": 1,
-    "dedup_minhash_cluster": 2,
+    "dedup_minhash_cluster": 2,  # (doc_id) signature agg + (signature) cluster agg
     "similarity_topk": 0,
     "similarity_ivf": 0,
 }
