@@ -12,6 +12,7 @@ Commands (one JSON object per line, response is one JSON line):
     {"command": "stats"}
     {"command": "dump",   "files": {...}, "destination": path, "minCount": N}
     {"command": "retractions", "fen": <fen>}
+    {"command": "export", "destination": dir, "shards": N}  (needs storeMoves at create)
     {"command": "merge", "databases": [dir1, dir2, ...], "destination": dir}
     {"command": "bench", "files": {...}, "format": ...}
     {"command": "close"} / {"command": "exit"}
@@ -88,6 +89,7 @@ class Engine:
                 files,
                 db_dir,
                 retractions=bool(cmd.get("retractions", False)),
+                store_moves=bool(cmd.get("storeMoves", False)),
             )
         else:
             from ..plans import layout
@@ -121,6 +123,19 @@ class Engine:
         self._entries = self._games = None
         self.db_dir = None
         return {}
+
+    def cmd_export(self, cmd: dict) -> dict:
+        """Lossless PGN export of the open database (requires it to
+        have been created with storeMoves) — the migration path the
+        reference's header-only store cannot offer."""
+        self._require_open()
+        stats = importer.export_pgn(
+            self.spark,
+            self.db_dir,
+            cmd["destination"],
+            shards=int(cmd.get("shards", 8)),
+        )
+        return {"export": stats}
 
     def cmd_query(self, cmd: dict) -> dict:
         self._require_open()

@@ -488,6 +488,7 @@ def import_pgn(
     partitions: int = 8,
     chunk_bytes: int = DEFAULT_CHUNK_BYTES,
     retractions: bool = False,
+    store_moves: bool = False,
 ) -> dict:
     """Full `create` command: parse → explode → aggregate → write the
     database directory (games/ + entries/ sorted runs + manifests).
@@ -500,7 +501,13 @@ def import_pgn(
     (pos_key, reverse_move, eran) → counts — carrying the full
     reversible descriptor so retraction queries resolve EXACT parent
     positions (castling/ep/halfmove included; reference `Query.h`
-    retractions + `Eran.h` †). One replay pass feeds both tables."""
+    retractions + `Eran.h` †). One replay pass feeds both tables.
+
+    ``store_moves=True`` keeps the SAN movetext in the stored games
+    dimension, enabling lossless PGN export (``export_pgn``) — full
+    database migration, a capability the reference's header-only store
+    never had. Default False matches the reference's posture (headers
+    only; movetext exists only as exploded positions)."""
     games = parse_games_chunked(spark, files, chunk_bytes).cache()
     # Replay parallelism must not be bound by file count (one giant PGN
     # would otherwise replay on one core): spread games across cores
@@ -549,8 +556,9 @@ def import_pgn(
         pre = None
         agg = build_agg_entries(entries).persist()
 
+    stored_games = games if store_moves else games.drop("sans")
     layout.write_sorted_run(
-        games.drop("sans"), f"{db_dir}/games", key=["game_id"], partitions=partitions
+        stored_games, f"{db_dir}/games", key=["game_id"], partitions=partitions
     )
     layout.write_sorted_run(
         agg, f"{db_dir}/entries", key=["pos_key"], partitions=partitions
@@ -766,3 +774,62 @@ def merge_databases(
 
     n_games = spark.read.parquet(f"{dest_dir}/games").count()
     return {"db_dir": dest_dir, "games": n_games, "sources": len(db_dirs)}
+
+
+def export_pgn(
+    spark: SparkSession, db_dir: str, dest_dir: str, shards: int = 8
+) -> dict:
+    """Lossless PGN export of a database imported with
+    ``store_moves=True`` — the migration path OUT of the engine (the
+    reference's header-only store cannot reproduce its inputs; here
+    export → re-import round-trips to an identical entries store,
+    pinned in tests/test_chess.py).
+
+    Distributed shape: shard boundaries are game_id ranges
+    (repartitionByRange + in-partition sort), formatting is an
+    Arrow-batched mapInPandas of pure-python ``pgn.format_game`` — the
+    text sink writes each shard independently, so export parallelism is
+    the shard count regardless of corpus size.
+    """
+    games = spark.read.parquet(f"{db_dir}/games")
+    if "sans" not in games.columns:
+        raise ValueError(
+            "database was imported without store_moves=True — the games "
+            "dimension carries headers only; movetext is not recoverable"
+        )
+
+    tag_cols = [
+        ("event", "Event"),
+        ("site", "Site"),
+        ("date_raw", "Date"),
+        ("round", "Round"),
+        ("white", "White"),
+        ("black", "Black"),
+        ("white_elo", "WhiteElo"),
+        ("black_elo", "BlackElo"),
+        ("eco", "ECO"),
+    ]
+
+    def fmt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = []
+            for row in pdf.itertuples(index=False):
+                tags = {}
+                for col, tag in tag_cols:
+                    v = getattr(row, col)
+                    if v is not None and not (isinstance(v, float) and pd.isna(v)):
+                        tags[tag] = str(int(v)) if col.endswith("_elo") else str(v)
+                sans = [] if row.sans is None else list(row.sans)
+                texts.append(pgn.format_game(tags, sans, row.result))
+            yield pd.DataFrame({"game_id": pdf["game_id"], "text": texts})
+
+    cols = ["game_id", "result", "sans"] + [c for c, _ in tag_cols]
+    shaped = (
+        games.select(*cols)
+        .repartitionByRange(shards, "game_id")
+        .sortWithinPartitions("game_id")
+        .mapInPandas(fmt, schema="game_id long, text string")
+    )
+    shaped.select("text").write.mode("overwrite").text(dest_dir)
+    n = games.count()
+    return {"dest_dir": dest_dir, "games": n, "shards": shards}

@@ -420,3 +420,62 @@ def test_transposition_stats(spark, tmp_path):
     assert len(stats) == 1
     assert stats[0]["n_paths"] == 2
     assert stats[0]["n_visits"] == 2
+
+
+# --- PGN export (store_moves + export_pgn round trip) ------------------------
+
+
+def test_export_pgn_round_trip(spark, tmp_path):
+    """import(store_moves) → export_pgn → re-import yields an IDENTICAL
+    entries store and identical game headers — lossless migration out
+    of the engine. A header-only import refuses to export."""
+    src = tmp_path / "games.pgn"
+    src.write_text(PGN_TEXT)
+    db1 = str(tmp_path / "db1")
+    importer.import_pgn(
+        spark, [(str(src), "human")], db1, store_moves=True
+    )
+    out = str(tmp_path / "export")
+    res = importer.export_pgn(spark, db1, out, shards=2)
+    assert res["games"] == 4
+
+    # re-import the exported shards as ONE corpus (shard files sorted by
+    # name keep game order; game_ids depend on file split so compare
+    # content, not ids)
+    import glob
+
+    shard_files = sorted(glob.glob(f"{out}/part-*"))
+    assert len(shard_files) >= 1
+    db2 = str(tmp_path / "db2")
+    importer.import_pgn(
+        spark, [(p, "human") for p in shard_files], db2, store_moves=True
+    )
+
+    def entries_content(db):
+        df = spark.read.parquet(f"{db}/entries")
+        return sorted(
+            tuple(r)
+            for r in df.select(
+                "pos_key", "reverse_move", "level", "result", "cnt", "elo_diff_sum"
+            ).collect()
+        )
+
+    assert entries_content(db1) == entries_content(db2)
+
+    def headers(db):
+        df = spark.read.parquet(f"{db}/games")
+        return sorted(
+            tuple(r)
+            for r in df.select(
+                "event", "white", "black", "result", "date_raw",
+                "white_elo", "black_elo", "ply_count", "sans",
+            ).collect()
+        )
+
+    assert headers(db1) == headers(db2)
+
+    # header-only database refuses
+    db3 = str(tmp_path / "db3")
+    importer.import_pgn(spark, [(str(src), "human")], db3)
+    with pytest.raises(ValueError, match="store_moves"):
+        importer.export_pgn(spark, db3, str(tmp_path / "nope"))

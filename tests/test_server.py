@@ -264,3 +264,37 @@ def test_tree_command(engine_db):
         assert child["fen"].count("/") == 7  # a real FEN board
         # depth-2: grandchildren were expanded where data exists
         assert "children" in child
+
+
+def test_export_command(spark, tmp_path):
+    pgn_path = tmp_path / "games.pgn"
+    pgn_path.write_text(PGN_TEXT)
+    eng = server.Engine(spark)
+    resp = eng.handle(
+        {
+            "command": "create",
+            "destination": str(tmp_path / "db"),
+            "files": {"human": [str(pgn_path)]},
+            "format": "pgn",
+            "storeMoves": True,
+        }
+    )
+    assert resp["ok"], resp
+    out = str(tmp_path / "export")
+    resp = eng.handle({"command": "export", "destination": out, "shards": 2})
+    assert resp["ok"], resp
+    assert resp["export"]["games"] == 4
+
+    # header-only db refuses politely (error response, session survives)
+    eng2 = server.Engine(spark)
+    eng2.handle(
+        {
+            "command": "create",
+            "destination": str(tmp_path / "db2"),
+            "files": {"human": [str(pgn_path)]},
+            "format": "pgn",
+        }
+    )
+    bad = eng2.handle({"command": "export", "destination": str(tmp_path / "x")})
+    assert not bad["ok"] and "store_moves" in bad["error"]
+    assert eng2.handle({"command": "stats"})["ok"]
