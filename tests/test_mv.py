@@ -253,3 +253,60 @@ def test_route_picks_view_else_base(spark, sf_dir):
     assert path2 == "base"
     want = li.groupBy("l_returnflag").agg(F.avg("l_extendedprice").alias("ap"))
     assert _rows(res2) == _rows(want)
+
+
+# --- property test: maintenance ≡ rebuild under random delta batches ---------
+
+from hypothesis import given, settings, strategies as st
+
+_SPARK = []
+
+
+@pytest.fixture(autouse=True)
+def _capture_spark(spark):
+    _SPARK.clear()
+    _SPARK.append(spark)
+
+
+_batch = st.lists(
+    st.tuples(st.sampled_from("xyz"), st.integers(0, 9)), max_size=6
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_batch, _batch)
+def test_maintain_equals_rebuild_property(ins, dels):
+    """Random insert batch + random delete batch (deletes drawn from
+    base ∪ inserts so the scenario is well-formed): maintained
+    count/sum navigator view == view rebuilt over the final base."""
+    from chess_pos_db_spark.plans.mv import build_view, maintain_view
+
+    spark = _SPARK[0]
+    ms = [("count", "*"), ("sum", "v")]
+    base_rows = [("x", 1), ("x", 4), ("y", 2), ("z", 3)]
+    pool = base_rows + ins
+    seen_idx = set()
+    chosen = []
+    for i, _ in enumerate(dels):
+        j = i % len(pool)
+        if j not in seen_idx:
+            seen_idx.add(j)
+            chosen.append(pool[j])
+    base = spark.createDataFrame(base_rows, "k string, v long")
+    view = build_view(base, ["k"], ms)
+    kwargs = {}
+    if ins:
+        kwargs["inserts"] = spark.createDataFrame(ins, "k string, v long")
+    if chosen:
+        kwargs["deletes"] = spark.createDataFrame(chosen, "k string, v long")
+    updated = maintain_view(view, ["k"], ms, **kwargs)
+    remaining = base_rows + ins
+    for d in chosen:
+        remaining.remove(d)
+    if remaining:
+        expect = build_view(
+            spark.createDataFrame(remaining, "k string, v long"), ["k"], ms
+        )
+        assert _rows(updated) == _rows(expect)
+    else:
+        assert updated.count() == 0
