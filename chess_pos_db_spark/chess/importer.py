@@ -638,7 +638,13 @@ def append_pgn(
         )
     else:
         agg = build_agg_entries(explode_positions(games))
-    games.drop("sans").write.mode("append").parquet(f"{db_dir}/games")
+    # Match the database's fidelity mode: a store_moves database keeps
+    # movetext for appended games too (otherwise export_pgn would
+    # silently lose every appended game's moves); a header-only
+    # database stays header-only.
+    keeps_moves = "sans" in spark.read.parquet(f"{db_dir}/games").columns
+    stored_games = games if keeps_moves else games.drop("sans")
+    stored_games.write.mode("append").parquet(f"{db_dir}/games")
     agg.write.mode("overwrite").parquet(runs_dir)
 
     existing = spark.read.parquet(f"{db_dir}/entries")

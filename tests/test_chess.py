@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from chess_pos_db_spark.chess import importer, pgn, query
 from chess_pos_db_spark.chess.board import (
     NO_REVERSE_MOVE,
@@ -479,3 +481,25 @@ def test_export_pgn_round_trip(spark, tmp_path):
     importer.import_pgn(spark, [(str(src), "human")], db3)
     with pytest.raises(ValueError, match="store_moves"):
         importer.export_pgn(spark, db3, str(tmp_path / "nope"))
+
+
+def test_export_after_append_keeps_moves(spark, tmp_path):
+    """append_pgn on a store_moves database keeps movetext for the
+    appended games, so export covers the WHOLE corpus."""
+    src = tmp_path / "games.pgn"
+    src.write_text(PGN_TEXT)
+    extra = tmp_path / "more.pgn"
+    extra.write_text(
+        '[Event "Later"]\n[White "Iota"]\n[Black "Kappa"]\n'
+        '[Result "1-0"]\n\n1. Nf3 d5 2. g3 1-0\n'
+    )
+    db = str(tmp_path / "db")
+    importer.import_pgn(spark, [(str(src), "human")], db, store_moves=True)
+    importer.append_pgn(spark, [(str(extra), "human")], db)
+    games = spark.read.parquet(f"{db}/games")
+    assert "sans" in games.columns
+    appended = games.filter(F.col("white") == "Iota").first()
+    assert list(appended["sans"]) == ["Nf3", "d5", "g3"]
+    out = str(tmp_path / "export")
+    res = importer.export_pgn(spark, db, out)
+    assert res["games"] == 5
