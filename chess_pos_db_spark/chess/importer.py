@@ -727,6 +727,17 @@ def merge_databases(
     def _shift(col: str, base: int):
         return (F.col(col) + F.lit(base << 32)).alias(col)
 
+    moves_flags = {
+        d: "sans" in spark.read.parquet(f"{d}/games").columns for d in db_dirs
+    }
+    if len(set(moves_flags.values())) > 1:
+        # Refuse loudly rather than silently null movetext for the
+        # header-only sources (export would then emit moveless games).
+        raise ValueError(
+            "cannot merge store_moves and header-only databases: "
+            f"{moves_flags}; re-import the header-only sources with "
+            "store_moves=True (or export+drop the others) first"
+        )
     for d, base in zip(db_dirs, bases):
         g = spark.read.parquet(f"{d}/games")
         games_parts.append(g.withColumn("game_id", _shift("game_id", base)))

@@ -503,3 +503,13 @@ def test_export_after_append_keeps_moves(spark, tmp_path):
     out = str(tmp_path / "export")
     res = importer.export_pgn(spark, db, out)
     assert res["games"] == 5
+
+
+def test_merge_refuses_mixed_fidelity(spark, tmp_path):
+    a = tmp_path / "a.pgn"
+    a.write_text(PGN_TEXT)
+    da, db_ = str(tmp_path / "da"), str(tmp_path / "db_")
+    importer.import_pgn(spark, [(str(a), "human")], da, store_moves=True)
+    importer.import_pgn(spark, [(str(a), "human")], db_)
+    with pytest.raises(ValueError, match="store_moves"):
+        importer.merge_databases(spark, [da, db_], str(tmp_path / "out"))
