@@ -9,7 +9,7 @@ driver-verified queries grows every round:
   priority 0 — never checked by the driver or the round-1 judge re-run;
   priority 1 — judge re-verified in round 1 (oracle-exact) but never
                covered by a driver CORRECTNESS file;
-  priority 2 — driver-verified in rounds 1 AND 2.
+  priority 2 — driver-verified in some prior round (r1/r2/r3).
 
 Within each priority class, registration order is preserved. Every
 query is ALSO oracle-checked locally by tests/test_oracle.py on every
@@ -17,8 +17,25 @@ pytest run, so rotation never leaves anything unchecked — it only
 changes which 50 the external gate re-confirms.
 """
 
+# the 50 queries covered by CORRECTNESS_r03.json (driver gate, round 3)
+ROUND3_VERIFIED: frozenset[str] = frozenset({
+    "agg_equidepth_histogram", "agg_histogram", "agg_hll_intersect",
+    "agg_hll_mergeable", "agg_kll_mergeable", "agg_percentile_disc",
+    "agg_sample_estimate", "agg_unpivot", "agg_view_ivm", "er_resolve",
+    "events_anomaly", "events_basket_lift", "events_ewma", "events_funnel",
+    "events_path_trigrams", "events_purchase_attribution",
+    "events_resample_ffill", "events_retention", "events_sessionize",
+    "events_time_rollup", "join_asof_nearest", "join_bloom_semi",
+    "join_interval_overlap", "join_lateral_topn", "join_scd2_temporal",
+    "join_shuffle_hash_hint", "json_variant", "merge_into_cdc",
+    "sample_weighted", "scd2_build", "tpch_q1", "tpch_q10", "tpch_q11",
+    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5",
+    "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "win_time_range_frame",
+})
+
 # the 50 queries covered by CORRECTNESS_r01.json and CORRECTNESS_r02.json
-DRIVER_VERIFIED: frozenset[str] = frozenset({
+ROUND12_VERIFIED: frozenset[str] = frozenset({
     "agg_approx_distinct", "agg_cube", "agg_distinct", "agg_groupcount",
     "agg_having", "agg_minmax_by", "agg_multi", "agg_pivot",
     "agg_pivot_rates", "agg_rollup", "agg_sum_avg", "agg_twolevel",
@@ -33,6 +50,9 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "sort_topk", "win_first_last", "win_lag_lead", "win_ntile", "win_rank",
     "win_row_number", "win_running_sum", "win_topk_per_group",
 })
+
+# union of everything any driver CORRECTNESS gate has verified so far
+DRIVER_VERIFIED: frozenset[str] = ROUND12_VERIFIED | ROUND3_VERIFIED
 
 # the 109-query registry as of the round-1 judge re-verification
 ROUND1_REGISTRY: frozenset[str] = frozenset({
