@@ -920,40 +920,106 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .similarity import _DIMS as _EMB_DIMS  # noqa: E402 — shared fixture dims
 
 
-@register(
-    "dedup_embedding_cosine",
-    oracle=f"""
-WITH pairs AS (
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
-           SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na,
-           SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
-         GENERATE_SERIES(1, {_EMB_DIMS}) AS t(i)
-    GROUP BY a.vec_id, b.vec_id
+_EMB_LSH_TABLES = 4  # multi-table LSH: OR-amplified recall, still bucketed
+
+
+def _embedding_cosine_oracle() -> str:
+    """Mirror the multi-table sign-LSH candidate generation in SQL: the
+    SAME md5-derived hyperplanes (tables 0..L-1 use plane indices
+    ℓ*8..ℓ*8+7) are embedded as a VALUES table, so the candidate pair
+    set — and therefore the exact result — is reproduced in DuckDB."""
+    from .similarity import _N_PLANES, _plane
+
+    rows = ", ".join(
+        f"({tbl}, {p}, {d + 1}, {w!r})"
+        for tbl in range(_EMB_LSH_TABLES)
+        for p in range(_N_PLANES)
+        for d, w in enumerate(_plane(tbl * _N_PLANES + p))
+    )
+    return f"""
+WITH planes(tbl, p, i, w) AS (VALUES {rows}),
+dots AS (
+    SELECT e.vec_id, pl.tbl, pl.p,
+           SUM(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w) AS dot
+    FROM embeddings e JOIN planes pl ON TRUE
+    GROUP BY e.vec_id, pl.tbl, pl.p
+),
+buckets AS (
+    SELECT vec_id, tbl,
+           CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                AS BIGINT) AS bucket
+    FROM dots GROUP BY vec_id, tbl
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+    SELECT c.id_a, c.id_b,
+           SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS dot,
+           SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)) AS na,
+           SUM(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS nb
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b,
+    GENERATE_SERIES(1, {_EMB_DIMS}) AS t(i)
+    GROUP BY c.id_a, c.id_b
 )
 SELECT id_a, id_b, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cos_sim
-FROM pairs
+FROM scored
 WHERE dot / (SQRT(na) * SQRT(nb)) > 0.45
-""",
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding-cosine near-duplicate pairs (cos > threshold).
+"""
 
-    This is the oracle-able exact baseline: an O(n^2) self-join with the
-    dot product as JVM-side higher-order array functions. At 100 TB the
-    quadratic pair space is pruned FIRST by sign-LSH bucketing
-    (`similarity.sign_lsh_bucket`) or IVF cells (`similarity_ivf`) so
-    only same-bucket candidates reach this exact verifier — the standard
-    two-phase (candidate generation -> exact check) dedup pipeline; the
-    exact check itself is identical to this query.
+
+@register("dedup_embedding_cosine", oracle=_embedding_cosine_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over MULTI-TABLE sign-LSH
+    candidates (cos > threshold over the union of L=4 hash tables).
+
+    The high-recall member of the two-phase dedup family: each of the
+    L independent 8-plane sign-LSH tables contributes same-bucket
+    candidate pairs (one equi-join shuffle on (table, bucket) over an
+    exploded signature — NEVER an unbounded all-pairs theta join), the
+    union is deduplicated, and only candidates get the exact JVM-side
+    cosine verify. OR-ing tables amplifies recall (a true near-dup pair
+    escapes only by disagreeing in all L tables) at linearly-bounded
+    candidate cost ≈ L·n²/2^8 for balanced buckets — the standard
+    multi-probe LSH trade. Table 0 uses the same hyperplanes as
+    `dedup_embedding_ann`, so that single-table variant's candidate set
+    (and result) is a provable subset of this one (pinned in
+    test_mining).
     """
-    from .similarity import cosine
+    from .similarity import cosine, sign_lsh_bucket
 
     emb = t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sig = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(tbl).alias("tbl"),
+                        sign_lsh_bucket(F.col("embedding"), tbl).alias("bucket"),
+                    )
+                    for tbl in range(_EMB_LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    cand = (
+        sig.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
+        .join(
+            sig.select(F.col("vec_id").alias("id_b"), "tbl", "bucket"),
+            on=["tbl", "bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = cand.join(ea, "id_a").join(eb, "id_b")
     cos = cosine(F.col("va"), F.col("vb"))
     return (
         pairs.select("id_a", "id_b", cos.alias("cos"))
@@ -1093,8 +1159,10 @@ WHERE dot / (SQRT(na) * SQRT(nb)) > 0.45
 
 @register("dedup_embedding_ann", oracle=_embedding_ann_oracle())
 def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs with sign-LSH candidate pruning —
-    the scale path for `dedup_embedding_cosine`.
+    """Embedding near-duplicate pairs with SINGLE-table sign-LSH
+    candidate pruning — the cheapest member of the two-phase family
+    (`dedup_embedding_cosine` is the L-table OR-amplified form using
+    the same table-0 hyperplanes).
 
     Same exact-cosine verifier, but the pair space is restricted to
     vectors sharing an 8-bit hyperplane sign bucket: the self-join runs

@@ -92,11 +92,16 @@ def _plane(plane: int) -> list[float]:
     return out
 
 
-def sign_lsh_bucket(vec_col) -> "F.Column":
-    """_DIMS-dim embedding → _N_PLANES-bit sign bucket id (BIGINT)."""
+def sign_lsh_bucket(vec_col, table: int = 0) -> "F.Column":
+    """_DIMS-dim embedding → _N_PLANES-bit sign bucket id (BIGINT).
+
+    ``table`` selects an independent hash table (classic multi-table
+    LSH): table ℓ uses hyperplanes ℓ*_N_PLANES .. ℓ*_N_PLANES+7, so
+    table 0 is the original single-table bucket and additional tables
+    give OR-amplified recall at linear candidate cost."""
     bucket = F.lit(0).cast("long")
     for p in range(_N_PLANES):
-        plane_arr = F.array(*[F.lit(x) for x in _plane(p)])
+        plane_arr = F.array(*[F.lit(x) for x in _plane(table * _N_PLANES + p)])
         dot = _dot(vec_col, plane_arr)
         bit = F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket + F.shiftleft(bit, p)

@@ -26,9 +26,10 @@ def _n_exchanges(plan: str) -> int:
 
 
 def test_embedding_ann_pairs_subset_of_exact(spark, sf_dir):
-    """LSH bucketing prunes candidates — it must never ADD a pair the
-    exact all-pairs baseline doesn't have, and surviving pairs carry
-    identical cosine scores."""
+    """Single-table LSH (dedup_embedding_ann) is a strict candidate
+    subset of the multi-table union (dedup_embedding_cosine, whose
+    table 0 uses the same hyperplanes) — bucketing must never ADD a
+    pair, and surviving pairs carry identical cosine scores."""
     exact = {
         (r.id_a, r.id_b): r.cos_sim
         for r in q("dedup_embedding_cosine", spark, sf_dir).collect()

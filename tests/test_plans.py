@@ -530,3 +530,15 @@ def test_merge_cdc_no_nested_loop(spark, sf_dir):
     plan = _plan(q("merge_into_cdc", spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_cosine_bucketed_never_all_pairs(spark, sf_dir):
+    """Φ-N2: dedup_embedding_cosine's candidate generation must be an
+    equi-join on the (table, bucket) sign-LSH key — the round-3 verdict's
+    one scale-killer (an unbounded id_a<id_b theta join) is pinned out:
+    no nested-loop/cartesian anywhere in the plan, and the join keys
+    include the bucket column."""
+    plan = _plan(q("dedup_embedding_cosine", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[[^\]]*bucket", plan), plan[:3000]
