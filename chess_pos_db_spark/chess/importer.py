@@ -807,6 +807,15 @@ def export_pgn(
     Arrow-batched mapInPandas of pure-python ``pgn.format_game`` — the
     text sink writes each shard independently, so export parallelism is
     the shard count regardless of corpus size.
+
+    Output is PARTITIONED BY LEVEL (``dest_dir/level=<level>/part-*``):
+    level is part of the entries key (the reference's human/engine/server
+    partitioning), so a flat export of a multi-level database would
+    silently merge classifications the importer can never recover.
+    Re-import each subdirectory with its matching level for a lossless
+    round trip. ``ply_count`` is derived from the movetext on re-import;
+    ``source_file`` intentionally becomes the exported shard's own path
+    (provenance of the new file, not a loss).
     """
     games = spark.read.parquet(f"{db_dir}/games")
     if "sans" not in games.columns:
@@ -838,15 +847,45 @@ def export_pgn(
                         tags[tag] = str(int(v)) if col.endswith("_elo") else str(v)
                 sans = [] if row.sans is None else list(row.sans)
                 texts.append(pgn.format_game(tags, sans, row.result))
-            yield pd.DataFrame({"game_id": pdf["game_id"], "text": texts})
+            yield pd.DataFrame(
+                {
+                    "game_id": pdf["game_id"],
+                    "level": pdf["level"],
+                    "text": texts,
+                }
+            )
 
-    cols = ["game_id", "result", "sans"] + [c for c, _ in tag_cols]
+    cols = ["game_id", "level", "result", "sans"] + [c for c, _ in tag_cols]
     shaped = (
         games.select(*cols)
         .repartitionByRange(shards, "game_id")
         .sortWithinPartitions("game_id")
-        .mapInPandas(fmt, schema="game_id long, text string")
+        .mapInPandas(fmt, schema="game_id long, level string, text string")
     )
-    shaped.select("text").write.mode("overwrite").text(dest_dir)
+    shaped.select("level", "text").write.partitionBy("level").mode(
+        "overwrite"
+    ).text(dest_dir)
     n = games.count()
-    return {"dest_dir": dest_dir, "games": n, "shards": shards}
+    import os
+
+    levels = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(dest_dir)
+        if d.startswith("level=")
+    )
+    # repartitionByRange can produce fewer non-empty shards than
+    # requested on small corpora — report the files actually written so
+    # the stat is load-bearing for consumers.
+    files = sum(
+        1
+        for root, _dirs, fs in os.walk(dest_dir)
+        for f in fs
+        if f.startswith("part-")
+    )
+    return {
+        "dest_dir": dest_dir,
+        "games": n,
+        "shards": shards,
+        "files": files,
+        "levels": levels,
+    }

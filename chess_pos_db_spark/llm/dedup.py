@@ -888,7 +888,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conditional sums — measured 15% faster end-to-end, bit-identical.
     # Field width bounds per-doc token count at 2^21 (~2M tokens, ~10 MB
     # of text); beyond that, widen to 2 fields/long — the packing factor
-    # is a knob, not a semantics change.
+    # is a knob, not a semantics change. The bound is ENFORCED at
+    # runtime, not just documented: n (count per doc) is already in the
+    # aggregate, so a doc at the limit raises instead of silently
+    # overflowing a counter into the adjacent field.
     tok = docs.selectExpr(
         "doc_id", "explode(split(text, ' ')) AS token"
     ).selectExpr(
@@ -912,7 +915,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ones = f"((s_{gi} >> {21 * p}) & 2097151)"
             val = f"{1 << i}L" if i < 63 else f"({_MIN_LONG + 1}L - 1L)"
             terms.append(f"(CASE WHEN 2 * {ones} > n THEN {val} ELSE 0L END)")
-    return sums.selectExpr("doc_id", " + ".join(terms) + " AS simhash")
+    guard = (
+        "IF(n >= 2097152, CAST(raise_error('dedup_simhash: document with "
+        ">= 2^21 tokens overflows the 21-bit packed counters; widen the "
+        "packing to 2 fields per long') AS BIGINT), "
+    )
+    return sums.selectExpr("doc_id", guard + " + ".join(terms) + ") AS simhash")
 
 
 # --- embedding-cosine near-duplicate pairs (N2 scale family) -----------------

@@ -200,11 +200,27 @@ def maintain_view(
     inversely maintainable — a view containing min/max refuses deletes
     (a deleted min needs a rescan of its group); insert-only feeds
     (the reference's append case) maintain min/max fine.
+
+    Delete deltas are assumed to be valid CDC (each deleted row was in
+    base) — that's inherent to maintaining without a base rescan. The
+    detectable violation, a grain cell retracted below zero, FAILS the
+    job via a runtime guard; phantom deletes inside still-occupied
+    cells are undetectable by construction.
     """
     if deletes is not None and any(fn in ("min", "max", "hll") for fn, _ in measures):
         raise NotDerivableError(
             "min/max/hll partials are not maintainable under deletes; "
             "rebuild the view (or drop them from its spec)"
+        )
+    has_count_star = ("count", "*") in [tuple(m) for m in measures]
+    if deletes is not None and not has_count_star:
+        # Without a count(*) partial, fully-retracted grain cells can't
+        # be pruned and would linger as ghost cells with zero/negative
+        # partials — refuse loudly instead of maintaining wrongly.
+        raise NotDerivableError(
+            "maintaining a view under deletes requires a (count, *) "
+            "partial in its measure list (it drives ghost-cell pruning); "
+            "add it to the view spec or rebuild"
         )
 
     def delta(df: DataFrame, sign: int) -> DataFrame:
@@ -242,9 +258,21 @@ def maintain_view(
             comb = comb.cast("long")
         combines.append(comb.alias(c))
     out = out.groupBy(*dims).agg(*combines)
-    # fully-retracted grain cells vanish (count(*) partial reaches 0)
-    if ("count", "*") in [tuple(m) for m in measures]:
-        out = out.filter(F.col(_mcol("count", "*")) > 0)
+    if has_count_star:
+        cnt = _mcol("count", "*")
+        # A negative combined count means the delete delta contained
+        # rows that were never in base — corrupt input, not a valid
+        # retraction; fail the job rather than silently pruning it.
+        out = out.withColumn(
+            cnt,
+            F.expr(
+                f"IF({cnt} < 0, CAST(raise_error('maintain_view: count(*) "
+                "partial went negative — delete delta contains rows absent "
+                f"from base') AS BIGINT), {cnt})"
+            ),
+        )
+        # fully-retracted grain cells vanish (count(*) partial reaches 0)
+        out = out.filter(F.col(cnt) > 0)
     return out
 
 

@@ -430,27 +430,43 @@ def test_transposition_stats(spark, tmp_path):
 def test_export_pgn_round_trip(spark, tmp_path):
     """import(store_moves) → export_pgn → re-import yields an IDENTICAL
     entries store and identical game headers — lossless migration out
-    of the engine. A header-only import refuses to export."""
+    of the engine, INCLUDING the level classification (export shards by
+    level=<level>/ subdirectory; a flat export would merge levels
+    irrecoverably). A header-only import refuses to export."""
     src = tmp_path / "games.pgn"
     src.write_text(PGN_TEXT)
+    src2 = tmp_path / "engine_games.pgn"
+    src2.write_text(
+        '[Event "EngineMatch"]\n[White "EngA"]\n[Black "EngB"]\n'
+        '[Result "0-1"]\n\n1. e4 c5 2. Nf3 d6 0-1\n'
+    )
     db1 = str(tmp_path / "db1")
     importer.import_pgn(
-        spark, [(str(src), "human")], db1, store_moves=True
+        spark,
+        [(str(src), "human"), (str(src2), "engine")],
+        db1,
+        store_moves=True,
     )
     out = str(tmp_path / "export")
     res = importer.export_pgn(spark, db1, out, shards=2)
-    assert res["games"] == 4
+    assert res["games"] == 5
+    assert res["levels"] == ["engine", "human"]
+    assert res["files"] >= 1  # actual part files written, not requested
 
-    # re-import the exported shards as ONE corpus (shard files sorted by
+    # re-import the exported shards as ONE corpus, each with the level
+    # recovered from its partition directory (shard files sorted by
     # name keep game order; game_ids depend on file split so compare
     # content, not ids)
     import glob
 
-    shard_files = sorted(glob.glob(f"{out}/part-*"))
-    assert len(shard_files) >= 1
+    shard_files = sorted(glob.glob(f"{out}/level=*/part-*"))
+    assert len(shard_files) == res["files"] >= 2  # one per level at least
     db2 = str(tmp_path / "db2")
     importer.import_pgn(
-        spark, [(p, "human") for p in shard_files], db2, store_moves=True
+        spark,
+        [(p, p.split("level=")[1].split("/")[0]) for p in shard_files],
+        db2,
+        store_moves=True,
     )
 
     def entries_content(db):
@@ -470,7 +486,7 @@ def test_export_pgn_round_trip(spark, tmp_path):
             tuple(r)
             for r in df.select(
                 "event", "white", "black", "result", "date_raw",
-                "white_elo", "black_elo", "ply_count", "sans",
+                "white_elo", "black_elo", "ply_count", "sans", "level",
             ).collect()
         )
 

@@ -287,3 +287,26 @@ SELECT COUNT(*) FROM (
 )"""
     ).fetchone()[0]
     assert abs(row["est_intersect"] - exact) / max(1, exact) < 0.05
+
+
+def test_simhash_packed_counter_overflow_guard(spark, tmp_path):
+    """A document at the 2^21-token packing limit must RAISE, not
+    silently overflow its 21-bit counter into the adjacent field (the
+    bound is enforced in the aggregate, not just documented)."""
+    import chess_pos_db_spark as engine
+
+    # Alternate two tokens whose md5 bit patterns never BOTH set a
+    # shift-42 field bit (verified offline: md5('tok4') & md5('tok124')
+    # on positions i≡2 mod 3 is empty), so the int64 SUM itself cannot
+    # hit Spark's ANSI ARITHMETIC_OVERFLOW first — the per-field guard
+    # is what must fire.
+    big = spark.range(1).selectExpr(
+        "1L AS doc_id",
+        "'synthetic' AS source",
+        f"array_join(flatten(array_repeat(array('tok4', 'tok124'), {1 << 20})), ' ')"
+        " || ' tok4 tok124' AS text",  # 2^21 + 2 tokens: past the limit
+    )
+    big.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    q = engine.get_queries()["dedup_simhash"]
+    with pytest.raises(Exception, match="2\\^21 tokens"):
+        q(spark, str(tmp_path)).collect()

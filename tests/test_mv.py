@@ -310,3 +310,37 @@ def test_maintain_equals_rebuild_property(ins, dels):
         assert _rows(updated) == _rows(expect)
     else:
         assert updated.count() == 0
+
+
+def test_maintain_deletes_require_count_star(spark, sf_dir):
+    """A count/sum view WITHOUT a count(*) partial refuses delete
+    maintenance loudly — otherwise fully-retracted cells would linger
+    as ghosts with zero/negative partials."""
+    from chess_pos_db_spark.plans.mv import build_view, maintain_view
+
+    li = _base(spark, sf_dir)
+    ms = [("sum", "l_quantity"), ("count", "l_quantity")]
+    view = build_view(li, DIMS, ms)
+    with pytest.raises(NotDerivableError, match="count, \\*"):
+        maintain_view(view, DIMS, ms, deletes=li.limit(1))
+    # insert-only maintenance stays allowed without count(*)
+    maintained = maintain_view(view, DIMS, ms, inserts=li.limit(50))
+    rebuilt = build_view(li.unionByName(li.limit(50)), DIMS, ms)
+    assert _rows(maintained) == _rows(rebuilt)
+
+
+def test_maintain_rejects_overdeletes(spark, sf_dir):
+    """A delete delta retracting more rows than a grain cell holds must
+    FAIL the maintenance job (negative count(*) partial), not silently
+    prune the cell or leave a negative count. (Phantom deletes that land
+    inside still-occupied cells are undetectable without rescanning
+    base — the documented IVM validity assumption.)"""
+    from chess_pos_db_spark.plans.mv import build_view, maintain_view
+
+    li = _base(spark, sf_dir)
+    ms = [("count", "*"), ("sum", "l_quantity")]
+    base0 = li.filter(F.col("l_orderkey") % 3 != 0)
+    view = build_view(base0, DIMS, ms)
+    twice = base0.unionByName(base0)  # every row deleted twice
+    with pytest.raises(Exception, match="absent from base"):
+        maintain_view(view, DIMS, ms, deletes=twice).collect()
