@@ -48,6 +48,11 @@ class Engine:
         self.db_dir: Optional[str] = None
         self._entries: Optional[DataFrame] = None
         self._games: Optional[DataFrame] = None
+        # import/query executors unpickle package modules (pgn/board);
+        # ship them so the server works from any driver cwd
+        from ..tables import _ship_package
+
+        _ship_package(spark)
 
     # -- helpers --------------------------------------------------------------
 

@@ -89,6 +89,10 @@ def read_pgn_files(
     import os
     from urllib.parse import unquote, urlparse
 
+    from ..tables import _ship_package
+
+    _ship_package(spark)  # parse UDFs unpickle package modules on workers
+
     meta = {
         os.path.abspath(path): (idx, path, level)
         for idx, (path, level) in enumerate(files)
@@ -237,6 +241,9 @@ def parse_games_chunked(
     """
     import os
 
+    from ..tables import _ship_package
+
+    _ship_package(spark)  # chunk scan/parse UDFs unpickle pgn on workers
     total = sum(os.path.getsize(os.path.abspath(p)) for p, _ in files)
     target_chunks = max(1, 2 * spark.sparkContext.defaultParallelism)
     eff_chunk = min(
@@ -817,6 +824,9 @@ def export_pgn(
     ``source_file`` intentionally becomes the exported shard's own path
     (provenance of the new file, not a loss).
     """
+    from ..tables import _ship_package
+
+    _ship_package(spark)  # fmt closure unpickles pgn.format_game on workers
     games = spark.read.parquet(f"{db_dir}/games")
     if "sans" not in games.columns:
         raise ValueError(

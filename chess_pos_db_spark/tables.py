@@ -34,10 +34,42 @@ TABLES = (
 _CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+# Sessions whose Python workers have been shipped the package zip.
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable on executor Python workers no matter
+    what cwd/PYTHONPATH the driver launched with (an external driver
+    running from outside the repo otherwise breaks every query that
+    pickles a module-level function — the pandas-UDF/mapInPandas
+    family). One ~100 KB zip per session via addPyFile; idempotent per
+    applicationId."""
+    app = spark.sparkContext.applicationId
+    if app in _SHIPPED:
+        return
+    _SHIPPED.add(app)
+    import os
+    import tempfile
+    import zipfile
+
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    tmp = tempfile.mkdtemp(prefix="cpds_pyfiles_")  # must outlive the app
+    zpath = os.path.join(tmp, "chess_pos_db_spark.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, os.path.dirname(pkg)))
+    spark.sparkContext.addPyFile(zpath)
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy parquet scan)."""
     if name not in TABLES:
         raise KeyError(f"unknown fixture table: {name}")
+    _ship_package(spark)
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _CACHE.get(key)
     if cached is not None:
