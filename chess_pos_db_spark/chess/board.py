@@ -148,6 +148,44 @@ def captured_piece(pos: "Position", m: Move) -> str:
 # --- zobrist -----------------------------------------------------------------
 
 
+_SAN_CORE_CACHE: dict = {}
+
+
+def _parse_san_core(core: str):
+    """SAN core (castling excluded) → (pt, dest, dis_file, dis_rank,
+    capture, promo), or None for unparseable cores. Pure function of
+    the string — memoized module-wide, shared by every position."""
+    spec = _SAN_CORE_CACHE.get(core, False)
+    if spec is not False:
+        return spec
+    body = core
+    promo = ""
+    if "=" in body:
+        body, promo = body.split("=")
+        promo = promo.lower()
+    elif body and body[-1] in "QRBNqrbn" and body[0] in FILES:
+        promo = body[-1].lower()
+        body = body[:-1]
+    pt = "P"
+    if body and body[0] in "NBRQK":
+        pt = body[0]
+        body = body[1:]
+    capture = "x" in body
+    body = body.replace("x", "")
+    if len(body) < 2 or body[-1] not in RANKS or body[-2] not in FILES:
+        spec = None
+    else:
+        dest = parse_sq(body[-2:])
+        dis = body[:-2]
+        dis_file = next((FILES.index(c) for c in dis if c in FILES), None)
+        dis_rank = next((RANKS.index(c) for c in dis if c in RANKS), None)
+        spec = (pt, dest, dis_file, dis_rank, capture, promo)
+    if len(_SAN_CORE_CACHE) >= 65536:
+        _SAN_CORE_CACHE.clear()
+    _SAN_CORE_CACHE[core] = spec
+    return spec
+
+
 def _splitmix64(state: int) -> tuple[int, int]:
     state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
     z = state
@@ -715,32 +753,18 @@ class Position:
 
     def _san_candidates(self, core: str) -> list[Move]:
         """Pseudo-legal candidate moves for a SAN core, computed from the
-        destination square backwards — no full move generation."""
+        destination square backwards — no full move generation. The
+        string-parsing half is memoized module-wide (_parse_san_core):
+        a corpus's SAN vocabulary is tiny relative to its ply count."""
         b = self.board
         us = self.side
         if core in ("O-O", "O-O-O"):
             want = F_CASTLE_K if core == "O-O" else F_CASTLE_Q
             return [m for m in self._castle_moves() if m.flag == want]
-        body = core
-        promo = ""
-        if "=" in body:
-            body, promo = body.split("=")
-            promo = promo.lower()
-        elif body and body[-1] in "QRBNqrbn" and body[0] in FILES:
-            promo = body[-1].lower()
-            body = body[:-1]
-        pt = "P"
-        if body and body[0] in "NBRQK":
-            pt = body[0]
-            body = body[1:]
-        capture = "x" in body
-        body = body.replace("x", "")
-        if len(body) < 2 or body[-1] not in RANKS or body[-2] not in FILES:
+        spec = _parse_san_core(core)
+        if spec is None:
             return []
-        dest = parse_sq(body[-2:])
-        dis = body[:-2]
-        dis_file = next((FILES.index(c) for c in dis if c in FILES), None)
-        dis_rank = next((RANKS.index(c) for c in dis if c in RANKS), None)
+        pt, dest, dis_file, dis_rank, capture, promo = spec
         piece = pt if us == WHITE else pt.lower()
         out: list[Move] = []
         if pt == "P":
@@ -851,6 +875,37 @@ class Position:
             if ch in RANKS and RANKS[sq_rank(m.from_sq)] != ch:
                 return False
         return True
+
+
+def san_move_cached(
+    pos: Position, san: str, cache: dict, cap: int = 200_000
+) -> tuple[Move, Position]:
+    """Replay-loop SAN resolution with a position-transition memo.
+
+    Real corpora replay the SAME positions millions of times (every
+    game walks the opening tree — the premise of the whole entries
+    store), so the resolved move for (position key, SAN) is memoized:
+    a hit skips candidate generation and the legality attack-scan and
+    pays only make_move, which must still run so halfmove/fullmove
+    counters (not part of the key, ERAN needs them) stay exact.
+
+    Keyed by ``pos.key()`` — the same 64-bit zobrist (side + castling
+    + capturable-ep included) the entries fact table itself is keyed
+    by, so the cache accepts exactly the collision risk the data model
+    already accepts. ``cap`` bounds worker memory; the dict is cleared
+    when full (opening-skewed hit mass makes LRU bookkeeping not worth
+    its cost). Raises ValueError on illegal/ambiguous SAN like
+    parse_san_child.
+    """
+    k = (pos.key(), san)
+    m = cache.get(k)
+    if m is not None:
+        return m, pos.make_move(m)
+    m, child = pos.parse_san_child(san)
+    if len(cache) >= cap:
+        cache.clear()
+    cache[k] = m
+    return m, child
 
 
 def perft(pos: Position, depth: int) -> int:

@@ -408,6 +408,13 @@ def explode_positions(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import eran as eran_mod
+        from .board import san_move_cached
+
+        # (pos_key, san) → move memo, shared across every game this
+        # worker replays: the opening tree repeats across games, so the
+        # hot plies skip SAN candidate generation + the legality attack
+        # scan entirely (make_move still runs — counters stay exact).
+        san_cache: dict = {}
 
         def extras(pos, eran_text):
             ex = {}
@@ -449,7 +456,7 @@ def explode_positions(
                 ok = True
                 for ply, san in enumerate(row["sans"], start=1):
                     try:
-                        m, child = pos.parse_san_child(san)
+                        m, child = san_move_cached(pos, san, san_cache)
                     except ValueError:
                         ok = False  # illegal move → skip whole game
                         break

@@ -38,7 +38,7 @@ SHUFFLE_BUDGET = {
     "text_token_count_bpe": 0,
     "dedup_exact_groups": 1,
     "dedup_simhash": 0,  # r4: in-row higher-order aggregate, zero-shuffle
-    "dedup_minhash_cluster": 2,  # (doc_id) signature agg + (signature) cluster agg
+    "dedup_minhash_cluster": 1,  # r4: in-row signature (0) + (signature) cluster agg
     "similarity_topk": 0,
     "similarity_ivf": 0,
 }
