@@ -220,40 +220,33 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id → mh_0..mh_{NUM_HASHES-1}: min over distinct tokens of the
     K-M hash g_i(token) = h1 + i*h2 (one md5 per token, 16 derived).
 
-    ZERO-shuffle, zero-explode (round 4, the dedup_simhash move): the
-    whole signature is one in-row higher-order `aggregate` over the
-    token array — tokens md5'd once in an inner transform, accumulator
-    = struct of 16 running mins. No distinct pass either: MIN is
-    duplicate-insensitive. The signature never leaves its scan
-    partition; measured 28% faster than the explode + map-side-combined
-    hash-agg form at sf0.1, bit-identical. The oracle keeps SELECT
-    DISTINCT + GROUP BY (min over duplicates ≡ min over distinct)."""
-    maxl = 9223372036854775807
-    init = (
-        "named_struct("
-        + ", ".join(f"'m_{i}', {maxl}L" for i in range(NUM_HASHES))
-        + ")"
+    No distinct pass: MIN is duplicate-insensitive, so deduplicating
+    (doc_id, token) first would only add a full shuffle of the token
+    stream before the aggregate. Dropping it leaves ONE shuffle whose
+    payload is the map-side-combined 16-long partial signature per doc
+    per partition — at corpus scale the difference between shuffling
+    the token stream and shuffling ~128 B/doc. The oracle keeps
+    SELECT DISTINCT (min over duplicates ≡ min over distinct).
+
+    MEASURED AND REJECTED (round 4, do not retry): the zero-shuffle
+    in-row aggregate(transform(...)) form with a 16-min accumulator
+    struct is 40% SLOWER under a noop-sink execution at sf0.1 (0.82s
+    vs 0.58s best-of-4, bit-identical) — interpreted lambda folds lose
+    to codegen'd hash aggregation; same verdict as dedup_simhash's
+    in-row experiment."""
+    tok = docs.selectExpr("doc_id", "explode(split(text, ' ')) AS token")
+    hk = tok.selectExpr(
+        "doc_id",
+        "cast(conv(substring(md5(token), 1, 15), 16, 10) AS bigint)"
+        f" % {_KM_MOD}L AS h1",
+        "cast(conv(substring(md5(token), 16, 15), 16, 10) AS bigint)"
+        f" % {_KM_MOD}L AS h2",
     )
-    merge = (
-        "named_struct("
-        + ", ".join(
-            f"'m_{i}', least(acc.m_{i}, (x.h1 + {i}L * x.h2) % {_KM_P}L)"
-            for i in range(NUM_HASHES)
-        )
-        + ")"
-    )
-    expr = f"""aggregate(
-  transform(
-    transform(split(text, ' '), tok -> md5(tok)),
-    h -> named_struct(
-      'h1', cast(conv(substring(h, 1, 15), 16, 10) AS bigint) % {_KM_MOD}L,
-      'h2', cast(conv(substring(h, 16, 15), 16, 10) AS bigint) % {_KM_MOD}L)),
-  {init},
-  (acc, x) -> {merge}) AS s"""
-    sig = docs.selectExpr("doc_id", expr)
-    return sig.selectExpr(
-        "doc_id", *[f"s.m_{i} AS mh_{i}" for i in range(NUM_HASHES)]
-    )
+    aggs = [
+        F.expr(f"min((h1 + {i}L * h2) % {_KM_P}L) AS mh_{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return hk.groupBy("doc_id").agg(*aggs)
 
 
 def _sig_ctes() -> str:
@@ -888,63 +881,65 @@ FROM sums
 @register("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    # ZERO-shuffle, zero-explode formulation (round 4): the whole
-    # simhash is one in-row higher-order `aggregate` over the token
-    # array — the same move text_gopher_quality makes. One md5 per
-    # token (hashed once in an inner transform), split into a 60-bit
-    # half h1 (15 hex chars) and a 4-bit tail h2 so the bit counters
-    # are pure long shift/mask ops. Measured at sf0.1: 0.178s vs the
-    # previous explode + map-side-combined hash-agg's 0.274s
-    # (best-of-5, bit-identical output) — no exchange, no per-token
-    # row materialization; the doc never leaves its scan partition.
-    # The wide expression is built as SQL text (selectExpr): Column
-    # trees cost ~2 s of py4j round-trips PER CALL.
+    # One md5 per token, split into a 60-bit half h1 (15 hex chars) and a
+    # 4-bit tail h2 — the bit counters are then pure long shift/mask ops.
+    # One groupBy — one shuffle, map-side combined. The wide expression
+    # lists are built as SQL text (selectExpr / expr): constructing them
+    # as Column trees costs ~2 s of py4j round-trips PER CALL, which
+    # dominates the whole query.
+    #
+    # MEASURED AND REJECTED (round 4, do not retry): the zero-shuffle
+    # in-row formulation — aggregate(transform(split(text))) with the
+    # 23-long accumulator struct — is 2.7x SLOWER under a noop-sink
+    # execution at sf0.1 (1.97s vs 0.73s best-of-4, bit-identical).
+    # Higher-order-function lambdas run interpreted per element, while
+    # the hash aggregate's conditional sums stay inside whole-stage
+    # codegen; the exchange this shape pays is 23 longs/doc — trivial
+    # next to the per-token CPU. (An earlier count()-based comparison
+    # claimed the opposite because Catalyst pruned the unused simhash
+    # column and skipped the md5 work entirely — measure map-heavy
+    # expressions with a sink that consumes every column.)
     #
     # Bit-counter packing: bit i of the simhash is set iff more tokens
-    # have hash-bit i set than clear, i.e. 2*ones_i > n. ones_i
-    # counters are packed 3-per-long with 21-bit fields, so the
-    # accumulator struct is n + 22 longs instead of 64 counters.
-    # Field width bounds per-doc token count at 2^21 (~2M tokens,
-    # ~10 MB of text); beyond that, widen to 2 fields/long — the
-    # packing factor is a knob, not a semantics change. The bound is
-    # ENFORCED at runtime: the finalize lambda raises on n >= 2^21
-    # instead of silently overflowing a counter into the next field.
-    groups = [list(range(g, min(g + 3, 64))) for g in range(0, 64, 3)]
+    # have hash-bit i set than clear, i.e. 2*ones_i > n. ones_i counters
+    # are packed 3-per-long with 21-bit fields (sum((b_i)|(b_j<<21)|
+    # (b_k<<42))), so 64 bits need 22 aggregates + count(*) instead of 64
+    # conditional sums — measured 15% faster end-to-end, bit-identical.
+    # Field width bounds per-doc token count at 2^21 (~2M tokens, ~10 MB
+    # of text); beyond that, widen to 2 fields/long — the packing factor
+    # is a knob, not a semantics change. The bound is ENFORCED at
+    # runtime, not just documented: n (count per doc) is already in the
+    # aggregate, so a doc at the limit raises instead of silently
+    # overflowing a counter into the adjacent field.
+    tok = docs.selectExpr(
+        "doc_id", "explode(split(text, ' ')) AS token"
+    ).selectExpr(
+        "doc_id",
+        "cast(conv(substring(md5(token), 1, 15), 16, 10) AS bigint) AS h1",
+        "cast(conv(substring(md5(token), 16, 1), 16, 10) AS bigint) AS h2",
+    )
 
     def _bit(i: int) -> str:
-        return f"((x.h1 >> {i}) & 1)" if i < 60 else f"((x.h2 >> {i - 60}) & 1)"
+        return f"((h1 >> {i}) & 1)" if i < 60 else f"((h2 >> {i - 60}) & 1)"
 
-    init = (
-        "named_struct('n', 0L, "
-        + ", ".join(f"'s_{gi}', 0L" for gi in range(len(groups)))
-        + ")"
-    )
-    merge_fields = ["'n', acc.n + 1L"]
+    groups = [list(range(g, min(g + 3, 64))) for g in range(0, 64, 3)]
+    aggs = [F.expr("count(*) AS n")]
     for gi, grp in enumerate(groups):
         packed = " + ".join(f"({_bit(i)} << {21 * p})" for p, i in enumerate(grp))
-        merge_fields.append(f"'s_{gi}', acc.s_{gi} + ({packed})")
-    merge = "named_struct(" + ", ".join(merge_fields) + ")"
+        aggs.append(F.expr(f"sum({packed}) AS s_{gi}"))
+    sums = tok.groupBy("doc_id").agg(*aggs)
     terms = []
     for gi, grp in enumerate(groups):
         for p, i in enumerate(grp):
-            ones = f"((acc.s_{gi} >> {21 * p}) & 2097151)"
+            ones = f"((s_{gi} >> {21 * p}) & 2097151)"
             val = f"{1 << i}L" if i < 63 else f"({_MIN_LONG + 1}L - 1L)"
-            terms.append(f"(CASE WHEN 2 * {ones} > acc.n THEN {val} ELSE 0L END)")
+            terms.append(f"(CASE WHEN 2 * {ones} > n THEN {val} ELSE 0L END)")
     guard = (
-        "IF(acc.n >= 2097152, CAST(raise_error('dedup_simhash: document "
-        "with >= 2^21 tokens overflows the 21-bit packed counters; widen "
-        "the packing to 2 fields per long') AS BIGINT), "
+        "IF(n >= 2097152, CAST(raise_error('dedup_simhash: document with "
+        ">= 2^21 tokens overflows the 21-bit packed counters; widen the "
+        "packing to 2 fields per long') AS BIGINT), "
     )
-    expr = f"""aggregate(
-  transform(
-    transform(split(text, ' '), tok -> md5(tok)),
-    h -> named_struct(
-      'h1', cast(conv(substring(h, 1, 15), 16, 10) AS bigint),
-      'h2', cast(conv(substring(h, 16, 1), 16, 10) AS bigint))),
-  {init},
-  (acc, x) -> {merge},
-  acc -> {guard}{" + ".join(terms)})) AS simhash"""
-    return docs.selectExpr("doc_id", expr)
+    return sums.selectExpr("doc_id", guard + " + ".join(terms) + ") AS simhash")
 
 
 # --- embedding-cosine near-duplicate pairs (N2 scale family) -----------------

@@ -73,8 +73,11 @@ def test_map_only_queries_have_no_shuffle(spark, sf_dir):
 
 
 def test_simhash_single_shuffle(spark, sf_dir):
-    """N2: simhash is one groupBy — exactly one shuffle, with the 64
-    bit-sums combined map-side (shuffle payload: 64 longs per doc)."""
+    """N2: simhash is one groupBy — exactly one shuffle, with the
+    packed bit-sums combined map-side (shuffle payload: 23 longs per
+    doc). The zero-shuffle in-row form was measured 2.7x slower at
+    sf0.1 under a noop sink (interpreted lambda folds vs codegen'd
+    hash agg) — recorded in dedup.py, do not retry."""
     plan = _plan(q("dedup_simhash", spark, sf_dir))
     assert _n_exchanges(plan) == 1
     assert plan.count("HashAggregate") >= 2
