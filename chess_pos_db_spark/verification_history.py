@@ -51,8 +51,31 @@ ROUND12_VERIFIED: frozenset[str] = frozenset({
     "win_row_number", "win_running_sum", "win_topk_per_group",
 })
 
+# the 50 queries covered by CORRECTNESS_r04.json (driver gate, round 4)
+ROUND4_VERIFIED: frozenset[str] = frozenset({
+    "agg_from_view", "ann_knn_graph", "curation_domain_cap",
+    "curation_end_to_end", "curation_funnel", "dataset_card",
+    "dedup_components_contraction", "dedup_containment", "dedup_cross_source",
+    "dedup_embedding_ann", "dedup_incremental", "dedup_normalized_groups",
+    "dedup_paragraphs", "dedup_semdedup", "dedup_substring",
+    "dedup_substring_fraction", "dedup_verified_components",
+    "doc_pack_sequences", "graph_clustering_coeff", "graph_pagerank",
+    "graph_triangles", "lang_id_eval", "mix_source_weights",
+    "quality_expectations", "select_contamination_free", "select_diverse_docs",
+    "similarity_ivf_pq", "similarity_ivf_trained", "source_overlap_matrix",
+    "split_train_val_test", "text_bpe_apply", "text_bpe_merge_pairs",
+    "text_bpe_train", "text_char_entropy", "text_chunk_overlap",
+    "text_contamination", "text_count_min", "text_gopher_quality",
+    "text_heavy_hitters_sketch", "text_ngram_counts", "text_normalize",
+    "text_pii_scrub", "text_quality_model", "text_repetition",
+    "text_skipgram_pairs", "tpch_q20", "tpch_q21", "tpch_q22",
+    "udf_arrow_scalar", "udf_map_in_arrow",
+})
+
 # union of everything any driver CORRECTNESS gate has verified so far
-DRIVER_VERIFIED: frozenset[str] = ROUND12_VERIFIED | ROUND3_VERIFIED
+DRIVER_VERIFIED: frozenset[str] = (
+    ROUND12_VERIFIED | ROUND3_VERIFIED | ROUND4_VERIFIED
+)
 
 # the 109-query registry as of the round-1 judge re-verification
 ROUND1_REGISTRY: frozenset[str] = frozenset({
