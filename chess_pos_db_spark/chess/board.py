@@ -899,13 +899,35 @@ def san_move_cached(
     """
     k = (pos.key(), san)
     m = cache.get(k)
-    if m is not None:
+    if m is not None and _cached_move_plausible(pos, m):
         return m, pos.make_move(m)
     m, child = pos.parse_san_child(san)
     if len(cache) >= cap:
         cache.clear()
     cache[k] = m
     return m, child
+
+
+def _cached_move_plausible(pos: Position, m: Move) -> bool:
+    """Cheap board-state guard before replaying a memoized move: a
+    64-bit zobrist collision between distinct positions would otherwise
+    make make_move (which mutates blindly) play an illegal move and
+    corrupt every subsequent position of the game — a worse failure
+    mode than the stats-merge the entries table accepts for the same
+    collision. O(1) square probes; on mismatch the caller falls back to
+    parse_san_child (and overwrites the stale entry)."""
+    if pos.board[m.from_sq] != m.piece:
+        return False
+    if (m.piece.isupper()) != (pos.side == WHITE):
+        return False
+    dst = pos.board[m.to_sq]
+    if m.flag == F_CAPTURE:
+        # destination must hold an enemy piece
+        return bool(dst) and dst.isupper() != m.piece.isupper()
+    if m.flag == F_EP:
+        return not dst and pos.ep == m.to_sq
+    # quiet / double-push / castle: destination must be empty
+    return not dst
 
 
 def perft(pos: Position, depth: int) -> int:

@@ -883,22 +883,26 @@ def export_pgn(
         "overwrite"
     ).text(dest_dir)
     n = games.count()
-    import os
-
-    levels = sorted(
-        d.split("=", 1)[1]
-        for d in os.listdir(dest_dir)
-        if d.startswith("level=")
-    )
-    # repartitionByRange can produce fewer non-empty shards than
-    # requested on small corpora — report the files actually written so
-    # the stat is load-bearing for consumers.
-    files = sum(
-        1
-        for root, _dirs, fs in os.walk(dest_dir)
-        for f in fs
-        if f.startswith("part-")
-    )
+    # Stats via the Hadoop FileSystem API, not os.walk: the write above
+    # goes through Spark and accepts any supported URI (file:/, s3a://,
+    # hdfs://), so the stats pass must resolve the same way or a remote
+    # destination would raise FileNotFoundError after a successful
+    # export. repartitionByRange can produce fewer non-empty shards
+    # than requested on small corpora — report the files actually
+    # written so the stat is load-bearing for consumers.
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(dest_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    files, level_set = 0, set()
+    while it.hasNext():
+        p = it.next().getPath()
+        if p.getName().startswith("part-"):
+            files += 1
+            parent = p.getParent().getName()
+            if parent.startswith("level="):
+                level_set.add(parent.split("=", 1)[1])
+    levels = sorted(level_set)
     return {
         "dest_dir": dest_dir,
         "games": n,

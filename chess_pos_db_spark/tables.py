@@ -48,7 +48,6 @@ def _ship_package(spark: SparkSession) -> None:
     app = spark.sparkContext.applicationId
     if app in _SHIPPED:
         return
-    _SHIPPED.add(app)
     import os
     import tempfile
     import zipfile
@@ -63,6 +62,11 @@ def _ship_package(spark: SparkSession) -> None:
                     full = os.path.join(root, f)
                     z.write(full, os.path.relpath(full, os.path.dirname(pkg)))
     spark.sparkContext.addPyFile(zpath)
+    # Only after addPyFile succeeds: a transient FS/driver error above
+    # must leave the session unmarked so the next t() call retries,
+    # instead of resurfacing much later as ModuleNotFoundError on
+    # executors.
+    _SHIPPED.add(app)
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

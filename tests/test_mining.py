@@ -43,6 +43,77 @@ def test_embedding_ann_pairs_subset_of_exact(spark, sf_dir):
         assert cs == exact[pair]
 
 
+def test_embedding_cosine_recall_vs_exact_ground_truth(spark, sf_dir, tmp_path):
+    """Oracle-INDEPENDENT recall pin: the registry oracle for
+    dedup_embedding_cosine embeds the implementation's own hyperplanes,
+    so a systematic bucketing bug mirrored into the oracle (sign/shift
+    convention, degenerate planes) would pass hash-exact while silently
+    dropping true near-duplicates. Here ground truth is EXACT all-pairs
+    cosine computed driver-side with numpy — no LSH anywhere — over the
+    fixture corpus plus 40 planted near-duplicates (cos ≈ 0.995, where
+    4-table × 8-plane sign-LSH collision probability is ≥ 0.997/pair):
+
+      * recall over exact pairs with cos ≥ 0.9 must be ≥ 0.9;
+      * every returned pair must appear in the exact cos > 0.45 set
+        (precision 1.0 — the exact-verify phase guarantees it)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = tbl["vec_id"].to_numpy().tolist()
+    V = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+
+    rng = np.random.RandomState(7)
+    base_idx = rng.choice(len(ids), size=40, replace=False)
+    planted_ids, planted_vecs = [], []
+    for k, bi in enumerate(base_idx):
+        v = V[bi]
+        g = rng.standard_normal(v.shape)
+        g -= g.dot(v) / v.dot(v) * v  # orthogonal noise: cos = 1/sqrt(1+r²)
+        vp = v + 0.1 * np.linalg.norm(v) / np.linalg.norm(g) * g
+        planted_ids.append(10_000 + k)
+        planted_vecs.append(vp)
+
+    all_ids = ids + planted_ids
+    A = np.vstack([V, np.array(planted_vecs)]).astype(np.float32)
+    out = pa.table(
+        {
+            "vec_id": pa.array(all_ids, pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in A], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(all_ids), pa.int32()),
+        }
+    )
+    pq.write_table(out, str(tmp_path / "embeddings.parquet"))
+
+    # exact all-pairs ground truth (float64 on the float32-stored values,
+    # matching what the query reads)
+    X = A.astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    iu = np.triu_indices(len(all_ids), k=1)
+    aid = np.array(all_ids)
+    exact_045 = {
+        (int(a), int(b)) if a < b else (int(b), int(a))
+        for a, b in zip(aid[iu[0][S[iu] > 0.45]], aid[iu[1][S[iu] > 0.45]])
+    }
+    high = {
+        (int(a), int(b)) if a < b else (int(b), int(a))
+        for a, b in zip(aid[iu[0][S[iu] >= 0.9]], aid[iu[1][S[iu] >= 0.9]])
+    }
+    assert len(high) >= 40  # the planted pairs at minimum
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in q("dedup_embedding_cosine", spark, str(tmp_path)).collect()
+    }
+    assert got <= exact_045  # precision: verify phase admits no false pair
+    recall = len(got & high) / len(high)
+    assert recall >= 0.9, (recall, sorted(high - got)[:10])
+
+
 def test_substring_fraction_consistency(spark, sf_dir):
     """n_dup ≤ n_grams, dup_fraction = n_dup/n_grams, and every doc with
     ≥ one 8-token span appears exactly once."""

@@ -89,6 +89,58 @@ def test_pgn_format_parse_roundtrip(seed):
     assert games[0]["year"] == 2020 and games[0]["month"] is None
 
 
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_san_move_cached_equals_uncached(seed):
+    """Replaying through the transition memo (cold then warm) must
+    reproduce the exact uncached position sequence — the cache may
+    never change semantics, only skip work."""
+    from chess_pos_db_spark.chess.board import san_move_cached
+
+    path, sans = random_game(seed, max_plies=30)
+    cache: dict = {}
+    for _pass in range(2):  # second pass exercises the hit path
+        pos = Position.from_fen(START_FEN)
+        for i, san in enumerate(sans):
+            m, pos = san_move_cached(pos, san, cache)
+            assert pos.key() == path[i + 1].key()
+
+
+def test_san_move_cached_rejects_implausible_hit():
+    """Zobrist-collision guard: a poisoned cache entry whose move does
+    not fit the board (wrong mover / occupied destination / wrong side)
+    must be ignored and re-resolved, not blindly replayed."""
+    from chess_pos_db_spark.chess.board import (
+        F_CAPTURE,
+        Move,
+        san_move_cached,
+        sq,
+    )
+
+    pos = Position.from_fen(START_FEN)
+    good = pos.parse_san("Nf3")
+
+    # wrong mover: claims a knight sits on a1
+    bad_mover = Move(sq(0, 0), sq(2, 2), "N")
+    # right mover, but flagged capture onto an empty square
+    bad_capture = Move(good.from_sq, good.to_sq, "N", flag=F_CAPTURE)
+    # black piece while white is to move
+    bad_side = Move(sq(6, 7), sq(5, 5), "n")
+
+    for poison in (bad_mover, bad_capture, bad_side):
+        cache = {(pos.key(), "Nf3"): poison}
+        m, child = san_move_cached(pos, "Nf3", cache)
+        assert (m.from_sq, m.to_sq, m.piece, m.flag) == (
+            good.from_sq,
+            good.to_sq,
+            good.piece,
+            good.flag,
+        )
+        # the stale entry is overwritten with the re-resolved move
+        assert cache[(pos.key(), "Nf3")] == good
+        assert child.key() == pos.make_move(good).key()
+
+
 def test_sample_hash_partition_invariant(spark, sf_dir):
     """The hash sampler must select the same keys regardless of
     physical partitioning — the reproducibility contract that RNG-based
