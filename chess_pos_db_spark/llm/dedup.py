@@ -999,27 +999,26 @@ WHERE dot / (SQRT(na) * SQRT(nb)) > 0.45
 """
 
 
-@register("dedup_embedding_cosine", oracle=_embedding_cosine_oracle())
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs over MULTI-TABLE sign-LSH
-    candidates (cos > threshold over the union of L=4 hash tables).
+def embedding_lsh_candidates(
+    emb: DataFrame,
+    n_tables: int = _EMB_LSH_TABLES,
+    n_planes: int | None = None,
+) -> DataFrame:
+    """Multi-table sign-LSH candidate pairs (id_a < id_b) from an
+    (vec_id, embedding) frame: each of the L independent b-plane tables
+    contributes same-bucket pairs via ONE equi-join shuffle on
+    (table, bucket) over an exploded signature — never an all-pairs
+    theta join.
 
-    The high-recall member of the two-phase dedup family: each of the
-    L independent 8-plane sign-LSH tables contributes same-bucket
-    candidate pairs (one equi-join shuffle on (table, bucket) over an
-    exploded signature — NEVER an unbounded all-pairs theta join), the
-    union is deduplicated, and only candidates get the exact JVM-side
-    cosine verify. OR-ing tables amplifies recall (a true near-dup pair
-    escapes only by disagreeing in all L tables) at linearly-bounded
-    candidate cost ≈ L·n²/2^8 for balanced buckets — the standard
-    multi-probe LSH trade. Table 0 uses the same hyperplanes as
-    `dedup_embedding_ann`, so that single-table variant's candidate set
-    (and result) is a provable subset of this one (pinned in
-    test_mining).
-    """
-    from .similarity import cosine, sign_lsh_bucket
+    Sizing (SCALE.md "LSH/IVF sizing"): for balanced buckets the
+    expected candidate count is ≈ L·n²/2^(b+1) — QUADRATIC in n when b
+    is fixed, so production callers must pass
+    ``n_planes=lsh_planes_for(n)``, which holds expected bucket
+    occupancy constant and makes the cost LINEAR (≈ L·n·occupancy/2).
+    The default b=8 is the fixture pin the registered oracle encodes
+    (n=500 → occupancy ≈ 2)."""
+    from .similarity import sign_lsh_bucket
 
-    emb = t(spark, sf_dir, "embeddings")
     sig = emb.select(
         "vec_id",
         F.explode(
@@ -1027,14 +1026,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(tbl).alias("tbl"),
-                        sign_lsh_bucket(F.col("embedding"), tbl).alias("bucket"),
+                        sign_lsh_bucket(
+                            F.col("embedding"), tbl, n_planes=n_planes
+                        ).alias("bucket"),
                     )
-                    for tbl in range(_EMB_LSH_TABLES)
+                    for tbl in range(n_tables)
                 ]
             )
         ).alias("tb"),
     ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-    cand = (
+    return (
         sig.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
         .join(
             sig.select(F.col("vec_id").alias("id_b"), "tbl", "bucket"),
@@ -1044,6 +1045,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+@register("dedup_embedding_cosine", oracle=_embedding_cosine_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over MULTI-TABLE sign-LSH
+    candidates (cos > threshold over the union of L=4 hash tables).
+
+    The high-recall member of the two-phase dedup family: candidate
+    generation is ``embedding_lsh_candidates`` (one (table, bucket)
+    equi-join shuffle, never all-pairs), and only candidates get the
+    exact JVM-side cosine verify. OR-ing tables amplifies recall (a
+    true near-dup pair escapes only by disagreeing in all L tables);
+    candidate cost is ≈ L·n²/2^(b+1) for balanced buckets — quadratic
+    at the fixture-pinned b=8, so at scale b comes from
+    ``lsh_planes_for(n)`` which holds it linear (see SCALE.md). Table 0
+    uses the same hyperplanes as `dedup_embedding_ann`, so that
+    single-table variant's candidate set (and result) is a provable
+    subset of this one (pinned in test_mining, which also pins recall
+    against exact all-pairs ground truth).
+    """
+    from .similarity import cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    cand = embedding_lsh_candidates(emb)
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     pairs = cand.join(ea, "id_a").join(eb, "id_b")

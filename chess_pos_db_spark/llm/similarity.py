@@ -23,10 +23,49 @@ from ..tables import t
 
 _QUERY_VEC_ID = 0
 _TOP_K = 10
+# Fixture-pinned sign-LSH bucket width (bits). Every REGISTERED query
+# keeps this default so oracles stay byte-stable; production callers
+# size b from corpus cardinality via ``lsh_planes_for`` — a fixed b
+# degrades toward in-bucket all-pairs as n grows (see its docstring
+# and SCALE.md "LSH/IVF sizing").
 _N_PLANES = 8
 _DIMS = 64  # fixture embedding dimensionality — interpolated into EVERY
 # oracle below (a literal 64 in one oracle would silently truncate the
 # comparison if the fixture dimensionality ever changed)
+
+
+def lsh_planes_for(n_vectors: int, target_occupancy: int = 2) -> int:
+    """Corpus-size-derived sign-LSH bucket width b (bits per table).
+
+    For balanced buckets, expected bucket occupancy is n/2^b and
+    expected same-bucket candidate PAIRS per table are
+    ≈ n·(occupancy−1)/2 — i.e. L·n²/2^(b+1) total, QUADRATIC in n when
+    b is fixed. Holding occupancy constant instead —
+
+        b = ceil(log2(n / target_occupancy))
+
+    — keeps candidate cost LINEAR in n (≈ L·n·occupancy/2) at any
+    scale: the fixture's n=500 yields the pinned default b=8
+    (occupancy ≈ 2), n=10⁹ yields b=29. Recall lost to the narrower
+    buckets is bought back by adding tables (L), whose cost is linear.
+    """
+    import math
+
+    if n_vectors <= target_occupancy:
+        return 1
+    return max(1, math.ceil(math.log2(n_vectors / target_occupancy)))
+
+
+def ivf_cells_for(n_vectors: int) -> int:
+    """Corpus-size-derived IVF coarse-cell count K ≈ √n (the classic
+    balance: assignment cost n·K against per-probe scan cost n/K —
+    both grow as n^1.5 at K=√n, versus n² for either extreme). The
+    fixture keeps K=_IVF_K=16 pinned for oracle stability; production
+    index builds pass k=ivf_cells_for(n) to the centroid trainers and
+    write_ivf_layout."""
+    import math
+
+    return max(1, math.ceil(math.sqrt(n_vectors)))
 
 
 def _dot(a, b):
@@ -92,16 +131,28 @@ def _plane(plane: int) -> list[float]:
     return out
 
 
-def sign_lsh_bucket(vec_col, table: int = 0) -> "F.Column":
-    """_DIMS-dim embedding → _N_PLANES-bit sign bucket id (BIGINT).
+def sign_lsh_bucket(
+    vec_col, table: int = 0, n_planes: int | None = None
+) -> "F.Column":
+    """_DIMS-dim embedding → ``n_planes``-bit sign bucket id (BIGINT).
 
     ``table`` selects an independent hash table (classic multi-table
-    LSH): table ℓ uses hyperplanes ℓ*_N_PLANES .. ℓ*_N_PLANES+7, so
-    table 0 is the original single-table bucket and additional tables
-    give OR-amplified recall at linear candidate cost."""
+    LSH): table ℓ uses hyperplanes ℓ*n_planes .. ℓ*n_planes+n_planes−1,
+    so table 0 is the original single-table bucket and additional
+    tables give OR-amplified recall at linear (in L) candidate cost.
+
+    ``n_planes`` defaults to the fixture-pinned ``_N_PLANES`` (= 8,
+    what every registered oracle encodes); size it from corpus
+    cardinality with ``lsh_planes_for(n)`` in production — candidate
+    pairs grow ~n²/2^(b+1) per table at fixed b. For table 0 a
+    narrower bucket is always a bit-prefix of a wider one
+    (bucket_b == bucket_b' & (2^b − 1) for b ≤ b'), pinned in
+    tests/test_similarity.py."""
+    if n_planes is None:
+        n_planes = _N_PLANES
     bucket = F.lit(0).cast("long")
-    for p in range(_N_PLANES):
-        plane_arr = F.array(*[F.lit(x) for x in _plane(table * _N_PLANES + p)])
+    for p in range(n_planes):
+        plane_arr = F.array(*[F.lit(x) for x in _plane(table * n_planes + p)])
         dot = _dot(vec_col, plane_arr)
         bit = F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket + F.shiftleft(bit, p)
@@ -186,7 +237,7 @@ _IVF_K = 16  # number of coarse cells
 _IVF_NPROBE = 4  # cells searched per query
 
 
-def _ivf_centroids(spark: SparkSession, sf_dir: str):
+def _ivf_centroids(spark: SparkSession, sf_dir: str, k: int = _IVF_K):
     """Deterministic coarse centroids: the K lowest-vec_id vectors.
 
     A trained variant (k-means over a deterministic sample) lives in
@@ -205,7 +256,7 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
     rows = (
         t(spark, sf_dir, "embeddings")
         .orderBy("vec_id")
-        .limit(_IVF_K)
+        .limit(k)
         .select("embedding")
         .collect()
     )
@@ -373,7 +424,9 @@ _IVF_TRAIN_SAMPLE = 512
 _IVF_TRAIN_ITERS = 10
 
 
-def _ivf_trained_centroids(spark: SparkSession, sf_dir: str):
+def _ivf_trained_centroids(
+    spark: SparkSession, sf_dir: str, k: int = _IVF_K
+):
     """K-means (Lloyd) over a deterministic sample, driver-side numpy.
 
     The sample is the ``_IVF_TRAIN_SAMPLE`` lowest-vec_id vectors and
@@ -398,13 +451,13 @@ def _ivf_trained_centroids(spark: SparkSession, sf_dir: str):
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.where(norms == 0, 1.0, norms)
 
-    c = x[:_IVF_K].copy()
+    c = x[:k].copy()
     for _ in range(_IVF_TRAIN_ITERS):
         assign = np.argmax(x @ c.T, axis=1)
-        for k in range(_IVF_K):
-            members = x[assign == k]
+        for ki in range(k):
+            members = x[assign == ki]
             if len(members):
-                c[k] = members.mean(axis=0)
+                c[ki] = members.mean(axis=0)
         cn = np.linalg.norm(c, axis=1, keepdims=True)
         c = c / np.where(cn == 0, 1.0, cn)
     cnorms = np.linalg.norm(c, axis=1)
@@ -425,7 +478,7 @@ def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def write_ivf_layout(
-    spark: SparkSession, sf_dir: str, out_dir: str
+    spark: SparkSession, sf_dir: str, out_dir: str, k: int = _IVF_K
 ) -> tuple:
     """Materialize the IVF index as physical layout: the corpus written
     `partitionBy(cell)`. A query then reads ONLY its nprobe cell
@@ -435,7 +488,7 @@ def write_ivf_layout(
     Returns (centroids, cnorms) — the quantizer is part of the index and
     must be reused at query time.
     """
-    centroids, cnorms = _ivf_trained_centroids(spark, sf_dir)
+    centroids, cnorms = _ivf_trained_centroids(spark, sf_dir, k=k)
     emb = t(spark, sf_dir, "embeddings")
     (
         emb.join(_cell_assignments(emb, centroids, cnorms), "vec_id")

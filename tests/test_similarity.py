@@ -170,3 +170,63 @@ def test_triangle_wedge_join_is_oriented(spark, sf_dir):
     edges = spark.createDataFrame(hub, "a long, b long")
     got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
     assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_lsh_sizing_formula():
+    """b(n) holds expected bucket occupancy constant: the fixture pin
+    (n=500 → b=8, the registered-oracle default), monotone growth, and
+    the 100×/10⁹ scale points the SCALE.md row documents."""
+    assert sim.lsh_planes_for(500) == sim._N_PLANES == 8
+    assert sim.lsh_planes_for(50_000) == 8 + 7  # 100× corpus → +log2(100)
+    assert sim.lsh_planes_for(10**9) == 29
+    assert sim.lsh_planes_for(1) == 1
+    prev = 0
+    for n in (10, 100, 10**4, 10**6, 10**8):
+        b = sim.lsh_planes_for(n)
+        assert b >= prev
+        prev = b
+        # occupancy stays within [target, 2*target)
+        assert n / 2**b <= 2
+
+
+def test_ivf_sizing_formula():
+    assert sim.ivf_cells_for(256) == 16  # √n rule
+    assert sim.ivf_cells_for(10**8) == 10**4
+    assert sim.ivf_cells_for(1) == 1
+
+
+def test_sign_lsh_narrow_bucket_is_prefix_of_wide(spark, sf_dir):
+    """Table 0 with b planes uses hyperplanes 0..b-1 — the same leading
+    planes as the default b=8 — so the narrow bucket must equal the
+    wide bucket masked to b bits for every fixture vector. Pins the
+    plane-indexing convention the sizing parameterization relies on."""
+    from pyspark.sql import functions as F
+    from chess_pos_db_spark.tables import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    b = 5
+    rows = emb.select(
+        sim.sign_lsh_bucket(F.col("embedding"), 0, n_planes=b).alias("narrow"),
+        sim.sign_lsh_bucket(F.col("embedding")).alias("wide"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.narrow == (r.wide & (2**b - 1))
+
+
+def test_ivf_trained_centroids_parameterized_k(spark, sf_dir):
+    """The trainers honor a non-default K (the ivf_cells_for scale
+    path): K centroids out, all unit-norm, assignments cover ≤ K cells."""
+    k = 7
+    c, cn = sim._ivf_trained_centroids(spark, sf_dir, k=k)
+    assert c.shape[0] == k and cn.shape == (k,)
+    assert np.allclose(np.linalg.norm(c, axis=1), 1.0)
+    from chess_pos_db_spark.tables import t
+
+    cells = {
+        r.cell
+        for r in sim._cell_assignments(
+            t(spark, sf_dir, "embeddings"), c, cn
+        ).collect()
+    }
+    assert cells <= set(range(k))
