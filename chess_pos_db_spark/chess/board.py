@@ -215,6 +215,30 @@ def _zobrist_tables():
 
 _Z_PIECE, _Z_CASTLE, _Z_EP, _Z_BLACK = _zobrist_tables()
 
+# Precomputed hot-path lookup tables (replay runs make_move + key() per
+# ply millions of times; list indexing beats a function call / a
+# tuple-keyed dict hash measurably):
+#   _SQ64[s]        — 0x88 square → 0..63 (0 on off-board, never read)
+#   _Z_PS[p][s]     — zobrist term for piece p on 0x88 square s
+#   _Z_CASTLE_STR[c]— XOR of _Z_CASTLE over a castling-rights string
+_SQ64 = tuple((s >> 4) * 8 + (s & 7) if not (s & 0x88) else 0 for s in range(128))
+_Z_PS = {
+    p: tuple(
+        _Z_PIECE[(p, _SQ64[s])] if not (s & 0x88) else 0 for s in range(128)
+    )
+    for p in PIECE_CHARS
+}
+_Z_CASTLE_STR = {
+    c: (
+        (_Z_CASTLE["K"] if "K" in c else 0)
+        ^ (_Z_CASTLE["Q"] if "Q" in c else 0)
+        ^ (_Z_CASTLE["k"] if "k" in c else 0)
+        ^ (_Z_CASTLE["q"] if "q" in c else 0)
+    )
+    for i in range(16)
+    for c in ["".join(r for j, r in enumerate("KQkq") if i & (1 << j))]
+}
+
 
 # --- position ----------------------------------------------------------------
 
@@ -309,17 +333,15 @@ class Position:
             ph = 0
             for s in range(128):
                 if not (s & 0x88) and self.board[s]:
-                    ph ^= _Z_PIECE[(self.board[s], sq64(s))]
+                    ph ^= _Z_PS[self.board[s]][s]
             self._ph = ph
         return ph
 
     def key(self) -> int:
         """64-bit zobrist key as a SIGNED int64 (Spark LongType)."""
-        h = self._piece_hash()
-        for c in self.castling:
-            h ^= _Z_CASTLE[c]
+        h = self._piece_hash() ^ _Z_CASTLE_STR[self.castling]
         if self.ep is not None and self._ep_capturable():
-            h ^= _Z_EP[sq_file(self.ep)]
+            h ^= _Z_EP[self.ep & 7]
         if self.side == BLACK:
             h ^= _Z_BLACK
         return h - 0x10000000000000000 if h >= 0x8000000000000000 else h
@@ -637,14 +659,14 @@ class Position:
         # Incremental zobrist piece-hash: XOR out/in only the squares
         # this move touched (self.board is the untouched parent board).
         ph = self._piece_hash()
-        ph ^= _Z_PIECE[(p, sq64(m.from_sq))]
+        ph ^= _Z_PS[p][m.from_sq]
         if self.board[m.to_sq]:
-            ph ^= _Z_PIECE[(self.board[m.to_sq], sq64(m.to_sq))]
+            ph ^= _Z_PS[self.board[m.to_sq]][m.to_sq]
         if m.flag == F_EP:
             cap_sq = m.to_sq + (-16 if us == WHITE else 16)
-            ph ^= _Z_PIECE[(("p" if us == WHITE else "P"), sq64(cap_sq))]
+            ph ^= _Z_PS["p" if us == WHITE else "P"][cap_sq]
         placed = (m.promo.upper() if us == WHITE else m.promo) if m.promo else p
-        ph ^= _Z_PIECE[(placed, sq64(m.to_sq))]
+        ph ^= _Z_PS[placed][m.to_sq]
         if m.flag in (F_CASTLE_K, F_CASTLE_Q):
             rank = 0 if us == WHITE else 7
             src, dst = (
@@ -653,8 +675,7 @@ class Position:
                 else (sq(0, rank), sq(3, rank))
             )
             rook = self.board[src]
-            ph ^= _Z_PIECE[(rook, sq64(src))]
-            ph ^= _Z_PIECE[(rook, sq64(dst))]
+            ph ^= _Z_PS[rook][src] ^ _Z_PS[rook][dst]
         child._ph = ph
         # Propagate king squares: the mover's king is at m.to_sq iff the
         # king moved (castle targets are king destinations too); the
@@ -776,7 +797,7 @@ class Position:
             if capture:
                 for d in (-1, 1):
                     frm = dest - fwd + d
-                    if not on_board(frm) or b[frm] != piece:
+                    if (frm & 0x88) or b[frm] != piece:
                         continue
                     if dis_file is not None and sq_file(frm) != dis_file:
                         continue
@@ -789,16 +810,16 @@ class Position:
                 if b[dest]:
                     return []
                 frm = dest - fwd
-                if on_board(frm) and b[frm] == piece:
+                if not (frm & 0x88) and b[frm] == piece:
                     for pr in promos:
                         out.append(Move(frm, dest, piece, pr))
                 elif (
-                    on_board(frm)
+                    not (frm & 0x88)
                     and not b[frm]
                     and sq_rank(dest) == (3 if us == WHITE else 4)
                 ):
                     frm2 = dest - 2 * fwd
-                    if on_board(frm2) and b[frm2] == piece:
+                    if not (frm2 & 0x88) and b[frm2] == piece:
                         out.append(Move(frm2, dest, piece, flag=F_DOUBLE_PUSH))
             return out
         # piece move: destination must be empty or enemy
@@ -809,7 +830,7 @@ class Position:
             deltas = KNIGHT_DELTAS if pt == "N" else KING_DELTAS
             for d in deltas:
                 frm = dest + d
-                if not on_board(frm) or b[frm] != piece:
+                if (frm & 0x88) or b[frm] != piece:
                     continue
                 if dis_file is not None and sq_file(frm) != dis_file:
                     continue
@@ -826,7 +847,7 @@ class Position:
         )
         for d in deltas:
             frm = dest + d
-            while on_board(frm):
+            while not (frm & 0x88):
                 if b[frm]:
                     if (
                         b[frm] == piece
