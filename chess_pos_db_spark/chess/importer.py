@@ -291,43 +291,33 @@ def parse_games_chunked(
 
     def parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = []
-            for _, r in pdf.iterrows():
-                slices = pgn.chunk_game_slices(
-                    r["path"], int(r["start"]), int(r["end"])
-                )
-                ordinal = int(r["base"])
-                for _, text in slices:
-                    g = pgn.parse_game(text)
-                    if not (g["sans"] or g["tags"]):
-                        continue  # parse_file's keep filter
-                    tags = g["tags"]
-                    out.append(
-                        {
-                            "game_id": (int(r["file_idx"]) << 32) | ordinal,
-                            "level": r["level"],
-                            "result": g["result"],
-                            "event": tags.get("Event"),
-                            "site": tags.get("Site"),
-                            "date_raw": tags.get("Date"),
-                            "year": g["year"],
-                            "month": g["month"],
-                            "day": g["day"],
-                            "round": tags.get("Round"),
-                            "white": tags.get("White"),
-                            "black": tags.get("Black"),
-                            "white_elo": _int_or_none(tags.get("WhiteElo")),
-                            "black_elo": _int_or_none(tags.get("BlackElo")),
-                            "eco": tags.get("ECO"),
-                            "ply_count": len(g["sans"]),
-                            "source_file": r["source_file"],
-                            "sans": g["sans"],
-                        }
-                    )
-                    ordinal += 1
-            yield pd.DataFrame(
-                out, columns=[f.name for f in GAME_SCHEMA.fields]
-            )
+
+            def rows():
+                for path, start, end, base, file_idx, level, source_file in zip(
+                    pdf["path"].tolist(),
+                    pdf["start"].tolist(),
+                    pdf["end"].tolist(),
+                    pdf["base"].tolist(),
+                    pdf["file_idx"].tolist(),
+                    pdf["level"].tolist(),
+                    pdf["source_file"].tolist(),
+                ):
+                    ordinal = int(base)
+                    for _, text in pgn.chunk_game_slices(
+                        path, int(start), int(end)
+                    ):
+                        g = pgn.parse_game(text)
+                        if not (g["sans"] or g["tags"]):
+                            continue  # parse_file's keep filter
+                        yield (
+                            (int(file_idx) << 32) | ordinal,
+                            level,
+                            g,
+                            source_file,
+                        )
+                        ordinal += 1
+
+            yield _games_pdf(rows())
 
     return _splits_df(spark, rows2).mapInPandas(
         parse_batches, schema=GAME_SCHEMA
@@ -341,41 +331,65 @@ def _int_or_none(v):
         return None
 
 
+
+def _games_pdf(rows) -> pd.DataFrame:
+    """(game_id, level, parsed-game, source_file) tuples → one columnar
+    pandas batch in GAME_SCHEMA order (the records-of-dicts shape was a
+    measured per-game bottleneck at corpus scale, like the explode
+    stage's)."""
+    cols: dict = {f.name: [] for f in GAME_SCHEMA.fields}
+    ap = {k: v.append for k, v in cols.items()}
+    for game_id, level, g, source_file in rows:
+        tags = g["tags"]
+        ap["game_id"](game_id)
+        ap["level"](level)
+        ap["result"](g["result"])
+        ap["event"](tags.get("Event"))
+        ap["site"](tags.get("Site"))
+        ap["date_raw"](tags.get("Date"))
+        ap["year"](g["year"])
+        ap["month"](g["month"])
+        ap["day"](g["day"])
+        ap["round"](tags.get("Round"))
+        ap["white"](tags.get("White"))
+        ap["black"](tags.get("Black"))
+        ap["white_elo"](_int_or_none(tags.get("WhiteElo")))
+        ap["black_elo"](_int_or_none(tags.get("BlackElo")))
+        ap["eco"](tags.get("ECO"))
+        ap["ply_count"](len(g["sans"]))
+        ap["source_file"](source_file)
+        ap["sans"](g["sans"])
+    # object dtype throughout: an EMPTY batch (a chunk with no games)
+    # must not surface float64 columns that Arrow can't cast to
+    # list/int schema fields
+    return pd.DataFrame(
+        {k: pd.Series(v, dtype=object) for k, v in cols.items()}
+    )
+
+
 def parse_games(files_df: DataFrame) -> DataFrame:
     """Raw file rows → one row per game (tags + SAN list), including
     unknown-result games (result NULL) so skip counts are queryable."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = []
-            for _, row in pdf.iterrows():
-                for g_idx, g in enumerate(pgn.parse_file(row["text"])):
-                    tags = g["tags"]
-                    out.append(
-                        {
-                            "game_id": (int(row["file_idx"]) << 32) | g_idx,
-                            "level": row["level"],
-                            "result": g["result"],
-                            "event": tags.get("Event"),
-                            "site": tags.get("Site"),
-                            "date_raw": tags.get("Date"),
-                            "year": g["year"],
-                            "month": g["month"],
-                            "day": g["day"],
-                            "round": tags.get("Round"),
-                            "white": tags.get("White"),
-                            "black": tags.get("Black"),
-                            "white_elo": _int_or_none(tags.get("WhiteElo")),
-                            "black_elo": _int_or_none(tags.get("BlackElo")),
-                            "eco": tags.get("ECO"),
-                            "ply_count": len(g["sans"]),
-                            "source_file": row["source_file"],
-                            "sans": g["sans"],
-                        }
-                    )
-            yield pd.DataFrame(
-                out, columns=[f.name for f in GAME_SCHEMA.fields]
-            )
+
+            def rows():
+                for file_idx, level, source_file, text in zip(
+                    pdf["file_idx"].tolist(),
+                    pdf["level"].tolist(),
+                    pdf["source_file"].tolist(),
+                    pdf["text"].tolist(),
+                ):
+                    for g_idx, g in enumerate(pgn.parse_file(text)):
+                        yield (
+                            (int(file_idx) << 32) | g_idx,
+                            level,
+                            g,
+                            source_file,
+                        )
+
+            yield _games_pdf(rows())
 
     return files_df.mapInPandas(batches, schema=GAME_SCHEMA)
 
@@ -493,9 +507,14 @@ def explode_positions(
                 data["pos_cmp"] = pos_cmps
             if include_eran:
                 data["eran"] = erans
-            # column order must match the declared schema
+            # column order must match the declared schema; object dtype
+            # so empty batches keep Arrow-castable columns (binary
+            # pos_cmp / nullable elo_diff)
             yield pd.DataFrame(
-                {f.name: data[f.name] for f in schema.fields}
+                {
+                    f.name: pd.Series(data[f.name], dtype=object)
+                    for f in schema.fields
+                }
             )
 
     return games_df.mapInPandas(batches, schema=schema)
