@@ -230,3 +230,49 @@ def test_ivf_trained_centroids_parameterized_k(spark, sf_dir):
         ).collect()
     }
     assert cells <= set(range(k))
+
+
+def test_lsh_candidate_cost_linear_with_sized_planes(spark):
+    """SCALE.md "LSH/IVF sizing" evidence: with b = lsh_planes_for(n),
+    candidate pairs per vector stay bounded by a constant as the corpus
+    grows (expected ≈ L·occupancy/2 per vector for balanced buckets —
+    random unit vectors are the balanced case); with b frozen at the
+    fixture default the same growth is super-linear. Run on synthetic
+    corpora at 4× steps."""
+    import numpy as np
+    from pyspark.sql import types as T
+    from chess_pos_db_spark.llm.dedup import embedding_lsh_candidates
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField(
+                "embedding", T.ArrayType(T.FloatType()), False
+            ),
+        ]
+    )
+
+    def corpus(n):
+        rng = np.random.RandomState(11)
+        v = rng.standard_normal((n, 64)).astype(np.float32)
+        return spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(v)], schema
+        )
+
+    per_vec = {}
+    fixed_per_vec = {}
+    for n in (500, 2000, 8000):
+        emb = corpus(n)
+        b = sim.lsh_planes_for(n)
+        per_vec[n] = embedding_lsh_candidates(emb, n_planes=b).count() / n
+        fixed_per_vec[n] = (
+            embedding_lsh_candidates(emb).count() / n
+        )  # frozen b=8
+    # sized: per-vector candidate load stays within a small constant
+    # across a 16× corpus growth (occupancy target 2, L=4 → expected ~4,
+    # sign-LSH bits on random data are not perfectly uniform — allow 4×)
+    assert max(per_vec.values()) <= 16, per_vec
+    assert max(per_vec.values()) <= 4 * min(per_vec.values()) + 1, per_vec
+    # frozen b: load grows ~linearly in n (quadratic pairs): 16× corpus
+    # must show >4× per-vector growth, demonstrating the failure mode
+    assert fixed_per_vec[8000] > 4 * fixed_per_vec[500], fixed_per_vec
