@@ -359,11 +359,15 @@ def _games_pdf(rows) -> pd.DataFrame:
         ap["ply_count"](len(g["sans"]))
         ap["source_file"](source_file)
         ap["sans"](g["sans"])
-    # object dtype throughout: an EMPTY batch (a chunk with no games)
-    # must not surface float64 columns that Arrow can't cast to
-    # list/int schema fields
+    # dtype=object only when a column is EMPTY (a chunk with no games):
+    # pandas would otherwise default empty columns to float64, which
+    # Arrow can't cast to list/int schema fields. Non-empty columns keep
+    # inferred dtypes (int64 etc. convert to Arrow faster than object).
     return pd.DataFrame(
-        {k: pd.Series(v, dtype=object) for k, v in cols.items()}
+        {
+            k: (pd.Series(v, dtype=object) if not v else v)
+            for k, v in cols.items()
+        }
     )
 
 
@@ -507,12 +511,17 @@ def explode_positions(
                 data["pos_cmp"] = pos_cmps
             if include_eran:
                 data["eran"] = erans
-            # column order must match the declared schema; object dtype
-            # so empty batches keep Arrow-castable columns (binary
-            # pos_cmp / nullable elo_diff)
+            # column order must match the declared schema; dtype=object
+            # only for EMPTY batches (pandas would default them to
+            # float64, which Arrow can't cast to binary pos_cmp /
+            # nullable elo_diff)
             yield pd.DataFrame(
                 {
-                    f.name: pd.Series(data[f.name], dtype=object)
+                    f.name: (
+                        pd.Series(data[f.name], dtype=object)
+                        if not data[f.name]
+                        else data[f.name]
+                    )
                     for f in schema.fields
                 }
             )
