@@ -529,3 +529,20 @@ def test_merge_refuses_mixed_fidelity(spark, tmp_path):
     importer.import_pgn(spark, [(str(a), "human")], db_)
     with pytest.raises(ValueError, match="store_moves"):
         importer.merge_databases(spark, [da, db_], str(tmp_path / "out"))
+
+
+def test_export_pgn_uri_destination(spark, tmp_path):
+    """export_pgn to a file: URI destination: the write goes through
+    Spark (which accepts URIs), so the stats pass must too — it
+    resolves through the Hadoop FileSystem API rather than os.walk
+    (a non-local scheme used to raise FileNotFoundError AFTER the
+    export had succeeded)."""
+    src = tmp_path / "games.pgn"
+    src.write_text(PGN_TEXT)
+    db = str(tmp_path / "db")
+    importer.import_pgn(spark, [(str(src), "human")], db, store_moves=True)
+    out_uri = (tmp_path / "export_uri").as_uri()  # file:///...
+    res = importer.export_pgn(spark, db, out_uri, shards=2)
+    assert res["games"] == 4
+    assert res["levels"] == ["human"]
+    assert res["files"] >= 1
