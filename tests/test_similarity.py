@@ -276,3 +276,36 @@ def test_lsh_candidate_cost_linear_with_sized_planes(spark):
     # frozen b: load grows ~linearly in n (quadratic pairs): 16× corpus
     # must show >4× per-vector growth, demonstrating the failure mode
     assert fixed_per_vec[8000] > 4 * fixed_per_vec[500], fixed_per_vec
+
+
+def test_ivf_layout_with_sized_cells_keeps_recall(spark, sf_dir, tmp_path):
+    """End-to-end sizing integration: a layout built with
+    K = ivf_cells_for(n) (the production rule, ≈ √n cells instead of
+    the fixture's pinned 16) still answers partition-pruned queries
+    with recall@10 ≥ 0.9 against the brute-force top-k at nprobe
+    scaled to the same probe fraction."""
+    from chess_pos_db_spark.tables import t as load
+
+    n = load(spark, sf_dir, "embeddings").count()
+    k = sim.ivf_cells_for(n)
+    assert k != sim._IVF_K  # the test must exercise a NON-default K
+    out = str(tmp_path / "ivf_sized")
+    centroids, cnorms = sim.write_ivf_layout(spark, sf_dir, out, k=k)
+    # ~30% of cells probed: with more, narrower cells, recall at a
+    # fixed CELL fraction drops (the standard IVF recall/nprobe trade),
+    # so the production rule probes a slightly larger fraction than the
+    # fixture's 4/16
+    nprobe = max(1, round(0.3 * k))
+    got = {
+        r["vec_id"]
+        for r in sim.ivf_query_layout(
+            spark, out, centroids, cnorms, nprobe=nprobe
+        ).collect()
+    }
+    want = {
+        r["vec_id"]
+        for r in __import__("chess_pos_db_spark").get_queries()[
+            "similarity_topk"
+        ](spark, sf_dir).collect()
+    }
+    assert len(got & want) / len(want) >= 0.9, (len(got & want), len(want))
