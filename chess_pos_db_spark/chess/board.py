@@ -339,7 +339,18 @@ class Position:
 
     def key(self) -> int:
         """64-bit zobrist key as a SIGNED int64 (Spark LongType)."""
-        h = self._piece_hash() ^ _Z_CASTLE_STR[self.castling]
+        cz = _Z_CASTLE_STR.get(self.castling)
+        if cz is None:
+            # from_fen stores the castling field verbatim, so a legal
+            # FEN with non-canonical rights order (e.g. "QKkq") misses
+            # the precomputed table; XOR commutes, so fold per char and
+            # memoize the variant (KeyError for genuinely bad chars,
+            # matching the pre-table behavior).
+            cz = 0
+            for c in self.castling:
+                cz ^= _Z_CASTLE[c]
+            _Z_CASTLE_STR[self.castling] = cz
+        h = self._piece_hash() ^ cz
         if self.ep is not None and self._ep_capturable():
             h ^= _Z_EP[self.ep & 7]
         if self.side == BLACK:

@@ -324,6 +324,14 @@ def parse_games_chunked(
     )
 
 
+def _object_if_empty(v: list):
+    """EMPTY list → object-dtype Series: pandas defaults empty columns
+    to float64, which Arrow can't cast to list/binary/nullable-int
+    schema fields. Non-empty lists keep inferred dtypes (faster Arrow
+    conversion)."""
+    return pd.Series(v, dtype=object) if not v else v
+
+
 def _int_or_none(v):
     try:
         return int(v) if v not in (None, "", "?") else None
@@ -359,16 +367,7 @@ def _games_pdf(rows) -> pd.DataFrame:
         ap["ply_count"](len(g["sans"]))
         ap["source_file"](source_file)
         ap["sans"](g["sans"])
-    # dtype=object only when a column is EMPTY (a chunk with no games):
-    # pandas would otherwise default empty columns to float64, which
-    # Arrow can't cast to list/int schema fields. Non-empty columns keep
-    # inferred dtypes (int64 etc. convert to Arrow faster than object).
-    return pd.DataFrame(
-        {
-            k: (pd.Series(v, dtype=object) if not v else v)
-            for k, v in cols.items()
-        }
-    )
+    return pd.DataFrame({k: _object_if_empty(v) for k, v in cols.items()})
 
 
 def parse_games(files_df: DataFrame) -> DataFrame:
@@ -511,19 +510,9 @@ def explode_positions(
                 data["pos_cmp"] = pos_cmps
             if include_eran:
                 data["eran"] = erans
-            # column order must match the declared schema; dtype=object
-            # only for EMPTY batches (pandas would default them to
-            # float64, which Arrow can't cast to binary pos_cmp /
-            # nullable elo_diff)
+            # column order must match the declared schema
             yield pd.DataFrame(
-                {
-                    f.name: (
-                        pd.Series(data[f.name], dtype=object)
-                        if not data[f.name]
-                        else data[f.name]
-                    )
-                    for f in schema.fields
-                }
+                {f.name: _object_if_empty(data[f.name]) for f in schema.fields}
             )
 
     return games_df.mapInPandas(batches, schema=schema)

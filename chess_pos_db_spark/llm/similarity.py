@@ -429,24 +429,32 @@ def _ivf_trained_centroids(
 ):
     """K-means (Lloyd) over a deterministic sample, driver-side numpy.
 
-    The sample is the ``_IVF_TRAIN_SAMPLE`` lowest-vec_id vectors and
-    init is the first K of them, so training is bit-reproducible across
-    runs — the faiss posture (train on a sample, index everything)
-    without RNG state. Cosine-space k-means: train on L2-normalized
-    vectors, re-normalize centroids each round; empty cells keep their
-    previous centroid. At 100 TB the sample collect stays exactly this
-    size — training cost is independent of corpus scale, and only the
-    K×dims centroid matrix ships to executors.
+    The sample is the ``max(_IVF_TRAIN_SAMPLE, 4·k)`` lowest-vec_id
+    vectors and init is the first K of them, so training is
+    bit-reproducible across runs — the faiss posture (train on a
+    sample, index everything) without RNG state. The sample scales
+    WITH k: a production ``k = ivf_cells_for(n)`` larger than the base
+    sample would otherwise silently clamp to fewer centroids (numpy
+    slice semantics), breaking the K(n) sizing contract. Cosine-space
+    k-means: train on L2-normalized vectors, re-normalize centroids
+    each round; empty cells keep their previous centroid. At 100 TB the
+    collect stays O(k·dims) — independent of corpus scale — and only
+    the K×dims centroid matrix ships to executors.
     """
     import numpy as np
 
     rows = (
         t(spark, sf_dir, "embeddings")
         .orderBy("vec_id")
-        .limit(_IVF_TRAIN_SAMPLE)
+        .limit(max(_IVF_TRAIN_SAMPLE, 4 * k))
         .select("embedding")
         .collect()
     )
+    if len(rows) < k:
+        raise ValueError(
+            f"cannot train {k} IVF cells from a corpus of {len(rows)} "
+            f"vectors — pick k <= corpus size (ivf_cells_for caps at √n)"
+        )
     x = np.array([r.embedding for r in rows], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.where(norms == 0, 1.0, norms)

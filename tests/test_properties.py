@@ -172,3 +172,16 @@ def test_dedup_components_roots_are_members(spark, sf_dir):
     assert len(labels) == len(rows)
     assert all(c <= d for d, c in labels.items())
     assert all(labels[c] == c for c in set(labels.values()))
+
+
+def test_key_accepts_noncanonical_castling_order():
+    """from_fen stores the castling field verbatim, and XOR commutes:
+    a legal FEN with reordered rights ("QKkq") must produce the SAME
+    key as its canonical form, not a KeyError (regression: the
+    precomputed castling-string table only held canonical subsets)."""
+    canon = Position.from_fen("r3k2r/8/8/8/8/8/8/R3K2R w KQkq - 0 1")
+    reordered = Position.from_fen("r3k2r/8/8/8/8/8/8/R3K2R w QKkq - 0 1")
+    assert reordered.key() == canon.key()
+    partial = Position.from_fen("r3k2r/8/8/8/8/8/8/R3K2R w qK - 0 1")
+    partial_canon = Position.from_fen("r3k2r/8/8/8/8/8/8/R3K2R w Kq - 0 1")
+    assert partial.key() == partial_canon.key()

@@ -309,3 +309,18 @@ def test_ivf_layout_with_sized_cells_keeps_recall(spark, sf_dir, tmp_path):
         ](spark, sf_dir).collect()
     }
     assert len(got & want) / len(want) >= 0.9, (len(got & want), len(want))
+
+
+def test_ivf_trained_sample_scales_with_k(spark, sf_dir):
+    """The training sample grows with k (max(base, 4k)); a k beyond the
+    base sample must still return exactly k centroids instead of
+    silently clamping (numpy slice semantics), and a k beyond the
+    corpus must fail loudly."""
+    import pytest
+
+    k = sim._IVF_TRAIN_SAMPLE // 2 + 100  # 356 > the old x[:k] clamp
+    # risk
+    c, cn = sim._ivf_trained_centroids(spark, sf_dir, k=k)
+    assert c.shape[0] == k and cn.shape == (k,)
+    with pytest.raises(ValueError, match="cannot train"):
+        sim._ivf_trained_centroids(spark, sf_dir, k=10_000)
