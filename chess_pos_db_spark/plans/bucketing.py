@@ -52,8 +52,8 @@ def joined_without_shuffle(
     under test — at 100 TB neither side broadcasts."""
     left = spark.table(left_table).hint("merge")
     right = spark.table(right_table)
-    cond = None
-    for k in key:
-        c = left[k] == right[k]
-        cond = c if cond is None else cond & c
-    return left.join(right, cond)
+    # on=list(key) (not an expression condition) so the key columns
+    # deduplicate in the output — the expression form left BOTH sides'
+    # key columns, making result.select(key) fail with
+    # AMBIGUOUS_REFERENCE. Same zero-Exchange bucketed SortMergeJoin.
+    return left.join(right, on=list(key))

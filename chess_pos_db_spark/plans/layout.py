@@ -85,13 +85,47 @@ def _write_manifest(path: str, key: Sequence[str]) -> None:
         "version": FORMAT_VERSION,
         "sort_key": list(key),
     }
-    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
-        json.dump(manifest, f)
+    _dump_manifest(path, manifest)
 
 
 def read_manifest(path: str) -> dict:
     with open(os.path.join(path, MANIFEST_NAME)) as f:
         return json.load(f)
+
+
+def _dump_manifest(path: str, manifest: dict) -> None:
+    """Atomic manifest replace (tmp + os.replace, same-directory so the
+    rename is atomic on POSIX): a concurrent reader always loads a
+    COMPLETE json document — the documented "readers are never torn by
+    a concurrent append" guarantee depends on this; a plain
+    open(..., "w") truncates in place and a concurrently-resolving
+    reader would see empty/partial JSON."""
+    full = os.path.join(path, MANIFEST_NAME)
+    tmp = full + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, default=str)
+    os.replace(tmp, full)
+
+
+def _coerce_zone_bound(v, like):
+    """Zone-map min/max round-trip through JSON as strings for
+    non-JSON-native key types (default=str); coerce back to the probe
+    bound's type at compare time so date/datetime/Decimal keys prune
+    instead of raising TypeError on str-vs-typed comparison."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if v is None or not isinstance(v, str) or isinstance(like, str):
+        return v
+    if isinstance(like, _dt.datetime):
+        return _dt.datetime.fromisoformat(v)
+    if isinstance(like, _dt.date):
+        # pyarrow surfaces DATE column stats as datetime.datetime, so
+        # the stored string may carry a time part — parse wide, narrow
+        return _dt.datetime.fromisoformat(v).date()
+    if isinstance(like, _dec.Decimal):
+        return _dec.Decimal(v)
+    return v
 
 
 def zorder_column(
@@ -217,8 +251,7 @@ def write_sorted_run_with_zonemap(
         "column": key[0],
         "files": _file_zone_map(path, key[0]),
     }
-    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
-        json.dump(manifest, f, default=str)
+    _dump_manifest(path, manifest)
 
 
 def read_run_pruned(
@@ -237,7 +270,11 @@ def read_run_pruned(
     keep = [
         z["file"]
         for z in zm["files"]
-        if z["min"] is None or not (z["max"] < lo or z["min"] > hi)
+        if z["min"] is None
+        or not (
+            _coerce_zone_bound(z["max"], lo) < lo
+            or _coerce_zone_bound(z["min"], hi) > hi
+        )
     ]
     total = len(zm["files"])
     if not keep:
@@ -292,8 +329,7 @@ def append_versioned(df: DataFrame, path: str, key: Sequence[str],
         .parquet(os.path.join(path, vdir))
     )
     snaps.append({"id": v, "dirs": [vdir], "supersedes": []})
-    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
-        json.dump(manifest, f)
+    _dump_manifest(path, manifest)
     return v
 
 
@@ -324,8 +360,7 @@ def compact_versioned(
     manifest["snapshots"].append(
         {"id": v, "dirs": [vdir], "supersedes": sorted(live)}
     )
-    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
-        json.dump(manifest, f)
+    _dump_manifest(path, manifest)
     return v
 
 
@@ -401,9 +436,12 @@ def expire_snapshots(path: str, before: int) -> list[str]:
     manifest["snapshots"] = [
         s for s in manifest["snapshots"] if s["id"] in keep
     ]
-    manifest["min_time_travel"] = before
-    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
-        json.dump(manifest, f)
+    # floor may only ADVANCE: a later expire with a smaller `before`
+    # must not regress it and silently resurrect partial history
+    manifest["min_time_travel"] = max(
+        manifest.get("min_time_travel") or 0, before
+    )
+    _dump_manifest(path, manifest)
     return deleted
 
 
@@ -427,7 +465,20 @@ def snapshot_diff(
     """
     a = read_snapshot(spark, path, v_from)
     b = read_snapshot(spark, path, v_to)
-    payload = [c for c in a.columns if c not in key]
+    # payload = UNION of both sides' columns: additive schema evolution
+    # means v_to can carry columns v_from never had (and a reverse diff
+    # the opposite) — taking v_from's columns alone hid changes in the
+    # new column and crashed the reverse direction. Missing columns
+    # become typed nulls so the struct comparison stays well-formed.
+    a_types, b_types = dict(a.dtypes), dict(b.dtypes)
+    payload = [c for c in a.columns if c not in key] + [
+        c for c in b.columns if c not in key and c not in a_types
+    ]
+    for c in payload:
+        if c not in a_types:
+            a = a.withColumn(c, F.lit(None).cast(b_types[c]))
+        if c not in b_types:
+            b = b.withColumn(c, F.lit(None).cast(a_types[c]))
     a2 = a.select(*key, F.struct(*payload).alias("old"))
     b2 = b.select(*key, F.struct(*payload).alias("new"))
     j = a2.join(b2, on=list(key), how="full_outer")

@@ -100,11 +100,16 @@ def incremental_ingest(
             F.min("event_id").alias("first_event"),
             F.max("event_id").alias("last_event"),
         )
+        # epoch-keyed OVERWRITE, not a blind append: foreachBatch is
+        # at-least-once, so a replayed batch must land in the same
+        # epoch=N directory (replacing itself) or the compacted
+        # aggregate double-counts it. The epoch partition column is
+        # dropped by compact_runs' groupBy.
         (
             agg.repartitionByRange(4, "user_id", "event_type")
             .sortWithinPartitions("user_id", "event_type")
-            .write.mode("append")
-            .parquet(runs_dir)
+            .write.mode("overwrite")
+            .parquet(f"{runs_dir}/epoch={int(epoch_id)}")
         )
 
     q = (
@@ -185,6 +190,33 @@ def purchase_attribution(
     skew). The identical expression over two batch frames is the
     equivalence oracle (watermark is a batch no-op).
     """
+    return _attribution_join(signups, purchases, delay, "inner")
+
+
+def purchase_attribution_outer(
+    signups: DataFrame, purchases: DataFrame, delay: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every signup emits, with
+    NULL purchase columns when no purchase lands in its 7-day window —
+    the "which signups never converted" stream.
+
+    The outer side is the hard state-management case: the engine may
+    only emit the null-padded row once the watermark proves no matching
+    purchase can still arrive (signup_ts + interval + delay has
+    passed), so results trickle out as event time advances rather than
+    at join time. Same eviction bound as the inner form; the batch
+    twin (watermark a no-op, outer join immediate) is the equivalence
+    oracle in tests/test_streaming.py.
+    """
+    return _attribution_join(signups, purchases, delay, "left_outer")
+
+
+def _attribution_join(
+    signups: DataFrame, purchases: DataFrame, delay: str, how: str
+) -> DataFrame:
+    """One definition of the attribution window for both join types —
+    the projections, watermarks, and 7-day interval condition must
+    never drift between the inner and outer forms."""
     s = (
         signups.filter(F.col("event_type") == "signup")
         .withWatermark("ts", delay)
@@ -207,6 +239,7 @@ def purchase_attribution(
             F.col("purchase_ts")
             <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")
         ),
+        how,
     ).select("user_id", "signup_ts", "purchase_ts", "value")
 
 
@@ -310,7 +343,12 @@ def streaming_cms(
 
     def sketch_batch(batch_df: DataFrame, epoch_id: int) -> None:
         occ = batch_df.select(F.col("event_type").alias("token"))
-        cms_cells(occ).write.mode("append").parquet(cells_dir)
+        # epoch-keyed overwrite: an at-least-once replay re-lands the
+        # same cells instead of appending them twice, which would
+        # silently push estimates past the eps*N guarantee
+        cms_cells(occ).write.mode("overwrite").parquet(
+            f"{cells_dir}/epoch={int(epoch_id)}"
+        )
 
     q = (
         events.writeStream.foreachBatch(sketch_batch)
@@ -323,6 +361,73 @@ def streaming_cms(
         spark.read.parquet(cells_dir)
         .groupBy("i", "col")
         .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def _versioned_apply_stream(
+    spark: SparkSession,
+    src_dir: str,
+    changes_schema: T.StructType,
+    store_dir: str,
+    seed_write,
+    apply_fn,
+) -> DataFrame:
+    """Shared versioned-store foreachBatch harness (cdc_apply_stream /
+    ivm_apply_stream): each micro-batch turns store v{n} into v{n+1}
+    via ``apply_fn(current, batch) -> merged`` and the _LATEST pointer
+    swaps atomically, so readers never see a half-applied batch.
+
+    Idempotence under at-least-once replay: the pointer records the
+    LAST APPLIED EPOCH alongside the version ("<v> <epoch>"); a
+    replayed batch (same epoch_id, delivered again because the crash
+    hit between the pointer swap and the checkpoint's offset commit)
+    is skipped instead of re-applied — without this, non-idempotent
+    merges (IVM's +insert/-delete deltas) would corrupt the view. A
+    crash BEFORE the pointer swap re-runs the batch against the same
+    v{n}, deterministically overwriting the orphan v{n+1}.
+    """
+    import os
+
+    latest_path = os.path.join(store_dir, "_LATEST")
+
+    def _read_latest() -> tuple[int, int]:
+        with open(latest_path) as f:
+            parts = f.read().split()
+        return int(parts[0]), (int(parts[1]) if len(parts) > 1 else -1)
+
+    def _write_latest(v: int, epoch: int) -> None:
+        tmp = latest_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{v} {epoch}")
+        os.replace(tmp, latest_path)  # atomic pointer swap
+
+    os.makedirs(store_dir, exist_ok=True)
+    if not os.path.exists(latest_path):
+        seed_write(os.path.join(store_dir, "v1"))
+        _write_latest(1, -1)
+
+    changes = spark.readStream.schema(changes_schema).parquet(src_dir)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        v, last_epoch = _read_latest()
+        if int(epoch_id) <= last_epoch:
+            return  # at-least-once replay of an already-applied batch
+        cur = spark.read.parquet(os.path.join(store_dir, f"v{v}"))
+        merged = apply_fn(cur, batch_df)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"v{v + 1}")
+        )
+        _write_latest(v + 1, int(epoch_id))
+
+    q = (
+        changes.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", store_dir + "_chk")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(
+        os.path.join(store_dir, f"v{_read_latest()[0]}")
     )
 
 
@@ -341,100 +446,27 @@ def cdc_apply_stream(
     batch MERGE INTO uses), producing a new immutable store version —
     read-side never sees a half-applied batch.
 
-    Recovery contract: the checkpoint makes batch delivery
-    at-least-once across restarts, and a CDC merge is IDEMPOTENT —
-    re-applying a batch re-sets the same values ('U'), re-deletes
-    already-absent keys ('D'), and re-upserts identical rows ('I') —
-    so replays converge to the same store (pinned in
+    Recovery contract: batch delivery is at-least-once across restarts;
+    a CDC merge is idempotent by construction AND the shared harness
+    additionally skips already-applied epochs (pinned in
     tests/test_streaming.py). At scale each version is metadata plus
     the merged files; GC of old versions is the compaction job's
     concern (plans/layout.compact_versioned is the same pattern).
 
     Returns the final store DataFrame after draining (availableNow).
     """
-    import os
-
     from ..operators.merge import merge_changes
 
-    latest_path = os.path.join(store_dir, "_LATEST")
-
-    def _read_latest() -> int:
-        with open(latest_path) as f:
-            return int(f.read().strip())
-
-    def _write_latest(v: int) -> None:
-        tmp = latest_path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, latest_path)  # atomic pointer swap
-
-    os.makedirs(store_dir, exist_ok=True)
-    if not os.path.exists(latest_path):
-        seed_df.write.mode("overwrite").parquet(
-            os.path.join(store_dir, "v1")
-        )
-        _write_latest(1)
-
-    changes = spark.readStream.schema(changes_schema).parquet(src_dir)
-
-    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        v = _read_latest()
-        cur = spark.read.parquet(os.path.join(store_dir, f"v{v}"))
-        merged = merge_changes(cur, batch_df, key, op_col, seq_col)
-        merged.write.mode("overwrite").parquet(
-            os.path.join(store_dir, f"v{v + 1}")
-        )
-        _write_latest(v + 1)
-
-    q = (
-        changes.writeStream.foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", store_dir + "_chk")
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(os.path.join(store_dir, f"v{_read_latest()}"))
-
-
-def purchase_attribution_outer(
-    signups: DataFrame, purchases: DataFrame, delay: str = "1 hour"
-) -> DataFrame:
-    """LEFT OUTER stream-stream interval join: every signup emits, with
-    NULL purchase columns when no purchase lands in its 7-day window —
-    the "which signups never converted" stream.
-
-    The outer side is the hard state-management case: the engine may
-    only emit the null-padded row once the watermark proves no matching
-    purchase can still arrive (signup_ts + interval + delay has
-    passed), so results trickle out as event time advances rather than
-    at join time. Same eviction bound as the inner form; the batch
-    twin (watermark a no-op, outer join immediate) is the equivalence
-    oracle in tests/test_streaming.py.
-    """
-    s = (
-        signups.filter(F.col("event_type") == "signup")
-        .withWatermark("ts", delay)
-        .select(F.col("user_id"), F.col("ts").alias("signup_ts"))
-    )
-    p = (
-        purchases.filter(F.col("event_type") == "purchase")
-        .withWatermark("ts", delay)
-        .select(
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("value"),
-        )
-    )
-    return s.join(
-        p,
-        (F.col("user_id") == F.col("p_user_id"))
-        & (F.col("purchase_ts") >= F.col("signup_ts"))
-        & (
-            F.col("purchase_ts")
-            <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")
+    return _versioned_apply_stream(
+        spark,
+        src_dir,
+        changes_schema,
+        store_dir,
+        seed_write=lambda d: seed_df.write.mode("overwrite").parquet(d),
+        apply_fn=lambda cur, batch: merge_changes(
+            cur, batch, key, op_col, seq_col
         ),
-        "left_outer",
-    ).select("user_id", "signup_ts", "purchase_ts", "value")
+    )
 
 
 def ivm_apply_stream(
@@ -449,58 +481,33 @@ def ivm_apply_stream(
 ) -> DataFrame:
     """Streaming incremental view maintenance: a change stream of
     (+row / -row) events keeps a stored (cnt, total) aggregate view
-    current — operators/ivm.maintain_agg_view inside foreachBatch,
-    versioned store dirs like cdc_apply_stream. The true streaming
+    current — operators/ivm.maintain_agg_view inside foreachBatch on
+    the shared versioned-store harness. The true streaming
     materialized view: each micro-batch costs one shuffle over the
     BATCH (partial-agg of its rows), never a base rescan.
 
-    Change rows: key columns + `val` + op ∈ {'I','D'}.
-    """
-    import os
+    The +insert/-delete delta application is NOT idempotent, so the
+    harness's epoch-skip is load-bearing here: an at-least-once replay
+    would otherwise double-apply the deltas (doubled counts; re-applied
+    deletes silently vanishing live groups through the cnt>0 filter).
 
+    Change rows: key columns + ``val`` + op ∈ {'I','D'}.
+    """
     from ..operators.ivm import agg_view, maintain_agg_view
 
-    latest_path = os.path.join(store_dir, "_LATEST")
-
-    def _read_latest() -> int:
-        with open(latest_path) as f:
-            return int(f.read().strip())
-
-    def _write_latest(v: int) -> None:
-        tmp = latest_path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, latest_path)
-
-    os.makedirs(store_dir, exist_ok=True)
-    if not os.path.exists(latest_path):
-        agg_view(seed_base, key, val).write.mode("overwrite").parquet(
-            os.path.join(store_dir, "v1")
-        )
-        _write_latest(1)
-
-    changes = spark.readStream.schema(changes_schema).parquet(src_dir)
-
-    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        v = _read_latest()
-        view = spark.read.parquet(os.path.join(store_dir, f"v{v}"))
-        updated = maintain_agg_view(
+    return _versioned_apply_stream(
+        spark,
+        src_dir,
+        changes_schema,
+        store_dir,
+        seed_write=lambda d: agg_view(seed_base, key, val)
+        .write.mode("overwrite")
+        .parquet(d),
+        apply_fn=lambda view, batch: maintain_agg_view(
             view,
             key,
             val,
-            inserts=batch_df.filter(F.col(op_col) == "I"),
-            deletes=batch_df.filter(F.col(op_col) == "D"),
-        )
-        updated.write.mode("overwrite").parquet(
-            os.path.join(store_dir, f"v{v + 1}")
-        )
-        _write_latest(v + 1)
-
-    q = (
-        changes.writeStream.foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", store_dir + "_chk")
-        .start()
+            inserts=batch.filter(F.col(op_col) == "I"),
+            deletes=batch.filter(F.col(op_col) == "D"),
+        ),
     )
-    q.awaitTermination()
-    return spark.read.parquet(os.path.join(store_dir, f"v{_read_latest()}"))

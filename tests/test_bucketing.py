@@ -45,3 +45,13 @@ def test_bucketed_join_correct(spark, sf_dir, bucketed_tables):
     o = t(spark, sf_dir, "orders")
     want = li.join(o, li.l_orderkey == o.o_orderkey).count()
     assert got == want
+
+
+def test_bucketed_join_key_not_ambiguous(spark, bucketed_tables):
+    """on=list(key) must deduplicate the key columns: selecting the
+    join key from the result used to raise AMBIGUOUS_REFERENCE because
+    the expression-condition form kept both sides' copies."""
+    lt, rt = bucketed_tables
+    joined = bucketing.joined_without_shuffle(spark, lt, rt, ["l_orderkey"])
+    assert joined.columns.count("l_orderkey") == 1
+    assert joined.select("l_orderkey").count() == joined.count()

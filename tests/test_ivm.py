@@ -130,3 +130,48 @@ def test_ivm_stream_equals_recompute(spark, tmp_path):
     got = sorted(tuple(r) for r in final.collect())
     # final base: a:4, c:7, c:3  (b fully retracted)
     assert got == [("a", 1, 4), ("c", 2, 10)]
+
+
+def test_ivm_stream_replay_does_not_double_apply(spark, tmp_path):
+    """At-least-once replay guard: re-running the SAME change batches
+    against the SAME store (fresh checkpoint — every batch is
+    redelivered, the worst-case replay) must leave the view untouched.
+    Without the harness's last-applied-epoch skip, the +insert/-delete
+    deltas would apply twice: counts doubled, re-applied deletes
+    silently vanishing live groups through the cnt>0 filter."""
+    import shutil
+
+    from pyspark.sql import types as T
+    from chess_pos_db_spark.streaming import jobs
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "changes")
+    store = str(tmp_path / "view")
+    base = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    spark.createDataFrame(
+        [("c", 7, "I"), ("b", 2, "D")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    first = sorted(
+        tuple(r)
+        for r in jobs.ivm_apply_stream(
+            spark, src, schema, store, base, ["k"], "v"
+        ).collect()
+    )
+    assert first == [("a", 1, 1), ("c", 1, 7)]
+
+    # simulate redelivery of every batch: wipe the checkpoint, rerun
+    shutil.rmtree(store + "_chk")
+    replayed = sorted(
+        tuple(r)
+        for r in jobs.ivm_apply_stream(
+            spark, src, schema, store, base, ["k"], "v"
+        ).collect()
+    )
+    assert replayed == first  # no double-apply, no vanished groups

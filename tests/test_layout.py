@@ -358,3 +358,97 @@ def test_zstd_codec_density_improvement(spark, sf_dir, tmp_path):
     assert zstd < snappy, (zstd, snappy)
     back = spark.read.parquet(str(tmp_path / "zstd"))
     assert back.count() == li.count()
+
+
+def test_zonemap_prunes_date_keys(spark, sf_dir, tmp_path):
+    """Zone-map bounds round-trip through JSON as strings for date
+    keys; read_run_pruned must coerce them back and prune instead of
+    raising TypeError on str-vs-date comparison."""
+    import datetime
+
+    # timestamp key (the fixture's native o_orderdate type)
+    path = str(tmp_path / "ts_run")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    layout.write_sorted_run_with_zonemap(
+        orders, path, key=["o_orderdate"], partitions=8
+    )
+    lo = datetime.datetime(1995, 7, 1)
+    hi = datetime.datetime(1995, 12, 31)
+    df, read, total = layout.read_run_pruned(spark, path, lo, hi)
+    want = orders.filter(
+        (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") <= F.lit(hi))
+    )
+    assert df.count() == want.count() > 0
+    assert read < total  # pruning engaged, not just filtered
+
+    # DATE key (pyarrow stats surface as datetime — the narrow branch)
+    dpath = str(tmp_path / "date_run")
+    dated = orders.withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    layout.write_sorted_run_with_zonemap(
+        dated, dpath, key=["o_orderdate"], partitions=8
+    )
+    dlo, dhi = datetime.date(1995, 7, 1), datetime.date(1995, 12, 31)
+    ddf, dread, dtotal = layout.read_run_pruned(spark, dpath, dlo, dhi)
+    dwant = dated.filter(
+        (F.col("o_orderdate") >= F.lit(dlo))
+        & (F.col("o_orderdate") <= F.lit(dhi))
+    )
+    assert ddf.count() == dwant.count() > 0
+    assert dread < dtotal
+
+
+def test_expire_snapshots_floor_never_regresses(spark, sf_dir, tmp_path):
+    """A later expire with a SMALLER `before` must not lower the
+    time-travel floor — that would let read_snapshot silently return
+    partial history whose files were already deleted."""
+    import pytest
+
+    path = str(tmp_path / "vstore")
+    ev = t(spark, sf_dir, "events").select("user_id", "value").limit(50)
+    for i in range(3):
+        layout.append_versioned(ev, path, key=["user_id"])
+    layout.compact_versioned(
+        spark, path, key=["user_id"], agg_spec={"value": "sum"}
+    )
+    layout.expire_snapshots(path, before=4)
+    assert layout.read_manifest(path)["min_time_travel"] == 4
+    layout.expire_snapshots(path, before=2)  # must NOT regress
+    assert layout.read_manifest(path)["min_time_travel"] == 4
+    with pytest.raises(ValueError, match="expired"):
+        layout.read_snapshot(spark, path, 2)
+
+
+def test_snapshot_diff_sees_added_columns(spark, sf_dir, tmp_path):
+    """Additive schema evolution: a column that exists only in v_to
+    must surface in the diff (and the reverse diff must not crash)."""
+    path = str(tmp_path / "evolve")
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k long, a double"
+    )
+    layout.append_versioned(base, path, key=["k"])
+    evolved = spark.createDataFrame(
+        [(3, 30.0, "x")], "k long, a double, b string"
+    )
+    layout.append_versioned(evolved, path, key=["k"])
+    d = layout.snapshot_diff(spark, path, 1, 2, key=["k"])
+    rows = {r["k"]: r for r in d.collect()}
+    assert rows[3]["change"] == "added"
+    assert rows[3]["new"]["b"] == "x"  # the evolved column is visible
+    rev = layout.snapshot_diff(spark, path, 2, 1, key=["k"])  # no crash
+    assert {r["k"]: r["change"] for r in rev.collect()} == {3: "removed"}
+
+
+def test_manifest_write_is_atomic_replace(spark, sf_dir, tmp_path):
+    """The manifest writer must go through tmp + os.replace so a
+    concurrent reader never loads a truncated document: after any
+    append the manifest parses and no orphan tmp file remains."""
+    import os
+
+    path = str(tmp_path / "atomic")
+    ev = t(spark, sf_dir, "events").select("user_id", "value").limit(20)
+    layout.append_versioned(ev, path, key=["user_id"])
+    layout.append_versioned(ev, path, key=["user_id"])
+    assert layout.read_manifest(path)["snapshots"]
+    assert not os.path.exists(
+        os.path.join(path, layout.MANIFEST_NAME + ".tmp")
+    )

@@ -195,7 +195,8 @@ def test_incremental_ingest_restart_resume_exactly_once(spark, sf_dir, tmp_path)
 
     runs, compacted = str(tmp_path / "runs"), str(tmp_path / "compacted")
     jobs.incremental_ingest(spark, src, runs, compacted)
-    n_runs_after_wave1 = len(glob.glob(runs + "/*.parquet"))
+    # runs land in per-epoch directories (idempotent replay layout)
+    n_runs_after_wave1 = len(glob.glob(runs + "/**/*.parquet", recursive=True))
 
     wave2.repartition(2).write.mode("append").parquet(src)
     final = jobs.incremental_ingest(spark, src, runs, compacted)
@@ -215,7 +216,10 @@ def test_incremental_ingest_restart_resume_exactly_once(spark, sf_dir, tmp_path)
     assert got == want
     # the second run appended new runs (processed wave2) rather than
     # reprocessing wave1 from scratch into a fresh set
-    assert len(glob.glob(runs + "/*.parquet")) > n_runs_after_wave1
+    assert (
+        len(glob.glob(runs + "/**/*.parquet", recursive=True))
+        > n_runs_after_wave1
+    )
 
 
 def test_stream_static_enrich_equals_batch(spark, sf_dir, events_dir):
