@@ -93,19 +93,33 @@ def agg_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderpriority,
        MIN(o_orderdate)                       AS first_date,
        MAX(o_orderdate)                       AS last_date,
-       CAST(MIN_BY(o_orderkey, o_totalprice) AS BIGINT) AS cheapest_order,
-       CAST(MAX_BY(o_orderkey, o_totalprice) AS BIGINT) AS priciest_order
+       -- ordering value made UNIQUE (price-in-cents scaled + key):
+       -- min_by/max_by tie-breaks on a bare price are engine-defined
+       CAST(MIN_BY(o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 1000000000
+                   + o_orderkey) AS BIGINT) AS cheapest_order,
+       CAST(MAX_BY(o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 1000000000
+                   + o_orderkey) AS BIGINT) AS priciest_order
 FROM orders
 GROUP BY o_orderpriority
 """,
 )
 def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The ordering value is a UNIQUE bigint (price in cents scaled, key
+    # as tie-break): min_by/max_by with a bare price leave price-tied
+    # groups to an engine-defined pick, which can never hash-match a
+    # second engine (same discipline as agg_mode / the windows module).
     o = t(spark, sf_dir, "orders")
+    ordv = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * 1000000000
+        + F.col("o_orderkey")
+    )
     return o.groupBy("o_orderpriority").agg(
         F.min("o_orderdate").alias("first_date"),
         F.max("o_orderdate").alias("last_date"),
-        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", ordv).alias("cheapest_order"),
+        F.max_by("o_orderkey", ordv).alias("priciest_order"),
     )
 
 

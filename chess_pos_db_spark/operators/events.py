@@ -744,7 +744,10 @@ def events_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = t(spark, sf_dir, "events")
     u = e.select("user_id", "event_type").distinct().localCheckpoint(eager=True)
-    n_users = e.select("user_id").distinct().count()  # driver scalar
+    # driver scalar from the CHECKPOINTED frame (distinct users over
+    # (user, type) == distinct users over events): the raw-events form
+    # re-scanned the whole corpus for one number
+    n_users = u.select("user_id").distinct().count()
     supp = u.groupBy("event_type").agg(F.count("*").alias("n"))
     a = u.select("user_id", F.col("event_type").alias("type_a"))
     b = u.select("user_id", F.col("event_type").alias("type_b"))

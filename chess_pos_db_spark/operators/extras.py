@@ -194,7 +194,10 @@ def win_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders o
 WHERE o_totalprice > (
-    SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    -- threshold from the ROUNDED avg: engine summation order must not
+    -- flip membership of a row sitting exactly on the average
+    SELECT ROUND(AVG(o2.o_totalprice), 4)
+    FROM orders o2 WHERE o2.o_custkey = o.o_custkey
 )
 """,
 )
@@ -205,7 +208,7 @@ def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders_v o
         WHERE o_totalprice > (
-            SELECT AVG(o2.o_totalprice) FROM orders_v o2
+            SELECT ROUND(AVG(o2.o_totalprice), 4) FROM orders_v o2
             WHERE o2.o_custkey = o.o_custkey
         )
         """

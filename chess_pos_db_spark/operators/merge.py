@@ -108,7 +108,10 @@ upd AS (
     FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
 ),
 ins AS (
-    SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+    -- negated keys can NEVER collide with real (positive) order keys;
+    -- a fixed +10M offset collides once max(o_orderkey) crosses 10M
+    -- (sf ~1.7), silently diverging upsert vs union semantics
+    SELECT -o_orderkey AS o_orderkey, o_custkey,
            'N' AS o_orderstatus, o_totalprice,
            o_orderdate, o_orderpriority
     FROM orders WHERE o_orderkey % 13 = 0
@@ -149,7 +152,7 @@ def merge_into_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
     )
     inserts = o.filter(k % 13 == 0).select(
-        (k + 10000000).alias("o_orderkey"),
+        (-k).alias("o_orderkey"),
         F.lit("I").alias("op"),
         F.lit("N").alias("o_orderstatus"),
         F.col("o_totalprice"),

@@ -241,10 +241,13 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q14",
     oracle="""
-SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+SELECT ROUND(100.0 * ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0 END), 4)
+             -- both sums rounded at true precision BEFORE dividing so
+             -- the quotient is bit-identical across engines (q8 shape)
+             / ROUND(SUM(l_extendedprice * (1 - l_discount)), 4),
+             4) AS promo_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1996-02-01'
@@ -260,9 +263,12 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(_rev()), 4).alias(
-                "promo_revenue"
-            )
+            F.round(
+                100.0
+                * F.round(F.sum(promo), 4)
+                / F.round(F.sum(_rev()), 4),
+                4,
+            ).alias("promo_revenue")
         )
     )
 

@@ -27,11 +27,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import t
-
-
-def _rev():
-    # built lazily: creating Columns requires an active SparkContext
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+from .tpch import _rev  # ONE revenue-expression definition for the battery
 
 
 # Φ-Q2 — minimum-cost supplier. The original's correlated MIN subquery
