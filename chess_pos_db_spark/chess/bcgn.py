@@ -151,15 +151,23 @@ def decode_file(data: bytes) -> Iterator[dict]:
 def read_sbgn(spark: SparkSession, paths: list[tuple[str, str]]) -> DataFrame:
     """SBGN files → game rows (same schema as importer.parse_games), via
     binaryFile scan + Arrow-batched decode."""
+    import os
+    from urllib.parse import unquote, urlparse
+
     from .importer import GAME_SCHEMA
 
     def norm(p: str) -> str:
-        return p.replace("file://", "").replace("file:", "")
+        # Decode the way importer.read_pgn_files does: binaryFile
+        # returns percent-encoded file: URIs, and inputs may be
+        # relative — abspath+unquote makes both sides comparable.
+        return os.path.abspath(unquote(urlparse(p).path) or p)
 
     level_by_path = {norm(p): lvl for p, lvl in paths}
     file_idx_by_path = {norm(p): i for i, (p, _) in enumerate(paths)}
 
-    raw = spark.read.format("binaryFile").load([p for p, _ in paths])
+    raw = spark.read.format("binaryFile").load(
+        [os.path.abspath(p) for p, _ in paths]
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -167,8 +175,16 @@ def read_sbgn(spark: SparkSession, paths: list[tuple[str, str]]) -> DataFrame:
             for _, row in pdf.iterrows():
                 path = row["path"]
                 key = norm(path)
-                level = level_by_path.get(key, "human")
-                fidx = file_idx_by_path.get(key, 0)
+                if key not in file_idx_by_path:
+                    # fail LOUDLY like the importer: a silent
+                    # file_idx=0 fallback would collide game_ids
+                    # across files
+                    raise ValueError(
+                        f"binaryFile row {path!r} (decoded {key!r}) "
+                        f"matches no input path"
+                    )
+                level = level_by_path[key]
+                fidx = file_idx_by_path[key]
                 for g_idx, g in enumerate(decode_file(bytes(row["content"]))):
                     out.append(
                         {

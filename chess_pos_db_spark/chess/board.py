@@ -418,7 +418,10 @@ class Position:
         ep_file = data[8 + (n + 1) // 2 + 1]
         ep = None
         if ep_file != 0xFF:
-            ep = sq(ep_file, 5 if side == BLACK else 2)
+            # ep TARGET rank: white just double-pushed (black to move)
+            # → rank index 2 (e3); black just pushed (white to move)
+            # → rank index 5 (e6)
+            ep = sq(ep_file, 2 if side == BLACK else 5)
         return cls(board=board, side=side, castling=castling, ep=ep)
 
     # -- attacks --------------------------------------------------------------
@@ -869,44 +872,6 @@ class Position:
                     break
                 frm += d
         return out
-
-    def _san_matches(self, m: Move, core: str) -> bool:
-        if core in ("O-O", "O-O-O"):
-            return (core == "O-O" and m.flag == F_CASTLE_K) or (
-                core == "O-O-O" and m.flag == F_CASTLE_Q
-            )
-        if m.flag in (F_CASTLE_K, F_CASTLE_Q):
-            return False
-        body = core
-        promo = ""
-        if "=" in body:
-            body, promo = body.split("=")
-            promo = promo.lower()
-        elif body and body[-1] in "QRBNqrbn" and m.piece.upper() == "P" and m.promo:
-            # promotion without '=' (e.g. e8Q)
-            promo = body[-1].lower()
-            body = body[:-1]
-        if promo != m.promo:
-            return False
-        pt = m.piece.upper()
-        if pt != "P":
-            if not body or body[0] != pt:
-                return False
-            body = body[1:]
-        body = body.replace("x", "")
-        if len(body) < 2 or body[-2:] != sq_name(m.to_sq):
-            return False
-        dis = body[:-2]
-        if pt == "P":
-            if dis and dis != FILES[sq_file(m.from_sq)]:
-                return False
-            return True
-        for ch in dis:
-            if ch in FILES and FILES[sq_file(m.from_sq)] != ch:
-                return False
-            if ch in RANKS and RANKS[sq_rank(m.from_sq)] != ch:
-                return False
-        return True
 
 
 def san_move_cached(

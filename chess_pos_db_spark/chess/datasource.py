@@ -47,6 +47,23 @@ _SCHEMA_DDL = (
 DEFAULT_CHUNK_BYTES = 16 << 20
 
 
+def _chunk_partitions(
+    path: str, file_idx: int, size: int, chunk_bytes: int
+) -> list["PgnInputPartition"]:
+    """Byte-range partitions for one file (ONE definition of the split
+    loop for the batch and stream readers)."""
+    n_chunks = max(1, -(-size // chunk_bytes))
+    return [
+        PgnInputPartition(
+            path,
+            file_idx,
+            ci * chunk_bytes,
+            min((ci + 1) * chunk_bytes, size),
+        )
+        for ci in range(n_chunks)
+    ]
+
+
 @dataclass
 class PgnInputPartition(InputPartition):
     path: str
@@ -88,16 +105,10 @@ class PgnDataSourceReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         out: list[InputPartition] = []
-        cb = self._chunk_bytes
         for idx, path in enumerate(self._files):
-            size = self._sizes[path]
-            n_chunks = max(1, -(-size // cb))
-            for ci in range(n_chunks):
-                out.append(
-                    PgnInputPartition(
-                        path, idx, ci * cb, min((ci + 1) * cb, size)
-                    )
-                )
+            out.extend(
+                _chunk_partitions(path, idx, self._sizes[path], self._chunk_bytes)
+            )
         return out
 
     def read(self, partition: PgnInputPartition) -> Iterator[tuple]:
@@ -150,9 +161,14 @@ class PgnDataSource(DataSource):
 #     spark.dataSource.register(PgnDataSource)
 #     spark.readStream.format("pgn").load(dir)  ->  foreachBatch(import)
 #
-# Offsets are JSON dicts per the Python Data Source streaming API; a
-# file is identified by (path, size) — PGN dumps are immutable once
-# written, the standard file-source contract.
+# Offsets are JSON dicts per the Python Data Source streaming API; the
+# seen list records (path, size) pairs. Files must be IMMUTABLE once
+# visible (the standard file-source contract): a seen file observed to
+# have GROWN fails the stream loudly — silently ignoring the appended
+# bytes (or re-reading the whole file, duplicating game_ids) are both
+# wrong, and a half-written game at the old EOF may already have been
+# imported truncated. file_idx is allocated from the cumulative count
+# of previously-seen files, so ids never collide across micro-batches.
 # ---------------------------------------------------------------------------
 
 
@@ -182,27 +198,48 @@ class PgnStreamReader(DataSourceStreamReader):
         return {"seen": []}
 
     def latestOffset(self) -> dict:
-        return {"seen": self._current_files()}
-
-    def partitions(self, start: dict, end: dict):
         import os
 
-        new = [p for p in end["seen"] if p not in set(start["seen"])]
-        out = []
-        cb = self._chunk_bytes
-        for idx, path in enumerate(new):
-            size = os.path.getsize(path)
-            n_chunks = max(1, -(-size // cb))
-            for ci in range(n_chunks):
-                out.append(
-                    PgnInputPartition(
-                        path, idx, ci * cb, min((ci + 1) * cb, size)
-                    )
+        return {
+            "seen": [[p, os.path.getsize(p)] for p in self._current_files()]
+        }
+
+    @staticmethod
+    def _seen_map(offset: dict) -> dict:
+        # tolerate the legacy plain-path offset format (size unknown)
+        out = {}
+        for entry in offset.get("seen", []):
+            if isinstance(entry, str):
+                out[entry] = None
+            else:
+                out[entry[0]] = entry[1]
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        start_seen = self._seen_map(start)
+        end_seen = self._seen_map(end)
+        for path, old_size in start_seen.items():
+            new_size = end_seen.get(path)
+            if old_size is not None and new_size is not None and new_size > old_size:
+                raise ValueError(
+                    f"pgn stream source: {path!r} grew from {old_size} to "
+                    f"{new_size} bytes after being imported — files must be "
+                    f"immutable once visible (write to a temp name, then "
+                    f"rename into the watched directory)"
                 )
+        new = [p for p in end_seen if p not in start_seen]
+        out = []
+        base = len(start_seen)  # cumulative file count → unique file_idx
+        for i, path in enumerate(new):
+            out.extend(
+                _chunk_partitions(
+                    path, base + i, end_seen[path], self._chunk_bytes
+                )
+            )
         # the API requires >= 1 partition per plan; an empty batch reads
         # an empty byte range
-        if not out and end["seen"]:
-            out.append(PgnInputPartition(end["seen"][0], 0, 0, 0))
+        if not out and end_seen:
+            out.append(PgnInputPartition(next(iter(end_seen)), 0, 0, 0))
         return out or [PgnInputPartition("", 0, 0, 0)]
 
     def read(self, partition: PgnInputPartition):

@@ -663,9 +663,12 @@ def append_pgn(
         .first()[0]
     )
     next_file_idx = int(prev_max) + 1 if prev_max is not None else 0
+    # cache: games feeds BOTH the stored-games append and the entries
+    # aggregate — without it the full chunked parse runs twice (same
+    # reasoning as import_pgn's cache)
     games = parse_games_chunked(
         spark, files, chunk_bytes, file_idx_base=next_file_idx
-    )
+    ).cache()
     pre = None
     if has_retr:
         entries = explode_positions(games, include_eran=True)
@@ -736,6 +739,7 @@ def append_pgn(
         )
         shutil.rmtree(retr_runs_dir, ignore_errors=True)
         pre.unpersist()
+    games.unpersist()
     return {"db_dir": db_dir}
 
 

@@ -34,6 +34,11 @@ def split_games(text: str) -> Iterator[str]:
     seen_movetext = False
     for line in text.splitlines():
         stripped = line.strip()
+        # BOM can also appear at interior lines (concatenated PGN
+        # files): strip it per line, exactly like GameStartScanner,
+        # or chunked and sequential parses diverge on `cat a.pgn b.pgn`
+        if stripped[:1] == "\ufeff":
+            stripped = stripped[1:].strip()
         if stripped.startswith("[") and seen_movetext:
             yield "\n".join(chunk)
             chunk = []
@@ -84,14 +89,38 @@ def parse_date(raw: str) -> tuple[Optional[int], Optional[int], Optional[int]]:
     return num(0), num(1), num(2)
 
 
+def _clean_line(line: str) -> str:
+    s = line.strip()
+    if s[:1] == "\ufeff":  # interior BOM (concatenated files)
+        s = s[1:].strip()
+    return s
+
+
+def _unescape_tag(v: str) -> str:
+    # PGN escapes '\"' and '\\' inside tag values; _TAG_RE matches
+    # them but keeps the backslashes
+    return re.sub(r"\\(.)", r"\1", v) if "\\" in v else v
+
+
 def parse_game(chunk: str) -> dict:
     """One PGN game chunk → {'tags', 'sans', 'result'} (result None for
     unknown/'*')."""
-    tags = {m.group(1): m.group(2) for m in _TAG_RE.finditer(chunk)}
+    # Tags come ONLY from tag-section lines ('['-prefixed): running the
+    # regex over the whole chunk let a bracketed pair inside a movetext
+    # {comment} inject or override real tags (later match wins in the
+    # dict comprehension).
+    tags = {}
     movetext_lines = []
     for line in chunk.splitlines():
         s = line.strip()
-        if not s or s.startswith("[") or s.startswith("%"):
+        if s[:1] == "\ufeff":
+            s = s[1:].strip()
+        if not s or s.startswith("%"):
+            continue
+        if s.startswith("["):
+            m = _TAG_RE.search(s)
+            if m:
+                tags[m.group(1)] = _unescape_tag(m.group(2))
             continue
         movetext_lines.append(s)
     movetext = _strip_movetext(" ".join(movetext_lines))
@@ -206,10 +235,15 @@ class GameStartScanner:
 
 def game_is_kept(text: str) -> bool:
     """Whether parse_file would yield this game chunk (tags or sans
-    nonempty). The tag regex short-circuits the common case; only
-    tagless fragments pay for a full parse."""
-    if _TAG_RE.search(text):
-        return True
+    nonempty). The tag-line regex short-circuits the common case; only
+    tagless fragments pay for a full parse. Tag detection is scoped to
+    '['-prefixed lines to stay consistent with parse_game — a fake
+    bracketed pair inside a comment must not make the count pass and
+    the parse pass disagree about which games exist."""
+    for line in text.splitlines():
+        s = _clean_line(line)
+        if s.startswith("[") and _TAG_RE.search(s):
+            return True
     g = parse_game(text)
     return bool(g["sans"] or g["tags"])
 
@@ -332,13 +366,20 @@ def format_game(
     token = _RESULT_TO_TOKEN.get(result, "*")
     tag_out = dict(tags)
     tag_out.setdefault("Result", token)
+    def esc(v: str) -> str:
+        # PGN tag values escape backslash and quote; without this an
+        # exported name like OKelly "Bobby" produces a malformed tag
+        # that re-import silently drops — breaking the lossless
+        # round-trip contract
+        return v.replace("\\", "\\\\").replace('"', '\\"')
+
     lines = []
     for k in ordered:
         if k in tag_out:
-            lines.append(f'[{k} "{tag_out[k]}"]')
+            lines.append(f'[{k} "{esc(tag_out[k])}"]')
     for k, v in tag_out.items():
         if k not in ordered:
-            lines.append(f'[{k} "{v}"]')
+            lines.append(f'[{k} "{esc(v)}"]')
     moves = []
     for i, san in enumerate(sans):
         if i % 2 == 0:

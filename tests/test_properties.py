@@ -44,11 +44,13 @@ def test_random_game_invariants(seed):
         # FEN round trip preserves state and key
         assert back.fen() == fen
         assert back.key() == pos.key()
-        # compression round trip preserves board/side/castling
+        # compression round trip preserves board/side/castling/ep/key
         dec = Position.decompress(pos.compress())
         assert dec.board == pos.board
         assert dec.side == pos.side
         assert dec.castling == pos.castling
+        assert dec.ep == pos.ep  # ep RANK was decompressed wrong once
+        assert dec.key() == pos.key()
         # exactly one king each
         flat = [p for p in pos.board if p]
         assert flat.count("K") == 1 and flat.count("k") == 1
@@ -185,3 +187,55 @@ def test_key_accepts_noncanonical_castling_order():
     partial = Position.from_fen("r3k2r/8/8/8/8/8/8/R3K2R w qK - 0 1")
     partial_canon = Position.from_fen("r3k2r/8/8/8/8/8/8/R3K2R w Kq - 0 1")
     assert partial.key() == partial_canon.key()
+
+
+def test_compress_roundtrip_preserves_ep():
+    """Regression: decompress rebuilt the ep target on the wrong rank
+    (5/2 swapped for side-to-move), corrupting every EPD dump of a
+    position with an ep square and flipping zobrist keys."""
+    pos = Position.from_fen(START_FEN)
+    child = pos.make_move(pos.parse_san("e4"))
+    rt = Position.decompress(child.compress())
+    assert rt.fen().rsplit(" ", 2)[0] == child.fen().rsplit(" ", 2)[0]
+    assert rt.ep == child.ep  # e3, not e6
+    assert rt.key() == child.key()
+    # black's double push too (white to move, rank 6 target)
+    child2 = child.make_move(child.parse_san("c5"))
+    rt2 = Position.decompress(child2.compress())
+    # compress drops the move counters by design — compare state + key
+    assert rt2.ep == child2.ep
+    assert rt2.fen().rsplit(" ", 2)[0] == child2.fen().rsplit(" ", 2)[0]
+    assert rt2.key() == child2.key()
+
+
+def test_pgn_tag_escaping_roundtrip():
+    """Tag values containing quotes/backslashes survive
+    format_game → parse_file (the lossless-export contract)."""
+    tags = {"White": 'OKelly "Bobby"', "Site": "c:\\games\\x"}
+    text = pgn.format_game(tags, ["e4", "e5"], "W")
+    g = list(pgn.parse_file(text))[0]
+    assert g["tags"]["White"] == tags["White"]
+    assert g["tags"]["Site"] == tags["Site"]
+
+
+def test_pgn_comment_cannot_inject_tags():
+    """A bracketed quoted pair inside a movetext comment must not
+    override real tags (tag extraction is scoped to tag-section
+    lines)."""
+    chunk = '[White "Carlsen"]\n\n1. e4 {[White "FAKE"] nice} e5 1-0\n'
+    g = pgn.parse_game(chunk)
+    assert g["tags"]["White"] == "Carlsen"
+    assert g["sans"] == ["e4", "e5"]
+
+
+def test_pgn_concatenated_files_with_bom():
+    """cat a.pgn b.pgn where b starts with a BOM: sequential
+    split_games must yield two games (matching the chunked scanner),
+    not silently merge them."""
+    cat = (
+        '[Event "A"]\n\n1. e4 e5 1-0\n'
+        "\ufeff" '[Event "B"]\n\n1. d4 d5 0-1\n'
+    )
+    games = list(pgn.parse_file(cat))
+    assert [g["tags"]["Event"] for g in games] == ["A", "B"]
+    assert games[1]["sans"] == ["d4", "d5"]

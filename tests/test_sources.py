@@ -143,3 +143,38 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "l_orderkey" in plan
     assert probe.count() == li.filter("l_orderkey = 7").count()
+
+
+def test_stream_reader_rejects_grown_files_and_unique_file_idx(tmp_path):
+    """Offset bookkeeping (no Spark needed): a seen file that GREW
+    fails loudly (immutability contract — silent skip loses games,
+    re-read duplicates ids), and file_idx allocation continues across
+    micro-batches so game ids never collide."""
+    import pytest
+
+    from chess_pos_db_spark.chess.datasource import PgnStreamReader
+
+    a, b, c = (str(tmp_path / f"{n}.pgn") for n in "abc")
+    for f in (a, b, c):
+        with open(f, "w") as fh:
+            fh.write('[Event "x"]\n\n1. e4 e5 1-0\n')
+    rd = PgnStreamReader({"path": str(tmp_path)})
+
+    batch1 = rd.partitions({"seen": []}, {"seen": [[a, 30], [b, 30]]})
+    batch2 = rd.partitions(
+        {"seen": [[a, 30], [b, 30]]},
+        {"seen": [[a, 30], [b, 30], [c, 30]]},
+    )
+    idx1 = {p.file_idx for p in batch1 if p.end > p.start}
+    idx2 = {p.file_idx for p in batch2 if p.end > p.start}
+    assert idx1 == {0, 1}
+    assert idx2 == {2}  # continues, never reuses batch 1's ids
+
+    with pytest.raises(ValueError, match="grew"):
+        rd.partitions(
+            {"seen": [[a, 30]]}, {"seen": [[a, 99], [b, 30]]}
+        )
+
+    # legacy plain-path offsets still parse (size unknown -> no check)
+    legacy = rd.partitions({"seen": [a]}, {"seen": [[a, 99], [b, 30]]})
+    assert {p.file_idx for p in legacy if p.end > p.start} == {1}
