@@ -150,7 +150,7 @@ def containment_pairs(
     )
     cont = F.col("n_shared") / F.col("sa.n_tok")
     return (
-        pairs.join(F.broadcast(sizes.alias("sa")), F.col("doc_a") == F.col("sa.doc_id"))
+        pairs.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .filter(cont >= threshold)
         .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
     )

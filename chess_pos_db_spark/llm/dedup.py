@@ -178,8 +178,13 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sizes.alias("sb")
     jac = F.col("n_shared") / (F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_shared"))
     return (
-        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        # no F.broadcast hint: the per-doc sizes table is corpus-sized,
+        # and a forced broadcast hard-fails at Spark's 8 GB relation cap
+        # on a large corpus. The planner still broadcasts at small scale
+        # (stats from the checkpointed tok frame) and degrades to a
+        # shuffle join at scale.
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -1151,8 +1156,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     jac = F.col("shared") / (F.col("sa.n") + F.col("sb.n") - F.col("shared"))
     return (
-        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        # no F.broadcast hint: the per-doc sizes table is corpus-sized,
+        # and a forced broadcast hard-fails at Spark's 8 GB relation cap
+        # on a large corpus. The planner still broadcasts at small scale
+        # (stats from the checkpointed tok frame) and degrades to a
+        # shuffle join at scale.
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )

@@ -329,8 +329,11 @@ def media_near_dup(
     return (
         a_side.join(b_side, "bucket")
         .filter(F.col("media_a") < F.col("media_b"))
+        # threshold on the RAW cosine, rounding only for display —
+        # filtering the rounded value admits pairs just below threshold
+        # (the repo-wide raw-threshold discipline)
+        .filter(cos >= threshold)
         .select("media_a", "media_b", F.round(cos, 6).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
     )
 
 
@@ -416,6 +419,15 @@ def phash_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     """(media_a, media_b, hamming) pairs at hamming ≤ max_hamming via
     exact 4-band blocking (sound for max_hamming ≤ 3) + XOR popcount
     verify. Takes the hash table so callers can persist hashes once."""
+    if max_hamming >= _PHASH_BANDS:
+        # pigeonhole soundness bound: k dirty bits can dirty at most k
+        # of the 4 bands, so ≥ 4 differing bits may share NO exact band
+        # — the result would silently under-report pairs it claims to
+        # cover
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the blocking soundness "
+            f"bound ({_PHASH_BANDS - 1}) — add bands or use multi-probe"
+        )
     bands = []
     for b in range(_PHASH_BANDS):
         band_val = F.shiftrightunsigned(

@@ -41,6 +41,98 @@ _MIN_ALPHA_FRAC = 0.8
 _MIN_STOPWORDS = 0  # word-soup fixtures rarely contain real stopwords
 
 
+
+def gopher_signals() -> dict:
+    """The Gopher rule battery's signal columns over `text` — ONE
+    definition shared by the registry operator (text_gopher_quality)
+    and the declarative spec runner (llm/spec.py gopher_gate), so the
+    two can never drift. Signals are rounded at 4dp exactly as the
+    oracle computes them."""
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("bigint")
+    # '#' occurrences + '...' occurrences (each '...' removes 3 chars,
+    # replaced by 2 ⇒ net 1 per occurrence — same arithmetic as the oracle)
+    n_symbols = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))))
+        + (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("xx")))
+        )
+    ).cast("bigint")
+    mean_word_len = F.round(
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        * F.lit(1.0)
+        / n_words,
+        4,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))) * F.lit(1.0) / n_words,
+        4,
+    )
+    symbol_ratio = F.round(n_symbols * F.lit(1.0) / n_words, 4)
+    stopword_hits = F.size(
+        F.filter(words, lambda w: w.isin(*_STOPWORDS))
+    ).cast("bigint")
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "alpha_frac": alpha_frac,
+        "symbol_ratio": symbol_ratio,
+        "stopword_hits": stopword_hits,
+    }
+
+
+def gopher_keep(sig: dict, thresholds: dict | None = None):
+    """The fused keep flag over gopher signal columns; `thresholds`
+    overrides any default (spec-runner form). ALL five rules apply —
+    a gate that silently drops a rule admits what the registry
+    operator rejects."""
+    t_ = thresholds or {}
+    return (
+        sig["n_words"].between(
+            int(t_.get("min_words", _MIN_WORDS)),
+            int(t_.get("max_words", _MAX_WORDS)),
+        )
+        & sig["mean_word_len"].between(
+            float(t_.get("min_mwl", _MIN_MWL)),
+            float(t_.get("max_mwl", _MAX_MWL)),
+        )
+        & (
+            sig["symbol_ratio"]
+            <= float(t_.get("max_symbol_ratio", _MAX_SYMBOL_RATIO))
+        )
+        & (
+            sig["alpha_frac"]
+            >= float(t_.get("min_alpha_frac", _MIN_ALPHA_FRAC))
+        )
+        & (
+            sig["stopword_hits"]
+            >= int(t_.get("min_stopwords", _MIN_STOPWORDS))
+        )
+    )
+
+
+def char_entropy_cols() -> tuple:
+    """(n_distinct_chars, char_entropy_unrounded) column expressions —
+    shared by text_char_entropy and the spec runner's entropy_gate."""
+    chars = F.split("text", "")
+    dchars = F.array_distinct(chars)
+    n = F.size(chars).cast("double")
+    counts = F.transform(
+        dchars, lambda d: F.size(F.filter(chars, lambda c: c == d)).cast("double")
+    )
+    ent = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + (c / n) * F.log2(c / n),
+    )
+    return F.size(dchars).cast("bigint"), ent
+
+
 @register(
     "text_gopher_quality",
     oracle=f"""
@@ -76,53 +168,16 @@ FROM m
 )
 def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule battery, zero-shuffle: every signal is a
-    higher-order function over the in-row word array."""
+    higher-order function over the in-row word array (shared column
+    builders: gopher_signals/gopher_keep)."""
     docs = t(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    n_words = F.size(words).cast("bigint")
-    # '#' occurrences + '...' occurrences (each '...' removes 3 chars,
-    # replaced by 2 ⇒ net 1 per occurrence — same arithmetic as the oracle)
-    n_symbols = (
-        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))))
-        + (
-            F.length("text")
-            - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("xx")))
-        )
-    ).cast("bigint")
-    mean_word_len = F.round(
-        F.aggregate(
-            F.transform(words, lambda w: F.length(w).cast("bigint")),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        * F.lit(1.0)
-        / n_words,
-        4,
-    )
-    alpha_frac = F.round(
-        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))) * F.lit(1.0) / n_words,
-        4,
-    )
-    symbol_ratio = F.round(n_symbols * F.lit(1.0) / n_words, 4)
-    stopword_hits = F.size(
-        F.filter(words, lambda w: w.isin(*_STOPWORDS))
-    ).cast("bigint")
+    sig = gopher_signals()
     out = docs.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        alpha_frac.alias("alpha_frac"),
-        symbol_ratio.alias("symbol_ratio"),
-        stopword_hits.alias("stopword_hits"),
+        "doc_id", *[expr.alias(name) for name, expr in sig.items()]
     )
-    keep = (
-        F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
-        & F.col("mean_word_len").between(_MIN_MWL, _MAX_MWL)
-        & (F.col("symbol_ratio") <= _MAX_SYMBOL_RATIO)
-        & (F.col("alpha_frac") >= _MIN_ALPHA_FRAC)
-        & (F.col("stopword_hits") >= _MIN_STOPWORDS)
+    return out.withColumn(
+        "keep", gopher_keep({name: F.col(name) for name in sig})
     )
-    return out.withColumn("keep", keep)
 
 
 @register(
@@ -154,19 +209,9 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a scan; the explode form would shuffle |corpus chars| rows.
     """
     docs = t(spark, sf_dir, "documents")
-    chars = F.split("text", "")
-    dchars = F.array_distinct(chars)
-    n = F.size(chars).cast("double")
-    counts = F.transform(
-        dchars, lambda d: F.size(F.filter(chars, lambda c: c == d)).cast("double")
-    )
-    ent = -F.aggregate(
-        counts,
-        F.lit(0.0),
-        lambda acc, c: acc + (c / n) * F.log2(c / n),
-    )
+    n_distinct, ent = char_entropy_cols()
     return docs.select(
         "doc_id",
-        F.size(dchars).cast("bigint").alias("n_distinct_chars"),
+        n_distinct.alias("n_distinct_chars"),
         F.round(ent, 4).alias("char_entropy"),
     )

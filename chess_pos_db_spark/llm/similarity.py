@@ -649,6 +649,14 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
         .select("embedding")
         .collect()
     )
+    if len(rows) < _PQ_K:
+        # same loud contract as _ivf_trained_centroids: xs[:_PQ_K] on a
+        # smaller sample would clamp and `books[m] = c` would crash
+        # with an opaque numpy broadcast error
+        raise ValueError(
+            f"cannot train {_PQ_K} PQ codewords from a corpus of "
+            f"{len(rows)} vectors"
+        )
     x = np.array([r.embedding for r in rows], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.where(norms == 0, 1.0, norms)

@@ -82,43 +82,19 @@ def _domain_cap(df: DataFrame, stage: dict) -> DataFrame:
 
 
 def _gopher_gate(df: DataFrame, stage: dict) -> DataFrame:
-    from . import quality as q
+    # The SAME signal/keep builders the registry operator uses —
+    # including the symbol-ratio and stopword rules an earlier inline
+    # copy silently dropped (the gate admitted symbol spam the
+    # oracle-verified operator rejects).
+    from .quality import gopher_keep, gopher_signals
 
-    words = F.split("text", " ")
-    n_words = F.size(words).cast("bigint")
-    mean_word_len = F.aggregate(
-        F.transform(words, lambda w: F.length(w).cast("bigint")),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    ) * F.lit(1.0) / n_words
-    alpha_frac = (
-        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
-        * F.lit(1.0)
-        / n_words
-    )
-    return df.filter(
-        n_words.between(
-            int(stage.get("min_words", q._MIN_WORDS)),
-            int(stage.get("max_words", q._MAX_WORDS)),
-        )
-        & mean_word_len.between(
-            float(stage.get("min_mwl", q._MIN_MWL)),
-            float(stage.get("max_mwl", q._MAX_MWL)),
-        )
-        & (alpha_frac >= float(stage.get("min_alpha_frac", q._MIN_ALPHA_FRAC)))
-    )
+    return df.filter(gopher_keep(gopher_signals(), stage))
 
 
 def _entropy_gate(df: DataFrame, stage: dict) -> DataFrame:
-    chars = F.split("text", "")
-    dchars = F.array_distinct(chars)
-    n = F.size(chars).cast("double")
-    counts = F.transform(
-        dchars, lambda d: F.size(F.filter(chars, lambda c: c == d)).cast("double")
-    )
-    ent = -F.aggregate(
-        counts, F.lit(0.0), lambda acc, c: acc + (c / n) * F.log2(c / n)
-    )
+    from .quality import char_entropy_cols
+
+    _, ent = char_entropy_cols()
     return df.filter(ent >= float(stage["min_entropy"]))
 
 
@@ -131,6 +107,29 @@ _STAGES = {
     "domain_cap": _domain_cap,
     "gopher_gate": _gopher_gate,
     "entropy_gate": _entropy_gate,
+}
+
+# Allowed parameter keys per stage: a misspelled threshold (min_token
+# for min_tokens) or an unsupported one would otherwise bind cleanly
+# and silently DISABLE the gate — the opposite of "config errors
+# surface before any cluster time is spent".
+_STAGE_KEYS = {
+    "normalize": set(),
+    "lang_filter": {"langs"},
+    "quality_gate": {"min_tokens", "max_mean_len"},
+    "dedup_exact": set(),
+    "sample_hash": {"permille"},
+    "domain_cap": {"per_source"},
+    "gopher_gate": {
+        "min_words",
+        "max_words",
+        "min_mwl",
+        "max_mwl",
+        "max_symbol_ratio",
+        "min_alpha_frac",
+        "min_stopwords",
+    },
+    "entropy_gate": {"min_entropy"},
 }
 
 
@@ -164,6 +163,12 @@ def run_pipeline(docs: DataFrame, spec: dict, observe: bool = False):
         op = stage.get("op")
         if op not in _STAGES:
             raise ValueError(f"unknown pipeline stage {op!r}")
+        extra = set(stage) - {"op"} - _STAGE_KEYS[op]
+        if extra:
+            raise ValueError(
+                f"unknown parameter(s) {sorted(extra)} for pipeline "
+                f"stage {op!r} (allowed: {sorted(_STAGE_KEYS[op])})"
+            )
         out = tap(_STAGES[op](out, stage), f"{i}:{op}")
     if observe:
         return out, observations
