@@ -48,6 +48,7 @@ class Engine:
         self.db_dir: Optional[str] = None
         self._entries: Optional[DataFrame] = None
         self._games: Optional[DataFrame] = None
+        self._lock = threading.RLock()  # one command at a time (see handle)
         # import/query executors unpickle package modules (pgn/board);
         # ship them so the server works from any driver cwd
         from ..tables import _ship_package
@@ -72,9 +73,27 @@ class Engine:
         if self._entries is None:
             raise ValueError("no database open")
 
+    def _readonly_sql(self, text: str) -> DataFrame:
+        """SELECT/WITH guard + entries/games temp-view registration —
+        ONE definition for cmd_sql and cmd_explain."""
+        first = text.lstrip().split(None, 1)[0].lower() if text.strip() else ""
+        if first not in ("select", "with"):
+            raise ValueError("only SELECT/WITH queries are allowed")
+        self._entries.createOrReplaceTempView("entries")
+        self._games.createOrReplaceTempView("games")
+        return self.spark.sql(text)
+
     # -- commands -------------------------------------------------------------
 
     def handle(self, cmd: dict) -> dict:
+        # One command at a time per Engine: the TCP server is threaded,
+        # and unsynchronized access races _entries/_games reassignment
+        # (cmd_open mid-cmd_sql would mix two databases' temp views) or
+        # crashes on a concurrent close.
+        with self._lock:
+            return self._handle(cmd)
+
+    def _handle(self, cmd: dict) -> dict:
         try:
             op = cmd.get("command")
             fn = getattr(self, f"cmd_{op}", None)
@@ -99,10 +118,22 @@ class Engine:
         else:
             from ..plans import layout
 
+            if bool(cmd.get("retractions", False)):
+                # honoring-or-failing, never silently dropping: the pgn
+                # branch writes the sidecar, this one does not yet
+                raise ValueError(
+                    "retractions sidecar is not supported for "
+                    "format=sbgn — import via pgn or omit retractions"
+                )
             games = self._load_games(files, fmt).cache()
             agg = importer.build_agg_entries(importer.explode_positions(games))
+            stored = (
+                games
+                if bool(cmd.get("storeMoves", False))
+                else games.drop("sans")
+            )
             layout.write_sorted_run(
-                games.drop("sans"), f"{db_dir}/games", key=["game_id"]
+                stored, f"{db_dir}/games", key=["game_id"]
             )
             layout.write_sorted_run(agg, f"{db_dir}/entries", key=["pos_key"])
             stats = {"games": games.count(), "db_dir": db_dir}
@@ -113,14 +144,21 @@ class Engine:
     def cmd_append(self, cmd: dict) -> dict:
         self._require_open()
         files = self._files_arg(cmd)
-        stats = importer.append_pgn(self.spark, files, cmd.get("database") or self.db_dir)
-        self.cmd_open({"database": self.db_dir})
+        target = cmd.get("database") or self.db_dir
+        stats = importer.append_pgn(self.spark, files, target)
+        # reopen the database the append actually wrote (an explicit
+        # `database` argument used to write to B but reopen A)
+        self.cmd_open({"database": target})
         return {"append": stats}
 
     def cmd_open(self, cmd: dict) -> dict:
         db_dir = cmd["database"]
-        self._entries = self.spark.read.parquet(f"{db_dir}/entries")
-        self._games = self.spark.read.parquet(f"{db_dir}/games")
+        # resolve BOTH frames before mutating state: a half-created
+        # database (entries/ present, games/ missing) must leave the
+        # previously-open database fully intact, not a silent mix
+        entries = self.spark.read.parquet(f"{db_dir}/entries")
+        games = self.spark.read.parquet(f"{db_dir}/games")
+        self._entries, self._games = entries, games
         self.db_dir = db_dir
         return {"database": db_dir}
 
@@ -266,15 +304,13 @@ class Engine:
         capped at maxRows (default 100) — the cap bounds the driver
         collect, the aggregation itself still runs distributed."""
         self._require_open()
-        text = cmd["sql"]
-        first = text.lstrip().split(None, 1)[0].lower() if text.strip() else ""
-        if first not in ("select", "with"):
-            raise ValueError("only SELECT/WITH queries are allowed")
-        self._entries.createOrReplaceTempView("entries")
-        self._games.createOrReplaceTempView("games")
-        df = self.spark.sql(text)
+        df = self._readonly_sql(cmd["sql"])
         n = int(cmd.get("maxRows", 100))
-        rows = df.limit(n).collect()
+        # fetch one extra row so `truncated` reports actual truncation,
+        # not "result happened to have exactly maxRows rows"
+        rows = df.limit(n + 1).collect()
+        truncated = len(rows) > n
+        rows = rows[:n]
 
         def safe(v):
             if v is None or isinstance(v, (bool, int, float, str)):
@@ -290,7 +326,7 @@ class Engine:
         return {
             "columns": df.columns,
             "rows": [[safe(v) for v in r] for r in rows],
-            "truncated": len(rows) == n,
+            "truncated": truncated,
         }
 
     def cmd_explain(self, cmd: dict) -> dict:
@@ -299,13 +335,7 @@ class Engine:
         whether the probe pushed into the scan, which joins broadcast,
         where exchanges sit. Same guard as cmd_sql; nothing executes."""
         self._require_open()
-        text = cmd["sql"]
-        first = text.lstrip().split(None, 1)[0].lower() if text.strip() else ""
-        if first not in ("select", "with"):
-            raise ValueError("only SELECT/WITH queries are allowed")
-        self._entries.createOrReplaceTempView("entries")
-        self._games.createOrReplaceTempView("games")
-        df = self.spark.sql(text)
+        df = self._readonly_sql(cmd["sql"])
         mode = cmd.get("mode", "formatted")
         plan = df._jdf.queryExecution()
         if mode == "formatted":
@@ -387,7 +417,11 @@ def console_loop(engine: Engine, stdin, stdout) -> None:
         try:
             cmd = json.loads(line)
         except json.JSONDecodeError as exc:
-            print(json.dumps({"ok": False, "error": f"bad json: {exc}"}), file=stdout)
+            print(
+                json.dumps({"ok": False, "error": f"bad json: {exc}"}),
+                file=stdout,
+                flush=True,
+            )
             continue
         if cmd.get("command") == "exit":
             break

@@ -297,18 +297,29 @@ def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract",
     oracle="""
 SELECT event_id,
-       CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS INT) AS k_val,
-       (REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) <> '')      AS has_k
+       CASE WHEN json_valid(props)
+                 AND regexp_matches(json_extract_string(props, '$.k'),
+                                    '^-?[0-9]+$')
+            THEN CAST(json_extract_string(props, '$.k') AS INT) END AS k_val,
+       (CASE WHEN json_valid(props)
+             THEN json_extract_string(props, '$.k') END) IS NOT NULL AS has_k
 FROM events
 """,
 )
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$.k extraction with engine-identical semantics BY CONSTRUCTION:
+    both sides extract the top-level key as a string (real JSON path
+    evaluation — a raw regex over the document would match nested keys
+    and miss the point), then cast ONLY integer-patterned values (the
+    engines' string→int casts disagree on '1.5': Spark ANSI raises /
+    try_cast nulls, DuckDB rounds). Malformed JSON and missing keys are
+    NULL on both sides."""
     e = t(spark, sf_dir, "events")
-    parsed = F.from_json(F.col("props"), T.StructType([T.StructField("k", T.IntegerType())]))
+    k_str = F.get_json_object(F.col("props"), "$.k")
     return e.select(
         "event_id",
-        parsed.getField("k").alias("k_val"),
-        F.get_json_object(F.col("props"), "$.k").isNotNull().alias("has_k"),
+        F.when(k_str.rlike("^-?[0-9]+$"), k_str.cast("int")).alias("k_val"),
+        k_str.isNotNull().alias("has_k"),
     )
 
 

@@ -82,13 +82,19 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _tokenize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         toks = pdf["text"].str.split(" ")
+        # NULL text → NaN split result → emit no rows for that doc
+        # (matching UNNEST(STRING_SPLIT(NULL, ' ')) and the built-in
+        # explode path) instead of crashing the task on float repeats
+        toks = toks.map(lambda v: v if isinstance(v, list) else [])
         # Vectorized expand (repeat + concatenate) — pandas .explode() is
         # an order of magnitude slower per Arrow batch.
         lens = toks.str.len().to_numpy()
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].to_numpy().repeat(lens),
-                "token": np.concatenate(toks.to_numpy()),
+                "token": np.concatenate(toks.to_numpy())
+                if len(toks)
+                else np.array([], dtype=object),
             }
         )
 

@@ -45,10 +45,29 @@ _LOADED = False
 
 
 def load_all() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent).
+
+    Failure-atomic: a module that raises mid-import after some
+    register() calls would otherwise leave its entries behind, so the
+    RETRY would die on 'duplicate query name' and mask the root cause.
+    On failure, every registration this call added is rolled back."""
     global _LOADED
     if _LOADED:
         return
+    _before_q = set(QUERIES)
+    _before_o = set(ORACLES)
+    try:
+        _import_registering_modules()
+    except BaseException:
+        for k in set(QUERIES) - _before_q:
+            del QUERIES[k]
+        for k in set(ORACLES) - _before_o:
+            del ORACLES[k]
+        raise
+    _LOADED = True
+
+
+def _import_registering_modules() -> None:
     from .operators import aggregates  # noqa: F401
     from .operators import filters  # noqa: F401
     from .operators import joins  # noqa: F401
@@ -77,5 +96,3 @@ def load_all() -> None:
     from .llm import similarity  # noqa: F401
     from .llm import text  # noqa: F401
     from .streaming import windows as stream_windows  # noqa: F401
-
-    _LOADED = True

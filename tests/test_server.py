@@ -298,3 +298,48 @@ def test_export_command(spark, tmp_path):
     bad = eng2.handle({"command": "export", "destination": str(tmp_path / "x")})
     assert not bad["ok"] and "store_moves" in bad["error"]
     assert eng2.handle({"command": "stats"})["ok"]
+
+
+def test_sql_truncated_flag_is_exact(engine_db):
+    """truncated must mean ACTUAL truncation, not 'result happened to
+    have exactly maxRows rows'."""
+    full = engine_db.handle(
+        {"command": "sql", "sql": "SELECT DISTINCT level FROM entries"}
+    )
+    n = len(full["rows"])
+    exact = engine_db.handle(
+        {
+            "command": "sql",
+            "sql": "SELECT DISTINCT level FROM entries",
+            "maxRows": n,
+        }
+    )
+    assert exact["ok"] and len(exact["rows"]) == n
+    assert not exact["truncated"]  # nothing was cut
+    cut = engine_db.handle(
+        {
+            "command": "sql",
+            "sql": "SELECT DISTINCT pos_key FROM entries",
+            "maxRows": 1,
+        }
+    )
+    assert cut["ok"] and len(cut["rows"]) == 1 and cut["truncated"]
+
+
+def test_open_failure_keeps_previous_database(engine_db, tmp_path):
+    """A failed open (half-created target: entries/ without games/)
+    must leave the previously-open database fully intact — never a
+    silent mix of two databases' state."""
+    import shutil
+
+    half = tmp_path / "halfdb"
+    shutil.copytree(f"{engine_db.db_dir}/entries", str(half / "entries"))
+    before = engine_db.db_dir
+    resp = engine_db.handle({"command": "open", "database": str(half)})
+    assert not resp["ok"]
+    assert engine_db.db_dir == before
+    # both frames still resolve against the ORIGINAL database
+    q = engine_db.handle(
+        {"command": "sql", "sql": "SELECT COUNT(*) AS n FROM games"}
+    )
+    assert q["ok"] and q["rows"][0][0] == 4
