@@ -357,9 +357,6 @@ def transposition_stats(agg_entries: DataFrame, min_paths: int = 2) -> DataFrame
     count + total, never the move list. Root entries (no reverse move)
     are excluded — the start position is trivially 'reached' once.
     """
-    from pyspark.sql import functions as F
-
-    from .importer import NO_REVERSE_MOVE
 
     return (
         agg_entries.filter(F.col("reverse_move") != NO_REVERSE_MOVE)
@@ -393,7 +390,6 @@ def explorer_tree(
 
     Returns {"fen", "stats", "children": {san: {uci, total, subtree}}}.
     """
-    from .board import Position
 
     def total_count(child_stats: dict) -> int:
         tot = 0

@@ -52,7 +52,9 @@ SELECT rule, violations FROM (
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
     UNION ALL
     SELECT 'events_type_in_domain',
-           CAST(SUM(CASE WHEN event_type NOT IN ({_TYPES_SQL})
+           -- NULL is out of domain (NOT IN is NULL for NULL input)
+           CAST(SUM(CASE WHEN event_type IS NULL
+                              OR event_type NOT IN ({_TYPES_SQL})
                          THEN 1 ELSE 0 END) AS BIGINT)
     FROM events
 )
@@ -83,7 +85,13 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("lineitem_orders_referential"))
     )
     e_rules = e.agg(
-        viol(~F.col("event_type").isin(*_EVENT_TYPES)).alias("events_type_in_domain")
+        # NULL is OUT of domain: ~isin(...) is NULL for NULL input and
+        # the when/otherwise would silently count it as in-domain —
+        # exactly the rows an ingest gate exists to catch
+        viol(
+            F.col("event_type").isNull()
+            | ~F.col("event_type").isin(*_EVENT_TYPES)
+        ).alias("events_type_in_domain")
     )
     # one-row aggregates → unpivot to (rule, violations); the cross join
     # of four single-row frames is a no-op at any scale

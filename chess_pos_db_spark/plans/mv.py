@@ -45,6 +45,7 @@ import json
 import os
 from typing import Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -65,6 +66,13 @@ class StaleViewError(RuntimeError):
 
 def _mcol(fn: str, col: str) -> str:
     """Canonical view column name for one partial state."""
+    if col == "star":
+        # would collide with count(*)'s canonical m_{fn}_star name,
+        # letting count(star) silently satisfy count(*) requests
+        raise ValueError(
+            "measure column literally named 'star' collides with the "
+            "count(*) partial-state name — rename the column"
+        )
     return f"m_{fn}_star" if col == "*" else f"m_{fn}_{col}"
 
 
@@ -155,7 +163,10 @@ def answer(
     # reference outside the dims is an analysis error here and now.
     grouped = view.select(*dims).limit(0)
     for expr, alias in group_exprs:
-        grouped.selectExpr(f"({expr}) AS {alias}")  # bind check only
+        # bind check only — .schema FORCES analysis (under Spark
+        # Connect a discarded DataFrame never analyzes, and the check
+        # would be a silent no-op)
+        grouped.selectExpr(f"({expr}) AS {alias}").schema
 
     out_groups = [F.expr(expr).alias(alias) for expr, alias in group_exprs]
     out_aggs = []
@@ -294,6 +305,11 @@ def route(
     try:
         return answer(view, dims, measures, group_exprs, aggs), "view"
     except NotDerivableError:
+        pass
+    except AnalysisException:
+        # a group expr referencing a non-dim base column fails answer()'s
+        # bind check — the documented fallback case (the base table has
+        # the column and the direct aggregation below answers it)
         pass
     out_groups = [F.expr(expr).alias(alias) for expr, alias in group_exprs]
     direct = {

@@ -34,6 +34,15 @@ _DECOMPOSE = {
     "max": F.max,
 }
 
+def _decompose(how: str):
+    if how not in _DECOMPOSE:
+        raise ValueError(
+            f"unsupported salted aggregate {how!r} (decomposable: "
+            f"{sorted(_DECOMPOSE)}; avg must be expressed as sum/count)"
+        )
+    return _DECOMPOSE[how]
+
+
 
 def salted_agg(
     df: DataFrame,
@@ -54,11 +63,11 @@ def salted_agg(
     salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     phase1_aggs = []
     for out, (how, col) in agg_spec.items():
-        fn = F.count if how == "count" else _DECOMPOSE[how]
+        fn = F.count if how == "count" else _decompose(how)
         phase1_aggs.append(fn(col).alias(out))
     phase1 = df.withColumn("_salt", salt).groupBy(*key, "_salt").agg(*phase1_aggs)
     phase2_aggs = [
-        _DECOMPOSE[how](out).alias(out) for out, (how, _) in agg_spec.items()
+        _decompose(how)(out).alias(out) for out, (how, _) in agg_spec.items()
     ]
     return phase1.groupBy(*key).agg(*phase2_aggs)
 
