@@ -325,12 +325,17 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # F11 — array construction + higher-order functions (children arrays in the
 # explorer response; collect_list order is made deterministic via
-# array_sort before anything order-sensitive).
+# array_sort before anything order-sensitive).  The sorted array is
+# serialized with array_join so every output column is a driver-hashable
+# scalar: the external gate's pandas canonicalizer sort_values all
+# columns, and a top-level ARRAY column is unhashable there (the round-5
+# gate recorded exactly that ``err``).  collect_list / array_sort /
+# array_contains / array_min are still all exercised.
 @register(
     "array_suite",
     oracle="""
 SELECT l_orderkey,
-       LIST_SORT(LIST(l_linenumber))               AS line_numbers,
+       ARRAY_TO_STRING(LIST_SORT(LIST(l_linenumber)), ',') AS line_numbers,
        CAST(LEN(LIST(l_linenumber)) AS INT)        AS n_lines,
        LIST_CONTAINS(LIST(l_linenumber), 3)        AS has_line3,
        CAST(LIST_SORT(LIST(l_linenumber))[1] AS INT) AS first_line
@@ -341,7 +346,9 @@ GROUP BY l_orderkey
 def array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.array_join(
+            F.array_sort(F.collect_list("l_linenumber")), ","
+        ).alias("line_numbers"),
         F.count("*").cast("int").alias("n_lines"),
         F.array_contains(F.collect_list("l_linenumber"), 3).alias("has_line3"),
         F.array_min(F.collect_list("l_linenumber")).alias("first_line"),

@@ -72,9 +72,33 @@ ROUND4_VERIFIED: frozenset[str] = frozenset({
     "udf_arrow_scalar", "udf_map_in_arrow",
 })
 
+# the 49 queries verified green by CORRECTNESS_r05.json (driver gate,
+# round 5): 47 hash-exact plus the two declared rows-only registrations
+# (agg_percentile_approx, hash_keys_native).  ``array_suite`` was the
+# 50th name in that gate but ended as a harness ``err`` (its ARRAY<INT>
+# output column broke the driver's pandas canonicalizer), so it is
+# deliberately EXCLUDED here: it stays priority-0 until a driver gate
+# shows a green row for the now-stringified form.
+ROUND5_VERIFIED: frozenset[str] = frozenset({
+    "agg_salted_skew", "text_lm_familiarity", "similarity_knn_label",
+    "embedding_label_cohesion", "search_bm25", "search_phrase",
+    "search_hybrid_rrf", "agg_stats_suite", "agg_percentile",
+    "agg_percentile_approx", "agg_grouping_sets", "sql_orders_revenue",
+    "unpivot_measures", "win_cume_nth", "subquery_above_avg", "agg_median",
+    "agg_mode", "agg_listagg", "agg_bool_countif", "agg_bitwise",
+    "agg_regr", "subquery_exists", "subquery_in", "win_range_frame",
+    "win_moving_avg", "str_basic_suite", "str_regexp_suite", "str_format",
+    "date_suite", "math_suite", "math_bitops", "hash_keys",
+    "hash_keys_native", "binary_suite", "case_when_bucketing",
+    "json_extract", "map_struct_suite", "array_posexplode", "udf_scalar",
+    "udaf_grouped", "udtf_expand", "grouped_map_normalize", "dedup_exact",
+    "dedup_exact_groups", "dedup_fingerprint_groups", "dedup_jaccard",
+    "dedup_near", "dedup_components", "dedup_keep_best",
+})
+
 # union of everything any driver CORRECTNESS gate has verified so far
 DRIVER_VERIFIED: frozenset[str] = (
-    ROUND12_VERIFIED | ROUND3_VERIFIED | ROUND4_VERIFIED
+    ROUND12_VERIFIED | ROUND3_VERIFIED | ROUND4_VERIFIED | ROUND5_VERIFIED
 )
 
 # the 109-query registry as of the round-1 judge re-verification

@@ -42,3 +42,43 @@ def test_entry_smoke(spark):
 
 def test_every_oracle_key_has_query():
     assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_output_schema_driver_hashable(name, spark, sf_dir):
+    """The external gate canonicalizes results with pandas sort_values
+    over every column; a top-level ARRAY/MAP/STRUCT column is unhashable
+    there and errors the gate even when the answer is exact (round 5:
+    ``array_suite``).  Pin that every registered query's output schema
+    is scalar-only — serialize complex columns (array_join / to_json)
+    inside the query instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = QUERIES[name](spark, sf_dir)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name} returns complex-typed top-level column(s) {bad}; the "
+        "driver's pandas canonicalizer cannot hash these — serialize "
+        "them to scalars in the query"
+    )
+
+
+def test_rotation_history_names_are_registered():
+    """Every name in the verification-history frozensets must still be a
+    registered query — catches silent drift between the rotation
+    bookkeeping and the registry."""
+    from chess_pos_db_spark import verification_history as vh
+
+    for label, names in (
+        ("ROUND12_VERIFIED", vh.ROUND12_VERIFIED),
+        ("ROUND3_VERIFIED", vh.ROUND3_VERIFIED),
+        ("ROUND4_VERIFIED", vh.ROUND4_VERIFIED),
+        ("ROUND5_VERIFIED", vh.ROUND5_VERIFIED),
+        ("ROUND1_REGISTRY", vh.ROUND1_REGISTRY),
+    ):
+        missing = set(names) - set(QUERIES)
+        assert not missing, f"{label} names not in registry: {missing}"

@@ -3,7 +3,19 @@ registry (the driver itself covers the first 50 rotation entries per
 round): bare SparkSession, DuckDB views over the same parquet, sorted
 exact row comparison. Writes CORRECTNESS_local.json.
 
-Run:  python tools/driver_check.py [sf_dir]   (default sf0.01)
+Run:  python tools/driver_check.py [sf_dir] [--pandas-canon] [--only a,b,c]
+
+Two canonicalization modes:
+
+* default — string-tuple rows, sorted (the historical local replica);
+* ``--pandas-canon`` — emulates the external driver's stricter pandas
+  path: result -> pandas DataFrame, columns reindexed sorted by name,
+  ``df.sort_values(by=<all columns>)``, then values stringified and
+  compared.  pandas ``sort_values`` raises on unhashable cell types
+  (e.g. a top-level ARRAY column -> python list), which is exactly how
+  ``array_suite`` erred in the round-5 external gate while five rounds
+  of the string-tuple replica stayed green.  Run rotation candidates
+  under THIS mode before shipping them to the gate.
 """
 
 from __future__ import annotations
@@ -14,8 +26,29 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
+def _pandas_canon(rows, cols):
+    """Driver-style canonicalization: sorted columns, sort_values over
+    every column, stringified cell values.  Raises (like the driver)
+    when a cell type is unhashable under pandas sorting."""
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=list(cols), dtype=object)
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return [tuple(str(x) for x in row) for row in df.itertuples(index=False)]
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:]]
+    pandas_canon = "--pandas-canon" in args
+    only: set[str] | None = None
+    if "--only" in args:
+        only = set(args[args.index("--only") + 1].split(","))
+        del args[args.index("--only"): args.index("--only") + 2]
+    args = [a for a in args if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+
     import duckdb
     from pyspark.sql import SparkSession
 
@@ -36,17 +69,29 @@ def main() -> None:
     out: dict[str, dict] = {}
     n_fail = 0
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         rec: dict = {}
         try:
-            s = sorted(
-                tuple(str(x) for x in r) for r in fn(spark, sf_dir).collect()
-            )
+            res = fn(spark, sf_dir)
+            if pandas_canon:
+                s = _pandas_canon(
+                    [tuple(r) for r in res.collect()], res.columns
+                )
+            else:
+                s = sorted(
+                    tuple(str(x) for x in r) for r in res.collect()
+                )
             rec["spark_rows"] = len(s)
             if name in oracles:
-                d = sorted(
-                    tuple(str(x) for x in r)
-                    for r in con.execute(oracles[name]).fetchall()
-                )
+                cur = con.execute(oracles[name])
+                drows = cur.fetchall()
+                if pandas_canon:
+                    d = _pandas_canon(
+                        drows, [c[0] for c in cur.description]
+                    )
+                else:
+                    d = sorted(tuple(str(x) for x in r) for r in drows)
                 rec["oracle_rows"] = len(d)
                 rec["match"] = s == d
                 if not rec["match"]:
@@ -64,9 +109,15 @@ def main() -> None:
         )
         print(f"{status:>9}  {name}", flush=True)
 
-    with open("CORRECTNESS_local.json", "w") as f:
-        json.dump(out, f, indent=1)
-    print(f"\n{len(out)} queries, {n_fail} failures -> CORRECTNESS_local.json")
+    if only is None and not pandas_canon:
+        with open("CORRECTNESS_local.json", "w") as f:
+            json.dump(out, f, indent=1)
+        print(
+            f"\n{len(out)} queries, {n_fail} failures -> "
+            "CORRECTNESS_local.json"
+        )
+    else:
+        print(f"\n{len(out)} queries, {n_fail} failures (not written)")
     sys.exit(1 if n_fail else 0)
 
 
