@@ -73,12 +73,47 @@ class Engine:
         if self._entries is None:
             raise ValueError("no database open")
 
+    def _assert_query_plan(self, text: str) -> None:
+        """Reject any statement whose PARSED plan contains a command or
+        write node, anywhere in the tree.  The first-token prefix check
+        alone is bypassable: ``WITH t AS (SELECT ...) INSERT OVERWRITE
+        DIRECTORY '...' USING parquet SELECT ...`` starts with WITH but
+        parses to UnresolvedWith over InsertIntoDir — an arbitrary
+        filesystem write.  Commands execute EAGERLY at spark.sql()
+        time, so validation must happen on sqlParser().parsePlan(text)
+        BEFORE spark.sql() ever sees the text.  Writes are detected
+        structurally (Command subclasses + the Insert* parsed nodes
+        that only become commands after analysis), not by keyword."""
+        jvm = self.spark.sparkContext._jvm
+        command_cls = jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.catalyst.plans.logical.Command"
+        )
+        plan = self.spark._jsparkSession.sessionState().sqlParser().parsePlan(
+            text
+        )
+
+        def walk(node) -> None:
+            simple = node.getClass().getName().rsplit(".", 1)[-1]
+            if command_cls.isInstance(node) or simple.startswith("Insert"):
+                raise ValueError(
+                    f"only read-only SELECT/WITH queries are allowed "
+                    f"(statement contains {simple})"
+                )
+            for i in range(node.children().size()):
+                walk(node.children().apply(i))
+            inner = node.innerChildren()
+            for i in range(inner.size()):
+                walk(inner.apply(i))
+
+        walk(plan)
+
     def _readonly_sql(self, text: str) -> DataFrame:
         """SELECT/WITH guard + entries/games temp-view registration —
         ONE definition for cmd_sql and cmd_explain."""
         first = text.lstrip().split(None, 1)[0].lower() if text.strip() else ""
         if first not in ("select", "with"):
             raise ValueError("only SELECT/WITH queries are allowed")
+        self._assert_query_plan(text)
         self._entries.createOrReplaceTempView("entries")
         self._games.createOrReplaceTempView("games")
         return self.spark.sql(text)

@@ -167,8 +167,16 @@ class PgnDataSource(DataSource):
 # have GROWN fails the stream loudly — silently ignoring the appended
 # bytes (or re-reading the whole file, duplicating game_ids) are both
 # wrong, and a half-written game at the old EOF may already have been
-# imported truncated. file_idx is allocated from the cumulative count
-# of previously-seen files, so ids never collide across micro-batches.
+# imported truncated. A seen file observed to have DISAPPEARED also
+# fails loudly: file_idx is allocated from the cumulative count of
+# previously-seen files, and a deletion would shrink that count so a
+# later new file silently reuses an already-assigned file_idx —
+# colliding game_ids ((file_idx << 32) | ordinal). The API gives
+# ``latestOffset()`` no view of the checkpointed start offset, so a
+# restart-safe per-file idx map cannot live in the offset; enforcing
+# no-deletion keeps the cumulative count a correct monotonic allocator
+# (archive imported dumps by MOVING the whole watched dir between
+# runs, not by deleting files mid-stream).
 # ---------------------------------------------------------------------------
 
 
@@ -219,6 +227,15 @@ class PgnStreamReader(DataSourceStreamReader):
         start_seen = self._seen_map(start)
         end_seen = self._seen_map(end)
         for path, old_size in start_seen.items():
+            if path not in end_seen:
+                raise ValueError(
+                    f"pgn stream source: {path!r} was imported but has "
+                    f"disappeared from the watched location — deleting a "
+                    f"seen file would shrink the cumulative file count "
+                    f"that allocates file_idx, so a later new file would "
+                    f"silently reuse an already-assigned idx and collide "
+                    f"game_ids; files are immutable once visible"
+                )
             new_size = end_seen.get(path)
             if old_size is not None and new_size is not None and new_size > old_size:
                 raise ValueError(

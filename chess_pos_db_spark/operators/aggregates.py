@@ -94,13 +94,23 @@ SELECT o_orderpriority,
        MIN(o_orderdate)                       AS first_date,
        MAX(o_orderdate)                       AS last_date,
        -- ordering value made UNIQUE (price-in-cents scaled + key):
-       -- min_by/max_by tie-breaks on a bare price are engine-defined
+       -- min_by/max_by tie-breaks on a bare price are engine-defined.
+       -- The CASE arms fail LOUDLY if either component outgrows its
+       -- field (orderkey >= multiplier would bleed into the price
+       -- component; cents >= 92e6 would overflow int64) instead of
+       -- silently picking a wrong order at large scale factors.
        CAST(MIN_BY(o_orderkey,
-                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 1000000000
-                   + o_orderkey) AS BIGINT) AS cheapest_order,
+                   CASE WHEN o_orderkey >= 100000000000
+                          OR CAST(ROUND(o_totalprice * 100) AS BIGINT) >= 92000000
+                        THEN CAST(error('agg_minmax_by ordering encoding overflow') AS BIGINT)
+                        ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) * 100000000000
+                             + o_orderkey END) AS BIGINT) AS cheapest_order,
        CAST(MAX_BY(o_orderkey,
-                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 1000000000
-                   + o_orderkey) AS BIGINT) AS priciest_order
+                   CASE WHEN o_orderkey >= 100000000000
+                          OR CAST(ROUND(o_totalprice * 100) AS BIGINT) >= 92000000
+                        THEN CAST(error('agg_minmax_by ordering encoding overflow') AS BIGINT)
+                        ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) * 100000000000
+                             + o_orderkey END) AS BIGINT) AS priciest_order
 FROM orders
 GROUP BY o_orderpriority
 """,
@@ -110,11 +120,19 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as tie-break): min_by/max_by with a bare price leave price-tied
     # groups to an engine-defined pick, which can never hash-match a
     # second engine (same discipline as agg_mode / the windows module).
+    # Struct ordering would be cleaner but DuckDB's MIN_BY rejects a
+    # composite ordering value, so the encoding is a field-packed
+    # bigint with a loud in-plan overflow guard: orderkey must stay
+    # below the 1e11 multiplier (holds to TPC-H sf ~16k) and cents
+    # below 92e6 (int64 headroom) — raise_error instead of a silently
+    # wrong pick if either field ever outgrows its slot.
     o = t(spark, sf_dir, "orders")
-    ordv = (
-        F.round(F.col("o_totalprice") * 100).cast("long") * 1000000000
-        + F.col("o_orderkey")
-    )
+    _MULT = 100_000_000_000
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    ordv = F.when(
+        (F.col("o_orderkey") >= _MULT) | (cents >= 92_000_000),
+        F.raise_error(F.lit("agg_minmax_by ordering encoding overflow")),
+    ).otherwise(cents * _MULT + F.col("o_orderkey"))
     return o.groupBy("o_orderpriority").agg(
         F.min("o_orderdate").alias("first_date"),
         F.max("o_orderdate").alias("last_date"),

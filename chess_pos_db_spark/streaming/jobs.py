@@ -378,27 +378,54 @@ def _versioned_apply_stream(
     swaps atomically, so readers never see a half-applied batch.
 
     Idempotence under at-least-once replay: the pointer records the
-    LAST APPLIED EPOCH alongside the version ("<v> <epoch>"); a
-    replayed batch (same epoch_id, delivered again because the crash
-    hit between the pointer swap and the checkpoint's offset commit)
-    is skipped instead of re-applied — without this, non-idempotent
-    merges (IVM's +insert/-delete deltas) would corrupt the view. A
-    crash BEFORE the pointer swap re-runs the batch against the same
-    v{n}, deterministically overwriting the orphan v{n+1}.
+    LAST APPLIED EPOCH and a FINGERPRINT of that batch's input files
+    alongside the version ("<v> <epoch> <fp>"); a replayed batch (same
+    epoch_id, delivered again because the crash hit between the
+    pointer swap and the checkpoint's offset commit) is skipped
+    instead of re-applied — without this, non-idempotent merges (IVM's
+    +insert/-delete deltas) would corrupt the view. A crash BEFORE the
+    pointer swap re-runs the batch against the same v{n},
+    deterministically overwriting the orphan v{n+1}.
+
+    The fingerprint closes the other half of the epoch-only guard: if
+    the CHECKPOINT is wiped while the store's _LATEST persists (the
+    documented recovery flow) and new change files have landed since,
+    the restarted availableNow batch 0 contains those NEW changes but
+    carries an already-seen epoch — an epoch-only skip would silently
+    drop them. A replayed epoch whose input-file set differs from the
+    recorded one now fails loudly (wipe checkpoint and store
+    TOGETHER, or let the checkpoint resume); only a true re-delivery
+    of the same files is skipped.
     """
+    import hashlib
     import os
 
     latest_path = os.path.join(store_dir, "_LATEST")
 
-    def _read_latest() -> tuple[int, int]:
+    def _fingerprint(batch_df: DataFrame) -> str:
+        from pyspark.sql import functions as F
+
+        paths = sorted(
+            r[0]
+            for r in batch_df.select(
+                F.input_file_name().alias("p")
+            ).distinct().collect()
+        )
+        return hashlib.sha256("\n".join(paths).encode()).hexdigest()[:16]
+
+    def _read_latest() -> tuple[int, int, str | None]:
         with open(latest_path) as f:
             parts = f.read().split()
-        return int(parts[0]), (int(parts[1]) if len(parts) > 1 else -1)
+        return (
+            int(parts[0]),
+            (int(parts[1]) if len(parts) > 1 else -1),
+            (parts[2] if len(parts) > 2 else None),
+        )
 
-    def _write_latest(v: int, epoch: int) -> None:
+    def _write_latest(v: int, epoch: int, fp: str = "-") -> None:
         tmp = latest_path + ".tmp"
         with open(tmp, "w") as f:
-            f.write(f"{v} {epoch}")
+            f.write(f"{v} {epoch} {fp}")
         os.replace(tmp, latest_path)  # atomic pointer swap
 
     os.makedirs(store_dir, exist_ok=True)
@@ -409,15 +436,31 @@ def _versioned_apply_stream(
     changes = spark.readStream.schema(changes_schema).parquet(src_dir)
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        v, last_epoch = _read_latest()
+        v, last_epoch, last_fp = _read_latest()
         if int(epoch_id) <= last_epoch:
-            return  # at-least-once replay of an already-applied batch
+            # at-least-once replay of an already-applied batch — but
+            # only if it really is the SAME batch: a wiped checkpoint
+            # restarts at epoch 0, and if new change files landed the
+            # "replay" silently carries unapplied data.
+            if last_fp not in (None, "-"):
+                fp = _fingerprint(batch_df)
+                if fp != last_fp:
+                    raise RuntimeError(
+                        f"versioned store {store_dir!r}: epoch "
+                        f"{epoch_id} replays with a DIFFERENT input "
+                        f"file set than the one recorded at apply "
+                        f"time — the stream checkpoint was reset "
+                        f"while the store pointer persisted and new "
+                        f"changes have since landed; wipe the "
+                        f"checkpoint and the store together"
+                    )
+            return
         cur = spark.read.parquet(os.path.join(store_dir, f"v{v}"))
         merged = apply_fn(cur, batch_df)
         merged.write.mode("overwrite").parquet(
             os.path.join(store_dir, f"v{v + 1}")
         )
-        _write_latest(v + 1, int(epoch_id))
+        _write_latest(v + 1, int(epoch_id), _fingerprint(batch_df))
 
     q = (
         changes.writeStream.foreachBatch(apply_batch)

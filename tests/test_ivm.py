@@ -175,3 +175,49 @@ def test_ivm_stream_replay_does_not_double_apply(spark, tmp_path):
         ).collect()
     )
     assert replayed == first  # no double-apply, no vanished groups
+
+
+def test_ivm_stream_replay_with_new_data_fails_loudly(spark, tmp_path):
+    """The epoch-only half of the replay guard is not enough: wipe the
+    checkpoint (restart at epoch 0) AND land new change files, and the
+    restarted batch 0 carries data the store has never applied while
+    wearing an already-seen epoch. An epoch-only skip would silently
+    DROP the new changes; the input-file fingerprint in the _LATEST
+    pointer must turn that into a loud failure instead."""
+    import shutil
+
+    import pytest
+
+    from pyspark.sql import types as T
+    from chess_pos_db_spark.streaming import jobs
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "changes")
+    store = str(tmp_path / "view")
+    base = spark.createDataFrame([("a", 1)], "k string, v long")
+    spark.createDataFrame(
+        [("c", 7, "I")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    first = sorted(
+        tuple(r)
+        for r in jobs.ivm_apply_stream(
+            spark, src, schema, store, base, ["k"], "v"
+        ).collect()
+    )
+    assert first == [("a", 1, 1), ("c", 1, 7)]
+
+    # wipe checkpoint, land NEW changes: batch 0 now has a different
+    # input-file set than the recorded epoch-0 apply
+    shutil.rmtree(store + "_chk")
+    spark.createDataFrame(
+        [("d", 9, "I")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(Exception, match="DIFFERENT input"):
+        jobs.ivm_apply_stream(spark, src, schema, store, base, ["k"], "v")

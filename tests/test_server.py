@@ -231,6 +231,36 @@ def test_sql_command_rejects_writes(engine_db):
         assert "SELECT" in resp["error"]
 
 
+def test_sql_command_rejects_cte_smuggled_writes(engine_db, tmp_path):
+    """The first-token prefix check alone is bypassable: a statement
+    can START with WITH yet parse to a write — ``WITH t AS (SELECT
+    ...) INSERT OVERWRITE DIRECTORY`` performs an arbitrary filesystem
+    write, and commands execute EAGERLY at spark.sql() time. The guard
+    must therefore reject on the PARSED plan, before execution."""
+    target = tmp_path / "smuggled"
+    for bad in (
+        f"WITH t AS (SELECT level FROM entries) "
+        f"INSERT OVERWRITE DIRECTORY '{target}' USING parquet "
+        f"SELECT * FROM t",
+        "WITH t AS (SELECT 1 AS x) INSERT INTO entries SELECT * FROM t",
+    ):
+        for command in ("sql", "explain"):
+            resp = engine_db.handle({"command": command, "sql": bad})
+            assert not resp["ok"], (command, bad)
+            assert "read-only" in resp["error"] or "SELECT" in resp["error"]
+    assert not target.exists(), "guard executed the smuggled write!"
+
+    # legitimate CTE queries still pass the plan-level guard
+    ok = engine_db.handle(
+        {
+            "command": "sql",
+            "sql": "WITH t AS (SELECT level FROM entries) "
+            "SELECT COUNT(*) AS n FROM t",
+        }
+    )
+    assert ok["ok"], ok
+
+
 def test_explain_command(engine_db):
     """Plan inspection over the protocol: a probe filter must show as
     pushed into the parquet scan, and nothing executes."""

@@ -178,3 +178,14 @@ def test_stream_reader_rejects_grown_files_and_unique_file_idx(tmp_path):
     # legacy plain-path offsets still parse (size unknown -> no check)
     legacy = rd.partitions({"seen": [a]}, {"seen": [[a, 99], [b, 30]]})
     assert {p.file_idx for p in legacy if p.end > p.start} == {1}
+
+    # a seen file that DISAPPEARED also fails loudly: file_idx is
+    # allocated from the cumulative seen count, so a deletion would
+    # shrink the base and a later new file would silently reuse an
+    # already-assigned idx (colliding game_ids) — e.g. delete a.pgn,
+    # then c.pgn would get idx 1, already held by b.pgn
+    with pytest.raises(ValueError, match="disappeared"):
+        rd.partitions(
+            {"seen": [[a, 30], [b, 30]]},
+            {"seen": [[b, 30], [c, 30]]},
+        )
