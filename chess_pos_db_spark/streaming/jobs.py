@@ -387,45 +387,65 @@ def _versioned_apply_stream(
     pointer swap re-runs the batch against the same v{n},
     deterministically overwriting the orphan v{n+1}.
 
-    The fingerprint closes the other half of the epoch-only guard: if
+    The fingerprints close the other half of the epoch-only guard: if
     the CHECKPOINT is wiped while the store's _LATEST persists (the
     documented recovery flow) and new change files have landed since,
     the restarted availableNow batch 0 contains those NEW changes but
     carries an already-seen epoch — an epoch-only skip would silently
-    drop them. A replayed epoch whose input-file set differs from the
-    recorded one now fails loudly (wipe checkpoint and store
-    TOGETHER, or let the checkpoint resume); only a true re-delivery
-    of the same files is skipped.
+    drop them. The pointer records TWO input-file fingerprints: the
+    last applied batch's file set (matches a crash-window re-delivery
+    of that one batch) and an order-independent XOR digest of EVERY
+    file ever applied (matches a wiped-checkpoint batch 0 that
+    re-bundles the full history in one batch — multi-epoch stores
+    recover silently, not with a false alarm). A replayed epoch
+    matching NEITHER carries data the store has never applied and
+    fails loudly (wipe checkpoint and store together, or let the
+    checkpoint resume). File paths come from batch_df.inputFiles()
+    (plan metadata — no extra Spark job per batch).
     """
     import hashlib
     import os
 
     latest_path = os.path.join(store_dir, "_LATEST")
 
-    def _fingerprint(batch_df: DataFrame) -> str:
-        from pyspark.sql import functions as F
+    def _batch_fps(batch_df: DataFrame) -> tuple[str, int]:
+        """(sha256 of the sorted path list, XOR of per-path hashes).
 
+        batch_df.inputFiles() would be free but returns [] inside
+        foreachBatch (the micro-batch frame is not backed by the file
+        relation), so the paths come from an input_file_name() probe —
+        a column-pruned job that reads ZERO data columns (parquet
+        footer metadata only), not a second scan of the batch."""
         paths = sorted(
             r[0]
             for r in batch_df.select(
                 F.input_file_name().alias("p")
             ).distinct().collect()
         )
-        return hashlib.sha256("\n".join(paths).encode()).hexdigest()[:16]
+        digest = hashlib.sha256("\n".join(paths).encode()).hexdigest()[:16]
+        xor = 0
+        for p in paths:
+            xor ^= int.from_bytes(
+                hashlib.sha256(p.encode()).digest()[:8], "big"
+            )
+        return digest, xor
 
-    def _read_latest() -> tuple[int, int, str | None]:
+    def _read_latest() -> tuple[int, int, str | None, int | None]:
         with open(latest_path) as f:
             parts = f.read().split()
         return (
             int(parts[0]),
             (int(parts[1]) if len(parts) > 1 else -1),
             (parts[2] if len(parts) > 2 else None),
+            (int(parts[3], 16) if len(parts) > 3 else None),
         )
 
-    def _write_latest(v: int, epoch: int, fp: str = "-") -> None:
+    def _write_latest(
+        v: int, epoch: int, fp: str = "-", cum_xor: int = 0
+    ) -> None:
         tmp = latest_path + ".tmp"
         with open(tmp, "w") as f:
-            f.write(f"{v} {epoch} {fp}")
+            f.write(f"{v} {epoch} {fp} {cum_xor:016x}")
         os.replace(tmp, latest_path)  # atomic pointer swap
 
     os.makedirs(store_dir, exist_ok=True)
@@ -436,19 +456,22 @@ def _versioned_apply_stream(
     changes = spark.readStream.schema(changes_schema).parquet(src_dir)
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        v, last_epoch, last_fp = _read_latest()
+        v, last_epoch, last_fp, cum_xor = _read_latest()
         if int(epoch_id) <= last_epoch:
             # at-least-once replay of an already-applied batch — but
-            # only if it really is the SAME batch: a wiped checkpoint
-            # restarts at epoch 0, and if new change files landed the
-            # "replay" silently carries unapplied data.
+            # only if the store has actually applied this data: a
+            # wiped checkpoint restarts at epoch 0, and if new change
+            # files landed the "replay" silently carries unapplied
+            # rows. Accept a re-delivery of the last batch (crash
+            # between pointer swap and offset commit) OR a batch 0
+            # re-bundling exactly the full applied history.
             if last_fp not in (None, "-"):
-                fp = _fingerprint(batch_df)
-                if fp != last_fp:
+                fp, xor = _batch_fps(batch_df)
+                if fp != last_fp and not (cum_xor is not None and xor == cum_xor):
                     raise RuntimeError(
                         f"versioned store {store_dir!r}: epoch "
                         f"{epoch_id} replays with a DIFFERENT input "
-                        f"file set than the one recorded at apply "
+                        f"file set than anything recorded at apply "
                         f"time — the stream checkpoint was reset "
                         f"while the store pointer persisted and new "
                         f"changes have since landed; wipe the "
@@ -460,7 +483,8 @@ def _versioned_apply_stream(
         merged.write.mode("overwrite").parquet(
             os.path.join(store_dir, f"v{v + 1}")
         )
-        _write_latest(v + 1, int(epoch_id), _fingerprint(batch_df))
+        fp, xor = _batch_fps(batch_df)
+        _write_latest(v + 1, int(epoch_id), fp, (cum_xor or 0) ^ xor)
 
     q = (
         changes.writeStream.foreachBatch(apply_batch)

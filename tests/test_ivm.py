@@ -221,3 +221,54 @@ def test_ivm_stream_replay_with_new_data_fails_loudly(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(src)
     with pytest.raises(Exception, match="DIFFERENT input"):
         jobs.ivm_apply_stream(spark, src, schema, store, base, ["k"], "v")
+
+
+def test_ivm_stream_multi_epoch_checkpoint_wipe_recovers(spark, tmp_path):
+    """The guard must NOT false-alarm on the documented recovery flow
+    when the store applied MORE than one epoch: a wiped checkpoint
+    re-bundles the ENTIRE change history into one batch 0, whose file
+    set differs from the last applied batch's — but matches the
+    cumulative XOR digest of everything applied, so it is skipped
+    silently and the view survives untouched."""
+    import shutil
+
+    from pyspark.sql import types as T
+    from chess_pos_db_spark.streaming import jobs
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "changes")
+    store = str(tmp_path / "view")
+    base = spark.createDataFrame([("a", 1)], "k string, v long")
+
+    # epoch 0: first change file
+    spark.createDataFrame(
+        [("c", 7, "I")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    jobs.ivm_apply_stream(spark, src, schema, store, base, ["k"], "v")
+    # epoch 1 (checkpoint intact): second change file
+    spark.createDataFrame(
+        [("d", 9, "I")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    second = sorted(
+        tuple(r)
+        for r in jobs.ivm_apply_stream(
+            spark, src, schema, store, base, ["k"], "v"
+        ).collect()
+    )
+    assert second == [("a", 1, 1), ("c", 1, 7), ("d", 1, 9)]
+
+    # wipe ONLY the checkpoint, no new files: batch 0 = both files
+    shutil.rmtree(store + "_chk")
+    recovered = sorted(
+        tuple(r)
+        for r in jobs.ivm_apply_stream(
+            spark, src, schema, store, base, ["k"], "v"
+        ).collect()
+    )
+    assert recovered == second  # silent skip, no false alarm

@@ -43,9 +43,14 @@ def main() -> None:
     args = [a for a in sys.argv[1:]]
     pandas_canon = "--pandas-canon" in args
     only: set[str] | None = None
+    if any(a.startswith("--only=") for a in args):
+        sys.exit("usage: --only takes a space-separated value: --only a,b,c")
     if "--only" in args:
-        only = set(args[args.index("--only") + 1].split(","))
-        del args[args.index("--only"): args.index("--only") + 2]
+        i = args.index("--only")
+        if i + 1 >= len(args):
+            sys.exit("usage: --only requires a comma-separated name list")
+        only = set(args[i + 1].split(","))
+        del args[i: i + 2]
     args = [a for a in args if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
@@ -56,6 +61,13 @@ def main() -> None:
 
     spark = SparkSession.builder.master("local[8]").getOrCreate()
     qs, oracles = e.queries(), e.oracle_sql()
+    if only is not None:
+        unknown = only - set(qs)
+        if unknown:
+            # a typo here would otherwise "verify" zero queries and
+            # exit green — the exact failure class --only exists to
+            # catch must not be reintroducible by the flag itself
+            sys.exit(f"--only names not in the registry: {sorted(unknown)}")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem "
