@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..llm.dedup import _hybrid_cc_ctes
 from ..registry import register
 from ..tables import t
 
@@ -663,34 +664,29 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "er_resolve",
-    oracle="""
+    # closure = llm/dedup._hybrid_cc_ctes (two contraction rounds +
+    # pruned recursion): the naive label walk over the fuzzy-match
+    # graph (3.1M pairs at sf0.1 — dense entity near-cliques) ran past
+    # the sf0.1 sweep's oracle watchdog; the hybrid is exact for any
+    # graph and finishes in seconds. See the builder's docstring.
+    oracle=f"""
 WITH RECURSIVE p AS (
     SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk FROM part
 ),
-pairs AS (
+pairs AS MATERIALIZED (
     SELECT a.p_partkey AS ka, b.p_partkey AS kb
     FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
     WHERE levenshtein(a.p_name, b.p_name) <= 2
 ),
-edges AS (
-    SELECT ka AS u, kb AS v FROM pairs
-    UNION ALL
-    SELECT kb AS u, ka AS v FROM pairs
-),
-walk(node, label) AS (
-    SELECT p_partkey, p_partkey FROM p
-    UNION
-    SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
-),
-cc AS (
-    SELECT node AS p_partkey, MIN(label) AS entity_id
-    FROM walk GROUP BY node
+{_hybrid_cc_ctes("pairs", "ka", "kb", "p", "p_partkey")},
+ent AS (
+    SELECT node AS p_partkey, root AS entity_id FROM cc
 )
 SELECT c.p_partkey, c.entity_id, canon.p_name AS canonical_name,
        CAST(sz.n AS BIGINT) AS entity_size
-FROM cc c
+FROM ent c
 JOIN p canon ON canon.p_partkey = c.entity_id
-JOIN (SELECT entity_id AS eid, COUNT(*) AS n FROM cc GROUP BY entity_id) sz
+JOIN (SELECT entity_id AS eid, COUNT(*) AS n FROM ent GROUP BY entity_id) sz
   ON sz.eid = c.entity_id
 """,
 )
