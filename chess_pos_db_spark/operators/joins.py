@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..llm.dedup import _hybrid_cc_ctes
+from ..oracle_cc import hybrid_cc_ctes
 from ..registry import register
 from ..tables import t
 
@@ -664,7 +664,7 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "er_resolve",
-    # closure = llm/dedup._hybrid_cc_ctes (two contraction rounds +
+    # closure = oracle_cc.hybrid_cc_ctes (two contraction rounds +
     # pruned recursion): the naive label walk over the fuzzy-match
     # graph (3.1M pairs at sf0.1 — dense entity near-cliques) ran past
     # the sf0.1 sweep's oracle watchdog; the hybrid is exact for any
@@ -678,7 +678,7 @@ pairs AS MATERIALIZED (
     FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
     WHERE levenshtein(a.p_name, b.p_name) <= 2
 ),
-{_hybrid_cc_ctes("pairs", "ka", "kb", "p", "p_partkey")},
+{hybrid_cc_ctes("pairs", "ka", "kb", "p", "p_partkey")},
 ent AS (
     SELECT node AS p_partkey, root AS entity_id FROM cc
 )

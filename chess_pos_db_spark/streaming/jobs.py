@@ -397,11 +397,23 @@ def _versioned_apply_stream(
     of that one batch) and an order-independent XOR digest of EVERY
     file ever applied (matches a wiped-checkpoint batch 0 that
     re-bundles the full history in one batch — multi-epoch stores
-    recover silently, not with a false alarm). A replayed epoch
+    recover silently, not with a false alarm, and the accepted
+    recovery batch rewrites the pointer so the store's epoch counter
+    realigns with the NEW checkpoint's numbering: the next genuinely
+    new batch applies instead of tripping the guard). A replayed epoch
     matching NEITHER carries data the store has never applied and
     fails loudly (wipe checkpoint and store together, or let the
-    checkpoint resume). File paths come from batch_df.inputFiles()
-    (plan metadata — no extra Spark job per batch).
+    checkpoint resume). File paths come from an input_file_name()
+    probe per batch (inputFiles() returns [] inside foreachBatch; the
+    probe reads parquet footers only — see _batch_fps).
+
+    Stores whose _LATEST predates fingerprint tracking carry an
+    UNKNOWN cumulative digest ("?" in the pointer, propagated — never
+    fabricated from a partial post-upgrade history): their replayed
+    epochs skip silently exactly as the epoch-only guard they were
+    created under did, and a wiped-checkpoint recovery whose batch
+    differs from the last applied one fails with an honest
+    "cannot verify" instead of a false "different input set".
     """
     import hashlib
     import os
@@ -431,21 +443,29 @@ def _versioned_apply_stream(
         return digest, xor
 
     def _read_latest() -> tuple[int, int, str | None, int | None]:
+        # cum_xor None = UNKNOWN history (pre-fingerprint pointer, or
+        # the explicit "?" a post-upgrade apply propagates) — distinct
+        # from 0, the genuine XOR identity of an empty history.
         with open(latest_path) as f:
             parts = f.read().split()
         return (
             int(parts[0]),
             (int(parts[1]) if len(parts) > 1 else -1),
             (parts[2] if len(parts) > 2 else None),
-            (int(parts[3], 16) if len(parts) > 3 else None),
+            (
+                int(parts[3], 16)
+                if len(parts) > 3 and parts[3] != "?"
+                else None
+            ),
         )
 
     def _write_latest(
-        v: int, epoch: int, fp: str = "-", cum_xor: int = 0
+        v: int, epoch: int, fp: str = "-", cum_xor: int | None = 0
     ) -> None:
         tmp = latest_path + ".tmp"
+        xor_field = "?" if cum_xor is None else f"{cum_xor:016x}"
         with open(tmp, "w") as f:
-            f.write(f"{v} {epoch} {fp} {cum_xor:016x}")
+            f.write(f"{v} {epoch} {fp} {xor_field}")
         os.replace(tmp, latest_path)  # atomic pointer swap
 
     os.makedirs(store_dir, exist_ok=True)
@@ -467,16 +487,36 @@ def _versioned_apply_stream(
             # re-bundling exactly the full applied history.
             if last_fp not in (None, "-"):
                 fp, xor = _batch_fps(batch_df)
-                if fp != last_fp and not (cum_xor is not None and xor == cum_xor):
-                    raise RuntimeError(
-                        f"versioned store {store_dir!r}: epoch "
-                        f"{epoch_id} replays with a DIFFERENT input "
-                        f"file set than anything recorded at apply "
-                        f"time — the stream checkpoint was reset "
-                        f"while the store pointer persisted and new "
-                        f"changes have since landed; wipe the "
-                        f"checkpoint and the store together"
-                    )
+                if fp != last_fp:
+                    if cum_xor is None:
+                        raise RuntimeError(
+                            f"versioned store {store_dir!r}: epoch "
+                            f"{epoch_id} replays a batch that differs "
+                            f"from the last applied one, and the "
+                            f"store's pointer predates cumulative-"
+                            f"digest tracking — recovery cannot be "
+                            f"verified; wipe the checkpoint and the "
+                            f"store together"
+                        )
+                    if xor != cum_xor:
+                        raise RuntimeError(
+                            f"versioned store {store_dir!r}: epoch "
+                            f"{epoch_id} replays with a DIFFERENT "
+                            f"input file set than anything recorded "
+                            f"at apply time — the stream checkpoint "
+                            f"was reset while the store pointer "
+                            f"persisted and new changes have since "
+                            f"landed; wipe the checkpoint and the "
+                            f"store together"
+                        )
+                # accepted recovery/replay: realign the pointer to the
+                # NEW checkpoint's epoch numbering (and record this
+                # batch as the last delivered one), so the next
+                # genuinely new batch — epoch last+1 under the new
+                # counter — applies instead of hitting the replay path
+                # forever with last_epoch stuck at its pre-wipe value.
+                if int(epoch_id) != last_epoch or fp != last_fp:
+                    _write_latest(v, int(epoch_id), fp, cum_xor)
             return
         cur = spark.read.parquet(os.path.join(store_dir, f"v{v}"))
         merged = apply_fn(cur, batch_df)
@@ -484,7 +524,12 @@ def _versioned_apply_stream(
             os.path.join(store_dir, f"v{v + 1}")
         )
         fp, xor = _batch_fps(batch_df)
-        _write_latest(v + 1, int(epoch_id), fp, (cum_xor or 0) ^ xor)
+        _write_latest(
+            v + 1,
+            int(epoch_id),
+            fp,
+            None if cum_xor is None and last_epoch >= 0 else (cum_xor or 0) ^ xor,
+        )
 
     q = (
         changes.writeStream.foreachBatch(apply_batch)

@@ -272,3 +272,76 @@ def test_ivm_stream_multi_epoch_checkpoint_wipe_recovers(spark, tmp_path):
         ).collect()
     )
     assert recovered == second  # silent skip, no false alarm
+
+    # the accepted recovery must REALIGN the epoch counter to the new
+    # checkpoint's numbering: a genuinely new batch after recovery is
+    # epoch 1 under the new counter, which a stale last_epoch=1 from
+    # before the wipe would misread as a replay and fail loudly on —
+    # permanently, since the failing batch never commits.
+    spark.createDataFrame(
+        [("e", 5, "I")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    after = sorted(
+        tuple(r)
+        for r in jobs.ivm_apply_stream(
+            spark, src, schema, store, base, ["k"], "v"
+        ).collect()
+    )
+    assert after == [("a", 1, 1), ("c", 1, 7), ("d", 1, 9), ("e", 1, 5)]
+
+
+def test_ivm_stream_pre_upgrade_pointer_fails_honestly(spark, tmp_path):
+    """A store whose _LATEST predates fingerprint tracking has an
+    UNKNOWN applied-file history. A post-upgrade apply must propagate
+    that unknown (never fabricate a cumulative digest from only the
+    post-upgrade suffix), so a later wiped-checkpoint recovery fails
+    with an honest 'cannot be verified' — not a false claim that the
+    input set differs from what was applied."""
+    import shutil
+
+    import pytest
+
+    from pyspark.sql import types as T
+    from chess_pos_db_spark.streaming import jobs
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "changes")
+    store = str(tmp_path / "view")
+    base = spark.createDataFrame([("a", 1)], "k string, v long")
+    spark.createDataFrame(
+        [("c", 7, "I")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    jobs.ivm_apply_stream(spark, src, schema, store, base, ["k"], "v")
+
+    # simulate a pre-upgrade pointer: version + epoch only
+    latest = store + "/_LATEST"
+    with open(latest) as f:
+        v, epoch = f.read().split()[:2]
+    with open(latest, "w") as f:
+        f.write(f"{v} {epoch}")
+
+    # post-upgrade apply of a second file (checkpoint intact)
+    spark.createDataFrame(
+        [("d", 9, "I")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    second = sorted(
+        tuple(r)
+        for r in jobs.ivm_apply_stream(
+            spark, src, schema, store, base, ["k"], "v"
+        ).collect()
+    )
+    assert second == [("a", 1, 1), ("c", 1, 7), ("d", 1, 9)]
+    with open(latest) as f:
+        assert f.read().split()[3] == "?"  # unknown propagated, not fabricated
+
+    # wiped-checkpoint recovery re-bundles BOTH files: differs from the
+    # last applied batch and the history digest is unknown
+    shutil.rmtree(store + "_chk")
+    with pytest.raises(Exception, match="cannot be verified"):
+        jobs.ivm_apply_stream(spark, src, schema, store, base, ["k"], "v")
