@@ -68,6 +68,8 @@ def compact_runs(
     last_game_id max'd). Returns the compacted DataFrame (lazily
     re-readable from `out_path`).
     """
+    if not run_paths:
+        raise ValueError("compact_runs: no run paths given")
     fns = {"sum": F.sum, "min": F.min, "max": F.max}
     runs = [spark.read.parquet(p) for p in run_paths]
     union = runs[0]
@@ -93,14 +95,18 @@ def read_manifest(path: str) -> dict:
         return json.load(f)
 
 
-def _dump_manifest(path: str, manifest: dict) -> None:
+def _dump_manifest(
+    path: str, manifest: dict, filename: str = MANIFEST_NAME
+) -> None:
     """Atomic manifest replace (tmp + os.replace, same-directory so the
     rename is atomic on POSIX): a concurrent reader always loads a
     COMPLETE json document — the documented "readers are never torn by
     a concurrent append" guarantee depends on this; a plain
     open(..., "w") truncates in place and a concurrently-resolving
-    reader would see empty/partial JSON."""
-    full = os.path.join(path, MANIFEST_NAME)
+    reader would see empty/partial JSON. `filename` lets other manifest
+    owners (plans/mv.py) share the pattern instead of re-implementing
+    a weaker write."""
+    full = os.path.join(path, filename)
     tmp = full + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, default=str)
@@ -345,6 +351,8 @@ def compact_versioned(
     snapshot semantics). Old files stay for time travel."""
     fns = {"sum": F.sum, "min": F.min, "max": F.max}
     manifest = read_manifest(path)
+    if not manifest["snapshots"]:
+        raise ValueError(f"compact_versioned: no snapshots at {path!r}")
     live = _live_snapshot_ids(manifest)
     df = _read_dirs(spark, path, manifest, live)
     aggs = [fns[how](c).alias(c) for c, how in agg_spec.items()]
@@ -422,6 +430,8 @@ def expire_snapshots(path: str, before: int) -> list[str]:
     import shutil
 
     manifest = read_manifest(path)
+    if not manifest["snapshots"]:
+        raise ValueError(f"expire_snapshots: no snapshots at {path!r}")
     keep = _live_snapshot_ids(manifest, before) | {
         s["id"] for s in manifest["snapshots"] if s["id"] > before
     }
@@ -437,9 +447,13 @@ def expire_snapshots(path: str, before: int) -> list[str]:
         s for s in manifest["snapshots"] if s["id"] in keep
     ]
     # floor may only ADVANCE: a later expire with a smaller `before`
-    # must not regress it and silently resurrect partial history
+    # must not regress it and silently resurrect partial history.
+    # Clamp to the latest snapshot id: `before` past the end keeps
+    # every file of the final live state, so an explicit-version read
+    # of it must stay legal — an unclamped floor would brick it.
+    latest = max(s["id"] for s in manifest["snapshots"])
     manifest["min_time_travel"] = max(
-        manifest.get("min_time_travel") or 0, before
+        manifest.get("min_time_travel") or 0, min(before, latest)
     )
     _dump_manifest(path, manifest)
     return deleted

@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import t
+from .layout import _dump_manifest
 
 _PARTIAL_FNS = ("count", "sum", "min", "max", "hll")
 _MANIFEST = "_mv_manifest.json"
@@ -107,15 +108,21 @@ def write_view(
     measures: Sequence[tuple[str, str]],
     base_version: int | None = None,
 ) -> None:
-    """Materialize the view + manifest (spec and base-version pin)."""
+    """Materialize the view + manifest (spec and base-version pin).
+
+    The manifest lands via layout._dump_manifest's atomic tmp+replace —
+    a concurrent read_view sees either the old complete manifest or the
+    new one, never torn JSON from an in-place truncating write. (The
+    data/ overwrite itself is not atomic against concurrent readers;
+    rebuilds of a live view should write a fresh path and swap, which
+    is what the versioned-layout path provides.)"""
     view.write.mode("overwrite").parquet(os.path.join(path, "data"))
     manifest = {
         "dims": list(dims),
         "measures": [list(m) for m in measures],
         "base_version": base_version,
     }
-    with open(os.path.join(path, _MANIFEST), "w") as f:
-        json.dump(manifest, f)
+    _dump_manifest(path, manifest, filename=_MANIFEST)
 
 
 def read_view(
@@ -302,15 +309,27 @@ def route(
     path ran. approx_distinct falls back to sketching base directly —
     same estimator family, same error bounds (estimates may differ
     within them; see the note in answer())."""
-    try:
-        return answer(view, dims, measures, group_exprs, aggs), "view"
-    except NotDerivableError:
-        pass
-    except AnalysisException:
-        # a group expr referencing a non-dim base column fails answer()'s
-        # bind check — the documented fallback case (the base table has
-        # the column and the direct aggregation below answers it)
-        pass
+    # The ONLY AnalysisException that means "fall back" is a group expr
+    # failing to bind against the view's dims (the base table has the
+    # column; the direct aggregation below answers it). Run that bind
+    # check here, in isolation, so any OTHER analysis failure inside
+    # answer() — e.g. view data missing a partial column the manifest
+    # promises — propagates as the defect it is instead of being
+    # masked as a silent routing downgrade that returns correct numbers
+    # from base while the view is never actually used.
+    derivable = True
+    dim_probe = view.select(*dims).limit(0)
+    for expr, alias in group_exprs:
+        try:
+            dim_probe.selectExpr(f"({expr}) AS {alias}").schema
+        except AnalysisException:
+            derivable = False
+            break
+    if derivable:
+        try:
+            return answer(view, dims, measures, group_exprs, aggs), "view"
+        except NotDerivableError:
+            pass
     out_groups = [F.expr(expr).alias(alias) for expr, alias in group_exprs]
     direct = {
         "count": lambda c: F.count("*") if c == "*" else F.count(c),

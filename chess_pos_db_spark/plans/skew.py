@@ -56,11 +56,22 @@ def salted_agg(
     Phase 1 groups by (key…, salt) — the hot key's rows spread over
     `salt_buckets` reducers; phase 2 re-combines per key.
     """
-    # Row-level salt: monotonically_increasing_id spreads a hot key's
-    # rows across buckets even when the input is a single partition
-    # (a partition-id-based salt would collapse there). The salt never
-    # reaches the output, so run-to-run id instability is irrelevant.
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    # Row-level salt, DETERMINISTIC in row content: a positional salt
+    # (monotonically_increasing_id) changes under partial stage
+    # re-execution — a lost map task recomputed after some reducers
+    # already fetched its output can re-enumerate rows in a different
+    # order, landing a row in a different (key, salt) reduce partition
+    # than its already-fetched copy (double-counted or lost; the
+    # SPARK-23207 class). Hashing the full row ties the salt to the
+    # data itself, so every recompute routes identically. Identical
+    # rows share a bucket, which is fine: map-side partial aggregation
+    # combines them before the shuffle, so they contribute one group
+    # entry, not reduce-side volume.
+    if "_salt" in df.columns:
+        raise ValueError(
+            "salted_agg: input already has a '_salt' column — rename it"
+        )
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets))
     phase1_aggs = []
     for out, (how, col) in agg_spec.items():
         fn = F.count if how == "count" else _decompose(how)

@@ -50,12 +50,20 @@ def load_all() -> None:
     Failure-atomic: a module that raises mid-import after some
     register() calls would otherwise leave its entries behind, so the
     RETRY would die on 'duplicate query name' and mask the root cause.
-    On failure, every registration this call added is rolled back."""
+    On failure, every registration this call added is rolled back —
+    AND every registering submodule imported by this call is purged
+    from sys.modules, because modules that imported successfully
+    before the failure stay cached there: a retry would no-op their
+    import (register() never re-runs) and silently succeed with a
+    permanently shrunken registry."""
     global _LOADED
     if _LOADED:
         return
+    import sys
+
     _before_q = set(QUERIES)
     _before_o = set(ORACLES)
+    _before_m = set(sys.modules)
     try:
         _import_registering_modules()
     except BaseException:
@@ -63,6 +71,10 @@ def load_all() -> None:
             del QUERIES[k]
         for k in set(ORACLES) - _before_o:
             del ORACLES[k]
+        pkg = __name__.rsplit(".", 1)[0]
+        for m in set(sys.modules) - _before_m:
+            if m.startswith(pkg + "."):
+                del sys.modules[m]
         raise
     _LOADED = True
 

@@ -452,3 +452,37 @@ def test_manifest_write_is_atomic_replace(spark, sf_dir, tmp_path):
     assert not os.path.exists(
         os.path.join(path, layout.MANIFEST_NAME + ".tmp")
     )
+
+
+def test_expire_snapshots_floor_clamps_to_latest(spark, tmp_path):
+    """Vacuum with `before` PAST the latest snapshot (the natural
+    "expire everything older than now" call) keeps every file of the
+    final live state — so an explicit-version read of that state must
+    stay legal: the time-travel floor clamps to the latest id instead
+    of bricking a fully live, undeleted snapshot."""
+    path = str(tmp_path / "clamp")
+    layout.append_versioned(
+        spark.createDataFrame([(1, 10)], "k long, cnt long"), path, key=["k"]
+    )
+    layout.append_versioned(
+        spark.createDataFrame([(2, 20)], "k long, cnt long"), path, key=["k"]
+    )
+    v3 = layout.compact_versioned(
+        spark, path, key=["k"], agg_spec={"cnt": "sum"}
+    )
+
+    layout.expire_snapshots(path, before=v3 + 5)
+    got = sorted(
+        tuple(r) for r in layout.read_snapshot(spark, path, v3).collect()
+    )
+    assert got == [(1, 10), (2, 20)]
+    assert layout.read_manifest(path)["min_time_travel"] == v3
+
+
+def test_compact_empty_inputs_fail_loudly(spark, tmp_path):
+    """Zero input runs / zero snapshots are caller errors and must say
+    so, not die with a bare IndexError/ValueError from max()."""
+    with pytest.raises(ValueError, match="no run paths"):
+        layout.compact_runs(
+            spark, [], str(tmp_path / "out"), ["k"], {"cnt": "sum"}
+        )

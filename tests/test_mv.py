@@ -344,3 +344,36 @@ def test_maintain_rejects_overdeletes(spark, sf_dir):
     twice = base0.unionByName(base0)  # every row deleted twice
     with pytest.raises(Exception, match="absent from base"):
         maintain_view(view, DIMS, ms, deletes=twice).collect()
+
+
+def test_route_group_expr_fallback_and_defect_not_masked(spark, sf_dir):
+    """route() falls back to base ONLY for the dim-bind failure (a
+    group expr referencing a non-dim base column). Any OTHER analysis
+    failure inside the view path — here, view data missing a partial
+    column its spec promises — must propagate as the defect it is, not
+    be silently rerouted to base with correct-looking numbers while
+    the view is never actually used."""
+    from pyspark.errors import AnalysisException
+
+    from chess_pos_db_spark.plans.mv import route
+
+    li = _base(spark, sf_dir)
+    ms = [("count", "*"), ("sum", "l_quantity"), ("count", "l_quantity")]
+    view = build_view(li, DIMS, ms)
+
+    # documented fallback: group expr on a base column outside the dims
+    res, path = route(
+        li, view, DIMS, ms,
+        [("year(l_shipdate)", "ship_year")],
+        {"n": ("count", "*")},
+    )
+    assert path == "base"
+
+    # defect: view missing a promised partial column — must raise
+    broken = view.drop("m_sum_l_quantity")
+    with pytest.raises(AnalysisException):
+        route(
+            li, broken, DIMS, ms,
+            [("l_returnflag", "l_returnflag")],
+            {"sq": ("sum", "l_quantity")},
+        )

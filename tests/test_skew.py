@@ -38,3 +38,14 @@ def test_salt_actually_spreads(spark, sf_dir):
     salt = F.pmod(F.monotonically_increasing_id(), F.lit(8))
     phase1 = li.withColumn("_salt", salt).groupBy("k", "_salt").count()
     assert phase1.count() > 1
+
+
+def test_salted_agg_rejects_salt_column_collision(spark, sf_dir):
+    """An input that already carries a '_salt' column would be silently
+    clobbered by the synthetic salt before phase 1 — any aggregate
+    reading it would sum salt values instead of data. Refuse loudly."""
+    import pytest
+
+    li = t(spark, sf_dir, "lineitem").withColumn("_salt", F.lit(1))
+    with pytest.raises(ValueError, match="_salt"):
+        salted_agg(li, ["l_returnflag"], {"s": ("sum", "_salt")})
