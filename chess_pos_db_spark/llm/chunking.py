@@ -9,11 +9,13 @@ pipeline (SURVEY.md §2.11 N-block extensions).
   that feeds the embedding stage of a RAG index build.
 
 - ``dedup_containment``: ASYMMETRIC near-dup detection — containment
-  C(A→B) = |tokens(A) ∩ tokens(B)| / |tokens(A)|, the measure that
+  C(A→B) = |rare(A) ∩ rare(B)| / |tokens(A)|, the measure that
   catches "A is quoted inside B" where symmetric Jaccard stays low
-  because B is much larger. Same df-capped token-postings self-join
-  machinery as dedup_jaccard (the cap bounds the join quadratically on
-  stopwords), emitting DIRECTED pairs.
+  because B is much larger. The intersection runs over df-capped
+  token postings (the cap bounds the self-join quadratically on
+  stopwords, same machinery as dedup_jaccard) while the denominator
+  is the doc's FULL distinct vocabulary, so the value is a safe lower
+  bound on true containment. Emits DIRECTED pairs.
 
 Both are oracle-exact: the chunker's window arithmetic is integer, and
 containment divides exact integer counts.
@@ -37,7 +39,8 @@ CHUNK_STRIDE = 24  # stride S < C → C - S = 8 tokens of overlap
 @register(
     "text_chunk_overlap",
     oracle=f"""
-WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS s FROM documents),
+WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS s FROM documents
+             WHERE text IS NOT NULL),
 st AS (
     SELECT doc_id, s,
            CAST(UNNEST(generate_series(
@@ -62,8 +65,13 @@ def chunk_docs(
     """Sliding-window chunker: starts at 1, 1+S, 1+2S, ... up to
     n - (C - S), so the last chunk always reaches the end of the
     document and no chunk is fully contained in its predecessor.
-    Short docs (n <= C) produce exactly one chunk."""
-    toks = docs.select("doc_id", F.split("text", " ").alias("s"))
+    Short docs (n <= C) produce exactly one chunk. NULL-text docs
+    produce NO chunks — without the filter, F.greatest skips the NULL
+    size and resurrects start=1, emitting a phantom empty chunk whose
+    chunk_text ('' via concat_ws) diverges from SQL NULL semantics."""
+    toks = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("s")
+    )
     starts = F.sequence(
         F.lit(1).cast("long"),
         F.greatest(F.size("s") - F.lit(C - S), F.lit(1)).cast("long"),
@@ -99,7 +107,11 @@ tok AS (
     ) WHERE df <= {JACCARD_DF_CAP}
 ),
 sizes AS (
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id
+    -- denominator = the doc's FULL distinct vocabulary (uncapped):
+    -- dividing by the capped set would inflate C(A->B) for docs
+    -- dominated by common tokens (46/50 capped away -> 4 survivors
+    -- shared => containment 1.0, a false inclusion verdict)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok0 GROUP BY doc_id
 ),
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -125,19 +137,30 @@ def containment_pairs(
     df filter reuses the token hash-partitioning the self-join needs
     (the dedup_jaccard plan); the size lookup broadcast-joins (one
     row per doc). C(A→B) >= t with |B| >> |A| is the quote/inclusion
-    case symmetric Jaccard misses."""
-    tok0 = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).distinct()
+    case symmetric Jaccard misses.
+
+    The cap applies to the INTERSECTION only; the denominator is the
+    doc's full distinct vocabulary. A capped denominator would make
+    the ratio |rare(A) ∩ rare(B)| / |rare(A)| — for a doc whose
+    vocabulary is mostly common tokens, a handful of shared rare
+    tokens then reads as full containment. With the full denominator
+    the reported value is a LOWER bound on true containment (shared
+    common tokens aren't counted — by design: they carry no quotation
+    evidence), and it degrades safely as df distributions grow."""
+    tok0 = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+        # three consumers (df-capped postings + uncapped size rollup) —
+        # same materialize-once move as dedup_jaccard
+        .localCheckpoint(eager=True)
+    )
     tok = (
         tok0.withColumn("df", F.count("*").over(Window.partitionBy("token")))
         .filter(F.col("df") <= cap)
         .drop("df")
-        # three consumers (self-join sides + size rollup) — same
-        # materialize-once move as dedup_jaccard
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)  # two self-join sides
     )
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    sizes = tok0.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     a, b = tok.alias("a"), tok.alias("b")
     pairs = (
         a.join(

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..oracle_cc import STAR_CC_CTES, hybrid_cc_ctes
+from ..hashing import md5_long_duck, md5_long_sql
 from ..registry import register
 from ..tables import t
 
@@ -243,10 +244,8 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     tok = docs.selectExpr("doc_id", "explode(split(text, ' ')) AS token")
     hk = tok.selectExpr(
         "doc_id",
-        "cast(conv(substring(md5(token), 1, 15), 16, 10) AS bigint)"
-        f" % {_KM_MOD}L AS h1",
-        "cast(conv(substring(md5(token), 16, 15), 16, 10) AS bigint)"
-        f" % {_KM_MOD}L AS h2",
+        f"{md5_long_sql('token')} % {_KM_MOD}L AS h1",
+        f"{md5_long_sql('token', start=16)} % {_KM_MOD}L AS h2",
     )
     aggs = [
         F.expr(f"min((h1 + {i}L * h2) % {_KM_P}L) AS mh_{i}")
@@ -267,8 +266,8 @@ tok AS (
 ),
 hk AS (
     SELECT doc_id,
-           (('0x' || substr(MD5(token), 1, 15))::BIGINT % {_KM_MOD}) AS h1,
-           (('0x' || substr(MD5(token), 16, 15))::BIGINT % {_KM_MOD}) AS h2
+           ({md5_long_duck('token')} % {_KM_MOD}) AS h1,
+           ({md5_long_duck('token', start=16)} % {_KM_MOD}) AS h2
     FROM tok
 ),
 sig AS (
@@ -879,8 +878,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "explode(split(text, ' ')) AS token"
     ).selectExpr(
         "doc_id",
-        "cast(conv(substring(md5(token), 1, 15), 16, 10) AS bigint) AS h1",
-        "cast(conv(substring(md5(token), 16, 1), 16, 10) AS bigint) AS h2",
+        f"{md5_long_sql('token')} AS h1",
+        f"{md5_long_sql('token', start=16, length=1)} AS h2",
     )
 
     def _bit(i: int) -> str:
@@ -1350,13 +1349,8 @@ def dedup_normalized_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partitioning the anti-join just produced.
 # ---------------------------------------------------------------------------
 
-_INC_BUCKET = (
-    "cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10)"
-    " AS bigint) % 10"
-)
-_INC_BUCKET_DUCK = (
-    "(('0x' || substr(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10)"
-)
+_INC_BUCKET = f"{md5_long_sql('cast(doc_id AS string)')} % 10"
+_INC_BUCKET_DUCK = f"({md5_long_duck('CAST(doc_id AS VARCHAR)')} % 10)"
 
 
 @register(

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..hashing import md5_long_duck, md5_long_sql
 from ..registry import register
 from ..tables import t
 from .pipeline import _shingle_sql, _shingles
@@ -361,14 +362,10 @@ def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_D = 4
 _CMS_W = 512
 _CMS_KM_MOD = 1 << 58
-_H1 = (
-    f"cast(conv(substring(md5(token), 1, 15), 16, 10) AS bigint) % {_CMS_KM_MOD}"
-)
-_H2 = (
-    f"cast(conv(substring(md5(token), 16, 15), 16, 10) AS bigint) % {_CMS_KM_MOD}"
-)
-_H1_DUCK = f"(('0x' || substr(MD5(token), 1, 15))::BIGINT % {_CMS_KM_MOD})"
-_H2_DUCK = f"(('0x' || substr(MD5(token), 16, 15))::BIGINT % {_CMS_KM_MOD})"
+_H1 = f"{md5_long_sql('token')} % {_CMS_KM_MOD}"
+_H2 = f"{md5_long_sql('token', start=16)} % {_CMS_KM_MOD}"
+_H1_DUCK = f"({md5_long_duck('token')} % {_CMS_KM_MOD})"
+_H2_DUCK = f"({md5_long_duck('token', start=16)} % {_CMS_KM_MOD})"
 
 
 @register(

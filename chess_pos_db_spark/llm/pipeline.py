@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..hashing import md5_long_duck, md5_long_sql
 from ..registry import register
 from ..tables import t
 from .text import _SEL_HASH, _SEL_HASH_DUCK, _SEL_RATES, _STOPWORDS
@@ -691,11 +692,8 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DIVERSE_K_PER_CELL = 8
-_DIV_HASH = (
-    "cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10)"
-    " AS bigint)"
-)
-_DIV_HASH_DUCK = "(('0x' || substr(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
+_DIV_HASH = md5_long_sql("cast(doc_id AS string)")
+_DIV_HASH_DUCK = md5_long_duck("CAST(doc_id AS VARCHAR)")
 
 from .similarity import _CELLS_CTE as _SIM_CELLS_CTE  # noqa: E402
 

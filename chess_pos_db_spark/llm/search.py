@@ -188,7 +188,9 @@ def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RRF_K = 60
 _RRF_DEPTH = 50
-_RRF_QUERY_VEC = 0
+# same query vector as the similarity operators this fusion composes
+# with — one shared constant, so they can never drift apart
+from .similarity import _QUERY_VEC_ID as _RRF_QUERY_VEC  # noqa: E402
 
 
 def _rrf_oracle() -> str:
@@ -268,7 +270,7 @@ LIMIT {_TOP_K}
 def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from .similarity import _QUERY_VEC_ID, cosine  # noqa: F401
+    from .similarity import cosine
 
     # TakeOrdered(depth) FIRST (parallel per-partition top-k merge),
     # THEN rank the depth-bounded set — the global row_number window
@@ -353,9 +355,19 @@ def build_inverted_index(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
     )
     write_bucketed(doclen, f"{prefix}_doclen", ["doc_id"], buckets=buckets)
-    dft = postings.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    # derive df and stats from the tables just WRITTEN, not from the
+    # in-memory lineage: postings/doclen are never cached, so reusing
+    # the DataFrames would re-run the corpus scan + explode + shuffle
+    # from scratch — doubling the most expensive stage of the build.
+    # The written postings are bucketed by token, so the df rollup
+    # needs no new exchange.
+    dft = (
+        spark.table(f"{prefix}_postings")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
     write_bucketed(dft, f"{prefix}_df", ["token"], buckets=buckets)
-    doclen.groupBy().agg(
+    spark.table(f"{prefix}_doclen").groupBy().agg(
         F.count("*").alias("n_docs"), (F.sum("dl") / F.count("*")).alias("avgdl")
     ).write.mode("overwrite").saveAsTable(f"{prefix}_stats")
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..hashing import md5_long_duck, md5_long_sql
 from ..registry import register
 from ..tables import t
 
@@ -280,13 +281,8 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SEL_RATES = "CASE lang WHEN 'en' THEN 200 ELSE 600 END"
-_SEL_HASH = (
-    "cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10)"
-    " AS bigint) % 1000"
-)
-_SEL_HASH_DUCK = (
-    "(('0x' || substr(MD5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000)"
-)
+_SEL_HASH = f"{md5_long_sql('cast(doc_id AS string)')} % 1000"
+_SEL_HASH_DUCK = f"{md5_long_duck('CAST(d.doc_id AS VARCHAR)')} % 1000"
 
 
 @register(
@@ -345,6 +341,9 @@ def select_training_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      n_p/_MG_CAPACITY;
 #   2. summaries union + groupBy(token) — the merged lower bounds keep
 #      the global guarantee (freq > n/_MG_CAPACITY => token present);
+#      candidates are cut by UPPER bound (lower + N/capacity) against
+#      the k-th best lower bound — a cut by lower bound alone could
+#      evict a true top-k token whose lower bound was decremented away;
 #   3. exact recount of ONLY the candidate tokens (broadcast semi-join
 #      on the scan — bounded by capacity × partitions), so reported
 #      counts are exact, not estimates.
@@ -366,7 +365,9 @@ def _misra_gries_summaries(tokens: DataFrame) -> DataFrame:
 
     def mg(batches):
         counts: dict[str, int] = {}
+        n_seen = 0
         for pdf in batches:
+            n_seen += len(pdf)
             for tok in pdf["token"]:
                 if tok in counts:
                     counts[tok] += 1
@@ -381,9 +382,16 @@ def _misra_gries_summaries(tokens: DataFrame) -> DataFrame:
                             dead.append(k)
                     for k in dead:
                         del counts[k]
-        if counts:
+        if n_seen:
+            # NULL-token sentinel carries the partition's total token
+            # count — split(" ") tokens are never NULL, so the channel
+            # is unambiguous. Consumers need N to form UPPER bounds
+            # (true freq <= merged lower bound + N/capacity).
             yield pd.DataFrame(
-                {"token": list(counts), "cnt_lower": list(counts.values())}
+                {
+                    "token": list(counts) + [None],
+                    "cnt_lower": list(counts.values()) + [n_seen],
+                }
             )
 
     return tokens.mapInPandas(mg, "token string, cnt_lower long")
@@ -407,14 +415,29 @@ LIMIT 20
 def text_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
-    candidates = (
-        _misra_gries_summaries(tokens)
-        .groupBy("token")
-        .agg(F.sum("cnt_lower").alias("bound"))
-        .orderBy(F.desc("bound"), F.asc("token"))
-        .limit(_MG_TOP_K * 4)  # safety margin over the final k
-        .select("token")
+    summaries = _misra_gries_summaries(tokens).localCheckpoint(eager=True)
+    merged = summaries.where(F.col("token").isNotNull()).groupBy("token").agg(
+        F.sum("cnt_lower").alias("bound")
     )
+    # Sound candidate cut: a fixed top-by-LOWER-bound cut can evict a
+    # true top-k token (MG undercounts by up to N/capacity, so a heavy
+    # token can carry a tiny lower bound while many mid-weight tokens
+    # out-rank it). Keep every token whose UPPER bound (lower + N/cap,
+    # the classic merged-MG guarantee) reaches the k-th best lower
+    # bound — no true top-k member can fall below that line, because
+    # its true count >= the k-th token's true count >= that token's
+    # lower bound.
+    n_total = summaries.where(F.col("token").isNull()).agg(
+        F.sum("cnt_lower")
+    ).collect()[0][0]
+    kth_rows = (
+        merged.orderBy(F.desc("bound")).limit(_MG_TOP_K).collect()
+    )  # bounded: k rows
+    kth_bound = kth_rows[-1]["bound"] if len(kth_rows) == _MG_TOP_K else 0
+    slack = (n_total or 0) // _MG_CAPACITY
+    candidates = merged.where(
+        F.col("bound") + F.lit(slack) >= F.lit(kth_bound)
+    ).select("token")
     exact_on_candidates = (
         tokens.join(F.broadcast(candidates), "token", "left_semi")
         .groupBy("token")
@@ -521,9 +544,14 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = _BPE_MERGES):
             break
         left, right, freq = top[0]["l"], top[0]["r"], top[0]["freq"]
         merges.append((step_i, left, right, freq))
+        prev = words
         words = words.select(
             "word", "cnt", _merge_fold(F.col("syms"), left, right).alias("syms")
         ).localCheckpoint()
+        # the new checkpoint no longer depends on the old one — drop it
+        # or every merge round pins another full vocab copy in executor
+        # storage for the session lifetime
+        prev.unpersist()
     return merges, words
 
 
@@ -619,13 +647,13 @@ WITH feats AS (
           FROM documents)
     GROUP BY doc_id
 )
-SELECT doc_id,
-       ROUND(1.0 / (1.0 + EXP(-({_QM_W['bias']} + {_QM_W['log_tokens']} * log_tokens
-             + {_QM_W['ttr']} * ttr + {_QM_W['avg_len']} * avg_len))), 6) AS quality,
-       (1.0 / (1.0 + EXP(-({_QM_W['bias']} + {_QM_W['log_tokens']} * log_tokens
-             + {_QM_W['ttr']} * ttr + {_QM_W['avg_len']} * avg_len))) >= 0.5)
-           AS keep
-FROM feats
+SELECT doc_id, quality, (quality >= 0.5) AS keep
+FROM (
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + EXP(-({_QM_W['bias']} + {_QM_W['log_tokens']} * log_tokens
+                 + {_QM_W['ttr']} * ttr + {_QM_W['avg_len']} * avg_len))), 6) AS quality
+    FROM feats
+)
 """,
 )
 def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -642,10 +670,14 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _QM_W["ttr"] * F.col("ttr")
         + _QM_W["avg_len"] * F.col("avg_len")
     )
-    score = 1.0 / (1.0 + F.exp(-z))
+    # keep thresholds the ROUNDED score (both engines): LN/EXP are
+    # libm-dependent, so a raw score straddling 0.5 within an ulp
+    # could flip keep across engines — the same cross-engine
+    # discipline the tfidf/bm25 orderings follow.
+    score = F.round(1.0 / (1.0 + F.exp(-z)), 6)
     return feats.select(
         "doc_id",
-        F.round(score, 6).alias("quality"),
+        score.alias("quality"),
         (score >= 0.5).alias("keep"),
     )
 

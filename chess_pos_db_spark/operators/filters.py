@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..hashing import md5_long_duck, md5_long_sql
 from ..registry import register
 from ..tables import t
 
@@ -200,13 +201,8 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # toward the scan (no shuffle, no RNG). The md5-derived hash matches
 # DuckDB bit-for-bit (the dedup-block family).
 _STRATA_RATES = "CASE o_orderstatus WHEN 'F' THEN 50 WHEN 'O' THEN 100 ELSE 500 END"
-_KEY_HASH = (
-    "cast(conv(substring(md5(cast(o_orderkey AS string)), 1, 15), 16, 10)"
-    " AS bigint) % 1000"
-)
-_KEY_HASH_DUCK = (
-    "(('0x' || substr(MD5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000)"
-)
+_KEY_HASH = f"{md5_long_sql('cast(o_orderkey AS string)')} % 1000"
+_KEY_HASH_DUCK = f"{md5_long_duck('CAST(o_orderkey AS VARCHAR)')} % 1000"
 
 
 @register(
@@ -277,12 +273,10 @@ def sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no full sort, no shuffle before it: scan-speed at 100 TB.
 _W_SAMPLE_K = 200
 _W_U_SPARK = (
-    "((cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10)"
-    " AS bigint) % 1000000) + 0.5) / 1000000.0"
+    f"(({md5_long_sql('cast(doc_id AS string)')} % 1000000) + 0.5) / 1000000.0"
 )
 _W_U_DUCK = (
-    "((('0x' || substr(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
-    " % 1000000) + 0.5) / 1000000.0"
+    f"(({md5_long_duck('CAST(doc_id AS VARCHAR)')} % 1000000) + 0.5) / 1000000.0"
 )
 
 

@@ -147,3 +147,40 @@ def test_weighted_sample_biased_and_deterministic(spark, sf_dir):
     # weight = n_chars, so long docs are overrepresented; a uniform sample
     # matches the corpus mean in expectation, the weighted one must exceed it
     assert sample_mean > corpus_mean
+
+
+def test_chunker_drops_null_text_docs(spark):
+    """NULL-text documents produce NO chunks: without the filter,
+    F.greatest skips the NULL size and resurrects start=1, emitting a
+    phantom chunk whose chunk_text is '' on Spark but NULL in SQL —
+    both a garbage row for the embedding stage and a cross-engine
+    divergence the fixtures (never-NULL text) cannot catch."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id long, text string"
+    )
+    out = chunk_docs(docs).collect()
+    assert {r["doc_id"] for r in out} == {2}
+
+
+def test_containment_denominator_is_uncapped_vocab(spark):
+    """The df cap bounds the INTERSECTION join, not the denominator: a
+    doc whose vocabulary is mostly common (capped-away) tokens must
+    not read as contained just because its few rare tokens are shared.
+    cap=2 here: c1..c3 (df=4) are capped away for doc A, leaving
+    rare={x,y}; B shares both. A capped denominator would report
+    C(A->B)=2/2=1.0; the full-vocab denominator reports 2/5=0.4."""
+    rows = [
+        (1, "x y c1 c2 c3"),          # A
+        (2, "x y q r s t u v"),       # B
+        (3, "c1 c2 c3"),
+        (4, "c1 c2 c3"),
+        (5, "c1 c2 c3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(docs, cap=2, threshold=0.1).collect()
+    }
+    assert got.get((1, 2)) == 0.4
+    high = containment_pairs(docs, cap=2, threshold=0.8).collect()
+    assert (1, 2) not in {(r["doc_a"], r["doc_b"]) for r in high}
