@@ -180,6 +180,15 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _content_fingerprint():
+    """Reorder-invariant token-SET fingerprint — the one definition of
+    "same content" shared by the cross-source dedup audit and the
+    governance overlap matrix, so they can never silently disagree."""
+    return F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    )
+
+
 @register(
     "dedup_cross_source",
     oracle="""
@@ -198,11 +207,8 @@ FROM fp GROUP BY f HAVING COUNT(DISTINCT source) > 1
 )
 def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    fp = F.md5(
-        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
-    )
     return (
-        docs.groupBy(fp.alias("fingerprint"))
+        docs.groupBy(_content_fingerprint().alias("fingerprint"))
         .agg(
             F.min("doc_id").alias("keep_id"),
             F.count("*").alias("n_copies"),
@@ -383,7 +389,6 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sel = select_contamination_free(spark, sf_dir)
     survivors = sel.join(keepers, "doc_id")
-    w_pack = W.partitionBy(F.col("doc_id") % _PACK_SHARDS).orderBy("doc_id")
     return survivors.select(
         "doc_id",
         "lang",
@@ -619,8 +624,6 @@ FROM flags
 """,
 )
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .text import _SEL_HASH, _SEL_RATES, _STOPWORDS  # noqa: F401
-
     docs = t(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     stats = tok.groupBy("doc_id").agg(
@@ -753,25 +756,25 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-set fingerprint (dedup_cross_source's), distinct per
     (source, fingerprint) so within-source copies count once.
 
-    Scale shape: ONE fingerprint shuffle; the self-join keys on the
-    16-byte digest, so pairs exist only where content actually
-    collides — never source×source×docs. At PB scale the HLL twin
-    (agg_hll_intersect per source pair over these fingerprints) drops
-    even that join to sketch arithmetic.
+    Scale shape: ONE fingerprint shuffle — collect_set(source) per
+    digest replaces the earlier digest self-join entirely (and the
+    eager localCheckpoint it needed to avoid computing the fingerprint
+    scan twice: this form is fully lazy like every other registry
+    operator). The per-digest source set is bounded by the source
+    count, never by docs, and pair expansion is in-row. At PB scale
+    the HLL twin (agg_hll_intersect per source pair over these
+    fingerprints) drops even this to sketch arithmetic.
     """
     docs = t(spark, sf_dir, "documents")
-    fp = F.md5(
-        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    g = (
+        docs.select("source", _content_fingerprint().alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
     )
-    fps = (
-        docs.select("source", fp.alias("fingerprint"))
-        .distinct()
-        .localCheckpoint(eager=True)  # both self-join sides
-    )
-    a = fps.select(F.col("source").alias("source_a"), "fingerprint")
-    b = fps.select(F.col("source").alias("source_b"), "fingerprint")
     return (
-        a.join(b, "fingerprint")
+        g.select(F.explode("srcs").alias("source_a"), "srcs")
+        .select("source_a", F.explode("srcs").alias("source_b"))
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("shared_docs"))

@@ -15,7 +15,7 @@ oracle-verifies individually):
   {"op": "quality_gate", "min_tokens": N, "max_mean_len": X}
   {"op": "dedup_exact"}                    — first doc per content digest
   {"op": "sample_hash", "permille": N}     — deterministic hash-mod rate
-  {"op": "domain_cap", "per_source": N}    — best-N per source, md5 rank
+  {"op": "domain_cap", "per_source": N}    — longest-N per source
   {"op": "gopher_gate", ...}               — Gopher rule battery (map-only,
         thresholds override llm/quality.py defaults)
   {"op": "entropy_gate", "min_entropy": X} — char-entropy floor (gibberish
@@ -28,16 +28,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-_HASH = (
-    "cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10)"
-    " AS bigint)"
-)
+from ..hashing import md5_long_sql
+
+_HASH = md5_long_sql("cast(doc_id AS string)")
 
 
 def _normalize(df: DataFrame, stage: dict) -> DataFrame:
+    # trim AFTER the \s+ collapse (text_normalize's order): F.trim
+    # strips only spaces, so trimming first leaves a residual edge
+    # space when the text starts/ends with a tab or newline — two docs
+    # identical up to edge whitespace would then fingerprint apart and
+    # survive the dedup_exact stage as duplicates.
     return df.withColumn(
         "text",
-        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
     )
 
 
@@ -73,7 +77,14 @@ def _sample_hash(df: DataFrame, stage: dict) -> DataFrame:
 
 
 def _domain_cap(df: DataFrame, stage: dict) -> DataFrame:
-    w = Window.partitionBy("source").orderBy(F.expr(_HASH), F.col("doc_id"))
+    # best-N = LONGEST-first, the same deterministic priority the
+    # oracle-verified curation_domain_cap operator uses (n_chars DESC,
+    # doc_id) — an md5 rank here would silently keep N hash-random
+    # docs per source instead of the N best. n_chars is derived from
+    # the (possibly normalized) text so the stage works mid-pipeline.
+    w = Window.partitionBy("source").orderBy(
+        F.length("text").desc(), F.col("doc_id")
+    )
     return (
         df.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= int(stage["per_source"]))
@@ -95,7 +106,10 @@ def _entropy_gate(df: DataFrame, stage: dict) -> DataFrame:
     from .quality import char_entropy_cols
 
     _, ent = char_entropy_cols()
-    return df.filter(ent >= float(stage["min_entropy"]))
+    # threshold the 4dp-ROUNDED entropy, exactly as the oracle-verified
+    # text_char_entropy reports it — gating the raw value would drop a
+    # boundary doc the published operator keeps
+    return df.filter(F.round(ent, 4) >= float(stage["min_entropy"]))
 
 
 _STAGES = {
@@ -131,6 +145,20 @@ _STAGE_KEYS = {
     },
     "entropy_gate": {"min_entropy"},
 }
+
+# Keys a stage cannot function without: their absence is the same
+# silent-disable (or bare-KeyError) class the unknown-key check exists
+# to prevent. quality_gate must carry at least one threshold — an
+# empty one filters nothing, which is never what a config author
+# meant. (An empty gopher_gate IS meaningful: quality.gopher_keep
+# applies the full default rule battery.)
+_STAGE_REQUIRED = {
+    "lang_filter": {"langs"},
+    "sample_hash": {"permille"},
+    "domain_cap": {"per_source"},
+    "entropy_gate": {"min_entropy"},
+}
+_STAGE_AT_LEAST_ONE = {"quality_gate"}
 
 
 def run_pipeline(docs: DataFrame, spec: dict, observe: bool = False):
@@ -168,6 +196,18 @@ def run_pipeline(docs: DataFrame, spec: dict, observe: bool = False):
             raise ValueError(
                 f"unknown parameter(s) {sorted(extra)} for pipeline "
                 f"stage {op!r} (allowed: {sorted(_STAGE_KEYS[op])})"
+            )
+        missing = _STAGE_REQUIRED.get(op, set()) - set(stage)
+        if missing:
+            raise ValueError(
+                f"missing required parameter(s) {sorted(missing)} for "
+                f"pipeline stage {op!r}"
+            )
+        if op in _STAGE_AT_LEAST_ONE and not (set(stage) - {"op"}):
+            raise ValueError(
+                f"pipeline stage {op!r} has no thresholds — an empty "
+                f"gate filters nothing; set at least one of "
+                f"{sorted(_STAGE_KEYS[op])}"
             )
         out = tap(_STAGES[op](out, stage), f"{i}:{op}")
     if observe:

@@ -414,7 +414,7 @@ def test_pipeline_spec_runner(spark, sf_dir):
     got = {r["doc_id"] for r in run_pipeline(docs, spec).collect()}
 
     norm = docs.withColumn(
-        "text", F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        "text", F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     )
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     dedup = (
@@ -423,7 +423,11 @@ def test_pipeline_spec_runner(spark, sf_dir):
     filt = dedup.filter(F.col("lang").isin("en", "de")).filter(
         F.size(F.split("text", " ")) >= 5
     ).filter(F.expr(_HASH) % 1000 < 700)
-    wc = Window.partitionBy("source").orderBy(F.expr(_HASH), F.col("doc_id"))
+    # domain_cap keeps the LONGEST docs per source (the verified
+    # curation_domain_cap priority), not a hash-random N
+    wc = Window.partitionBy("source").orderBy(
+        F.length("text").desc(), F.col("doc_id")
+    )
     want = {
         r["doc_id"]
         for r in filt.withColumn("rk", F.row_number().over(wc))
@@ -500,3 +504,35 @@ def test_pipeline_observed_funnel(spark, sf_dir):
     assert got["0:lang_filter"] == s1.count()
     assert got["1:dedup_exact"] == s2.count()
     assert got["2:sample_hash"] == final_rows
+
+
+def test_pipeline_spec_validation_guards(spark, sf_dir):
+    """Config errors surface at bind time: missing required keys and
+    an empty quality_gate (which would silently filter nothing) raise
+    with the stage named — not a bare KeyError from deep inside a
+    stage builder, and never a silently-disabled gate."""
+    import pytest
+    from chess_pos_db_spark.llm.spec import run_pipeline
+    from chess_pos_db_spark.tables import t
+
+    docs = t(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="missing required.*langs"):
+        run_pipeline(docs, {"stages": [{"op": "lang_filter"}]})
+    with pytest.raises(ValueError, match="quality_gate.*no thresholds"):
+        run_pipeline(docs, {"stages": [{"op": "quality_gate"}]})
+    # an empty gopher_gate IS valid: it applies the default battery
+    assert run_pipeline(docs, {"stages": [{"op": "gopher_gate"}]}).count() > 0
+
+
+def test_spec_normalize_collapses_edge_tabs(spark):
+    """Edge tabs/newlines normalize identically to their absence —
+    trim-before-collapse left a residual leading space that split two
+    otherwise-identical docs across different exact-dedup digests."""
+    from chess_pos_db_spark.llm.spec import run_pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "\ta b\nc "), (2, "a b c")], "doc_id long, text string"
+    )
+    out = run_pipeline(docs, {"stages": [{"op": "normalize"}, {"op": "dedup_exact"}]})
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["text"] == "a b c"
