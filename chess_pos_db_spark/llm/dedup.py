@@ -936,7 +936,7 @@ dots AS (
 ),
 buckets AS (
     SELECT vec_id, tbl,
-           CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
+           CAST(SUM(CASE WHEN ROUND(dot, 6) > 0 THEN (1::BIGINT << p) ELSE 0 END)
                 AS BIGINT) AS bucket
     FROM dots GROUP BY vec_id, tbl
 ),
@@ -1151,7 +1151,7 @@ dots AS (
 ),
 buckets AS (
     SELECT vec_id,
-           CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
+           CAST(SUM(CASE WHEN ROUND(dot, 6) > 0 THEN (1::BIGINT << p) ELSE 0 END)
                 AS BIGINT) AS bucket
     FROM dots GROUP BY vec_id
 ),

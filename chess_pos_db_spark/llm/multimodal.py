@@ -85,15 +85,23 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def _blob_feature(blob: bytes) -> np.ndarray:
+    """blob → the canonical 16-bin intensity-histogram feature. ONE
+    definition, shared by featurize (near-dup buckets) and
+    media_embeddings (cross-modal retrieval) — if the feature ever
+    changes (bins, normalization), both consumers move together
+    instead of silently diverging into inconsistent feature spaces."""
+    pixels = decode_image(blob)  # stubbed codec
+    hist, _ = np.histogram(pixels, bins=16, range=(0, 256))
+    return (hist / max(1, pixels.size)).astype(np.float32)
+
+
 def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out_rows = []
         for _, row in pdf.iterrows():
             blob = bytes(row["blob"])
-            pixels = decode_image(blob)  # stubbed codec
-            # 16-bin intensity histogram as the feature vector
-            hist, _ = np.histogram(pixels, bins=16, range=(0, 256))
-            feat = (hist / max(1, pixels.size)).astype(np.float32)
+            feat = _blob_feature(blob)
             out_rows.append(
                 {
                     "media_id": row["media_id"],
@@ -292,12 +300,11 @@ def _media_plane(p: int) -> list:
     ]
 
 
-def _media_dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+# shared with the embedding operators — one dot/cosine definition
+# repo-wide (llm/similarity.py), so a null-handling or cast fix there
+# cannot silently miss the media path
+from .similarity import _dot as _media_dot  # noqa: E402
+from .similarity import cosine as _media_cosine  # noqa: E402
 
 
 def media_near_dup(
@@ -305,7 +312,14 @@ def media_near_dup(
 ) -> DataFrame:
     """(media_a, media_b, cos_sim) candidate pairs from sign buckets,
     exact-cosine-verified at `threshold` (media_a < media_b)."""
-    feats = featurize(media).select("media_id", "feature")
+    # materialize once: the bucket self-join consumes this twice with
+    # different projections (no exchange reuse), and featurize's
+    # decode+histogram Arrow pass is the dominant cost — without the
+    # checkpoint every blob decodes twice
+    feats = (
+        featurize(media).select("media_id", "feature")
+        .localCheckpoint(eager=True)
+    )
     bucket = F.lit(0).cast("long")
     for p in range(_MEDIA_PLANES):
         plane = F.array(*[F.lit(x) for x in _media_plane(p)])
@@ -322,10 +336,7 @@ def media_near_dup(
         F.col("feature").alias("feat_b"),
         "bucket",
     )
-    cos = _media_dot(F.col("feat_a"), F.col("feat_b")) / (
-        F.sqrt(_media_dot(F.col("feat_a"), F.col("feat_a")))
-        * F.sqrt(_media_dot(F.col("feat_b"), F.col("feat_b")))
-    )
+    cos = _media_cosine(F.col("feat_a"), F.col("feat_b"))
     return (
         a_side.join(b_side, "bucket")
         .filter(F.col("media_a") < F.col("media_b"))
@@ -499,31 +510,48 @@ def decode_frame(blob: bytes, frame_ts_ms: int) -> np.ndarray:
 
 
 def frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Sampled frames → 4-quadrant mean-intensity features (one Arrow
-    pass over (media, frame_ts) rows; blob joins in by media_id)."""
-    frames = frame_sample(media, every_ms).join(
-        media.select("media_id", "blob"), "media_id"
+    """Sampled frames → 4-quadrant mean-intensity features.
+
+    ONE blob row per video enters the Arrow pass, carrying the sampled
+    timestamp LIST (frame_sample's range kept in-row, not exploded);
+    the per-frame fan-out happens inside the batch loop. Exploding
+    first and joining the blob in would ship one full copy of the blob
+    per frame — a 2-hour video at every_ms=1000 is 7200 blob copies —
+    which is what the section's "per frame only a 4-float feature row
+    survives" claim forbids. Map-only: zero shuffles."""
+    frames = (
+        media.filter(F.col("kind") == "video")
+        .filter(F.col("duration_ms") > 0)
+        .select(
+            "media_id",
+            "blob",
+            F.sequence(
+                F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms)
+            ).alias("ts_list"),
+        )
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
             for _, row in pdf.iterrows():
-                px = decode_frame(bytes(row["blob"]), int(row["frame_ts_ms"]))
-                qh, qw = px.shape[0] // 2, px.shape[1] // 2
-                quad = [
-                    float(px[:qh, :qw].mean()),
-                    float(px[:qh, qw:].mean()),
-                    float(px[qh:, :qw].mean()),
-                    float(px[qh:, qw:].mean()),
-                ]
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "frame_ts_ms": row["frame_ts_ms"],
-                        "quad": quad,
-                    }
-                )
+                blob = bytes(row["blob"])
+                for ts in row["ts_list"]:
+                    px = decode_frame(blob, int(ts))
+                    qh, qw = px.shape[0] // 2, px.shape[1] // 2
+                    quad = [
+                        float(px[:qh, :qw].mean()),
+                        float(px[:qh, qw:].mean()),
+                        float(px[qh:, :qw].mean()),
+                        float(px[qh:, qw:].mean()),
+                    ]
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_ts_ms": int(ts),
+                            "quad": quad,
+                        }
+                    )
             yield pd.DataFrame(out)
 
     return frames.mapInPandas(batches, schema=FRAME_FEATURE_SCHEMA)
@@ -643,11 +671,7 @@ def media_embeddings(media: DataFrame) -> DataFrame:
         for pdf in it:
             out = []
             for _, row in pdf.iterrows():
-                blob = bytes(row["blob"])
-                pixels = decode_image(blob)
-                hist, _ = np.histogram(pixels, bins=16, range=(0, 256))
-                feat = (hist / max(1, pixels.size)).astype(np.float32)
-                emb = proj @ feat
+                emb = proj @ _blob_feature(bytes(row["blob"]))
                 out.append(
                     {"media_id": row["media_id"], "embedding": emb.tolist()}
                 )
@@ -670,20 +694,7 @@ def cross_modal_topk(
     llm/similarity.similarity_topk, media side instead of corpus."""
     emb = media_embeddings(media)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    dot = F.aggregate(
-        F.zip_with(F.col("embedding"), qlit, lambda a, b: a.cast("double") * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm_m = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("embedding"), lambda a: a.cast("double") * a),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    qn = float(np.sqrt(sum(float(x) * float(x) for x in query_vec))) or 1.0
-    cos = dot / (norm_m * F.lit(qn))
+    cos = _media_cosine(F.col("embedding"), qlit)
     return (
         emb.select("media_id", F.round(cos, 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("media_id"))

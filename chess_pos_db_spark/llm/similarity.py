@@ -153,7 +153,12 @@ def sign_lsh_bucket(
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         plane_arr = F.array(*[F.lit(x) for x in _plane(table * n_planes + p)])
-        dot = _dot(vec_col, plane_arr)
+        # round before the sign: LN/EXP-free but still float — Spark's
+        # sequential fold and DuckDB's unordered SUM can differ in the
+        # last ulp, and an unguarded `> 0` on a near-zero dot would
+        # flip the bucket bit between engines (the same 6dp discipline
+        # the IVF cell assignment applies)
+        dot = F.round(_dot(vec_col, plane_arr), 6)
         bit = F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket + F.shiftleft(bit, p)
     return bucket
@@ -180,7 +185,7 @@ dots AS (
 ),
 buckets AS (
     SELECT vec_id,
-           CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
+           CAST(SUM(CASE WHEN ROUND(dot, 6) > 0 THEN (1::BIGINT << p) ELSE 0 END)
                 AS BIGINT) AS bucket
     FROM dots GROUP BY vec_id
 )"""
@@ -394,6 +399,10 @@ def _ivf_query(
     bucketed = emb.join(cells, "vec_id")
 
     qrow = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").head()
+    if qrow is None:
+        raise ValueError(
+            f"IVF query: vec_id {_QUERY_VEC_ID} not found in embeddings"
+        )
     probe_cells = _probe_cells(qrow.embedding, centroids, cnorms, nprobe)
 
     q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
@@ -525,6 +534,11 @@ def ivf_query_layout(
         .select("embedding")
         .head()
     )
+    if qrow is None:
+        raise ValueError(
+            f"IVF layout query: vec_id {query_vec_id} not found in "
+            f"layout {layout_dir!r}"
+        )
     probe = _probe_cells(qrow.embedding, centroids, cnorms, nprobe)
     q = spark.createDataFrame([(list(qrow.embedding),)], "qv array<float>")
     return (
@@ -660,6 +674,14 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
     x = np.array([r.embedding for r in rows], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.where(norms == 0, 1.0, norms)
+    if x.shape[1] % _PQ_M:
+        # integer division would silently DROP the trailing dims from
+        # both the codebooks and the query LUT — recall degrades with
+        # no error; fail loudly like the _PQ_K sample check above
+        raise ValueError(
+            f"PQ: embedding dim {x.shape[1]} is not divisible by "
+            f"_PQ_M={_PQ_M} subquantizers"
+        )
     d_sub = x.shape[1] // _PQ_M
     books = np.zeros((_PQ_M, _PQ_K, d_sub))
     for m in range(_PQ_M):
@@ -715,10 +737,12 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     books = _pq_codebooks(spark, sf_dir)
-    qvec = np.array(
-        emb.filter(F.col("vec_id") == _QUERY_VEC_ID).head().embedding,
-        dtype=np.float64,
-    )
+    qrow = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).head()
+    if qrow is None:
+        raise ValueError(
+            f"PQ query: vec_id {_QUERY_VEC_ID} not found in embeddings"
+        )
+    qvec = np.array(qrow.embedding, dtype=np.float64)
     qn = np.linalg.norm(qvec)
     qnorm = qvec / (qn if qn else 1.0)
     d_sub = len(qvec) // _PQ_M
@@ -781,7 +805,15 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = _PR_ITERS) -> Data
     weight 1/out_degree each.
     """
     n = nodes.count()
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # checkpoint deg too: the per-iteration dangling-mass action joins
+    # against it, and an un-checkpointed deg replays the whole upstream
+    # edge-producer plan (the full kNN-graph build when called from
+    # graph_pagerank) every round — the triangle_counts replay class
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     ed = edges.join(deg, "src").localCheckpoint()
     ranks = nodes.select("vec_id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     for _ in range(iters):

@@ -45,6 +45,19 @@ def test_stream_session_equals_batch(spark, events_dir):
     assert _rows(got) == _rows(want)
 
 
+def test_stream_sliding_equals_batch(spark, events_dir):
+    """sliding_counts was the one shared window transformation without
+    a batch≡stream pin (tumbling and session had them) — a
+    streaming-specific regression in the overlapping-window path would
+    otherwise pass CI on the batch oracle alone."""
+    from chess_pos_db_spark.streaming.windows import sliding_counts
+
+    stream = jobs.read_events_stream(spark, events_dir)
+    got = jobs.run_available_now(sliding_counts(stream), "complete")
+    want = sliding_counts(spark.read.parquet(events_dir))
+    assert _rows(got) == _rows(want)
+
+
 def test_stream_dedup_equals_batch(spark, events_dir):
     stream = jobs.read_events_stream(spark, events_dir)
     got = jobs.run_available_now(
