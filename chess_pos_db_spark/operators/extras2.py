@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..hashing import knuth_permille_sql
 from ..registry import register
 from ..tables import t
 
@@ -690,7 +691,7 @@ _AQP_Q = 0.1  # inclusion probability of the hash sample
 WITH s AS (
     SELECT o_orderpriority, o_totalprice
     FROM orders
-    WHERE (o_orderkey % 1000003) * 2654435761 % 1000 < {int(_AQP_Q * 1000)}
+    WHERE {knuth_permille_sql("o_orderkey")} < {int(_AQP_Q * 1000)}
 )
 SELECT o_orderpriority,
        CAST(ROUND(COUNT(*) / {_AQP_Q}) AS BIGINT)        AS est_rows,
@@ -709,7 +710,7 @@ def agg_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     q = _AQP_Q
     s = o.filter(
-        (F.col("o_orderkey") % 1000003) * 2654435761 % 1000 < int(q * 1000)
+        F.expr(knuth_permille_sql("o_orderkey")) < int(q * 1000)
     )
     total = F.sum("o_totalprice") / q
     var = F.sum(F.col("o_totalprice") * F.col("o_totalprice")) * (1 - q) / (q * q)

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..hashing import md5_long_duck, md5_long_sql
+from ..hashing import knuth_permille_sql, md5_long_duck, md5_long_sql
 from ..registry import register
 from ..tables import t
 
@@ -179,10 +179,10 @@ def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as a plain predicate and needs no shuffle).
 @register(
     "sample_hash",
-    oracle="""
+    oracle=f"""
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
-WHERE (o_orderkey % 1000003) * 2654435761 % 1000 < 100
+WHERE {knuth_permille_sql("o_orderkey")} < 100
 """,
 )
 def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,7 +190,7 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the arithmetic is engine-portable (production would use xxhash64 —
     # see hash_keys_native — which DuckDB lacks).
     o = t(spark, sf_dir, "orders")
-    h = (F.col("o_orderkey") % 1000003) * F.lit(2654435761) % 1000
+    h = F.expr(knuth_permille_sql("o_orderkey"))
     return o.filter(h < 100).select("o_orderkey", "o_custkey", "o_totalprice")
 
 

@@ -44,3 +44,52 @@ def test_transposition_invariant_eco(spark):
     a = spark.sql("SELECT eco_code('d4 Nf6 c4') AS e").first().e
     b = spark.sql("SELECT eco_code('c4 Nf6 d4') AS e").first().e
     assert a == b == "E00"
+
+
+def test_grouped_map_normalize_null_domain():
+    """Zero-variance (or single-row) groups must yield NULL norm_value
+    like SQL division by zero/NULL — never inf/NaN — and the rounding
+    is half-away-from-zero like SQL ROUND, not pandas half-to-even."""
+    import pandas as pd
+
+    from chess_pos_db_spark.functions.udfs import _normalize
+
+    flat = pd.DataFrame(
+        {"event_id": [1, 2], "event_type": ["a", "a"], "value": [5.0, 5.0]}
+    )
+    assert _normalize(flat)["norm_value"].isna().all()
+    single = pd.DataFrame(
+        {"event_id": [1], "event_type": ["a"], "value": [5.0]}
+    )
+    assert _normalize(single)["norm_value"].isna().all()
+
+
+def test_clamp_udf_null_propagates():
+    """A NULL input must stay NULL (the oracle spells the same out with
+    CASE); without the guard max(None, 10.0) raises TypeError and the
+    whole task fails."""
+    from chess_pos_db_spark.functions.udfs import _clamp_py
+
+    assert _clamp_py(None) is None
+    assert _clamp_py(5.0) == 10.0
+    assert _clamp_py(50.0) == 40.0
+    assert _clamp_py(25.0) == 25.0
+
+
+def test_events_anomaly_zero_variance_type(spark, sf_dir, tmp_path):
+    """A zero-variance event_type (stddev 0) must not blow up the whole
+    query under Spark 4's default ANSI mode — the z divides via
+    try_divide and those rows carry NULL, exactly like the oracle."""
+    import chess_pos_db_spark as engine
+    from chess_pos_db_spark.tables import t
+    from pyspark.sql import functions as F
+
+    e = t(spark, sf_dir, "events")
+    flat = e.withColumn(
+        "value",
+        F.when(F.col("event_type") == e.select("event_type").first()[0], 1.0)
+        .otherwise(F.col("value")),
+    )
+    flat.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    rows = engine.get_queries()["events_anomaly"](spark, str(tmp_path)).collect()
+    assert len(rows) == 10  # ran to completion, no DIVIDE_BY_ZERO
