@@ -72,32 +72,73 @@ class PgnInputPartition(InputPartition):
     end: int
 
 
+def _expand_pgn_paths(raw: str) -> list[str]:
+    """path | glob | directory → sorted absolute .pgn file list. ONE
+    expansion used by the batch AND stream readers — they had diverged:
+    the stream's glob branch did not expand matched DIRECTORIES, so a
+    glob hitting a subdirectory planned byte-range partitions over the
+    directory inode and permanently wedged the stream (IsADirectoryError
+    on a poison batch already in the checkpoint)."""
+    import glob
+    import os
+
+    paths = sorted(glob.glob(raw)) if any(c in raw for c in "*?[") else (
+        [raw] if os.path.exists(raw) else []
+    )
+    expanded: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            expanded.extend(
+                sorted(
+                    os.path.join(p, f)
+                    for f in os.listdir(p)
+                    if f.endswith(".pgn")
+                )
+            )
+        else:
+            expanded.append(p)
+    return [os.path.abspath(p) for p in expanded]
+
+
+def _chunk_rows(partition: "PgnInputPartition"):
+    """Per-chunk row generator shared by the batch and stream readers
+    (module-level on purpose: the stream reader used to call the batch
+    reader's method UNBOUND with itself as self, which only worked
+    while the body never touched instance state)."""
+    for offset, text in pgn.chunk_game_slices(
+        partition.path, partition.start, partition.end
+    ):
+        if not pgn.game_is_kept(text):
+            continue
+        g = pgn.parse_game(text)
+        yield (
+            partition.path,
+            partition.file_idx,
+            offset,
+            g["tags"],
+            g["sans"],
+            g["result"],
+            g["year"],
+            g["month"],
+            g["day"],
+        )
+
+
 class PgnDataSourceReader(DataSourceReader):
     def __init__(self, options: dict):
-        import glob
         import os
 
         raw = options.get("path")
         if not raw:
             raise ValueError("pgn source requires a path")
-        paths = sorted(glob.glob(raw)) if any(
-            c in raw for c in "*?["
-        ) else [raw]
-        expanded: list[str] = []
-        for p in paths:
-            if os.path.isdir(p):
-                expanded.extend(
-                    sorted(
-                        os.path.join(p, f)
-                        for f in os.listdir(p)
-                        if f.endswith(".pgn")
-                    )
-                )
-            else:
-                expanded.append(p)
+        expanded = _expand_pgn_paths(raw)
+        if not expanded and not any(c in raw for c in "*?["):
+            # keep the batch contract: a plain missing path is an error
+            # here, not a silent empty frame
+            expanded = [raw]
         if not expanded:
             raise ValueError(f"pgn source matched no files: {raw}")
-        self._files = [os.path.abspath(p) for p in expanded]
+        self._files = expanded
         self._chunk_bytes = int(
             options.get("chunk_bytes", DEFAULT_CHUNK_BYTES)
         )
@@ -112,23 +153,7 @@ class PgnDataSourceReader(DataSourceReader):
         return out
 
     def read(self, partition: PgnInputPartition) -> Iterator[tuple]:
-        for offset, text in pgn.chunk_game_slices(
-            partition.path, partition.start, partition.end
-        ):
-            if not pgn.game_is_kept(text):
-                continue
-            g = pgn.parse_game(text)
-            yield (
-                partition.path,
-                partition.file_idx,
-                offset,
-                g["tags"],
-                g["sans"],
-                g["result"],
-                g["year"],
-                g["month"],
-                g["day"],
-            )
+        return _chunk_rows(partition)
 
 
 class PgnDataSource(DataSource):
@@ -186,21 +211,10 @@ class PgnStreamReader(DataSourceStreamReader):
         self._chunk_bytes = int(options.get("chunk_bytes", DEFAULT_CHUNK_BYTES))
 
     def _current_files(self) -> list[str]:
-        import glob
-        import os
-
         raw = self._options.get("path")
         if not raw:
             raise ValueError("pgn source requires a path")
-        if os.path.isdir(raw):
-            return sorted(
-                os.path.abspath(os.path.join(raw, f))
-                for f in os.listdir(raw)
-                if f.endswith(".pgn")
-            )
-        if any(c in raw for c in "*?["):
-            return sorted(os.path.abspath(p) for p in glob.glob(raw))
-        return [os.path.abspath(raw)] if os.path.exists(raw) else []
+        return _expand_pgn_paths(raw)
 
     def initialOffset(self) -> dict:
         return {"seen": []}
@@ -208,9 +222,17 @@ class PgnStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         import os
 
-        return {
-            "seen": [[p, os.path.getsize(p)] for p in self._current_files()]
-        }
+        seen = []
+        for p in self._current_files():
+            try:
+                seen.append([p, os.path.getsize(p)])
+            except FileNotFoundError:
+                # listdir/getsize race: a transient file vanished before
+                # ever being recorded in a committed offset — skipping
+                # it loses nothing (it will be picked up if it returns);
+                # crashing the stream on it would be pure fragility
+                continue
+        return {"seen": seen}
 
     @staticmethod
     def _seen_map(offset: dict) -> dict:
@@ -237,21 +259,39 @@ class PgnStreamReader(DataSourceStreamReader):
                     f"game_ids; files are immutable once visible"
                 )
             new_size = end_seen.get(path)
-            if old_size is not None and new_size is not None and new_size > old_size:
+            if old_size is not None and new_size is not None and new_size != old_size:
+                # != not >: a SHRUNK/rewritten file is just as much an
+                # immutability violation — a crash-replay would re-read
+                # different content than the committed plan imported,
+                # silently corrupting (file_idx, game_offset) ids
                 raise ValueError(
-                    f"pgn stream source: {path!r} grew from {old_size} to "
-                    f"{new_size} bytes after being imported — files must be "
-                    f"immutable once visible (write to a temp name, then "
-                    f"rename into the watched directory)"
+                    f"pgn stream source: {path!r} changed size from "
+                    f"{old_size} to {new_size} bytes after being imported "
+                    f"— files must be immutable once visible (write to a "
+                    f"temp name, then rename into the watched directory)"
                 )
         new = [p for p in end_seen if p not in start_seen]
         out = []
         base = len(start_seen)  # cumulative file count → unique file_idx
+        import os
+
         for i, path in enumerate(new):
+            size = end_seen[path]
+            if size is None:
+                # legacy plain-path offset entry (pre-size format): the
+                # recorded offset has no size, so fall back to the live
+                # file — with a clear error if it is gone, instead of a
+                # TypeError from integer arithmetic on None
+                try:
+                    size = os.path.getsize(path)
+                except FileNotFoundError:
+                    raise ValueError(
+                        f"pgn stream source: legacy offset entry "
+                        f"{path!r} has no recorded size and the file no "
+                        f"longer exists — cannot replay this batch"
+                    ) from None
             out.extend(
-                _chunk_partitions(
-                    path, base + i, end_seen[path], self._chunk_bytes
-                )
+                _chunk_partitions(path, base + i, size, self._chunk_bytes)
             )
         # the API requires >= 1 partition per plan; an empty batch reads
         # an empty byte range
@@ -262,9 +302,7 @@ class PgnStreamReader(DataSourceStreamReader):
     def read(self, partition: PgnInputPartition):
         if partition.end <= partition.start:
             return iter(())
-        # same per-chunk row logic as the batch reader (the method only
-        # touches the partition, so it is shared unbound)
-        return PgnDataSourceReader.read(self, partition)
+        return _chunk_rows(partition)
 
     def commit(self, end: dict) -> None:
         pass  # the checkpoint already persisted `end`

@@ -42,14 +42,24 @@ def write_sorted_run(
     key: Sequence[str],
     partitions: int = 32,
     mode: str = "overwrite",
+    file_format: str = "parquet",
+    options: dict | None = None,
 ) -> None:
-    """Write `df` as a key-clustered sorted run (reference: store())."""
-    (
+    """Write `df` as a key-clustered sorted run (reference: store()).
+
+    `file_format`/`options` let alternate containers (ORC via
+    sources/formats.write_orc_run) share THIS layout pipeline instead
+    of re-implementing it — one place owns the run discipline, and
+    every container gets the manifest that read_manifest/pruned reads
+    depend on."""
+    writer = (
         df.repartitionByRange(partitions, *[F.col(k) for k in key])
         .sortWithinPartitions(*key)
         .write.mode(mode)
-        .parquet(path)
     )
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.format(file_format).save(path)
     _write_manifest(path, key)
 
 

@@ -91,13 +91,18 @@ def write_orc_run(
     optional bloom per column), so a key-clustered ORC run serves the
     probe-join workload identically; which container wins is a
     deployment question (existing lakes, Hive compatibility), not an
-    engine one. Same layout discipline as plans/layout.write_sorted_run."""
-    (
-        df.repartitionByRange(partitions, *[F.col(k) for k in key])
-        .sortWithinPartitions(*key)
-        .write.mode("overwrite")
-        .option("orc.bloom.filter.columns", ",".join(key))
-        .orc(path)
+    engine one. Delegates to plans/layout.write_sorted_run so the run
+    discipline (range partitioning, in-partition sort, manifest) has
+    ONE owner and ORC runs are manifest-readable like Parquet ones."""
+    from ..plans.layout import write_sorted_run
+
+    write_sorted_run(
+        df,
+        path,
+        key,
+        partitions=partitions,
+        file_format="orc",
+        options={"orc.bloom.filter.columns": ",".join(key)},
     )
 
 

@@ -55,7 +55,13 @@ def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
 
 
 def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataFrame:
-    """Run a streaming result to completion; return the sink contents."""
+    """Run a streaming result to completion; return the sink contents.
+
+    The memory-sink temp view is MATERIALIZED (driver collect — this
+    is a drive-to-completion test/tool helper, sinks are small) and
+    dropped before returning: each sink_<hex> view otherwise retains
+    its full result set on the driver for the SparkSession lifetime,
+    growing without bound across calls."""
     name = f"sink_{uuid.uuid4().hex[:8]}"
     q = (
         result.writeStream.outputMode(output_mode)
@@ -65,7 +71,11 @@ def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataF
         .start()
     )
     q.awaitTermination()
-    return result.sparkSession.sql(f"SELECT * FROM {name}")
+    spark = result.sparkSession
+    sink = spark.sql(f"SELECT * FROM {name}")
+    out = spark.createDataFrame(sink.collect(), sink.schema)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def with_watermark(e: DataFrame, delay: str = "1 hour") -> DataFrame:
@@ -77,6 +87,32 @@ def with_watermark(e: DataFrame, delay: str = "1 hour") -> DataFrame:
 def dedup_stream(e: DataFrame) -> DataFrame:
     """T6 — streaming exactly-once emission per event_id."""
     return e.dropDuplicates(["event_id"])
+
+
+def _prune_stale_epochs(base_dir: str, epoch_id: int) -> None:
+    """Remove epoch=N run directories with N > the epoch being applied.
+
+    The epoch-keyed overwrite makes SAME-epoch replay idempotent, but a
+    wiped checkpoint renumbers from 0: a rerun that produces FEWER
+    batches than the original (source files removed/merged) would leave
+    the original's high-numbered epoch dirs in place, and the
+    compaction/merge over the store would silently double-count their
+    rows. During normal operation no dir above the current epoch can
+    exist (a crashed future batch is replayed and overwrites itself),
+    so anything higher is stale by construction."""
+    import os
+    import shutil
+
+    if not os.path.isdir(base_dir):
+        return
+    for entry in os.listdir(base_dir):
+        if entry.startswith("epoch="):
+            try:
+                n = int(entry.split("=", 1)[1])
+            except ValueError:
+                continue
+            if n > epoch_id:
+                shutil.rmtree(os.path.join(base_dir, entry))
 
 
 def incremental_ingest(
@@ -104,7 +140,9 @@ def incremental_ingest(
         # at-least-once, so a replayed batch must land in the same
         # epoch=N directory (replacing itself) or the compacted
         # aggregate double-counts it. The epoch partition column is
-        # dropped by compact_runs' groupBy.
+        # dropped by compact_runs' groupBy. Stale HIGHER epochs from a
+        # wiped-checkpoint rerun are pruned first (see helper).
+        _prune_stale_epochs(runs_dir, int(epoch_id))
         (
             agg.repartitionByRange(4, "user_id", "event_type")
             .sortWithinPartitions("user_id", "event_type")
@@ -345,7 +383,9 @@ def streaming_cms(
         occ = batch_df.select(F.col("event_type").alias("token"))
         # epoch-keyed overwrite: an at-least-once replay re-lands the
         # same cells instead of appending them twice, which would
-        # silently push estimates past the eps*N guarantee
+        # silently push estimates past the eps*N guarantee; stale
+        # higher epochs from a wiped-checkpoint rerun are pruned first
+        _prune_stale_epochs(cells_dir, int(epoch_id))
         cms_cells(occ).write.mode("overwrite").parquet(
             f"{cells_dir}/epoch={int(epoch_id)}"
         )

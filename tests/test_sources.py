@@ -170,9 +170,16 @@ def test_stream_reader_rejects_grown_files_and_unique_file_idx(tmp_path):
     assert idx1 == {0, 1}
     assert idx2 == {2}  # continues, never reuses batch 1's ids
 
-    with pytest.raises(ValueError, match="grew"):
+    with pytest.raises(ValueError, match="changed size"):
         rd.partitions(
             {"seen": [[a, 30]]}, {"seen": [[a, 99], [b, 30]]}
+        )
+    # a SHRUNK/rewritten file is the same immutability violation: a
+    # crash-replay would re-read different content than the committed
+    # plan imported
+    with pytest.raises(ValueError, match="changed size"):
+        rd.partitions(
+            {"seen": [[a, 30]]}, {"seen": [[a, 12], [b, 30]]}
         )
 
     # legacy plain-path offsets still parse (size unknown -> no check)
@@ -189,3 +196,44 @@ def test_stream_reader_rejects_grown_files_and_unique_file_idx(tmp_path):
             {"seen": [[a, 30], [b, 30]]},
             {"seen": [[b, 30], [c, 30]]},
         )
+
+
+def test_stream_reader_glob_expands_directories(tmp_path):
+    """A glob that matches a SUBDIRECTORY must expand to its .pgn files
+    (as the batch reader always did) — planning a byte-range partition
+    over the directory inode wedges the stream permanently, because the
+    poison batch is already in the checkpoint on every restart."""
+    from chess_pos_db_spark.chess.datasource import PgnStreamReader
+
+    sub = tmp_path / "dump1"
+    sub.mkdir()
+    (sub / "x.pgn").write_text('[Event "x"]\n\n1. e4 e5 1-0\n')
+    rd = PgnStreamReader({"path": str(tmp_path / "*")})
+    files = rd._current_files()
+    assert files == [str(sub / "x.pgn")]
+    off = rd.latestOffset()
+    assert [e[0] for e in off["seen"]] == [str(sub / "x.pgn")]
+
+
+def test_stream_reader_legacy_new_file_size_fallback(tmp_path):
+    """A legacy plain-path offset entry appearing as a NEW file in the
+    end offset (pre-size checkpoint with an uncommitted planned batch)
+    must fall back to the live file size, not crash with a TypeError
+    from integer arithmetic on None — and a clear error if the file is
+    gone."""
+    import pytest
+
+    from chess_pos_db_spark.chess.datasource import PgnStreamReader
+
+    a = str(tmp_path / "a.pgn")
+    with open(a, "w") as fh:
+        fh.write('[Event "x"]\n\n1. e4 e5 1-0\n')
+    rd = PgnStreamReader({"path": str(tmp_path)})
+    parts = rd.partitions({"seen": []}, {"seen": [a]})
+    assert [p for p in parts if p.end > p.start]
+
+    import os
+
+    os.remove(a)
+    with pytest.raises(ValueError, match="no recorded size"):
+        rd.partitions({"seen": []}, {"seen": [a]})

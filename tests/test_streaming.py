@@ -329,3 +329,60 @@ def test_stream_stream_left_outer_join_equals_batch(spark, sf_dir, tmp_path):
     assert got == expect
     # the outer semantics actually bite: some signups never converted
     assert any(p == "None" for _, _, p in got)
+
+
+def test_incremental_ingest_wiped_checkpoint_prunes_stale_epochs(
+    spark, tmp_path
+):
+    """Epoch-keyed overwrite only protects SAME-epoch replay; a wiped
+    checkpoint renumbers from 0, and a rerun with fewer source files
+    would leave the original run's high-numbered epoch dirs behind for
+    compact_runs to silently double-count. The sink prunes stale
+    higher epochs as it applies each batch, so the recompacted result
+    equals a fresh batch aggregate over the REMAINING files."""
+    import glob
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = t(spark, "/root/testdata/sf0.001", "events").limit(40)
+    for i in range(3):
+        staged = str(tmp_path / f"stage{i}")
+        base.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        # the file stream scans FILES in src, not nested directories
+        shutil.copy(
+            glob.glob(f"{staged}/part-*.parquet")[0],
+            str(src / f"f{i}.parquet"),
+        )
+
+    runs = str(tmp_path / "runs")
+    comp = str(tmp_path / "comp")
+    first = jobs.incremental_ingest(
+        spark, str(src), runs, comp
+    ).collect()
+    assert first
+
+    # drop one source file, wipe ONLY the checkpoint, re-ingest
+    (src / "f2.parquet").unlink()
+    shutil.rmtree(runs + "_chk")
+    second = sorted(
+        tuple(r)
+        for r in jobs.incremental_ingest(
+            spark, str(src), runs, str(tmp_path / "comp2")
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(src))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("value").alias("sum_value"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .collect()
+    )
+    assert second == want  # no double-counted stale epoch
