@@ -161,7 +161,14 @@ def _parse_san_core(core: str):
     body = core
     promo = ""
     if "=" in body:
-        body, promo = body.split("=")
+        parts = body.split("=")
+        # only q/r/b/n are legal promotion pieces: 'e8=K' or 'e8=P'
+        # must be UNPARSEABLE, not a position with two kings / an
+        # eighth-rank pawn (pack_move would also KeyError on them)
+        if len(parts) != 2 or parts[1] not in "QRBNqrbn":
+            _SAN_CORE_CACHE[core] = None
+            return None
+        body, promo = parts
         promo = promo.lower()
     elif body and body[-1] in "QRBNqrbn" and body[0] in FILES:
         promo = body[-1].lower()
@@ -274,15 +281,31 @@ class Position:
         file = 0
         for ch in placement:
             if ch == "/":
+                if file != 8:
+                    raise ValueError(
+                        f"bad FEN row width {file} (expected 8): {fen!r}"
+                    )
                 rank -= 1
+                if rank < 0:
+                    raise ValueError(f"bad FEN: too many rows: {fen!r}")
                 file = 0
             elif ch.isdigit():
                 file += int(ch)
             else:
                 if ch not in PIECE_CHARS:
                     raise ValueError(f"bad FEN piece {ch!r}")
+                if file > 7:
+                    # a ninth piece would land on an off-board 0x88
+                    # slot — invisible to key()/movegen/fen(), so a
+                    # probe built from this FEN would silently query a
+                    # DIFFERENT position than the user supplied
+                    raise ValueError(
+                        f"bad FEN row wider than 8 files: {fen!r}"
+                    )
                 board[sq(file, rank)] = ch
                 file += 1
+        if file != 8 or rank != 0:
+            raise ValueError(f"bad FEN placement shape: {fen!r}")
         return cls(
             board=board,
             side=side,
@@ -393,7 +416,15 @@ class Position:
             if c in self.castling:
                 flags |= 1 << i
         packed.append(flags)
-        packed.append(sq_file(self.ep) if self.ep is not None else 0xFF)
+        # mask phantom ep exactly like key(): two encodings for one
+        # logical position would split its count across duplicate
+        # pos_cmp groups in the EPD dump while the store's pos_key
+        # already collapses them
+        packed.append(
+            sq_file(self.ep)
+            if self.ep is not None and self._ep_capturable()
+            else 0xFF
+        )
         return bytes(packed)
 
     @classmethod
@@ -808,6 +839,11 @@ class Position:
             promos = [promo] if promo else [""]
             if sq_rank(dest) == promo_rank and not promo:
                 return []  # promotion square requires a promo piece
+            if promo and sq_rank(dest) != promo_rank:
+                # the converse: a promo suffix off the last rank
+                # ('e4=Q') must be unparseable, not a move that
+                # materializes a queen mid-board
+                return []
             if capture:
                 for d in (-1, 1):
                     frm = dest - fwd + d

@@ -472,12 +472,18 @@ def explode_positions(
                 g_ern = [None] if include_eran else None
                 ok = True
                 for san in sans:
+                    # (ValueError, KeyError): illegal/ambiguous SAN
+                    # raises ValueError; a malformed-but-parsed move
+                    # reaching pack_move/eran can KeyError — either way
+                    # the validation-by-parsing contract is SKIP the
+                    # game, never kill the whole import task
                     try:
                         m, child = san_move_cached(pos, san, san_cache)
-                    except ValueError:
-                        ok = False  # illegal move → skip whole game
+                        packed = pack_move(m, captured_piece(pos, m))
+                    except (ValueError, KeyError):
+                        ok = False  # invalid move → skip whole game
                         break
-                    g_rm.append(pack_move(m, captured_piece(pos, m)))
+                    g_rm.append(packed)
                     if include_eran:
                         g_ern.append(eran_mod.describe(pos, m).text())
                     pos = child
@@ -616,8 +622,21 @@ def import_pgn(
 
     n_games = games.count()
     n_skipped = games.filter(F.col("result").isNull()).count()
-    n_positions = (
-        spark.read.parquet(f"{db_dir}/entries")
+    stored_entries = spark.read.parquet(f"{db_dir}/entries")
+    n_positions = stored_entries.agg(F.sum("cnt").alias("s")).first()["s"]
+    # Games dropped for invalid/illegal moves must be VISIBLE in the
+    # import report, not silently absent: every replayed game
+    # contributes exactly one (start-position, NO_REVERSE_MOVE) entry
+    # (a packed real move is never NO_REVERSE_MOVE, so a mid-game
+    # transposition back to the start cannot inflate this), so the
+    # imported-game count is that row group's cnt — no second replay
+    # pass, just a pruned probe of the table already written.
+    start_key = Position.from_fen(START_FEN).key()
+    n_imported = (
+        stored_entries.filter(
+            (F.col("pos_key") == start_key)
+            & (F.col("reverse_move") == NO_REVERSE_MOVE)
+        )
         .agg(F.sum("cnt").alias("s"))
         .first()["s"]
     )
@@ -625,9 +644,27 @@ def import_pgn(
     return {
         "games": n_games,
         "skipped": n_skipped,
+        "dropped_invalid": int(
+            (n_games - n_skipped) - int(n_imported or 0)
+        ),
         "positions": int(n_positions or 0),
         "db_dir": db_dir,
     }
+
+
+def _require_local(db_dir: str, op: str) -> None:
+    """append/merge maintain sidecars and staging dirs with local-FS
+    calls (os.path.isdir / shutil): on a remote URI those silently
+    report "no sidecar" and never clean staging — which would silently
+    undercount exact retraction queries. Until the maintenance path
+    speaks the Hadoop FS API, reject remote URIs LOUDLY."""
+    if "://" in db_dir:
+        raise ValueError(
+            f"{op}: db_dir {db_dir!r} is a remote URI — the append/"
+            f"merge maintenance path requires a local filesystem path "
+            f"(sidecar detection and staging cleanup are local-FS "
+            f"operations); run maintenance against a local copy"
+        )
 
 
 def append_pgn(
@@ -653,6 +690,7 @@ def append_pgn(
     import os
     import shutil
 
+    _require_local(db_dir, "append_pgn")
     runs_dir = f"{db_dir}/_append_runs_tmp"
     retr_dir = f"{db_dir}/retractions"
     retr_runs_dir = f"{db_dir}/_append_retr_tmp"
@@ -699,12 +737,15 @@ def append_pgn(
     stored_games.write.mode("append").parquet(f"{db_dir}/games")
     agg.write.mode("overwrite").parquet(runs_dir)
 
-    existing = spark.read.parquet(f"{db_dir}/entries")
-    existing.write.mode("append").parquet(runs_dir)
+    # compact [new-run, existing-entries] straight into a temp dir and
+    # swap — the earlier flow physically COPIED the whole existing
+    # entries table into the staging dir first and then rewrote
+    # everything again, doubling the I/O of every append
+    entries_tmp = f"{db_dir}/_entries_compact_tmp"
     layout.compact_runs(
         spark,
-        [runs_dir],
-        f"{db_dir}/entries",
+        [runs_dir, f"{db_dir}/entries"],
+        entries_tmp,
         key=AGG_KEY,
         agg_spec={
             "cnt": "sum",
@@ -714,6 +755,8 @@ def append_pgn(
         },
         partitions=partitions,
     )
+    shutil.rmtree(f"{db_dir}/entries")
+    os.rename(entries_tmp, f"{db_dir}/entries")
     shutil.rmtree(runs_dir, ignore_errors=True)
 
     if has_retr:
@@ -726,17 +769,17 @@ def append_pgn(
             )
         )
         new_retr.write.mode("overwrite").parquet(retr_runs_dir)
-        spark.read.parquet(retr_dir).write.mode("append").parquet(
-            retr_runs_dir
-        )
+        retr_tmp = f"{db_dir}/_retr_compact_tmp"
         layout.compact_runs(
             spark,
-            [retr_runs_dir],
-            retr_dir,
+            [retr_runs_dir, retr_dir],
+            retr_tmp,
             key=["pos_key", "reverse_move", "eran"],
             agg_spec={"cnt": "sum", "first_game_id": "min"},
             partitions=partitions,
         )
+        shutil.rmtree(retr_dir)
+        os.rename(retr_tmp, retr_dir)
         shutil.rmtree(retr_runs_dir, ignore_errors=True)
         pre.unpersist()
     games.unpersist()
@@ -768,6 +811,8 @@ def merge_databases(
     """
     import os
 
+    for d in [*db_dirs, dest_dir]:
+        _require_local(d, "merge_databases")
     bases: list[int] = []
     next_base = 0
     games_parts = []

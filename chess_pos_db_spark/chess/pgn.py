@@ -25,7 +25,19 @@ _CASTLE_FIX = str.maketrans({"0": "O"})
 
 
 def split_games(text: str) -> Iterator[str]:
-    """Split a PGN file into per-game chunks (tag section + movetext)."""
+    """Split a PGN file into per-game chunks (tag section + movetext).
+
+    KNOWN LIMITATION (shared with GameStartScanner by design): the
+    game-start rule is purely line-local — a '['-line after movetext
+    starts a new game — so a MULTI-LINE brace comment containing a
+    tag-shaped line splits one game in two. Making the rule
+    brace-aware would require unbounded lookback and break the
+    chunk-splitting reader's mid-file synchronization (comment state is
+    not locally recoverable after a byte-range seek), so both paths
+    keep the same local rule and stay byte-identical to each other —
+    the chunked ≡ sequential equivalence is the invariant the import
+    pipeline depends on. Real exporters do not emit tag-shaped lines
+    inside comments."""
     # A UTF-8 BOM would otherwise classify the first tag line as
     # movetext (it no longer starts with '['), splitting the first
     # game's tags into a bogus extra game.
@@ -123,7 +135,10 @@ def parse_game(chunk: str) -> dict:
                 tags[m.group(1)] = _unescape_tag(m.group(2))
             continue
         movetext_lines.append(s)
-    movetext = _strip_movetext(" ".join(movetext_lines))
+    # join with NEWLINES, not spaces: ';' comments run to end-of-LINE,
+    # and a space-join erased the line boundaries so one semicolon
+    # silently swallowed every later move in the game
+    movetext = _strip_movetext("\n".join(movetext_lines))
 
     sans: list[str] = []
     result: Optional[str] = None

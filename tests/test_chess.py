@@ -546,3 +546,92 @@ def test_export_pgn_uri_destination(spark, tmp_path):
     assert res["games"] == 4
     assert res["levels"] == ["human"]
     assert res["files"] >= 1
+
+
+def test_san_rejects_bad_promotions():
+    """'e8=K'/'e8=P' (illegal promo piece) and 'e4=Q' (promo suffix off
+    the last rank) must be ILLEGAL SAN — not silently accepted moves
+    that materialize a second king / mid-board queen and then KeyError
+    inside pack_move, killing the whole import task."""
+    import pytest
+
+    from chess_pos_db_spark.chess.board import Position, START_FEN
+
+    p = Position.from_fen("1k6/4P3/8/8/8/8/8/2K5 w - -")
+    for bad in ("e8=K", "e8=P", "e8=X"):
+        with pytest.raises(ValueError):
+            p.parse_san_child(bad)
+    assert p.parse_san_child("e8=Q")  # the legal form still parses
+
+    start = Position.from_fen(START_FEN)
+    mid = start.parse_san_child("e3")[1].parse_san_child("a6")[1]
+    with pytest.raises(ValueError):
+        mid.parse_san_child("e4=Q")
+    assert mid.parse_san_child("e4")  # plain push unaffected
+
+
+def test_semicolon_comment_is_line_scoped():
+    """';' comments run to end of LINE: a semicolon on move 1's line
+    must not swallow moves 2-3 and the result token (a space-join of
+    movetext lines used to erase the line boundaries)."""
+    from chess_pos_db_spark.chess import pgn
+
+    g = pgn.parse_game(
+        '[Event "x"]\n\n1. e4 e5 ; King\'s pawn\n2. Nf3 Nc6 3. Bb5 a6 1-0\n'
+    )
+    assert g["sans"] == ["e4", "e5", "Nf3", "Nc6", "Bb5", "a6"]
+    assert g["result"] == "W"
+
+
+def test_from_fen_rejects_malformed_rows():
+    """A placement row wider than 8 files must fail loudly — the ninth
+    piece would land on an off-board 0x88 slot invisible to
+    key()/movegen/fen(), so a probe built from the FEN would silently
+    query a different position than the user supplied."""
+    import pytest
+
+    from chess_pos_db_spark.chess.board import Position
+
+    with pytest.raises(ValueError, match="row|shape"):
+        Position.from_fen("rnbqkbnrn/pppppppp/8/8/8/8/PPPPPPPP/RNBQKBNR w KQkq -")
+    with pytest.raises(ValueError, match="row|shape"):
+        Position.from_fen("9/8/8/8/8/8/8/8 w - -")
+
+
+def test_compress_masks_phantom_ep():
+    """compress() masks non-capturable ep exactly like key(): one
+    logical position must map to ONE pos_cmp, or the EPD dump splits
+    its count across duplicate lines while pos_key already collapses
+    them."""
+    from chess_pos_db_spark.chess.board import Position, START_FEN
+
+    pos = Position.from_fen(START_FEN)
+    after = pos.parse_san_child("e4")[1].parse_san_child("c5")[1]
+    # black c7-c5 set ep=c6, but no white pawn can capture there
+    no_ep = Position.from_fen(" ".join(
+        f if i != 3 else "-" for i, f in enumerate(after.fen().split())
+    ))
+    assert after.key() == no_ep.key()
+    assert after.compress() == no_ep.compress()
+
+
+def test_import_reports_dropped_invalid_games(spark, tmp_path):
+    """Games dropped for invalid moves must be visible in the import
+    stats, not silently absent: 'games' counts parses, 'skipped'
+    counts unknown results, and 'dropped_invalid' counts games whose
+    replay failed."""
+    from chess_pos_db_spark.chess import importer
+
+    corrupt = (
+        '[Event "ok"]\n[Result "1-0"]\n\n1. e4 e5 1-0\n\n'
+        '[Event "bad"]\n[Result "0-1"]\n\n1. e4 e9 0-1\n\n'
+        '[Event "unknown"]\n[Result "*"]\n\n1. d4 *\n'
+    )
+    f = tmp_path / "c.pgn"
+    f.write_text(corrupt)
+    stats = importer.import_pgn(
+        spark, [(str(f), "human")], str(tmp_path / "db")
+    )
+    assert stats["games"] == 3
+    assert stats["skipped"] == 1
+    assert stats["dropped_invalid"] == 1

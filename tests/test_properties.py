@@ -44,12 +44,18 @@ def test_random_game_invariants(seed):
         # FEN round trip preserves state and key
         assert back.fen() == fen
         assert back.key() == pos.key()
-        # compression round trip preserves board/side/castling/ep/key
+        # compression round trip preserves board/side/castling/key;
+        # ep round-trips iff CAPTURABLE — compress masks phantom ep
+        # exactly like key() (X-FEN convention), so one logical
+        # position has one pos_cmp
         dec = Position.decompress(pos.compress())
         assert dec.board == pos.board
         assert dec.side == pos.side
         assert dec.castling == pos.castling
-        assert dec.ep == pos.ep  # ep RANK was decompressed wrong once
+        want_ep = pos.ep if (
+            pos.ep is not None and pos._ep_capturable()
+        ) else None
+        assert dec.ep == want_ep  # ep RANK was decompressed wrong once
         assert dec.key() == pos.key()
         # exactly one king each
         flat = [p for p in pos.board if p]
@@ -190,22 +196,32 @@ def test_key_accepts_noncanonical_castling_order():
 
 
 def test_compress_roundtrip_preserves_ep():
-    """Regression: decompress rebuilt the ep target on the wrong rank
-    (5/2 swapped for side-to-move), corrupting every EPD dump of a
-    position with an ep square and flipping zobrist keys."""
+    """Regression (two layers): decompress once rebuilt the ep target
+    on the wrong rank (5/2 swapped for side-to-move); and compress once
+    stored PHANTOM ep that key() masks, so one logical position had
+    multiple pos_cmp encodings splitting its EPD count. Contract now:
+    capturable ep round-trips on the correct rank; phantom ep is
+    masked identically to key()."""
     pos = Position.from_fen(START_FEN)
     child = pos.make_move(pos.parse_san("e4"))
     rt = Position.decompress(child.compress())
-    assert rt.fen().rsplit(" ", 2)[0] == child.fen().rsplit(" ", 2)[0]
-    assert rt.ep == child.ep  # e3, not e6
+    # after 1.e4 the ep right is PHANTOM (no black pawn attacks e3):
+    # masked in compress exactly like in key()
+    assert rt.ep is None
     assert rt.key() == child.key()
-    # black's double push too (white to move, rank 6 target)
-    child2 = child.make_move(child.parse_san("c5"))
-    rt2 = Position.decompress(child2.compress())
+    assert rt.board == child.board
+
+    # a CAPTURABLE ep must round-trip on the correct rank: after
+    # 1.e4 a6 2.e5 d5 the e5 pawn can take d6 en passant
+    p2 = child
+    for san in ("a6", "e5", "d5"):
+        p2 = p2.make_move(p2.parse_san(san))
+    assert p2._ep_capturable()
+    rt2 = Position.decompress(p2.compress())
     # compress drops the move counters by design — compare state + key
-    assert rt2.ep == child2.ep
-    assert rt2.fen().rsplit(" ", 2)[0] == child2.fen().rsplit(" ", 2)[0]
-    assert rt2.key() == child2.key()
+    assert rt2.ep == p2.ep  # d6, not d3
+    assert rt2.fen().rsplit(" ", 2)[0] == p2.fen().rsplit(" ", 2)[0]
+    assert rt2.key() == p2.key()
 
 
 def test_pgn_tag_escaping_roundtrip():
