@@ -62,9 +62,25 @@ def maintain_agg_view(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    # cnt < 0 = over-retraction (deletes for rows not in the base, or a
+    # delta applied twice around the epoch guard) — CORRUPTION, not a
+    # clean retraction; it must fail loudly, never vanish through the
+    # cnt > 0 filter exactly like a legitimate cnt = 0. Woven into the
+    # kept cnt column so Catalyst cannot prune the guard.
+    cnt_sum = F.sum("cnt")
+    guarded_cnt = F.when(
+        cnt_sum < 0,
+        F.raise_error(
+            F.lit(
+                "maintain_agg_view: count went negative — delete delta "
+                "contains rows absent from the base (or was applied "
+                "twice); view would silently diverge from recompute"
+            )
+        ).cast("long"),
+    ).otherwise(cnt_sum)
     return (
         out.groupBy(*key)
-        .agg(F.sum("cnt").alias("cnt"), F.sum("total").alias("total"))
+        .agg(guarded_cnt.alias("cnt"), F.sum("total").alias("total"))
         .filter(F.col("cnt") > 0)  # fully-retracted groups disappear
     )
 

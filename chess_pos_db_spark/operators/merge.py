@@ -49,10 +49,15 @@ def latest_per_key(
     """Collapse a multi-version change feed to the latest op per key.
 
     One (key) window; ties on seq_col break on op descending
-    ('U' > 'I' > 'D') so replays are deterministic.
+    ('U' > 'I' > 'D'), then on a CONTENT hash of the whole row — a
+    (seq, op) tie with different payloads would otherwise be broken by
+    shuffle arrival order, and a replay could converge to a different
+    store than the original run (breaking the batch ≡ stream pin).
     """
     w = Window.partitionBy(*key).orderBy(
-        F.col(seq_col).desc(), F.col(op_col).desc()
+        F.col(seq_col).desc(),
+        F.col(op_col).desc(),
+        F.xxhash64(*changes.columns).desc(),
     )
     return (
         changes.withColumn("_rn", F.row_number().over(w))
@@ -76,6 +81,56 @@ def merge_changes(
     """
     if seq_col is not None:
         changes = latest_per_key(changes, key, seq_col, op_col)
+    else:
+        # without a sequence column there is no order to collapse by,
+        # so the contract is ONE change row per key. Identical
+        # duplicates (an at-least-once source re-delivering a row in
+        # the same batch) are deduped; CONFLICTING rows for one key
+        # fail loudly — the full-outer join would otherwise fan out
+        # and silently duplicate the key in the store.
+        changes = changes.dropDuplicates()
+        wk = Window.partitionBy(*key)
+        op_guarded = F.when(
+            F.count("*").over(wk) > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "merge_changes: multiple conflicting change "
+                        "rows for key ("
+                    ),
+                    F.concat_ws(
+                        ",", *[F.col(c).cast("string") for c in key]
+                    ),
+                    F.lit(
+                        ") with no seq_col to order them — pass "
+                        "seq_col or pre-collapse the feed"
+                    ),
+                )
+            ),
+        ).otherwise(F.col(op_col))
+        changes = changes.withColumn(op_col, op_guarded)
+    # a NULL key in a change row never matches the equi-join: a 'U'/'I'
+    # would insert a NULL-key row and a 'D' would silently no-op —
+    # malformed CDC input fails loudly instead. Both guards are woven
+    # into the OP column (always evaluated by the keep filter) — a
+    # projected-then-dropped guard column would be pruned by Catalyst
+    # and never run.
+    null_key = None
+    for kcol in key:
+        cond = F.col(kcol).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    changes = changes.withColumn(
+        op_col,
+        F.when(
+            null_key,
+            F.raise_error(
+                F.lit(
+                    "merge_changes: change row with NULL merge key — "
+                    "malformed CDC input"
+                )
+            ),
+        ).otherwise(F.col(op_col)),
+    )
     payload = [c for c in target.columns if c not in key]
     change_payload = set(changes.columns) - set(key) - {op_col, seq_col}
     tgt = target.alias("t")
@@ -108,13 +163,14 @@ upd AS (
     FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
 ),
 ins AS (
-    -- negated keys can NEVER collide with real (positive) order keys;
-    -- a fixed +10M offset collides once max(o_orderkey) crosses 10M
+    -- negated keys can NEVER collide with real (positive) order keys
+    -- (key 0 excluded: -0 = 0 collides with its own delete row); a
+    -- fixed +10M offset collides once max(o_orderkey) crosses 10M
     -- (sf ~1.7), silently diverging upsert vs union semantics
     SELECT -o_orderkey AS o_orderkey, o_custkey,
            'N' AS o_orderstatus, o_totalprice,
            o_orderdate, o_orderpriority
-    FROM orders WHERE o_orderkey % 13 = 0
+    FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey <> 0
 )
 SELECT o.o_orderkey, o.o_custkey,
        CASE WHEN u.o_orderkey IS NOT NULL THEN 'R'
@@ -151,7 +207,10 @@ def merge_into_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("R").alias("o_orderstatus"),
         (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
     )
-    inserts = o.filter(k % 13 == 0).select(
+    # k <> 0: the fixture contains orderkey 0, whose negation collides
+    # with its own delete row — the one key where "negated keys never
+    # collide" fails; merge_changes' conflict guard caught it
+    inserts = o.filter((k % 13 == 0) & (k != 0)).select(
         (-k).alias("o_orderkey"),
         F.lit("I").alias("op"),
         F.lit("N").alias("o_orderstatus"),

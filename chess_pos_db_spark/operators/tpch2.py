@@ -381,11 +381,16 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("LATE"))
             .alias("late_bucket"),
             F.when(high, 1).otherwise(0).alias("is_high"),
+            # low mirrors the oracle's CASE WHEN pri NOT IN (...): for
+            # a NULL priority, NOT IN is NULL -> counts as NEITHER.
+            # 1 - is_high would count the NULL row as low — a latent
+            # engine/oracle divergence on NULL-priority data.
+            F.when(~high, 1).otherwise(0).alias("is_low"),
         )
         .groupBy("late_bucket")
         .agg(
             F.sum("is_high").cast("long").alias("high_line_count"),
-            F.sum(1 - F.col("is_high")).cast("long").alias("low_line_count"),
+            F.sum("is_low").cast("long").alias("low_line_count"),
         )
     )
 
@@ -684,7 +689,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate")
             > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         )
-        .select("l_orderkey", "l_suppkey", "o_orderdate")
+        .select("l_orderkey", "l_suppkey")
     )
     # l2: any other supplier on the same order (semi) — probe the full
     # lineitem; l3: any OTHER LATE supplier on the same order (anti).

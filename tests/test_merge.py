@@ -173,3 +173,71 @@ def _capture_spark(spark):
     # hypothesis @given can't take the pytest fixture directly; stash it
     _SPARK.clear()
     _SPARK.append(spark)
+
+
+def test_merge_changes_seqless_guards(spark):
+    """Without seq_col the contract is ONE change row per key:
+    identical duplicates (at-least-once redelivery) are deduped,
+    conflicting rows fail loudly (the full-outer join would fan out
+    and silently duplicate the key in the store), and a NULL merge key
+    fails loudly (it would insert a NULL-key row / silently no-op a
+    delete)."""
+    import pytest
+
+    tgt = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+
+    dup = spark.createDataFrame(
+        [(1, "U", "x"), (1, "U", "x")], "k long, op string, v string"
+    )
+    out = sorted(tuple(r) for r in merge_changes(tgt, dup, ["k"]).collect())
+    assert out == [(1, "x"), (2, "b")]
+
+    conflict = spark.createDataFrame(
+        [(1, "U", "x"), (1, "U", "y")], "k long, op string, v string"
+    )
+    with pytest.raises(Exception, match="conflicting change rows"):
+        merge_changes(tgt, conflict, ["k"]).collect()
+
+    nullkey = spark.createDataFrame(
+        [(None, "U", "x")], "k long, op string, v string"
+    )
+    with pytest.raises(Exception, match="NULL merge key"):
+        merge_changes(tgt, nullkey, ["k"]).collect()
+
+
+def test_latest_per_key_full_tie_is_deterministic(spark):
+    """A (seq, op) tie with DIFFERENT payloads breaks on a content
+    hash, not shuffle arrival order — replays converge to the same
+    store (the batch ≡ stream convergence contract)."""
+    chg = spark.createDataFrame(
+        [(1, 5, "U", "x"), (1, 5, "U", "y")],
+        "k long, seq long, op string, v string",
+    )
+    picks = {
+        latest_per_key(chg.repartition(n), ["k"], "seq").first()["v"]
+        for n in (1, 2, 4, 8)
+    }
+    assert len(picks) == 1  # same winner under any partitioning
+
+
+def test_maintain_agg_view_over_retraction_fails_loudly(spark):
+    """cnt < 0 means the delete delta contains rows absent from the
+    base (or was applied twice) — corruption must raise, never vanish
+    through the cnt > 0 filter like a legitimate full retraction."""
+    import pytest
+
+    from chess_pos_db_spark.operators.ivm import agg_view, maintain_agg_view
+
+    base = spark.createDataFrame([("a", 1.0)], "g string, x double")
+    view = agg_view(base, ["g"], "x")
+    bad_deletes = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, x double"
+    )
+    with pytest.raises(Exception, match="negative"):
+        maintain_agg_view(view, ["g"], "x", deletes=bad_deletes).collect()
+    # clean full retraction still just vanishes
+    ok = maintain_agg_view(
+        view, ["g"], "x",
+        deletes=spark.createDataFrame([("a", 1.0)], "g string, x double"),
+    )
+    assert ok.collect() == []
