@@ -127,7 +127,12 @@ def join_dim_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer SCALES with SF — no forced broadcast (SCALE.md's
+        # policy: force only true KB-sized-at-any-SF dims); AQE picks
+        # a dynamic broadcast at fixture scale and degrades to a
+        # shuffle join when customer outgrows the threshold, instead
+        # of pinning a driver-OOM broadcast at 100 TB
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -321,6 +326,35 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J10 — as-of join: for every purchase event, the latest click by the same
 # user at or before the purchase. Formulated as range join + top-1 window
 # (deterministic tie-breaks on ts then event_id).
+def _asof_best_click(
+    e: DataFrame, join_pred, order_cols
+) -> DataFrame:
+    """Shared purchase/click as-of scaffolding: project the two event
+    roles, LEFT-join clicks under `join_pred(p, c)`, keep the best
+    click per purchase by `order_cols(joined)` (rn = 1). One place owns
+    the projections and the rn==1 window, so the plain as-of and the
+    nearest-in-band variant cannot drift apart on an alias or
+    tie-break that must stay oracle-synced."""
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = p.join(c, join_pred(p, c), "left_outer")
+    w = Window.partitionBy("purchase_id").orderBy(*order_cols())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "user_id", "purchase_ts", "click_ts", "click_id")
+    )
+
+
+
 @register(
     "join_asof",
     oracle="""
@@ -344,28 +378,14 @@ WHERE rn = 1
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
-    p = e.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("user_id"),
-        F.col("ts").alias("purchase_ts"),
-    )
-    c = e.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user_id"),
-        F.col("ts").alias("click_ts"),
-        F.col("event_id").alias("click_id"),
-    )
-    joined = p.join(
-        c,
-        (p.user_id == c.c_user_id) & (c.click_ts <= p.purchase_ts),
-        "left_outer",
-    )
-    w = Window.partitionBy("purchase_id").orderBy(
-        F.col("click_ts").desc_nulls_last(), F.col("click_id").desc_nulls_last()
-    )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("purchase_id", "user_id", "purchase_ts", "click_ts", "click_id")
+    return _asof_best_click(
+        e,
+        lambda p, c: (p.user_id == c.c_user_id)
+        & (c.click_ts <= p.purchase_ts),
+        lambda: (
+            F.col("click_ts").desc_nulls_last(),
+            F.col("click_id").desc_nulls_last(),
+        ),
     )
 
 
@@ -467,8 +487,25 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BLOOM_K = 3  # hash probes per key
-_BLOOM_M = 8192  # bits (128 packed longs); ~13 bits/key at sf0.01
 _BLOOM_BUILD_MIN_PRICE = 480000
+
+
+def _bloom_bits_for(n_keys: int) -> int:
+    """Bit-array size for ~10 bits/key (power of two, floor 8 Kib).
+
+    A FIXED size silently stops filtering as the build side grows: at
+    sf0.1 a hard-coded 8192 bits was measured 89% saturated (~70%
+    false-positive rate) — every probe row paid 3 hash tests for
+    almost no pruning. Sizing from the build-side count keeps the
+    ~1% FP design point at any SF. Capped at 2^17 bits (2048 packed
+    longs): the words inline as array literals into the probe
+    predicate, and beyond that budget a real deployment switches to
+    Spark's native runtime bloom (BloomFilterAggregate + broadcast)
+    rather than a megabyte-scale SQL literal."""
+    import math
+
+    target = max(8192, 10 * max(1, n_keys))
+    return min(1 << math.ceil(math.log2(target)), 1 << 17)
 
 
 def bloom_build_words(keys_df: DataFrame, key_col: str, m_bits: int) -> list:
@@ -534,9 +571,10 @@ def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = t(spark, sf_dir, "orders").filter(
         F.col("o_totalprice") > _BLOOM_BUILD_MIN_PRICE
     )
-    words = bloom_build_words(hi, "o_orderkey", _BLOOM_M)
+    m_bits = _bloom_bits_for(hi.count())
+    words = bloom_build_words(hi, "o_orderkey", m_bits)
     prefiltered = li.filter(
-        F.expr(bloom_might_contain("l_orderkey", words, _BLOOM_M))
+        F.expr(bloom_might_contain("l_orderkey", words, m_bits))
     )
     return prefiltered.join(
         F.broadcast(hi),
@@ -582,33 +620,13 @@ WHERE rn = 1
 )
 def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
-    p = e.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("user_id"),
-        F.col("ts").alias("purchase_ts"),
-    )
-    c = e.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user_id"),
-        F.col("ts").alias("click_ts"),
-        F.col("event_id").alias("click_id"),
-    )
-    joined = p.join(
-        c,
-        (p.user_id == c.c_user_id)
+    delta = F.abs(F.unix_micros("click_ts") - F.unix_micros("purchase_ts"))
+    return _asof_best_click(
+        e,
+        lambda p, c: (p.user_id == c.c_user_id)
         & (c.click_ts >= p.purchase_ts - F.expr(_NEAREST_BAND))
         & (c.click_ts <= p.purchase_ts + F.expr(_NEAREST_BAND)),
-        "left_outer",
-    )
-    delta = F.abs(
-        F.unix_micros("click_ts") - F.unix_micros("purchase_ts")
-    )
-    w = Window.partitionBy("purchase_id").orderBy(
-        delta.asc_nulls_last(), F.col("click_id").asc_nulls_last()
-    )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("purchase_id", "user_id", "purchase_ts", "click_ts", "click_id")
+        lambda: (delta.asc_nulls_last(), F.col("click_id").asc_nulls_last()),
     )
 
 
@@ -709,8 +727,13 @@ def er_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("canonical_name"),
     )
     size = cc.groupBy("entity_id").agg(F.count("*").alias("entity_size"))
+    # canon is a projection of the ENTIRE part table (every row a
+    # potential entity root) — it scales with SF, so no forced
+    # broadcast: AQE broadcasts it at fixture scale and falls back to
+    # a shuffle join when it outgrows the threshold (the adjacent size
+    # join already follows this policy)
     return (
-        cc.join(F.broadcast(canon), "entity_id")
+        cc.join(canon, "entity_id")
         .join(size, "entity_id")
         .select("p_partkey", "entity_id", "canonical_name", "entity_size")
     )

@@ -14,8 +14,9 @@ def test_bloom_prefilter_is_selective_and_sound(spark, sf_dir):
     hi = load(spark, sf_dir, "orders").filter(
         F.col("o_totalprice") > J._BLOOM_BUILD_MIN_PRICE
     )
-    words = J.bloom_build_words(hi, "o_orderkey", J._BLOOM_M)
-    kept = li.filter(F.expr(J.bloom_might_contain("l_orderkey", words, J._BLOOM_M)))
+    m_bits = J._bloom_bits_for(hi.count())
+    words = J.bloom_build_words(hi, "o_orderkey", m_bits)
+    kept = li.filter(F.expr(J.bloom_might_contain("l_orderkey", words, m_bits)))
     true_matches = li.join(
         hi, li.l_orderkey == hi.o_orderkey, "left_semi"
     ).count()
