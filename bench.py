@@ -6,11 +6,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Execution is measured end-to-end per query with a noop sink (full plan
 runs, nothing is collected to the driver). Warmup exercises JVM startup,
 the Python-UDF worker pool, and the broadcast machinery; each headline
-query then runs twice and the best time is reported ("timing":
-"best_of_2") — steady-state throughput, with per-plan analysis/codegen
-compile excluded, which is the regime that extrapolates to large inputs
-(a one-time ~1s codegen compile is noise over a 100 TB scan but would
-dominate a 600k-row one).
+query then runs $SPARK_GRAFT_BENCH_RUNS times (default 4, interleaved)
+and the best time is reported ("timing": "best_of_N") — steady-state
+throughput, with per-plan analysis/codegen compile excluded, which is
+the regime that extrapolates to large inputs (a one-time ~1s codegen
+compile is noise over a 100 TB scan but would dominate a 600k-row one).
 """
 
 from __future__ import annotations
@@ -58,7 +58,10 @@ def _run(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0  # path with no parseable sf suffix (e.g. sf0.1-v2)
     spark = get_spark("chess_pos_db_spark-bench")
     queries = engine.get_queries()
 
@@ -71,11 +74,11 @@ def main() -> None:
     _run(spark.range(100).join(F.broadcast(spark.range(10)), "id"))
 
     # best-of-N: per-query minimum over N INTERLEAVED rounds (all queries
-    # once, then again, ...). N=3 (overridable) keeps the floor stable
+    # once, then again, ...). The default N keeps the floor stable
     # against inter-query GC / scheduler noise; interleaving means a
     # multi-second host-noise burst degrades one round of many queries
     # instead of every repeat of one query, so the per-query min survives.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4")))
     timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
     for _ in range(runs):
         for name in HEADLINE:

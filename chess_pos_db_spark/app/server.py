@@ -64,8 +64,19 @@ class Engine:
                 files.append((p, level))
         return files
 
+    @staticmethod
+    def _check_format(fmt: str) -> str:
+        # strict validation: an unknown/mistyped format ('bcgn',
+        # 'SBGN ') used to fall through to the PGN parser, silently
+        # importing binary files as 0 games and reporting ok:true
+        if fmt not in ("pgn", "sbgn"):
+            raise ValueError(
+                f"unknown format {fmt!r} (supported: pgn, sbgn)"
+            )
+        return fmt
+
     def _load_games(self, files: list[tuple[str, str]], fmt: str) -> DataFrame:
-        if fmt == "sbgn":
+        if self._check_format(fmt) == "sbgn":
             return bcgn.read_sbgn(self.spark, files)
         return importer.parse_games(importer.read_pgn_files(self.spark, files))
 
@@ -140,7 +151,7 @@ class Engine:
 
     def cmd_create(self, cmd: dict) -> dict:
         files = self._files_arg(cmd)
-        fmt = cmd.get("format", "pgn")
+        fmt = self._check_format(cmd.get("format", "pgn"))
         db_dir = cmd["destination"]
         if fmt == "pgn":
             stats = importer.import_pgn(
@@ -178,6 +189,13 @@ class Engine:
 
     def cmd_append(self, cmd: dict) -> dict:
         self._require_open()
+        # append supports pgn only: honoring-or-failing, never running
+        # the PGN parser over sbgn binaries and reporting ok:true
+        if self._check_format(cmd.get("format", "pgn")) != "pgn":
+            raise ValueError(
+                "append supports format=pgn only — convert sbgn input "
+                "or create a new database and merge"
+            )
         files = self._files_arg(cmd)
         target = cmd.get("database") or self.db_dir
         stats = importer.append_pgn(self.spark, files, target)
@@ -241,6 +259,15 @@ class Engine:
 
         self._require_open()
         fen = cmd["fen"]
+        if "://" in self.db_dir:
+            # os.path.isdir is always False on a remote URI: the exact
+            # ERAN sidecar would exist but this check could not see it,
+            # silently degrading to the approximate fallback — refuse
+            # instead of returning weaker answers without warning
+            raise ValueError(
+                "retractions sidecar detection requires a local "
+                "db_dir; open the database from a local path"
+            )
         sidecar = f"{self.db_dir}/retractions"
         if os.path.isdir(sidecar):
             retr = self.spark.read.parquet(sidecar)
@@ -408,7 +435,18 @@ def serve_tcp(engine: Engine, host: str = "127.0.0.1", port: int = 0):
     class Handler(socketserver.StreamRequestHandler):
         def handle(self) -> None:
             for raw in self.rfile:
-                line = raw.decode("utf-8").strip()
+                try:
+                    line = raw.decode("utf-8").strip()
+                except UnicodeDecodeError as exc:
+                    # a non-UTF-8 byte must get an error RESPONSE, not
+                    # kill the connection with no reply (the 'errors
+                    # never kill the session' contract)
+                    out = {"ok": False, "error": f"bad encoding: {exc}"}
+                    self.wfile.write(
+                        (json.dumps(out) + "\n").encode("utf-8")
+                    )
+                    self.wfile.flush()
+                    continue
                 if not line:
                     continue
                 try:
@@ -422,7 +460,12 @@ def serve_tcp(engine: Engine, host: str = "127.0.0.1", port: int = 0):
                 self.wfile.write((json.dumps(out) + "\n").encode("utf-8"))
                 self.wfile.flush()
 
-    server = socketserver.ThreadingTCPServer((host, port), Handler)
+    class _Server(socketserver.ThreadingTCPServer):
+        # rebinding a fixed --tcp port immediately after a restart must
+        # not fail on the old socket's TIME_WAIT
+        allow_reuse_address = True
+
+    server = _Server((host, port), Handler)
     server.daemon_threads = True
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()

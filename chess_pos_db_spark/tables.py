@@ -80,8 +80,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     if name == "events":
         # Set defensively here as well: the driver's own SparkSession may
-        # not carry the session.py config.
+        # not carry the session.py config. BOTH pins matter for oracle
+        # parity: nanosAsLong for the TIMESTAMP(NANOS) read, and the UTC
+        # session timezone — on a non-UTC host a bare session would
+        # shift every derived timestamp by the UTC offset while DuckDB's
+        # read stays UTC-naive (dozens of false mismatches).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # Fixture generations have shipped ts as either TIMESTAMP(NANOS)

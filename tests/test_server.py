@@ -373,3 +373,43 @@ def test_open_failure_keeps_previous_database(engine_db, tmp_path):
         {"command": "sql", "sql": "SELECT COUNT(*) AS n FROM games"}
     )
     assert q["ok"] and q["rows"][0][0] == 4
+
+
+def test_server_rejects_unknown_format(spark, tmp_path):
+    """An unknown/mistyped format must be an error, not a silent
+    fallthrough to the PGN parser importing binary bytes as 0 games
+    with ok:true."""
+    from chess_pos_db_spark.app.server import Engine
+
+    eng = Engine(spark)
+    out = eng.handle(
+        {
+            "command": "create",
+            "format": "bcgn",
+            "destination": str(tmp_path / "db"),
+            "files": {"human": []},
+        }
+    )
+    assert out["ok"] is False and "unknown format" in out["error"]
+    out2 = eng.handle({"command": "append", "format": "sbgn", "files": {}})
+    assert out2["ok"] is False  # append is pgn-only, loudly
+
+
+def test_tcp_bad_encoding_gets_error_response(spark, tmp_path):
+    """A non-UTF-8 request line must get an error RESPONSE, not a
+    silently dropped connection."""
+    import socket
+
+    from chess_pos_db_spark.app.server import Engine, serve_tcp
+
+    eng = Engine(spark)
+    server, thread, port = serve_tcp(eng)
+    try:
+        with socket.create_connection(("127.0.0.1", port)) as sock:
+            f = sock.makefile("rwb")
+            f.write(b"\x80\xff bad bytes\n")
+            f.flush()
+            resp = f.readline().decode("utf-8")
+            assert '"ok": false' in resp and "encoding" in resp
+    finally:
+        server.shutdown()
