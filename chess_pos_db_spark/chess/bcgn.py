@@ -50,6 +50,11 @@ def _enc_str(s: str | None) -> bytes:
 def _dec_str(buf: bytes, off: int) -> tuple[str, int]:
     (n,) = struct.unpack_from("<H", buf, off)
     off += 2
+    if off + n > len(buf):
+        raise ValueError(
+            f"corrupt SBGN record: string of {n} bytes at offset "
+            f"{off - 2} runs past the record end ({len(buf)} bytes)"
+        )
     return buf[off : off + n].decode("utf-8"), off + n
 
 
@@ -118,6 +123,11 @@ def decode_file(data: bytes) -> Iterator[dict]:
         (rec_len,) = struct.unpack_from("<I", data, off)
         off += 4
         rec = data[off : off + rec_len]
+        if len(rec) != rec_len:
+            raise ValueError(
+                f"corrupt SBGN file: record of {rec_len} bytes at "
+                f"offset {off - 4} runs past end of file"
+            )
         off += rec_len
         p = 0
         result = _RESULT_FROM_CODE[rec[p]]
@@ -133,6 +143,15 @@ def decode_file(data: bytes) -> Iterator[dict]:
         (n_plies,) = struct.unpack_from("<H", rec, p)
         p += 2
         idxs = list(rec[p : p + n_plies])
+        if len(idxs) != n_plies:
+            # a silent short slice would decode a TRUNCATED game with
+            # no error (read_sbgn recomputes ply_count from len(sans),
+            # so the corruption becomes invisible downstream) — match
+            # the loud magic/version checks above
+            raise ValueError(
+                f"corrupt SBGN record: declared {n_plies} plies but "
+                f"only {len(idxs)} move bytes remain"
+            )
         yield {
             "result": result,
             "level": level,
@@ -152,18 +171,20 @@ def read_sbgn(spark: SparkSession, paths: list[tuple[str, str]]) -> DataFrame:
     """SBGN files → game rows (same schema as importer.parse_games), via
     binaryFile scan + Arrow-batched decode."""
     import os
-    from urllib.parse import unquote, urlparse
 
-    from .importer import GAME_SCHEMA
-
-    def norm(p: str) -> str:
-        # Decode the way importer.read_pgn_files does: binaryFile
-        # returns percent-encoded file: URIs, and inputs may be
-        # relative — abspath+unquote makes both sides comparable.
-        return os.path.abspath(unquote(urlparse(p).path) or p)
+    from .importer import GAME_SCHEMA, norm_binaryfile_path as norm
 
     level_by_path = {norm(p): lvl for p, lvl in paths}
     file_idx_by_path = {norm(p): i for i, (p, _) in enumerate(paths)}
+    if len(file_idx_by_path) != len(paths):
+        # same loud contract as importer.read_pgn_files: duplicate
+        # paths silently collapse to one (idx, level) entry and emit
+        # colliding game_ids
+        dupes = sorted(
+            k for k in {norm(p) for p, _ in paths}
+            if sum(1 for q, _ in paths if norm(q) == k) > 1
+        )
+        raise ValueError(f"duplicate input paths in import list: {dupes}")
 
     raw = spark.read.format("binaryFile").load(
         [os.path.abspath(p) for p, _ in paths]

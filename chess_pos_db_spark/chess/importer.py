@@ -77,6 +77,19 @@ ENTRY_SCHEMA_WITH_POS = T.StructType(
 AGG_KEY = ["pos_key", "reverse_move", "level", "result"]
 
 
+def norm_binaryfile_path(p: str) -> str:
+    """binaryFile URI / local path → canonical absolute path.
+
+    ONE normalization shared by every binaryFile consumer (this module
+    and chess/bcgn.read_sbgn): game_id parity depends on both sides
+    decoding percent-encoded file: URIs and relative inputs
+    identically — a divergent copy would mis-assign file ordinals."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    return os.path.abspath(unquote(urlparse(p).path) or p)
+
+
 def read_pgn_files(
     spark: SparkSession, files: list[tuple[str, str]]
 ) -> DataFrame:
@@ -119,7 +132,7 @@ def read_pgn_files(
         for pdf in it:
             idxs, srcs, lvls, texts = [], [], [], []
             for uri, content in zip(pdf["path"], pdf["content"]):
-                key = os.path.abspath(unquote(urlparse(uri).path))
+                key = norm_binaryfile_path(uri)
                 if key not in meta:
                     raise ValueError(
                         f"binaryFile row {uri!r} (decoded {key!r}) does not "

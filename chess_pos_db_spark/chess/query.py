@@ -199,44 +199,57 @@ def retractions(
         .agg(F.sum("cnt").alias("cnt"), F.min("first_game_id").alias("first_game_id"))
     )
 
-    @F.udf(T.StringType())
-    def rm_uci(packed: int) -> str:
-        return unpack_move(packed).uci()
-
-    @F.udf(T.StringType())
-    def rm_parent_placement(packed: int) -> str:
-        """Reconstruct the parent's piece placement by unmaking the
-        packed reverse move (the captured-piece bits make this exact for
-        the board; castling/ep rights are not recoverable from a single
-        move — the reference's full ERAN records them, see eran.py)."""
+    def expand(it):
+        """Reconstruct uci + parent placement by unmaking each packed
+        reverse move (the captured-piece bits make the board exact;
+        castling/ep rights are not recoverable from a single move — the
+        reference's full ERAN records them, see eran.py). ONE Arrow
+        batch per partition, matching retractions_exact's discipline —
+        the earlier row-at-a-time @F.udf pair was the module's only
+        BatchEvalPython path. eran.unmove copies the board, so the base
+        position parses once per partition, not once per row."""
         from . import eran as eran_mod
         from .board import unpack_captured
 
-        p = Position.from_fen(pos_fen)
-        m = unpack_move(packed)
-        mover = p.board[m.to_sq] if not m.promo else (
-            "P" if p.side == "b" else "p"
-        )
-        desc = eran_mod.Eran(
-            piece=mover or "?",
-            from_sq=m.from_sq,
-            to_sq=m.to_sq,
-            captured=unpack_captured(packed),
-            promo=m.promo,
-            flag=m.flag,
-            prior_castling=p.castling,
-            prior_ep=None,
-            prior_halfmove=0,
-        )
-        parent = eran_mod.unmove(p, desc)
-        return parent.fen().split(" ")[0] + " " + parent.side
+        base = Position.from_fen(pos_fen)
+        for pdf in it:
+            ucis, parents = [], []
+            for packed in pdf["reverse_move"].tolist():
+                m = unpack_move(int(packed))
+                ucis.append(m.uci())
+                mover = base.board[m.to_sq] if not m.promo else (
+                    "P" if base.side == "b" else "p"
+                )
+                desc = eran_mod.Eran(
+                    piece=mover or "?",
+                    from_sq=m.from_sq,
+                    to_sq=m.to_sq,
+                    captured=unpack_captured(int(packed)),
+                    promo=m.promo,
+                    flag=m.flag,
+                    prior_castling=base.castling,
+                    prior_ep=None,
+                    prior_halfmove=0,
+                )
+                parent = eran_mod.unmove(base, desc)
+                parents.append(parent.fen().split(" ")[0] + " " + parent.side)
+            pdf = pdf.assign(move_uci=ucis, parent_placement=parents)
+            yield pdf[
+                [
+                    "move_uci",
+                    "parent_placement",
+                    "reverse_move",
+                    "cnt",
+                    "first_game_id",
+                ]
+            ]
 
-    return (
-        agg.withColumn("move_uci", rm_uci("reverse_move"))
-        .withColumn("parent_placement", rm_parent_placement("reverse_move"))
-        .select(
-            "move_uci", "parent_placement", "reverse_move", "cnt", "first_game_id"
-        )
+    return agg.mapInPandas(
+        expand,
+        schema=(
+            "move_uci string, parent_placement string, reverse_move int, "
+            "cnt long, first_game_id long"
+        ),
     )
 
 

@@ -66,3 +66,43 @@ def test_spark_source_parity(spark, tmp_path):
     a = {tuple(r) for r in agg_pgn.collect()}
     b = {tuple(r) for r in agg_bin.collect()}
     assert a == b and len(a) > 0
+
+
+def test_sbgn_corrupt_records_fail_loudly():
+    """Truncated movetext / strings / records must raise, not silently
+    decode a SHORTER game: read_sbgn recomputes ply_count from
+    len(sans), so a silent short slice would make the corruption
+    invisible downstream — an imported database with wrong games and
+    ok:true."""
+    import struct
+
+    import pytest
+
+    from chess_pos_db_spark.chess import bcgn
+
+    good = bcgn.MAGIC + bytes([bcgn.VERSION]) + struct.pack("<I", 1)
+    rec = bcgn.encode_game(
+        {"result": "W", "level": "human", "sans": ["e4", "e5", "Nf3", "Nc6"]}
+    )
+    assert list(bcgn.decode_file(good + rec))  # sanity: intact decodes
+
+    # chop two move bytes off the end: declared 4 plies, 2 remain
+    truncated = good + rec[:-2]
+    with pytest.raises(ValueError, match="plies|record"):
+        list(bcgn.decode_file(truncated))
+
+
+def test_read_sbgn_rejects_duplicate_paths(spark, tmp_path):
+    """Duplicate input paths collapse the (idx, level) maps silently
+    and emit colliding game_ids — the same loud contract as
+    importer.read_pgn_files."""
+    import pytest
+
+    from chess_pos_db_spark.chess import bcgn
+
+    f = str(tmp_path / "x.sbgn")
+    bcgn.write_file(
+        [{"result": "W", "level": "human", "sans": ["e4"]}], f
+    )
+    with pytest.raises(ValueError, match="duplicate input paths"):
+        bcgn.read_sbgn(spark, [(f, "human"), (f, "engine")])
