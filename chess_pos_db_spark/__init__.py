@@ -12,15 +12,22 @@ from __future__ import annotations
 
 from . import registry
 from .registry import ORACLES, QUERIES
-from .verification_history import priority
+from .verification_history import rotation_key
 
 
 def _rotated(d: dict) -> dict:
-    """Stable-reorder so never-externally-verified queries come first
-    (the driver's CORRECTNESS gate covers the first 50 entries — see
-    verification_history)."""
+    """Stable-reorder so the driver's first-50 CORRECTNESS gate hits
+    (a) never-externally-verified queries, then (b) the stalest
+    externally-verified oracle-backed greens — see
+    verification_history.rotation_key."""
     names = list(d)
-    return {n: d[n] for n in sorted(names, key=lambda n: (priority(n), names.index(n)))}
+    return {
+        n: d[n]
+        for n in sorted(
+            names,
+            key=lambda n: (*rotation_key(n, n in ORACLES), names.index(n)),
+        )
+    }
 
 
 def get_queries():

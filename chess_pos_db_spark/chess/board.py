@@ -164,8 +164,10 @@ def _parse_san_core(core: str):
         parts = body.split("=")
         # only q/r/b/n are legal promotion pieces: 'e8=K' or 'e8=P'
         # must be UNPARSEABLE, not a position with two kings / an
-        # eighth-rank pawn (pack_move would also KeyError on them)
-        if len(parts) != 2 or parts[1] not in "QRBNqrbn":
+        # eighth-rank pawn (pack_move would also KeyError on them).
+        # exactly ONE char — substring membership would let multi-char
+        # suffixes that happen to be substrings through (e8=QR, e8=rb)
+        if len(parts) != 2 or len(parts[1]) != 1 or parts[1] not in "QRBNqrbn":
             _SAN_CORE_CACHE[core] = None
             return None
         body, promo = parts

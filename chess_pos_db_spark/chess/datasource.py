@@ -132,10 +132,18 @@ class PgnDataSourceReader(DataSourceReader):
         if not raw:
             raise ValueError("pgn source requires a path")
         expanded = _expand_pgn_paths(raw)
-        if not expanded and not any(c in raw for c in "*?["):
-            # keep the batch contract: a plain missing path is an error
-            # here, not a silent empty frame
-            expanded = [raw]
+        if (
+            not expanded
+            and not any(c in raw for c in "*?[")
+            and not os.path.exists(raw)
+        ):
+            # keep the batch contract: a plain MISSING path is an error
+            # here (getsize below raises FileNotFoundError), not a
+            # silent empty frame.  An EXISTING directory with no .pgn
+            # files must NOT take this fallback — planning byte-range
+            # partitions over a directory inode dies later with
+            # IsADirectoryError instead of the clean ValueError.
+            expanded = [os.path.abspath(raw)]
         if not expanded:
             raise ValueError(f"pgn source matched no files: {raw}")
         self._files = expanded

@@ -490,15 +490,27 @@ def explode_positions(
                     # reaching pack_move/eran can KeyError — either way
                     # the validation-by-parsing contract is SKIP the
                     # game, never kill the whole import task
+
                     try:
                         m, child = san_move_cached(pos, san, san_cache)
                         packed = pack_move(m, captured_piece(pos, m))
+                        # eran text must be computed INSIDE the try:
+                        # describe() walks the same move/piece tables as
+                        # pack_move and can raise on a malformed-but-
+                        # parsed move — outside the block it would kill
+                        # the whole import task instead of skipping the
+                        # game
+                        ern = (
+                            eran_mod.describe(pos, m).text()
+                            if include_eran
+                            else None
+                        )
                     except (ValueError, KeyError):
                         ok = False  # invalid move → skip whole game
                         break
                     g_rm.append(packed)
                     if include_eran:
-                        g_ern.append(eran_mod.describe(pos, m).text())
+                        g_ern.append(ern)
                     pos = child
                     g_keys.append(pos.key())
                     if include_positions:

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import ORACLES, register
 from ..tables import t
 
 _QUERY_TERMS = ["window", "table", "merge"]
@@ -367,6 +367,9 @@ def build_inverted_index(
         .agg(F.count("*").cast("long").alias("df"))
     )
     write_bucketed(dft, f"{prefix}_df", ["token"], buckets=buckets)
+    from ..plans.bucketing import drop_orphaned_table
+
+    drop_orphaned_table(spark, f"{prefix}_stats")
     spark.table(f"{prefix}_doclen").groupBy().agg(
         F.count("*").alias("n_docs"), (F.sum("dl") / F.count("*")).alias("avgdl")
     ).write.mode("overwrite").saveAsTable(f"{prefix}_stats")
@@ -402,3 +405,33 @@ def search_indexed(
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(k)
     )
+
+
+# The postings-index twin registered as a first-class query so the
+# external gate verifies it oracle-exact: the oracle is IDENTICAL to
+# search_bm25's (the index changes the ACCESS PATH, never the answer).
+_BM25_ORACLE_SQL = ORACLES["search_bm25"]
+
+
+def _index_prefix(sf_dir: str) -> str:
+    """Deterministic catalog prefix per corpus dir (identifier-safe)."""
+    import re
+
+    return "bm25ix_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+
+
+@register("search_bm25_postings", oracle=_BM25_ORACLE_SQL)
+def search_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4ix as a registered query: (re)build the materialized postings
+    layout for this corpus, then answer BM25 top-k FROM THE INDEX —
+    bucket-pruned postings probe + candidate-only doclen join, no
+    full-corpus shuffle on the query path (plan-pinned in
+    test_mining.py: SelectedBucketsCount < total and identical rows to
+    the scan-based scorer).  Scale shape: the build is one
+    (token, doc_id) shuffle paid once per corpus snapshot; every query
+    after that touches O(matching postings), not O(corpus) — the
+    sorted-run + sparse-index economics of the reference's
+    `src/persistence/pos_db/` † re-expressed as bucketed tables."""
+    prefix = _index_prefix(sf_dir)
+    build_inverted_index(spark, t(spark, sf_dir, "documents"), prefix)
+    return search_indexed(spark, prefix, _QUERY_TERMS)

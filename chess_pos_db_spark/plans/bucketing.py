@@ -20,6 +20,27 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
+def drop_orphaned_table(spark: SparkSession, table: str) -> None:
+    """DROP TABLE IF EXISTS plus removal of an ORPHANED managed
+    location: a fresh session's in-memory catalog forgets managed
+    tables but their warehouse directories persist on disk, so the
+    next ``saveAsTable`` (even mode=overwrite — overwrite only applies
+    to tables the catalog KNOWS) dies with LOCATION_ALREADY_EXISTS.
+    Only a local warehouse is cleaned (the in-memory-catalog orphan
+    problem is a local/test shape; a persistent metastore at scale
+    never forgets the table, so overwrite handles it)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh.scheme in ("", "file"):
+        loc = os.path.join(wh.path, table.lower())
+        if wh.path and os.path.isdir(loc):
+            shutil.rmtree(loc)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -28,6 +49,8 @@ def write_bucketed(
     path: str | None = None,
 ) -> None:
     """Write `df` as a bucketed, per-bucket-sorted table."""
+    if not path:
+        drop_orphaned_table(df.sparkSession, table)
     writer = (
         df.write.mode("overwrite")
         .bucketBy(buckets, *key)

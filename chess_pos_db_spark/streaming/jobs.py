@@ -103,6 +103,17 @@ def _prune_stale_epochs(base_dir: str, epoch_id: int) -> None:
     import os
     import shutil
 
+    if "://" in base_dir:
+        # same silent-local-FS failure class _require_local guards in
+        # the importer: os.path.isdir is always False on a remote URI,
+        # so the wiped-checkpoint double-count protection would quietly
+        # not apply — reject loudly instead of no-opping
+        raise ValueError(
+            f"_prune_stale_epochs: {base_dir!r} is a remote URI — the "
+            "incremental_ingest/streaming_cms sink maintenance path "
+            "requires a local filesystem dir (stale-epoch pruning is a "
+            "local-FS operation)"
+        )
     if not os.path.isdir(base_dir):
         return
     for entry in os.listdir(base_dir):

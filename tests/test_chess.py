@@ -558,7 +558,10 @@ def test_san_rejects_bad_promotions():
     from chess_pos_db_spark.chess.board import Position, START_FEN
 
     p = Position.from_fen("1k6/4P3/8/8/8/8/8/2K5 w - -")
-    for bad in ("e8=K", "e8=P", "e8=X"):
+    # multi-char suffixes that are SUBSTRINGS of "QRBNqrbn" must also be
+    # rejected — substring membership would let e8=QR/e8=RB/e8=rb/e8=bn
+    # through the guard and KeyError (or corrupt the board) downstream
+    for bad in ("e8=K", "e8=P", "e8=X", "e8=QR", "e8=RB", "e8=rb", "e8=bn"):
         with pytest.raises(ValueError):
             p.parse_san_child(bad)
     assert p.parse_san_child("e8=Q")  # the legal form still parses

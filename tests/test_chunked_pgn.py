@@ -376,3 +376,23 @@ def test_pgn_datasource_reads_games(spark, tmp_path):
         {"path": str(p), "chunk_bytes": 1024}
     ).partitions()
     assert len(parts) > 4
+
+
+def test_pgn_datasource_reader_path_errors(tmp_path):
+    """Batch-reader construction contract: an EXISTING directory with
+    no .pgn files raises the clean 'matched no files' ValueError (not
+    byte-range partitions over the directory inode that die later with
+    IsADirectoryError); a plain MISSING path still errors loudly at
+    construction."""
+    import pytest
+
+    from chess_pos_db_spark.chess.datasource import PgnDataSourceReader
+
+    empty = tmp_path / "no_pgns_here"
+    empty.mkdir()
+    (empty / "notes.txt").write_text("not a pgn")
+    with pytest.raises(ValueError, match="matched no files"):
+        PgnDataSourceReader({"path": str(empty)})
+
+    with pytest.raises((ValueError, FileNotFoundError)):
+        PgnDataSourceReader({"path": str(tmp_path / "missing.pgn")})

@@ -160,3 +160,46 @@ def test_special_moves_explicit():
     desc3 = eran.describe(p3, m3)
     assert desc3.captured == "r" and desc3.promo == "q"
     assert eran.unmove(p3.make_move(m3), desc3).fen() == p3.fen()
+
+
+def test_explode_positions_eran_inside_skip_guard():
+    """The validation-by-parsing contract says a malformed-but-parsed
+    move SKIPS the game, never kills the import task.  eran describe()
+    walks the same move/piece tables as pack_move and can raise on such
+    a move, so its call site must sit INSIDE the (ValueError, KeyError)
+    try that implements the skip — a call outside the block silently
+    re-opens the kill-the-task hole the guard was added to close.
+    Pinned structurally (the only way to trigger it end-to-end is a
+    parser bug, which other tests pin away)."""
+    import ast
+    import inspect
+
+    from chess_pos_db_spark.chess import importer
+
+    tree = ast.parse(inspect.getsource(importer.explode_positions))
+
+    describe_calls = []
+    guarded_spans = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Try):
+            handles_skip = any(
+                "ValueError" in ast.dump(h.type)
+                for h in node.handlers
+                if h.type is not None
+            )
+            if handles_skip:
+                last = node.body[-1]
+                guarded_spans.append((node.body[0].lineno, last.end_lineno))
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "describe"
+        ):
+            describe_calls.append(node.lineno)
+
+    assert describe_calls, "eran describe() call not found"
+    for line in describe_calls:
+        assert any(a <= line <= b for a, b in guarded_spans), (
+            f"eran describe() at relative line {line} is outside every "
+            "(ValueError, KeyError) skip guard"
+        )

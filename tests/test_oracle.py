@@ -78,7 +78,56 @@ def test_rotation_history_names_are_registered():
         ("ROUND3_VERIFIED", vh.ROUND3_VERIFIED),
         ("ROUND4_VERIFIED", vh.ROUND4_VERIFIED),
         ("ROUND5_VERIFIED", vh.ROUND5_VERIFIED),
+        ("ROUND6_VERIFIED", vh.ROUND6_VERIFIED),
         ("ROUND1_REGISTRY", vh.ROUND1_REGISTRY),
     ):
         missing = set(names) - set(QUERIES)
         assert not missing, f"{label} names not in registry: {missing}"
+
+
+def test_rotation_is_least_recently_verified_first():
+    """Round-7 policy pin (round-6 verdict item #1): with the
+    never-verified set empty, get_queries()'s first 50 must be exactly
+    the 50 least-recently-driver-verified ORACLE-BACKED names (a gate
+    rerun on an oracle-less name can only record rows-only — wasted
+    slot), ordered oldest-round-first with registration order breaking
+    ties; and any future never-verified registration must sort before
+    all of them."""
+    import chess_pos_db_spark as engine
+    from chess_pos_db_spark import verification_history as vh
+
+    q = engine.get_queries()
+    oracles = engine.get_oracles()
+    names = list(q)
+
+    never = [n for n in names if n not in vh.DRIVER_VERIFIED]
+    # never-verified names (new registrations) must lead the ordering
+    for n in never:
+        assert names.index(n) < 50 or len(never) > 50
+
+    verified_with_oracle = [
+        n for n in names if n in vh.DRIVER_VERIFIED and n in oracles
+    ]
+    # within the verified-with-oracle block, last-verified round must be
+    # non-decreasing
+    rounds = [vh.LAST_VERIFIED_ROUND[n] for n in verified_with_oracle]
+    assert rounds == sorted(rounds), (
+        "verified oracle-backed queries are not ordered "
+        "least-recently-verified-first"
+    )
+
+    # oracle-less verified names must all sort after every oracle-backed one
+    no_oracle = [n for n in names if n in vh.DRIVER_VERIFIED and n not in oracles]
+    if verified_with_oracle and no_oracle:
+        assert names.index(no_oracle[0]) > names.index(verified_with_oracle[-1])
+
+    # the concrete round-7 gate slate: 50 oracle-backed names, all from
+    # the stalest rounds on record
+    first50 = names[: 50]
+    if not never:
+        assert all(n in oracles for n in first50)
+        stalest = sorted(
+            verified_with_oracle,
+            key=lambda n: (vh.LAST_VERIFIED_ROUND[n], names.index(n)),
+        )[:50]
+        assert first50 == stalest

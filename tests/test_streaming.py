@@ -386,3 +386,19 @@ def test_incremental_ingest_wiped_checkpoint_prunes_stale_epochs(
         .collect()
     )
     assert second == want  # no double-counted stale epoch
+
+
+def test_prune_stale_epochs_rejects_remote_uri():
+    """os.path.isdir is always False on a remote URI, so the
+    wiped-checkpoint double-count protection would silently no-op on
+    non-local runs/cells dirs — the sink maintenance path rejects
+    remote URIs loudly instead (same contract as the importer's
+    _require_local)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="remote URI"):
+        jobs._prune_stale_epochs("s3a://bucket/runs", 3)
+    with pytest.raises(ValueError, match="remote URI"):
+        jobs._prune_stale_epochs("hdfs://nn/runs", 0)
+    # local missing dir still quietly no-ops (nothing to prune)
+    jobs._prune_stale_epochs("/nonexistent/local/dir", 1)
