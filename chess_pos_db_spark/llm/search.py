@@ -370,9 +370,187 @@ def build_inverted_index(
     from ..plans.bucketing import drop_orphaned_table
 
     drop_orphaned_table(spark, f"{prefix}_stats")
+    # sum_dl alongside avgdl makes the stats ADDITIVE — append_to_index
+    # updates them with one delta aggregate instead of rescanning every
+    # generation's doclen
     spark.table(f"{prefix}_doclen").groupBy().agg(
-        F.count("*").alias("n_docs"), (F.sum("dl") / F.count("*")).alias("avgdl")
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+        F.sum("dl").alias("sum_dl"),
     ).write.mode("overwrite").saveAsTable(f"{prefix}_stats")
+    _write_meta(spark, prefix, 0)
+
+
+def _write_meta(spark: SparkSession, prefix: str, n_deltas: int) -> None:
+    from ..plans.bucketing import drop_orphaned_table
+
+    drop_orphaned_table(spark, f"{prefix}_meta")
+    spark.createDataFrame(
+        [(n_deltas,)], "n_deltas int"
+    ).write.mode("overwrite").saveAsTable(f"{prefix}_meta")
+
+
+def _generations(spark: SparkSession, prefix: str) -> list[str]:
+    """Table-name suffixes of every live index generation: the base
+    ('') plus one '_d{i}' per append since the last compaction."""
+    n = spark.table(f"{prefix}_meta").first()["n_deltas"]
+    return [""] + [f"_d{i}" for i in range(1, n + 1)]
+
+
+def append_to_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    prefix: str,
+    buckets: int = 16,
+    check_disjoint: bool = True,
+) -> int:
+    """Append a batch of NEW documents to an existing postings index
+    WITHOUT rebuilding it — the reference's append-a-sorted-run
+    economics (`src/persistence/pos_db/` sorted runs †; the chess
+    importer's U2 append) applied to the text index.
+
+    Writes one new generation (`{prefix}_postings_d{N}` bucketed by
+    token, `{prefix}_doclen_d{N}` bucketed by doc_id) from the delta
+    docs only — cost is ONE (token, doc_id) shuffle over the BATCH,
+    never the corpus — and updates the additive corpus stats
+    (n_docs, sum_dl → avgdl) from the delta aggregate plus the stored
+    totals. df is NOT maintained as a table across generations: the
+    incremental query path derives per-term df from the bucket-pruned
+    postings themselves (exact, since generations are doc-disjoint).
+
+    ``check_disjoint`` anti-probes the new doc_ids against every live
+    doclen generation (bucketed side never shuffles) and fails loudly
+    on a collision — an overlapping doc_id would silently double-count
+    its tokens in df and scores. Returns the new generation number.
+    """
+    from ..plans.bucketing import write_bucketed
+
+    gens = _generations(spark, prefix)
+    n = len(gens)  # next delta number (base is generation 0)
+
+    doclen = new_docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    if check_disjoint:
+        existing = None
+        for g in gens:
+            dl_g = spark.table(f"{prefix}_doclen{g}").select("doc_id")
+            existing = dl_g if existing is None else existing.unionByName(dl_g)
+        n_dup = doclen.join(existing, "doc_id", "left_semi").count()
+        if n_dup:
+            raise ValueError(
+                f"append_to_index: {n_dup} doc_id(s) in the batch already "
+                f"exist in index {prefix!r} — appends must be doc-disjoint "
+                "(an overlap double-counts df and scores); dedup or "
+                "compact with replacement first"
+            )
+
+    toks = new_docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    postings = toks.groupBy("token", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    write_bucketed(postings, f"{prefix}_postings_d{n}", ["token"], buckets=buckets)
+    write_bucketed(doclen, f"{prefix}_doclen_d{n}", ["doc_id"], buckets=buckets)
+
+    old = spark.table(f"{prefix}_stats").first()
+    delta = (
+        spark.table(f"{prefix}_doclen_d{n}")
+        .groupBy()
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+        .first()
+    )
+    n_docs = int(old["n_docs"]) + int(delta["n"])
+    sum_dl = float(old["sum_dl"]) + float(delta["s"] or 0)
+    from ..plans.bucketing import drop_orphaned_table
+
+    drop_orphaned_table(spark, f"{prefix}_stats")
+    spark.createDataFrame(
+        [(n_docs, sum_dl / n_docs if n_docs else 0.0, sum_dl)],
+        "n_docs bigint, avgdl double, sum_dl double",
+    ).write.mode("overwrite").saveAsTable(f"{prefix}_stats")
+    _write_meta(spark, prefix, n)
+    return n
+
+
+def search_indexed_incremental(
+    spark: SparkSession,
+    prefix: str,
+    terms: list[str],
+    k: int = _TOP_K,
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+) -> DataFrame:
+    """BM25 top-k over a MULTI-GENERATION index (base + appended
+    deltas) — identical answer to a full rebuild (pinned in tests).
+    Every generation's postings scan is bucket-pruned by the query
+    terms; per-term df is the count of the pruned postings rows
+    (exact across doc-disjoint generations, and cheaper at scale than
+    maintaining df deltas: the rows are already in hand)."""
+    gens = _generations(spark, prefix)
+    p = None
+    doclen = None
+    for g in gens:
+        pg = spark.table(f"{prefix}_postings{g}").filter(
+            F.col("token").isin(terms)
+        )
+        p = pg if p is None else p.unionByName(pg)
+        dg = spark.table(f"{prefix}_doclen{g}")
+        doclen = dg if doclen is None else doclen.unionByName(dg)
+    dft = p.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    st = spark.table(f"{prefix}_stats").first()
+    n_docs, avgdl = st["n_docs"], st["avgdl"]
+    idf = F.log(
+        1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score_term = idf * F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        p.join(F.broadcast(dft), "token")
+        .join(doclen, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score_term), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def compact_index(spark: SparkSession, prefix: str, buckets: int = 16) -> None:
+    """Fold every delta generation back into the base tables — the
+    k-way merge step of the sorted-run lifecycle (reference
+    `merge`-all-runs †; chess importer compact_runs).  Generations are
+    doc-disjoint, so compaction is a pure union rewritten bucketed —
+    no aggregate re-combination needed.  The union is staged into a
+    `_stage` table FIRST and swapped in with ALTER TABLE RENAME (the
+    importer's swap-dir discipline): overwriting a table while lazily
+    reading from it would corrupt it."""
+    from ..plans.bucketing import drop_orphaned_table, write_bucketed
+
+    gens = _generations(spark, prefix)
+    if len(gens) == 1:
+        return  # nothing to fold
+    for kind, key in (("postings", "token"), ("doclen", "doc_id")):
+        merged = None
+        for g in gens:
+            t_g = spark.table(f"{prefix}_{kind}{g}")
+            merged = t_g if merged is None else merged.unionByName(t_g)
+        write_bucketed(merged, f"{prefix}_{kind}_stage", [key], buckets=buckets)
+        for g in gens:
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{kind}{g}")
+        drop_orphaned_table(spark, f"{prefix}_{kind}")
+        spark.sql(
+            f"ALTER TABLE {prefix}_{kind}_stage RENAME TO {prefix}_{kind}"
+        )
+    # df is derived from the base postings exactly as the full build does
+    dft = (
+        spark.table(f"{prefix}_postings")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    write_bucketed(dft, f"{prefix}_df", ["token"], buckets=buckets)
+    _write_meta(spark, prefix, 0)
 
 
 def search_indexed(
@@ -435,3 +613,21 @@ def search_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = _index_prefix(sf_dir)
     build_inverted_index(spark, t(spark, sf_dir, "documents"), prefix)
     return search_indexed(spark, prefix, _QUERY_TERMS)
+
+
+@register("search_bm25_incremental", oracle=_BM25_ORACLE_SQL)
+def search_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The append lifecycle as a registered query: build the base index
+    from HALF the corpus (even doc_ids), append the other half as a
+    delta generation (one batch-sized shuffle — the corpus is never
+    rescanned), then answer from the two-generation index.  The oracle
+    is the full-corpus BM25 SQL: append+query must be EXACTLY
+    equivalent to a fresh build over everything — df, avgdl and n_docs
+    all reflect the union, which is the property that makes the sorted
+    run lifecycle trustworthy (reference append/merge economics †,
+    chess importer U2)."""
+    prefix = _index_prefix(sf_dir) + "_inc"
+    docs = t(spark, sf_dir, "documents")
+    build_inverted_index(spark, docs.filter(F.col("doc_id") % 2 == 0), prefix)
+    append_to_index(spark, docs.filter(F.col("doc_id") % 2 == 1), prefix)
+    return search_indexed_incremental(spark, prefix, _QUERY_TERMS)

@@ -536,3 +536,57 @@ def test_spec_normalize_collapses_edge_tabs(spark):
     out = run_pipeline(docs, {"stages": [{"op": "normalize"}, {"op": "dedup_exact"}]})
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["text"] == "a b c"
+
+
+def test_incremental_index_append_equals_full_build(spark, sf_dir):
+    """Sorted-run lifecycle of the postings index: base build on a
+    third of the corpus + TWO appended delta generations must answer
+    EXACTLY like one fresh build over everything (df/avgdl/n_docs all
+    reflect the union); compaction folds the generations back into the
+    base tables without changing a single row, resets the meta counter,
+    drops the delta tables, and the compacted base still bucket-prunes
+    (ALTER TABLE RENAME must carry the bucket spec). Overlapping
+    doc_ids are rejected loudly (they would double-count df)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from chess_pos_db_spark.llm import search as S
+    from chess_pos_db_spark.tables import t as load
+
+    docs = load(spark, sf_dir, "documents")
+    prefix = "ixinc_test"
+    try:
+        S.build_inverted_index(spark, docs.filter(F.col("doc_id") % 3 == 0), prefix)
+        S.append_to_index(spark, docs.filter(F.col("doc_id") % 3 == 1), prefix)
+        S.append_to_index(spark, docs.filter(F.col("doc_id") % 3 == 2), prefix)
+        S.build_inverted_index(spark, docs, "ixfull_test")
+
+        got = S.search_indexed_incremental(spark, prefix, S._QUERY_TERMS)
+        want = S.search_indexed(spark, "ixfull_test", S._QUERY_TERMS)
+        want_rows = [tuple(r) for r in want.collect()]
+        assert [tuple(r) for r in got.collect()] == want_rows
+
+        # doc-overlap appends fail loudly instead of double-counting
+        with pytest.raises(ValueError, match="doc-disjoint"):
+            S.append_to_index(spark, docs.limit(5), prefix)
+
+        S.compact_index(spark, prefix)
+        assert S._generations(spark, prefix) == [""]
+        live = {t.name for t in spark.catalog.listTables()}
+        assert f"{prefix}_postings_d1" not in live
+        assert f"{prefix}_doclen_d2" not in live
+        post = S.search_indexed_incremental(spark, prefix, S._QUERY_TERMS)
+        assert [tuple(r) for r in post.collect()] == want_rows
+        # the compacted (renamed) base table still prunes buckets
+        direct = S.search_indexed(spark, prefix, S._QUERY_TERMS)
+        assert [tuple(r) for r in direct.collect()] == want_rows
+        import re
+
+        plan = direct._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan[:2000]
+        assert int(m.group(1)) < int(m.group(2))
+    finally:
+        for name in list(spark.catalog.listTables()):
+            if name.name.startswith(("ixinc_test", "ixfull_test")):
+                spark.sql(f"DROP TABLE IF EXISTS {name.name}")
