@@ -191,6 +191,7 @@ _RRF_DEPTH = 50
 # same query vector as the similarity operators this fusion composes
 # with — one shared constant, so they can never drift apart
 from .similarity import _QUERY_VEC_ID as _RRF_QUERY_VEC  # noqa: E402
+from .pipeline import _shingle_sql as _pipeline_shingle_sql  # noqa: E402
 
 
 def _rrf_oracle() -> str:
@@ -345,10 +346,15 @@ def build_inverted_index(
     from ..plans.bucketing import write_bucketed
 
     toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
-    postings = (
-        toks.groupBy("token", "doc_id").agg(F.count("*").cast("long").alias("tf"))
+    # positions make the index POSITIONAL: phrase queries answer from
+    # the same postings rows (phrase_indexed) with zero corpus access.
+    # BM25 reads prune the column away (Catalyst column pruning), so
+    # ranked retrieval pays nothing for it.
+    postings = toks.groupBy("token", "doc_id").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
     )
     write_bucketed(postings, f"{prefix}_postings", ["token"], buckets=buckets)
     doclen = docs.select(
@@ -397,6 +403,16 @@ def _generations(spark: SparkSession, prefix: str) -> list[str]:
     return [""] + [f"_d{i}" for i in range(1, n + 1)]
 
 
+def _existing_doc_ids(spark: SparkSession, prefix: str) -> DataFrame:
+    """Union of every live generation's doc_ids (doclen is the compact
+    per-doc table — 16 B/doc)."""
+    out = None
+    for g in _generations(spark, prefix):
+        dl = spark.table(f"{prefix}_doclen{g}").select("doc_id")
+        out = dl if out is None else out.unionByName(dl)
+    return out
+
+
 def append_to_index(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -412,9 +428,15 @@ def append_to_index(
     Writes one new generation (`{prefix}_postings_d{N}` bucketed by
     token, `{prefix}_doclen_d{N}` bucketed by doc_id) from the delta
     docs only — cost is ONE (token, doc_id) shuffle over the BATCH,
-    never the corpus — and updates the additive corpus stats
-    (n_docs, sum_dl → avgdl) from the delta aggregate plus the stored
-    totals. df is NOT maintained as a table across generations: the
+    never the corpus. Corpus stats (n_docs, sum_dl → avgdl) are
+    RECOMPUTED from the union of every generation's doclen (16 B/doc —
+    four orders cheaper than a corpus rescan at any scale), not
+    read-modify-written: a recompute is idempotent, which makes the
+    meta write below the append's ONLY commit point — a crash anywhere
+    before it leaves a replay that rewrites the identical delta and
+    stats; a replay after it is a full-duplicate batch the
+    disjointness probe (or stream_index_maintenance's skip) catches.
+    df is NOT maintained as a table across generations: the
     incremental query path derives per-term df from the bucket-pruned
     postings themselves (exact, since generations are doc-disjoint).
 
@@ -432,11 +454,9 @@ def append_to_index(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
     )
     if check_disjoint:
-        existing = None
-        for g in gens:
-            dl_g = spark.table(f"{prefix}_doclen{g}").select("doc_id")
-            existing = dl_g if existing is None else existing.unionByName(dl_g)
-        n_dup = doclen.join(existing, "doc_id", "left_semi").count()
+        n_dup = doclen.join(
+            _existing_doc_ids(spark, prefix), "doc_id", "left_semi"
+        ).count()
         if n_dup:
             raise ValueError(
                 f"append_to_index: {n_dup} doc_id(s) in the batch already "
@@ -446,23 +466,23 @@ def append_to_index(
             )
 
     toks = new_docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
     postings = toks.groupBy("token", "doc_id").agg(
-        F.count("*").cast("long").alias("tf")
+        F.count("*").cast("long").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
     )
     write_bucketed(postings, f"{prefix}_postings_d{n}", ["token"], buckets=buckets)
     write_bucketed(doclen, f"{prefix}_doclen_d{n}", ["doc_id"], buckets=buckets)
 
-    old = spark.table(f"{prefix}_stats").first()
-    delta = (
-        spark.table(f"{prefix}_doclen_d{n}")
-        .groupBy()
-        .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
-        .first()
-    )
-    n_docs = int(old["n_docs"]) + int(delta["n"])
-    sum_dl = float(old["sum_dl"]) + float(delta["s"] or 0)
+    all_dl = spark.table(f"{prefix}_doclen_d{n}")
+    for g in gens:
+        all_dl = all_dl.unionByName(spark.table(f"{prefix}_doclen{g}"))
+    tot = all_dl.groupBy().agg(
+        F.count("*").alias("n"), F.sum("dl").alias("s")
+    ).first()
+    n_docs = int(tot["n"])
+    sum_dl = float(tot["s"] or 0)
     from ..plans.bucketing import drop_orphaned_table
 
     drop_orphaned_table(spark, f"{prefix}_stats")
@@ -470,7 +490,7 @@ def append_to_index(
         [(n_docs, sum_dl / n_docs if n_docs else 0.0, sum_dl)],
         "n_docs bigint, avgdl double, sum_dl double",
     ).write.mode("overwrite").saveAsTable(f"{prefix}_stats")
-    _write_meta(spark, prefix, n)
+    _write_meta(spark, prefix, n)  # the commit point
     return n
 
 
@@ -631,3 +651,133 @@ def search_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_inverted_index(spark, docs.filter(F.col("doc_id") % 2 == 0), prefix)
     append_to_index(spark, docs.filter(F.col("doc_id") % 2 == 1), prefix)
     return search_indexed_incremental(spark, prefix, _QUERY_TERMS)
+
+
+def phrase_indexed(
+    spark: SparkSession, prefix: str, phrase: str, k: int = _TOP_K
+) -> DataFrame:
+    """Exact phrase-occurrence top-k from the POSITIONAL index — the
+    classic positional-postings phrase walk, no corpus access: read
+    each phrase token's (bucket-pruned) postings, then fold
+    left-to-right keeping the positions where the matched prefix ENDS
+    (ends' = (ends+1) ∩ positions(next token) — array_intersect of
+    per-doc-unique position lists, exact).  Each join moves only the
+    term-selective postings rows on doc_id; the corpus never scans.
+    Token-level semantics: a phrase matches on token boundaries (the
+    scan-based ``search_phrase`` counts raw SUBSTRING hits, which can
+    span partial tokens — e.g. '…devalue tables…' contains
+    'value table' — so the two operators answer related but distinct
+    questions; the oracle encodes the token form)."""
+    terms = phrase.split(" ")
+
+    def pruned(term: str) -> DataFrame:
+        out = None
+        for g in _generations(spark, prefix):
+            pg = (
+                spark.table(f"{prefix}_postings{g}")
+                .filter(F.col("token") == term)
+                .select("doc_id", "positions")
+            )
+            out = pg if out is None else out.unionByName(pg)
+        return out
+
+    cur = pruned(terms[0]).select("doc_id", F.col("positions").alias("ends"))
+    for term in terms[1:]:
+        nxt = pruned(term).select("doc_id", F.col("positions").alias("p"))
+        cur = (
+            cur.join(nxt, "doc_id")
+            .select(
+                "doc_id",
+                F.array_intersect(
+                    F.transform("ends", lambda x: x + 1), F.col("p")
+                ).alias("ends"),
+            )
+            .filter(F.size("ends") > 0)
+        )
+    return (
+        cur.select("doc_id", F.size("ends").cast("long").alias("n_hits"))
+        .orderBy(F.col("n_hits").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+@register(
+    "search_phrase_postings",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS s FROM documents),
+g AS (
+    SELECT doc_id, {{shingle}} AS bigram
+    FROM tok WHERE len(s) >= 2
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM g WHERE bigram = '{_PHRASE}'
+GROUP BY doc_id
+ORDER BY n_hits DESC, doc_id
+LIMIT {_TOP_K}
+""".replace("{shingle}", _pipeline_shingle_sql(2)),
+)
+def search_phrase_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-boundary phrase count answered from the positional index
+    (build + phrase walk); oracle is the token-bigram count over the
+    corpus — append+index must reproduce it exactly."""
+    prefix = _index_prefix(sf_dir)
+    build_inverted_index(spark, t(spark, sf_dir, "documents"), prefix)
+    return phrase_indexed(spark, prefix, _PHRASE)
+
+
+def stream_index_maintenance(
+    spark: SparkSession,
+    src_dir: str,
+    prefix: str,
+    checkpoint_dir: str,
+    buckets: int = 16,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Keep the postings index fresh over a continuously-ingested
+    corpus: a file stream of new document batches, each micro-batch
+    appended as a delta generation (T1 micro-batch ingest composed
+    with the N4ix sorted-run lifecycle).
+
+    foreachBatch is at-least-once, so replays are resolved by CONTENT,
+    not epoch bookkeeping: a batch whose doc_ids are ALL already in
+    the index is a replay of a committed append — skipped whole (the
+    append's meta write is its single commit point, so "all present"
+    can only mean "fully applied"). A PARTIAL overlap is corrupt input
+    (some doc already indexed under a different batch) and fails
+    loudly. Compaction cadence is the operator's call —
+    compact_index() after the stream drains or on a generation-count
+    threshold."""
+    from ..sources.formats import DOCUMENTS_SCHEMA
+
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(src_dir)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_ids = batch_df.select("doc_id").distinct()
+        n_batch = batch_ids.count()
+        if n_batch == 0:
+            return
+        n_dup = batch_ids.join(
+            _existing_doc_ids(spark, prefix), "doc_id", "left_semi"
+        ).count()
+        if n_dup == n_batch:
+            return  # replayed, already-committed batch — idempotent skip
+        if n_dup:
+            raise ValueError(
+                f"stream_index_maintenance: batch {epoch_id} overlaps the "
+                f"index on {n_dup}/{n_batch} doc_ids — partial overlap is "
+                "corrupt input, not a replay; quarantine the batch"
+            )
+        append_to_index(
+            spark, batch_df, prefix, buckets=buckets, check_disjoint=False
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()

@@ -34,6 +34,20 @@ def get_spark(app_name: str = "chess_pos_db_spark") -> SparkSession:
         # timestamp type, so read as epoch-nanos LONG and convert in the
         # loader (tables.t) — matches DuckDB's truncate-to-micros read.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Every bucketed table this engine writes is a PROBE layout
+        # (postings/doclen/df, IVF cells, entry buckets): it is either
+        # probed with a bucket-key filter — where bucket pruning is the
+        # point — or joined on its bucket key. Spark's
+        # DisableUnnecessaryBucketedScan rule would silently drop the
+        # bucketed scan (and with it SelectedBucketsCount pruning) when
+        # the probe's join keys differ from the bucket key, e.g. the
+        # positional phrase walk (token-bucketed postings joined on
+        # doc_id) — turning a read-1-of-16-buckets probe into a full
+        # scan. The rule's upside (file-split parallelism on FULL scans
+        # of bucketed tables) doesn't apply here: full scans of these
+        # tables happen only in compaction jobs, where bucket count is
+        # sized to the cluster anyway.
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

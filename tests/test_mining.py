@@ -590,3 +590,144 @@ def test_incremental_index_append_equals_full_build(spark, sf_dir):
         for name in list(spark.catalog.listTables()):
             if name.name.startswith(("ixinc_test", "ixfull_test")):
                 spark.sql(f"DROP TABLE IF EXISTS {name.name}")
+
+
+def test_phrase_indexed_token_semantics_and_generations(spark, sf_dir):
+    """Positional-postings phrase walk: (a) equals the token-bigram
+    ground truth computed straight from the corpus (NOT the substring
+    count — 'devalue tables' must not match 'value table'); (b) a
+    3-token phrase exercises the fold; (c) the answer is identical over
+    a base+delta index; (d) every postings read is bucket-pruned."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from chess_pos_db_spark.llm import search as S
+    from chess_pos_db_spark.llm.pipeline import _shingles
+    from chess_pos_db_spark.tables import t as load
+
+    docs = load(spark, sf_dir, "documents")
+
+    def truth(phrase, n):
+        return {
+            (r["doc_id"], r["n_hits"])
+            for r in (
+                docs.select("doc_id", F.explode(_shingles(n)).alias("g"))
+                .filter(F.col("g") == phrase)
+                .groupBy("doc_id")
+                .agg(F.count("*").cast("long").alias("n_hits"))
+                .orderBy(F.col("n_hits").desc(), "doc_id")
+                .limit(10)
+                .collect()
+            )
+        }
+
+    try:
+        S.build_inverted_index(spark, docs, "ixph_full")
+        S.build_inverted_index(spark, docs.filter(F.col("doc_id") % 2 == 0), "ixph_inc")
+        S.append_to_index(spark, docs.filter(F.col("doc_id") % 2 == 1), "ixph_inc")
+
+        got2 = S.phrase_indexed(spark, "ixph_full", S._PHRASE)
+        assert {tuple(r) for r in got2.collect()} == truth(S._PHRASE, 2)
+
+        # pick a 3-token phrase that actually occurs: the most frequent
+        # trigram in the corpus
+        tri = (
+            docs.select(F.explode(_shingles(3)).alias("g"))
+            .groupBy("g")
+            .count()
+            .orderBy(F.desc("count"), "g")
+            .first()["g"]
+        )
+        got3_full = {
+            tuple(r) for r in S.phrase_indexed(spark, "ixph_full", tri).collect()
+        }
+        assert got3_full == truth(tri, 3)
+        got3_inc = {
+            tuple(r) for r in S.phrase_indexed(spark, "ixph_inc", tri).collect()
+        }
+        assert got3_inc == got3_full
+
+        plan = (
+            S.phrase_indexed(spark, "ixph_full", S._PHRASE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        prunes = re.findall(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert prunes, plan[:2000]
+        assert all(int(a) < int(b) for a, b in prunes)
+    finally:
+        for name in list(spark.catalog.listTables()):
+            if name.name.startswith(("ixph_full", "ixph_inc")):
+                spark.sql(f"DROP TABLE IF EXISTS {name.name}")
+
+
+def test_stream_index_maintenance_appends_and_replays_idempotently(
+    spark, sf_dir, tmp_path
+):
+    """A document file stream keeps the postings index fresh: each
+    micro-batch lands as a delta generation and the final index answers
+    exactly like a fresh build over everything. A wiped checkpoint
+    replays every batch — all must be skipped by the content check
+    (doc_ids already indexed), leaving generations and answers
+    untouched instead of double-counting df."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from chess_pos_db_spark.llm import search as S
+    from chess_pos_db_spark.tables import t as load
+
+    docs = load(spark, sf_dir, "documents")
+    src = tmp_path / "docstream"
+    src.mkdir()
+    for i in (1, 2, 3):
+        staged = str(tmp_path / f"stage{i}")
+        docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        shutil.copy(
+            glob.glob(f"{staged}/part-*.parquet")[0], str(src / f"b{i}.parquet")
+        )
+
+    chk = str(tmp_path / "chk")
+    try:
+        S.build_inverted_index(spark, docs.filter(F.col("doc_id") % 4 == 0), "ixstr")
+        S.stream_index_maintenance(
+            spark, str(src), "ixstr", chk, max_files_per_trigger=1
+        )
+        n_gens = len(S._generations(spark, "ixstr"))
+        assert n_gens >= 2  # at least one delta landed as its own batch
+
+        S.build_inverted_index(spark, docs, "ixstr_full")
+        want = [
+            tuple(r)
+            for r in S.search_indexed(spark, "ixstr_full", S._QUERY_TERMS).collect()
+        ]
+        got = [
+            tuple(r)
+            for r in S.search_indexed_incremental(
+                spark, "ixstr", S._QUERY_TERMS
+            ).collect()
+        ]
+        assert got == want
+
+        # wiped checkpoint → full replay → every batch content-skipped
+        shutil.rmtree(chk)
+        S.stream_index_maintenance(
+            spark, str(src), "ixstr", chk, max_files_per_trigger=1
+        )
+        assert len(S._generations(spark, "ixstr")) == n_gens
+        again = [
+            tuple(r)
+            for r in S.search_indexed_incremental(
+                spark, "ixstr", S._QUERY_TERMS
+            ).collect()
+        ]
+        assert again == want
+    finally:
+        for name in list(spark.catalog.listTables()):
+            if name.name.startswith(("ixstr",)):
+                spark.sql(f"DROP TABLE IF EXISTS {name.name}")
