@@ -781,3 +781,79 @@ def stream_index_maintenance(
         .start()
     )
     q.awaitTermination()
+
+
+_PROX_WINDOW = 3  # proximity slop: second term within +3 tokens
+
+
+def proximity_indexed(
+    spark: SparkSession,
+    prefix: str,
+    term_a: str,
+    term_b: str,
+    window: int = _PROX_WINDOW,
+    k: int = _TOP_K,
+) -> DataFrame:
+    """Proximity (sloppy-phrase) search from the positional index:
+    docs where ``term_b`` occurs within ``window`` tokens AFTER
+    ``term_a``, scored by the number of such anchor occurrences.  Same
+    access shape as the exact phrase walk — two bucket-pruned per-term
+    postings reads joined on doc_id, span counting as an in-row
+    higher-order predicate (exists j: i < j <= i+window), zero corpus
+    access.  Position base (0- or 1-indexed) cancels in the
+    difference, so the DuckDB oracle's 1-based list positions agree
+    exactly."""
+
+    def pruned(term: str, out: str) -> DataFrame:
+        res = None
+        for g in _generations(spark, prefix):
+            pg = (
+                spark.table(f"{prefix}_postings{g}")
+                .filter(F.col("token") == term)
+                .select("doc_id", F.col("positions").alias(out))
+            )
+            res = pg if res is None else res.unionByName(pg)
+        return res
+
+    joined = pruned(term_a, "pa").join(pruned(term_b, "pb"), "doc_id")
+    n_spans = F.size(
+        F.filter(
+            "pa",
+            lambda i: F.exists(
+                F.col("pb"), lambda j: (j > i) & (j <= i + window)
+            ),
+        )
+    ).cast("long")
+    return (
+        joined.select("doc_id", n_spans.alias("n_spans"))
+        .filter(F.col("n_spans") > 0)
+        .orderBy(F.col("n_spans").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+@register(
+    "search_proximity_postings",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS s FROM documents),
+p1 AS (SELECT doc_id,
+              unnest(list_filter(range(1, len(s)+1), i -> s[i] = 'window')) AS i
+       FROM tok),
+p2 AS (SELECT doc_id,
+              unnest(list_filter(range(1, len(s)+1), j -> s[j] = 'table')) AS j
+       FROM tok)
+SELECT p1.doc_id AS doc_id, CAST(COUNT(DISTINCT p1.i) AS BIGINT) AS n_spans
+FROM p1 JOIN p2
+  ON p1.doc_id = p2.doc_id AND p2.j > p1.i AND p2.j <= p1.i + {_PROX_WINDOW}
+GROUP BY p1.doc_id
+ORDER BY n_spans DESC, doc_id
+LIMIT {_TOP_K}
+""",
+)
+def search_proximity_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'window' followed by 'table' within 3 tokens, answered from the
+    positional index — the Lucene-style slop query a retrieval eval
+    set builder needs beyond exact phrases."""
+    prefix = _index_prefix(sf_dir)
+    build_inverted_index(spark, t(spark, sf_dir, "documents"), prefix)
+    return proximity_indexed(spark, prefix, "window", "table")

@@ -731,3 +731,49 @@ def test_stream_index_maintenance_appends_and_replays_idempotently(
         for name in list(spark.catalog.listTables()):
             if name.name.startswith(("ixstr",)):
                 spark.sql(f"DROP TABLE IF EXISTS {name.name}")
+
+
+def test_proximity_indexed_semantics_and_generations(spark):
+    """Proximity walk edge cases on a hand-built corpus: only FORWARD
+    spans count (term_b before term_a doesn't), the window bound is
+    inclusive at exactly +w and exclusive at +w+1, anchors each count
+    once however many partners land in range, and a base+delta index
+    answers identically to a single build."""
+    from pyspark.sql import functions as F
+
+    from chess_pos_db_spark.llm import search as S
+
+    rows = [
+        (1, "window x x table", "en", "s", 0),   # gap 3 == w -> hit
+        (2, "window x x x table", "en", "s", 0),  # gap 4 > w  -> miss
+        (3, "table x window", "en", "s", 0),      # backward only -> miss
+        (4, "window table table window x table", "en", "s", 0),
+        # doc 4: window@0 -> table@{1,2} (one anchor); window@3 -> table@5 (one)
+        (5, "window window table", "en", "s", 0),  # both anchors hit
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    try:
+        S.build_inverted_index(spark, docs, "ixprox_full")
+        got = {
+            (r["doc_id"], r["n_spans"])
+            for r in S.proximity_indexed(
+                spark, "ixprox_full", "window", "table", window=3
+            ).collect()
+        }
+        assert got == {(1, 1), (4, 2), (5, 2)}
+
+        S.build_inverted_index(spark, docs.filter(F.col("doc_id") <= 2), "ixprox_inc")
+        S.append_to_index(spark, docs.filter(F.col("doc_id") > 2), "ixprox_inc")
+        got_inc = {
+            (r["doc_id"], r["n_spans"])
+            for r in S.proximity_indexed(
+                spark, "ixprox_inc", "window", "table", window=3
+            ).collect()
+        }
+        assert got_inc == got
+    finally:
+        for name in list(spark.catalog.listTables()):
+            if name.name.startswith("ixprox"):
+                spark.sql(f"DROP TABLE IF EXISTS {name.name}")
