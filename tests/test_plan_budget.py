@@ -41,6 +41,14 @@ SHUFFLE_BUDGET = {
     "dedup_minhash_cluster": 2,  # (doc_id) signature agg + (signature) cluster agg
     "similarity_topk": 0,
     "similarity_ivf": 0,
+    # round-7 materialized-index family (QUERY-path budgets — the index
+    # build's shuffles run eagerly inside the write, not in the
+    # returned plan; what's pinned here is that answering stays
+    # candidate-sized)
+    "search_bm25_postings": 1,  # matched postings -> doclen join
+    "search_bm25_incremental": 2,  # same, over base + delta generations
+    "search_phrase_postings": 0,  # per-term bucket probes, broadcast fold
+    "search_proximity_postings": 0,  # same access shape as phrase
 }
 
 
