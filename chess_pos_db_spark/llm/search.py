@@ -453,6 +453,21 @@ def append_to_index(
     doclen = new_docs.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
     )
+    # WITHIN-batch duplicate doc_ids would silently MERGE both copies'
+    # token streams in the groupBy below (doubled tf, interleaved
+    # positions) — corrupt scores with no error. Always checked, even
+    # when the caller owns the cross-index disjointness check: this is
+    # a property of the batch itself.
+    dup_stats = doclen.groupBy().agg(
+        F.count("*").alias("n"), F.count_distinct("doc_id").alias("nd")
+    ).first()
+    if int(dup_stats["n"]) != int(dup_stats["nd"]):
+        raise ValueError(
+            f"append_to_index: batch contains "
+            f"{int(dup_stats['n']) - int(dup_stats['nd'])} duplicate "
+            "doc_id row(s) — duplicate copies would silently merge into "
+            "one posting with doubled tf; dedup the batch first"
+        )
     if check_disjoint:
         n_dup = doclen.join(
             _existing_doc_ids(spark, prefix), "doc_id", "left_semi"
@@ -545,7 +560,15 @@ def compact_index(spark: SparkSession, prefix: str, buckets: int = 16) -> None:
     no aggregate re-combination needed.  The union is staged into a
     `_stage` table FIRST and swapped in with ALTER TABLE RENAME (the
     importer's swap-dir discipline): overwriting a table while lazily
-    reading from it would corrupt it."""
+    reading from it would corrupt it.
+
+    NOT crash-atomic across the two table families: a crash between
+    the postings swap and the doclen swap leaves the meta counter
+    pointing at generation tables that no longer exist, so every
+    subsequent read FAILS LOUDLY (missing table) rather than serving a
+    half-compacted answer — recovery is a rebuild. A per-index
+    manifest transaction (plans/layout.py snapshots) is the upgrade
+    path if compaction ever needs to be online."""
     from ..plans.bucketing import drop_orphaned_table, write_bucketed
 
     gens = _generations(spark, prefix)

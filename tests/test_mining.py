@@ -777,3 +777,29 @@ def test_proximity_indexed_semantics_and_generations(spark):
         for name in list(spark.catalog.listTables()):
             if name.name.startswith("ixprox"):
                 spark.sql(f"DROP TABLE IF EXISTS {name.name}")
+
+
+def test_append_rejects_within_batch_duplicate_doc_ids(spark):
+    """A batch containing the same doc_id twice would silently MERGE
+    both copies' token streams into one posting (doubled tf) — the
+    append rejects it loudly even with the cross-index check off."""
+    import pytest
+
+    from chess_pos_db_spark.llm import search as S
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    dup_batch = spark.createDataFrame(
+        [(2, "alpha", "en", "s", 0), (2, "beta", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    try:
+        S.build_inverted_index(spark, base, "ixdup_test")
+        with pytest.raises(ValueError, match="duplicate doc_id"):
+            S.append_to_index(spark, dup_batch, "ixdup_test", check_disjoint=False)
+    finally:
+        for name in list(spark.catalog.listTables()):
+            if name.name.startswith("ixdup_test"):
+                spark.sql(f"DROP TABLE IF EXISTS {name.name}")
