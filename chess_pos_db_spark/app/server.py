@@ -454,9 +454,19 @@ def serve_tcp(engine: Engine, host: str = "127.0.0.1", port: int = 0):
                 except json.JSONDecodeError as exc:
                     out = {"ok": False, "error": f"bad json: {exc}"}
                 else:
-                    if cmd.get("command") == "exit":
+                    # valid JSON that is not an object ('[1,2]', '"x"',
+                    # '3') would AttributeError on .get BEFORE the
+                    # engine's error guard — killing the connection
+                    # with no reply instead of answering ok:false
+                    if not isinstance(cmd, dict):
+                        out = {
+                            "ok": False,
+                            "error": "command must be a JSON object",
+                        }
+                    elif cmd.get("command") == "exit":
                         break
-                    out = engine.handle(cmd)
+                    else:
+                        out = engine.handle(cmd)
                 self.wfile.write((json.dumps(out) + "\n").encode("utf-8"))
                 self.wfile.flush()
 
@@ -497,6 +507,17 @@ def console_loop(engine: Engine, stdin, stdout) -> None:
         except json.JSONDecodeError as exc:
             print(
                 json.dumps({"ok": False, "error": f"bad json: {exc}"}),
+                file=stdout,
+                flush=True,
+            )
+            continue
+        # same non-object guard as the TCP handler: a '[1,2]' line
+        # would AttributeError on .get and kill the whole console loop
+        if not isinstance(cmd, dict):
+            print(
+                json.dumps(
+                    {"ok": False, "error": "command must be a JSON object"}
+                ),
                 file=stdout,
                 flush=True,
             )

@@ -413,3 +413,39 @@ def test_tcp_bad_encoding_gets_error_response(spark, tmp_path):
             assert '"ok": false' in resp and "encoding" in resp
     finally:
         server.shutdown()
+
+
+def test_tcp_non_object_json_gets_error_and_connection_survives(spark):
+    """A valid-JSON line that is not an object ('[1,2]', '"x"', '3')
+    must get an ok:false response and leave the connection usable —
+    the naked .get('command') used to AttributeError BEFORE the
+    engine's error guard, closing the socket with no reply (and the
+    console loop would die entirely)."""
+    import io
+    import socket
+
+    from chess_pos_db_spark.app.server import Engine, console_loop, serve_tcp
+
+    eng = Engine(spark)
+    server, thread, port = serve_tcp(eng)
+    try:
+        with socket.create_connection(("127.0.0.1", port)) as sock:
+            f = sock.makefile("rwb")
+            for payload in (b"[1,2,3]\n", b'"exit"\n', b"3\n"):
+                f.write(payload)
+                f.flush()
+                resp = f.readline().decode("utf-8")
+                assert '"ok": false' in resp and "JSON object" in resp
+            # the connection still answers real commands afterwards
+            f.write(b'{"command": "stats"}\n')
+            f.flush()
+            resp = f.readline().decode("utf-8")
+            assert '"ok": false' in resp and "no database open" in resp
+    finally:
+        server.shutdown()
+
+    out = io.StringIO()
+    console_loop(eng, io.StringIO('[1,2]\n{"command": "nope"}\n'), out)
+    lines = out.getvalue().strip().splitlines()
+    assert len(lines) == 2  # loop survived the non-object line
+    assert "JSON object" in lines[0] and "unknown command" in lines[1]
