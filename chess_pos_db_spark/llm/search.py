@@ -373,33 +373,67 @@ def build_inverted_index(
         .agg(F.count("*").cast("long").alias("df"))
     )
     write_bucketed(dft, f"{prefix}_df", ["token"], buckets=buckets)
-    from ..plans.bucketing import drop_orphaned_table
+    # corpus stats live IN the meta row (not a separate _stats table):
+    # meta is the index's single commit point, and folding
+    # n_docs/avgdl into it means no reader can ever observe stats
+    # ahead of (or behind) the generation list — the two update
+    # atomically or not at all.  sum_dl alongside avgdl keeps the
+    # stats ADDITIVE (append updates them with one delta aggregate,
+    # never a corpus rescan); fp_sum_ids is the corpus fingerprint
+    # ensure_index uses to detect a stale index.
+    st = (
+        spark.table(f"{prefix}_doclen")
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            F.sum("doc_id").alias("fp"),
+        )
+        .first()
+    )
+    n_docs = int(st["n_docs"])
+    sum_dl = float(st["sum_dl"] or 0)
+    _write_meta(
+        spark, prefix, 0, n_docs, sum_dl, int(st["fp"] or 0)
+    )
 
-    drop_orphaned_table(spark, f"{prefix}_stats")
-    # sum_dl alongside avgdl makes the stats ADDITIVE — append_to_index
-    # updates them with one delta aggregate instead of rescanning every
-    # generation's doclen
-    spark.table(f"{prefix}_doclen").groupBy().agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl") / F.count("*")).alias("avgdl"),
-        F.sum("dl").alias("sum_dl"),
-    ).write.mode("overwrite").saveAsTable(f"{prefix}_stats")
-    _write_meta(spark, prefix, 0)
 
-
-def _write_meta(spark: SparkSession, prefix: str, n_deltas: int) -> None:
+def _write_meta(
+    spark: SparkSession,
+    prefix: str,
+    n_deltas: int,
+    n_docs: int,
+    sum_dl: float,
+    fp_sum_ids: int,
+) -> None:
+    """Write the index's ONE commit record: generation count AND
+    corpus stats in the same single-row table, so there is no window
+    where a reader sees stats from a different generation set."""
     from ..plans.bucketing import drop_orphaned_table
 
     drop_orphaned_table(spark, f"{prefix}_meta")
     spark.createDataFrame(
-        [(n_deltas,)], "n_deltas int"
+        [(
+            n_deltas,
+            n_docs,
+            sum_dl / n_docs if n_docs else 0.0,
+            sum_dl,
+            fp_sum_ids,
+        )],
+        "n_deltas int, n_docs bigint, avgdl double, sum_dl double, "
+        "fp_sum_ids bigint",
     ).write.mode("overwrite").saveAsTable(f"{prefix}_meta")
+
+
+def _read_meta(spark: SparkSession, prefix: str):
+    """The index's commit record (generations + corpus stats)."""
+    return spark.table(f"{prefix}_meta").first()
 
 
 def _generations(spark: SparkSession, prefix: str) -> list[str]:
     """Table-name suffixes of every live index generation: the base
     ('') plus one '_d{i}' per append since the last compaction."""
-    n = spark.table(f"{prefix}_meta").first()["n_deltas"]
+    n = _read_meta(spark, prefix)["n_deltas"]
     return [""] + [f"_d{i}" for i in range(1, n + 1)]
 
 
@@ -431,11 +465,13 @@ def append_to_index(
     never the corpus. Corpus stats (n_docs, sum_dl → avgdl) are
     RECOMPUTED from the union of every generation's doclen (16 B/doc —
     four orders cheaper than a corpus rescan at any scale), not
-    read-modify-written: a recompute is idempotent, which makes the
-    meta write below the append's ONLY commit point — a crash anywhere
-    before it leaves a replay that rewrites the identical delta and
-    stats; a replay after it is a full-duplicate batch the
-    disjointness probe (or stream_index_maintenance's skip) catches.
+    read-modify-written, and land in the SAME single-row meta write as
+    the generation count: that write is the append's ONLY commit point
+    — a crash anywhere before it leaves a replay that rewrites the
+    identical delta tables; a replay after it is a full-duplicate
+    batch the disjointness probe (or stream_index_maintenance's skip)
+    catches.  Readers can never observe stats from a different
+    generation set than the one they enumerate.
     df is NOT maintained as a table across generations: the
     incremental query path derives per-term df from the bucket-pruned
     postings themselves (exact, since generations are doc-disjoint).
@@ -494,18 +530,17 @@ def append_to_index(
     for g in gens:
         all_dl = all_dl.unionByName(spark.table(f"{prefix}_doclen{g}"))
     tot = all_dl.groupBy().agg(
-        F.count("*").alias("n"), F.sum("dl").alias("s")
+        F.count("*").alias("n"),
+        F.sum("dl").alias("s"),
+        F.sum("doc_id").alias("fp"),
     ).first()
-    n_docs = int(tot["n"])
-    sum_dl = float(tot["s"] or 0)
-    from ..plans.bucketing import drop_orphaned_table
-
-    drop_orphaned_table(spark, f"{prefix}_stats")
-    spark.createDataFrame(
-        [(n_docs, sum_dl / n_docs if n_docs else 0.0, sum_dl)],
-        "n_docs bigint, avgdl double, sum_dl double",
-    ).write.mode("overwrite").saveAsTable(f"{prefix}_stats")
-    _write_meta(spark, prefix, n)  # the commit point
+    # generation count AND union stats land in ONE meta write — the
+    # commit point; no reader window where stats reflect the new delta
+    # while the generation list doesn't
+    _write_meta(
+        spark, prefix, n, int(tot["n"]), float(tot["s"] or 0),
+        int(tot["fp"] or 0),
+    )
     return n
 
 
@@ -534,7 +569,7 @@ def search_indexed_incremental(
         dg = spark.table(f"{prefix}_doclen{g}")
         doclen = dg if doclen is None else doclen.unionByName(dg)
     dft = p.groupBy("token").agg(F.count("*").cast("long").alias("df"))
-    st = spark.table(f"{prefix}_stats").first()
+    st = _read_meta(spark, prefix)
     n_docs, avgdl = st["n_docs"], st["avgdl"]
     idf = F.log(
         1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -571,6 +606,7 @@ def compact_index(spark: SparkSession, prefix: str, buckets: int = 16) -> None:
     path if compaction ever needs to be online."""
     from ..plans.bucketing import drop_orphaned_table, write_bucketed
 
+    meta = _read_meta(spark, prefix)  # stats survive the fold unchanged
     gens = _generations(spark, prefix)
     if len(gens) == 1:
         return  # nothing to fold
@@ -593,7 +629,10 @@ def compact_index(spark: SparkSession, prefix: str, buckets: int = 16) -> None:
         .agg(F.count("*").cast("long").alias("df"))
     )
     write_bucketed(dft, f"{prefix}_df", ["token"], buckets=buckets)
-    _write_meta(spark, prefix, 0)
+    _write_meta(
+        spark, prefix, 0, meta["n_docs"], meta["sum_dl"],
+        meta["fp_sum_ids"],
+    )
 
 
 def search_indexed(
@@ -606,10 +645,21 @@ def search_indexed(
 ) -> DataFrame:
     """Index-backed BM25 top-k for `terms` — bucket-pruned postings
     probe, candidate-only doclen join, identical scoring expression to
-    bm25_scores (equivalence pinned in tests)."""
+    bm25_scores (equivalence pinned in tests).
+
+    Single-generation fast path ONLY: when the index has live delta
+    generations (appends since the last compaction) this DELEGATES to
+    search_indexed_incremental — the base `_df`/`_doclen` tables here
+    don't see appended docs, so querying them directly would silently
+    drop every appended document and score the rest with union-level
+    n_docs/avgdl against base-only df (regression-pinned in tests)."""
+    st = _read_meta(spark, prefix)
+    if st["n_deltas"] > 0:
+        return search_indexed_incremental(
+            spark, prefix, terms, k=k, k1=k1, b=b
+        )
     p = spark.table(f"{prefix}_postings").filter(F.col("token").isin(terms))
     dft = spark.table(f"{prefix}_df").filter(F.col("token").isin(terms))
-    st = spark.table(f"{prefix}_stats").first()
     n_docs, avgdl = st["n_docs"], st["avgdl"]
     doclen = spark.table(f"{prefix}_doclen")
     idf = F.log(
@@ -641,6 +691,38 @@ def _index_prefix(sf_dir: str) -> str:
     return "bm25ix_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
 
 
+def _corpus_fingerprint(docs: DataFrame) -> tuple[int, int]:
+    """(row count, sum of doc_id) — the cheap identity an index's meta
+    row records so ensure_index can tell 'same corpus' from 'stale
+    index' with one two-column aggregate (no text scan). In-place TEXT
+    edits under unchanged doc_ids are NOT detected — callers that
+    mutate documents must rebuild explicitly (fixture corpora are
+    immutable, and at scale a corpus snapshot gets a fresh prefix)."""
+    fp = docs.groupBy().agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("s")
+    ).first()
+    return int(fp["n"]), int(fp["s"] or 0)
+
+
+def ensure_index(
+    spark: SparkSession, docs: DataFrame, prefix: str, buckets: int = 16
+) -> bool:
+    """Build the postings index for `docs` under `prefix` ONLY if it
+    is absent or stale (corpus fingerprint mismatch). Registered
+    queries go through this instead of rebuilding per call: once built
+    for a corpus, the catalog tables are never dropped or rewritten
+    again, so a previously returned (lazy) query DataFrame can never
+    race a rebuild's drop+rewrite of the tables it scans. Returns True
+    iff a build ran."""
+    n, s = _corpus_fingerprint(docs)
+    if spark.catalog.tableExists(f"{prefix}_meta"):
+        m = _read_meta(spark, prefix)
+        if m["n_docs"] == n and m["fp_sum_ids"] == s:
+            return False
+    build_inverted_index(spark, docs, prefix, buckets=buckets)
+    return True
+
+
 @register("search_bm25_postings", oracle=_BM25_ORACLE_SQL)
 def search_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N4ix as a registered query: (re)build the materialized postings
@@ -652,9 +734,13 @@ def search_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (token, doc_id) shuffle paid once per corpus snapshot; every query
     after that touches O(matching postings), not O(corpus) — the
     sorted-run + sparse-index economics of the reference's
-    `src/persistence/pos_db/` † re-expressed as bucketed tables."""
+    `src/persistence/pos_db/` † re-expressed as bucketed tables. The
+    build runs at most once per corpus (ensure_index) — repeat calls,
+    and the sibling phrase/proximity queries on the same prefix, read
+    the already-built tables, so no returned DataFrame ever races a
+    rebuild."""
     prefix = _index_prefix(sf_dir)
-    build_inverted_index(spark, t(spark, sf_dir, "documents"), prefix)
+    ensure_index(spark, t(spark, sf_dir, "documents"), prefix)
     return search_indexed(spark, prefix, _QUERY_TERMS)
 
 
@@ -668,9 +754,17 @@ def search_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent to a fresh build over everything — df, avgdl and n_docs
     all reflect the union, which is the property that makes the sorted
     run lifecycle trustworthy (reference append/merge economics †,
-    chess importer U2)."""
+    chess importer U2). Idempotent per corpus: when the two-generation
+    index already exists with the full-corpus fingerprint, the
+    build+append is skipped — so a previously returned DataFrame never
+    races a rebuild of the tables it scans."""
     prefix = _index_prefix(sf_dir) + "_inc"
     docs = t(spark, sf_dir, "documents")
+    n, s = _corpus_fingerprint(docs)
+    if spark.catalog.tableExists(f"{prefix}_meta"):
+        m = _read_meta(spark, prefix)
+        if m["n_deltas"] == 1 and m["n_docs"] == n and m["fp_sum_ids"] == s:
+            return search_indexed_incremental(spark, prefix, _QUERY_TERMS)
     build_inverted_index(spark, docs.filter(F.col("doc_id") % 2 == 0), prefix)
     append_to_index(spark, docs.filter(F.col("doc_id") % 2 == 1), prefix)
     return search_indexed_incremental(spark, prefix, _QUERY_TERMS)
@@ -744,7 +838,7 @@ def search_phrase_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (build + phrase walk); oracle is the token-bigram count over the
     corpus — append+index must reproduce it exactly."""
     prefix = _index_prefix(sf_dir)
-    build_inverted_index(spark, t(spark, sf_dir, "documents"), prefix)
+    ensure_index(spark, t(spark, sf_dir, "documents"), prefix)
     return phrase_indexed(spark, prefix, _PHRASE)
 
 
@@ -878,5 +972,5 @@ def search_proximity_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional index — the Lucene-style slop query a retrieval eval
     set builder needs beyond exact phrases."""
     prefix = _index_prefix(sf_dir)
-    build_inverted_index(spark, t(spark, sf_dir, "documents"), prefix)
+    ensure_index(spark, t(spark, sf_dir, "documents"), prefix)
     return proximity_indexed(spark, prefix, "window", "table")

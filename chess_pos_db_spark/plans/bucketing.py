@@ -20,25 +20,56 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
-def drop_orphaned_table(spark: SparkSession, table: str) -> None:
-    """DROP TABLE IF EXISTS plus removal of an ORPHANED managed
-    location: a fresh session's in-memory catalog forgets managed
-    tables but their warehouse directories persist on disk, so the
-    next ``saveAsTable`` (even mode=overwrite — overwrite only applies
-    to tables the catalog KNOWS) dies with LOCATION_ALREADY_EXISTS.
-    Only a local warehouse is cleaned (the in-memory-catalog orphan
-    problem is a local/test shape; a persistent metastore at scale
-    never forgets the table, so overwrite handles it)."""
+def _default_managed_location(spark: SparkSession, table: str) -> str | None:
+    """Default managed-table directory for `table` under a LOCAL
+    warehouse, db-qualified aware (`db.tbl` → `<wh>/db.db/tbl`);
+    None for a remote warehouse (never cleaned from here)."""
     import os
-    import shutil
     from urllib.parse import urlparse
 
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
-    if wh.scheme in ("", "file"):
-        loc = os.path.join(wh.path, table.lower())
-        if wh.path and os.path.isdir(loc):
-            shutil.rmtree(loc)
+    if wh.scheme not in ("", "file") or not wh.path:
+        return None
+    parts = table.lower().split(".")
+    if len(parts) == 1:
+        return os.path.join(wh.path, parts[0])
+    return os.path.join(wh.path, f"{parts[-2]}.db", parts[-1])
+
+
+def clean_orphaned_location(spark: SparkSession, table: str) -> bool:
+    """Remove an ORPHANED managed location — the catalog does NOT know
+    `table` but its default warehouse directory persists on disk (a
+    fresh session's in-memory catalog forgets managed tables, so the
+    next ``saveAsTable`` — even mode=overwrite, which only applies to
+    tables the catalog KNOWS — dies with LOCATION_ALREADY_EXISTS).
+    Catalog-known tables are left alone: plain mode=overwrite handles
+    them WITH Spark's cannot-overwrite-a-table-being-read analysis
+    guard intact. Only a local warehouse is cleaned (the orphan
+    problem is a local/test shape; a persistent metastore never
+    forgets the table). Returns True iff a directory was removed."""
+    import os
+    import shutil
+
+    if spark.catalog.tableExists(table):
+        return False
+    loc = _default_managed_location(spark, table)
+    if loc and os.path.isdir(loc):
+        shutil.rmtree(loc)
+        return True
+    return False
+
+
+def drop_orphaned_table(spark: SparkSession, table: str) -> None:
+    """Guarantee `table` is absent from BOTH the catalog and its
+    default managed location: DROP TABLE IF EXISTS (Spark deletes a
+    managed table's directory with it) plus orphan-location cleanup
+    for the forgotten-by-a-fresh-catalog case. For a plain rewrite of
+    a catalog-known table prefer mode=overwrite (optionally after
+    clean_orphaned_location) — it keeps Spark's
+    cannot-overwrite-a-table-being-read guard; this helper is for
+    callers that need the NAME free (e.g. ALTER TABLE RENAME swaps)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    clean_orphaned_location(spark, table)
 
 
 def write_bucketed(
@@ -48,9 +79,12 @@ def write_bucketed(
     buckets: int = 16,
     path: str | None = None,
 ) -> None:
-    """Write `df` as a bucketed, per-bucket-sorted table."""
+    """Write `df` as a bucketed, per-bucket-sorted table. A
+    catalog-known target is replaced via plain mode=overwrite so
+    Spark's analysis guard still rejects overwriting a table the
+    input plan reads from; only a truly orphaned location is cleaned."""
     if not path:
-        drop_orphaned_table(df.sparkSession, table)
+        clean_orphaned_location(df.sparkSession, table)
     writer = (
         df.write.mode("overwrite")
         .bucketBy(buckets, *key)

@@ -803,3 +803,91 @@ def test_append_rejects_within_batch_duplicate_doc_ids(spark):
         for name in list(spark.catalog.listTables()):
             if name.name.startswith("ixdup_test"):
                 spark.sql(f"DROP TABLE IF EXISTS {name.name}")
+
+
+def test_search_indexed_never_drops_appended_generations(spark, sf_dir):
+    """The single-generation fast path must DELEGATE when the index
+    has live deltas: querying the base tables directly would silently
+    drop every appended doc and score the rest with union-level
+    n_docs/avgdl against base-only df — wrong results, no error."""
+    from pyspark.sql import functions as F
+
+    from chess_pos_db_spark.llm import search as S
+    from chess_pos_db_spark.tables import t as load
+
+    docs = load(spark, sf_dir, "documents")
+    try:
+        S.build_inverted_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 0), "ixdel_test"
+        )
+        S.append_to_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), "ixdel_test"
+        )
+        S.build_inverted_index(spark, docs, "ixdel_full")
+        got = S.search_indexed(spark, "ixdel_test", S._QUERY_TERMS)
+        want = S.search_indexed(spark, "ixdel_full", S._QUERY_TERMS)
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in want.collect()
+        ]
+    finally:
+        for name in list(spark.catalog.listTables()):
+            if name.name.startswith("ixdel"):
+                spark.sql(f"DROP TABLE IF EXISTS {name.name}")
+
+
+def test_ensure_index_builds_once_and_detects_staleness(spark, sf_dir):
+    """ensure_index: first call builds, repeat call on the SAME corpus
+    is a no-op (so lazy query plans never race a rebuild's
+    drop+rewrite), and a corpus change triggers a rebuild."""
+    from pyspark.sql import functions as F
+
+    from chess_pos_db_spark.llm import search as S
+    from chess_pos_db_spark.tables import t as load
+
+    docs = load(spark, sf_dir, "documents")
+    try:
+        assert S.ensure_index(spark, docs, "ixens_test") is True
+        lazy = S.search_indexed(spark, "ixens_test", S._QUERY_TERMS)
+        assert S.ensure_index(spark, docs, "ixens_test") is False
+        # the previously returned plan still collects cleanly — no
+        # drop/rewrite happened underneath it
+        assert len(lazy.collect()) > 0
+        shrunk = docs.filter(F.col("doc_id") % 2 == 0)
+        assert S.ensure_index(spark, shrunk, "ixens_test") is True
+        meta = S._read_meta(spark, "ixens_test")
+        assert meta["n_docs"] == shrunk.count()
+    finally:
+        for name in list(spark.catalog.listTables()):
+            if name.name.startswith("ixens_test"):
+                spark.sql(f"DROP TABLE IF EXISTS {name.name}")
+
+
+def test_index_stats_fold_into_single_meta_commit(spark, sf_dir):
+    """Corpus stats live IN the meta row — one single-row commit
+    record, no separate _stats table whose write could be observed
+    ahead of the generation list."""
+    from pyspark.sql import functions as F
+
+    from chess_pos_db_spark.llm import search as S
+    from chess_pos_db_spark.tables import t as load
+
+    docs = load(spark, sf_dir, "documents")
+    try:
+        S.build_inverted_index(spark, docs, "ixmeta_test")
+        live = {t.name for t in spark.catalog.listTables()}
+        assert "ixmeta_test_stats" not in live
+        m = S._read_meta(spark, "ixmeta_test")
+        want = docs.groupBy().agg(
+            F.count("*").alias("n"),
+            F.sum(F.size(F.split("text", " "))).alias("s"),
+        ).first()
+        assert m["n_deltas"] == 0
+        assert m["n_docs"] == int(want["n"])
+        assert m["sum_dl"] == float(want["s"])
+        assert abs(m["avgdl"] - float(want["s"]) / int(want["n"])) < 1e-9
+        # compaction of a delta-less index and appends both preserve
+        # the invariant (append covered by the lifecycle test)
+    finally:
+        for name in list(spark.catalog.listTables()):
+            if name.name.startswith("ixmeta_test"):
+                spark.sql(f"DROP TABLE IF EXISTS {name.name}")
