@@ -137,10 +137,33 @@ ROUND6_VERIFIED: frozenset[str] = frozenset({
     "text_token_count_bpe", "text_token_stats", "text_top_tokens",
 })
 
+# the 50 queries covered by CORRECTNESS_r07.json (driver gate, round
+# 7): all 50 hash-exact — the first slate produced by the
+# least-recently-verified-first rotation (the 4 new round-7
+# postings-index registrations, then the stalest r2/r3-era greens).
+ROUND7_VERIFIED: frozenset[str] = frozenset({
+    "agg_equidepth_histogram", "agg_histogram", "agg_percentile_disc",
+    "agg_sample_estimate", "agg_unpivot", "agg_view_ivm", "er_resolve",
+    "events_anomaly", "events_basket_lift", "events_ewma", "events_funnel",
+    "events_path_trigrams", "events_purchase_attribution",
+    "events_resample_ffill", "events_retention", "events_sessionize",
+    "events_time_rollup", "join_asof", "join_asof_nearest",
+    "join_bloom_semi", "join_full_outer", "join_fuzzy_levenshtein",
+    "join_interval_overlap", "join_lateral_topn", "join_range_theta",
+    "join_scd2_temporal", "join_shuffle_hash_hint", "json_variant",
+    "scd2_build", "search_bm25_incremental", "search_bm25_postings",
+    "search_phrase_postings", "search_proximity_postings", "set_distinct",
+    "set_except", "set_except_all", "set_intersect", "set_intersect_all",
+    "set_union_all", "sort_global", "sort_merge_compact", "sort_topk",
+    "win_first_last", "win_lag_lead", "win_ntile", "win_rank",
+    "win_row_number", "win_running_sum", "win_time_range_frame",
+    "win_topk_per_group",
+})
+
 # union of everything any driver CORRECTNESS gate has verified so far
 DRIVER_VERIFIED: frozenset[str] = (
     ROUND12_VERIFIED | ROUND3_VERIFIED | ROUND4_VERIFIED | ROUND5_VERIFIED
-    | ROUND6_VERIFIED
+    | ROUND6_VERIFIED | ROUND7_VERIFIED
 )
 
 # round of each name's most recent green driver row (r1 and r2 covered
@@ -152,6 +175,7 @@ _VERIFIED_BY_ROUND: tuple[tuple[int, frozenset[str]], ...] = (
     (4, ROUND4_VERIFIED),
     (5, ROUND5_VERIFIED),
     (6, ROUND6_VERIFIED),
+    (7, ROUND7_VERIFIED),
 )
 
 LAST_VERIFIED_ROUND: dict[str, int] = {}
