@@ -1,0 +1,331 @@
+"""Persistent MinHash-LSH index with delta-generation appends (N2 at
+100 TB: the daily-delta near-dup shape).
+
+A one-shot ``dedup_near`` re-LSHes the whole corpus per run. A real
+training-data pipeline instead keeps the corpus's band buckets ON DISK
+and answers "which of today's documents near-duplicate anything we
+already have?" by (1) MinHashing ONLY the new batch and (2) equi-joining
+its band keys against the stored buckets — the same sorted-run
+economics the reference applies to position lookups
+(`src/persistence/pos_db/` sorted runs + sparse index †) and that
+llm/search.py applies to BM25 postings:
+
+- build once: one (doc_id, token) shuffle over the corpus, band rows
+  stored bucketed by band_key so probes join WITHOUT shuffling the
+  index side (only the batch side, which is delta-sized, moves);
+- append deltas: each new committed batch becomes a generation
+  (`_bands_d{n}`/`_docs_d{n}`) from ONE batch-sized shuffle — the
+  corpus is never rescanned. Generations are doc-disjoint (enforced
+  loudly: an overlapping doc_id would make a doc its own near-dup);
+- probe: batch signatures × every live generation's buckets; a hit is
+  (new doc, min colliding indexed doc). Candidate-sized work, never
+  pairwise, never corpus-sized;
+- compact: fold generations back into the base (pure union — the
+  doc-disjointness that makes appends cheap makes compaction trivial);
+- one single-row meta table is the only commit point (generation count
+  + corpus fingerprint commit atomically, mirroring search.py's
+  postings meta).
+
+Same-batch duplicates are OUT of scope by contract: the probe answers
+"collides with the INDEX"; run dedup_near/dedup_exact on the batch
+itself first (pipeline order is batch-internal dedup → index probe →
+append survivors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import t
+from .dedup import (
+    _N_BANDS,
+    ROWS_PER_BAND,
+    _band_key_sql,
+    _sig_ctes,
+    minhash_signatures,
+)
+
+
+def banded_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_key) rows — one per band, the band index embedded
+    in the key so collisions must be in the SAME band and the probe
+    join needs exactly one equi-column (which is also the storage
+    bucket key)."""
+    band_cols = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            *[F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+        ).alias(f"band_{b}")
+        for b in range(_N_BANDS)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+
+
+def _write_meta(
+    spark: SparkSession, prefix: str, n_deltas: int, n_docs: int, fp: int
+) -> None:
+    """The index's ONE commit record: generation count and corpus
+    fingerprint land in the same single-row write, so a reader can
+    never observe one without the other."""
+    from ..plans.bucketing import drop_orphaned_table
+
+    drop_orphaned_table(spark, f"{prefix}_meta")
+    spark.createDataFrame(
+        [(n_deltas, n_docs, fp)],
+        "n_deltas int, n_docs bigint, fp_sum_ids bigint",
+    ).write.mode("overwrite").saveAsTable(f"{prefix}_meta")
+
+
+def _read_meta(spark: SparkSession, prefix: str):
+    return spark.table(f"{prefix}_meta").first()
+
+
+def _generations(spark: SparkSession, prefix: str) -> list[str]:
+    n = _read_meta(spark, prefix)["n_deltas"]
+    return [""] + [f"_d{i}" for i in range(1, n + 1)]
+
+
+def _fingerprint(docs: DataFrame) -> tuple[int, int]:
+    """(count, sum doc_id) — cheap corpus identity for staleness
+    detection; in-place text edits under unchanged ids are NOT seen
+    (immutable-snapshot corpora; mutators rebuild explicitly)."""
+    fp = docs.groupBy().agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("s")
+    ).first()
+    return int(fp["n"]), int(fp["s"] or 0)
+
+
+def _check_batch(docs: DataFrame) -> tuple[int, int]:
+    """Reject within-batch duplicate doc_ids (two rows with the same id
+    but different text would silently MinHash the UNION of their token
+    sets — a signature of a document that doesn't exist). Returns the
+    batch fingerprint so callers don't re-aggregate."""
+    fp = docs.groupBy().agg(
+        F.count("*").alias("n"),
+        F.count_distinct("doc_id").alias("nd"),
+        F.sum("doc_id").alias("s"),
+    ).first()
+    if int(fp["n"]) != int(fp["nd"]):
+        raise ValueError(
+            f"lsh index: batch contains {int(fp['n']) - int(fp['nd'])} "
+            "duplicate doc_id row(s) — their token streams would "
+            "silently merge into one signature; dedup the batch first"
+        )
+    return int(fp["n"]), int(fp["s"] or 0)
+
+
+def build_lsh_index(
+    spark: SparkSession, docs: DataFrame, prefix: str, buckets: int = 16
+) -> None:
+    """Materialize the corpus's band buckets: `{prefix}_bands`
+    (band_key, doc_id — bucketed by band_key so probes never shuffle
+    the index side), `{prefix}_docs` (doc_id — bucketed, the append
+    disjointness probe's 8 B/doc side), and the meta commit row."""
+    from ..plans.bucketing import write_bucketed
+
+    n, s = _check_batch(docs)
+    bands = banded_keys(minhash_signatures(docs))
+    write_bucketed(bands, f"{prefix}_bands", ["band_key"], buckets=buckets)
+    write_bucketed(
+        docs.select("doc_id"), f"{prefix}_docs", ["doc_id"], buckets=buckets
+    )
+    _write_meta(spark, prefix, 0, n, s)
+
+
+def ensure_lsh_index(
+    spark: SparkSession, docs: DataFrame, prefix: str, buckets: int = 16
+) -> bool:
+    """Build only if absent or stale for THIS corpus (fingerprint
+    mismatch) — registered queries go through here so a previously
+    returned lazy probe plan never races a rebuild's drop+rewrite.
+    Returns True iff a build ran."""
+    n, s = _fingerprint(docs)
+    if spark.catalog.tableExists(f"{prefix}_meta"):
+        m = _read_meta(spark, prefix)
+        if m["n_docs"] == n and m["fp_sum_ids"] == s:
+            return False
+    build_lsh_index(spark, docs, prefix, buckets=buckets)
+    return True
+
+
+def _existing_doc_ids(spark: SparkSession, prefix: str) -> DataFrame:
+    out = None
+    for g in _generations(spark, prefix):
+        d = spark.table(f"{prefix}_docs{g}")
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def append_to_lsh_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    prefix: str,
+    buckets: int = 16,
+    check_disjoint: bool = True,
+) -> int:
+    """Add a committed batch as a new delta generation — ONE
+    batch-sized (doc_id, token) shuffle, the corpus never rescans.
+    ``check_disjoint`` anti-probes the batch ids against every live
+    generation's docs table (bucketed side never shuffles) and fails
+    loudly on overlap: an already-indexed doc_id re-appended would
+    collide with ITSELF in every band and poison probe results.
+    Returns the new generation number; the meta write is the single
+    commit point (a crash before it leaves a replay that rewrites the
+    identical delta tables)."""
+    from ..plans.bucketing import write_bucketed
+
+    nb, sb = _check_batch(new_docs)
+    if check_disjoint:
+        n_dup = new_docs.select("doc_id").join(
+            _existing_doc_ids(spark, prefix), "doc_id", "left_semi"
+        ).count()
+        if n_dup:
+            raise ValueError(
+                f"append_to_lsh_index: {n_dup} doc_id(s) already in index "
+                f"{prefix!r} — appends must be doc-disjoint (a re-indexed "
+                "doc collides with itself in every band); probe and filter "
+                "the batch first"
+            )
+    m = _read_meta(spark, prefix)
+    n = m["n_deltas"] + 1
+    bands = banded_keys(minhash_signatures(new_docs))
+    write_bucketed(bands, f"{prefix}_bands_d{n}", ["band_key"], buckets=buckets)
+    write_bucketed(
+        new_docs.select("doc_id"), f"{prefix}_docs_d{n}", ["doc_id"],
+        buckets=buckets,
+    )
+    _write_meta(spark, prefix, n, m["n_docs"] + nb, m["fp_sum_ids"] + sb)
+    return n
+
+
+def probe_lsh_index(
+    spark: SparkSession, batch_docs: DataFrame, prefix: str
+) -> DataFrame:
+    """(doc_id, match_id) for every batch document sharing at least one
+    band bucket with an indexed document; match_id is the smallest
+    colliding indexed doc_id (the canonical cluster representative a
+    downstream keep-first policy wants). Batch docs with no collision
+    are absent — they are the novel documents to keep and append.
+
+    Scale shape: MinHash+banding over the BATCH only (one batch-sized
+    shuffle), then an equi-join per live generation in which the stored
+    bands table reads in its bucket layout (no index-side exchange) and
+    only the delta-sized banded batch moves; the final min-aggregate is
+    candidate-sized. The corpus is never rescanned, nothing is ever
+    pairwise."""
+    banded = banded_keys(minhash_signatures(batch_docs))
+    hits = None
+    for g in _generations(spark, prefix):
+        ix = spark.table(f"{prefix}_bands{g}").withColumnRenamed(
+            "doc_id", "match_id"
+        )
+        h = banded.join(ix, "band_key").select("doc_id", "match_id")
+        hits = h if hits is None else hits.unionByName(h)
+    return hits.groupBy("doc_id").agg(F.min("match_id").alias("match_id"))
+
+
+def compact_lsh_index(
+    spark: SparkSession, prefix: str, buckets: int = 16
+) -> None:
+    """Fold every delta generation into the base tables (pure
+    doc-disjoint union, staged then swapped via ALTER TABLE RENAME —
+    overwriting a table while lazily reading it would corrupt it).
+    Not crash-atomic across the two table families: a crash between
+    swaps leaves meta pointing at dropped generation tables, so reads
+    FAIL LOUDLY rather than serving a half-compacted index."""
+    from ..plans.bucketing import drop_orphaned_table, write_bucketed
+
+    meta = _read_meta(spark, prefix)
+    gens = _generations(spark, prefix)
+    if len(gens) == 1:
+        return
+    for kind, key in (("bands", "band_key"), ("docs", "doc_id")):
+        merged = None
+        for g in gens:
+            t_g = spark.table(f"{prefix}_{kind}{g}")
+            merged = t_g if merged is None else merged.unionByName(t_g)
+        write_bucketed(merged, f"{prefix}_{kind}_stage", [key], buckets=buckets)
+        for g in gens:
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{kind}{g}")
+        drop_orphaned_table(spark, f"{prefix}_{kind}")
+        spark.sql(f"ALTER TABLE {prefix}_{kind}_stage RENAME TO {prefix}_{kind}")
+    _write_meta(spark, prefix, 0, meta["n_docs"], meta["fp_sum_ids"])
+
+
+def _lshix_prefix(sf_dir: str) -> str:
+    import re
+
+    return "lshix_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+
+
+# Oracle: full-corpus signatures + banded CTEs (shared with dedup_near —
+# the index changes the ACCESS PATH, never the collision set), final
+# select restricted to (indexed side) × (batch side) by the same
+# doc_id split the Spark query uses.
+def _probe_oracle(indexed_pred: str, batch_pred: str) -> str:
+    banded = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, {_band_key_sql(b)} AS band_hash "
+        "FROM sig"
+        for b in range(_N_BANDS)
+    )
+    return f"""
+WITH {_sig_ctes()},
+banded AS ({banded})
+SELECT b.doc_id AS doc_id, MIN(a.doc_id) AS match_id
+FROM banded a
+JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+WHERE a.doc_id {indexed_pred} AND b.doc_id {batch_pred}
+GROUP BY b.doc_id
+ORDER BY doc_id
+"""
+
+
+@register("dedup_lsh_index_probe", oracle=_probe_oracle("% 2 = 0", "% 2 = 1"))
+def dedup_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-delta near-dup query: even doc_ids are the indexed
+    corpus (built at most once — ensure_lsh_index), odd doc_ids are
+    today's batch; answer which batch docs collide with the index and
+    with whom. Oracle is the one-shot banded self-join restricted to
+    indexed×batch pairs: the materialized index must reproduce the
+    from-scratch collision set exactly."""
+    docs = t(spark, sf_dir, "documents")
+    prefix = _lshix_prefix(sf_dir)
+    ensure_lsh_index(spark, docs.filter(F.col("doc_id") % 2 == 0), prefix)
+    return probe_lsh_index(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), prefix
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_lsh_index_incremental",
+    oracle=_probe_oracle("% 3 < 2", "% 3 = 2"),
+)
+def dedup_lsh_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The append lifecycle externally verified: base index from
+    doc_id%3==0, doc_id%3==1 appended as a delta generation (one
+    batch-sized shuffle), then doc_id%3==2 probed against the
+    two-generation index. The oracle is the one-shot collision set of
+    the probe batch against BOTH indexed thirds — append+probe must be
+    exactly equivalent to a fresh build over the union, the property
+    that makes the delta lifecycle trustworthy. Idempotent per corpus:
+    a matching two-generation index short-circuits the build+append,
+    so a previously returned plan never races a rebuild."""
+    docs = t(spark, sf_dir, "documents")
+    prefix = _lshix_prefix(sf_dir) + "_inc"
+    indexed = docs.filter(F.col("doc_id") % 3 < 2)
+    n, s = _fingerprint(indexed)
+    rebuild = True
+    if spark.catalog.tableExists(f"{prefix}_meta"):
+        m = _read_meta(spark, prefix)
+        if m["n_deltas"] == 1 and m["n_docs"] == n and m["fp_sum_ids"] == s:
+            rebuild = False
+    if rebuild:
+        build_lsh_index(spark, docs.filter(F.col("doc_id") % 3 == 0), prefix)
+        append_to_lsh_index(spark, docs.filter(F.col("doc_id") % 3 == 1), prefix)
+    return probe_lsh_index(
+        spark, docs.filter(F.col("doc_id") % 3 == 2), prefix
+    ).orderBy("doc_id")

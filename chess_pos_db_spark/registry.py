@@ -98,6 +98,7 @@ def _import_registering_modules() -> None:
     from .functions import udfs  # noqa: F401
     from .llm import chunking  # noqa: F401
     from .llm import dedup  # noqa: F401
+    from .llm import dedup_index  # noqa: F401
     from .llm import mining  # noqa: F401
     from .llm import pipeline  # noqa: F401
     from .llm import quality  # noqa: F401

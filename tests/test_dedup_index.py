@@ -1,0 +1,110 @@
+"""Persistent MinHash-LSH index lifecycle: build → append → probe →
+compact, with the same guarantees as the postings index (doc-disjoint
+generations, single meta commit, probe ≡ fresh rebuild)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from chess_pos_db_spark.llm import dedup_index as DI
+from chess_pos_db_spark.tables import t
+
+
+def _drop_prefix(spark, *prefixes):
+    for name in list(spark.catalog.listTables()):
+        if name.name.startswith(prefixes):
+            spark.sql(f"DROP TABLE IF EXISTS {name.name}")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_append_probe_equals_fresh_rebuild_and_compacts(spark, sf_dir):
+    """A base+delta index must answer the probe EXACTLY like a fresh
+    index over the union; compaction folds generations without changing
+    a single answer and drops the delta tables."""
+    docs = t(spark, sf_dir, "documents")
+    first = docs.filter(F.col("doc_id") % 3 == 0)
+    second = docs.filter(F.col("doc_id") % 3 == 1)
+    batch = docs.filter(F.col("doc_id") % 3 == 2)
+    try:
+        DI.build_lsh_index(spark, first, "lsht_inc")
+        DI.append_to_lsh_index(spark, second, "lsht_inc")
+        DI.build_lsh_index(spark, first.unionByName(second), "lsht_full")
+        want = _rows(DI.probe_lsh_index(spark, batch, "lsht_full"))
+        assert _rows(DI.probe_lsh_index(spark, batch, "lsht_inc")) == want
+        assert len(want) > 0  # fixture actually exercises collisions
+
+        DI.compact_lsh_index(spark, "lsht_inc")
+        assert DI._generations(spark, "lsht_inc") == [""]
+        live = {x.name for x in spark.catalog.listTables()}
+        assert "lsht_inc_bands_d1" not in live
+        assert "lsht_inc_docs_d1" not in live
+        assert _rows(DI.probe_lsh_index(spark, batch, "lsht_inc")) == want
+    finally:
+        _drop_prefix(spark, "lsht_inc", "lsht_full")
+
+
+def test_append_rejects_overlap_and_within_batch_dups(spark, sf_dir):
+    """Overlapping doc_ids would make a doc its own near-dup; duplicate
+    rows in one batch would MinHash the union of two token streams —
+    both fail loudly."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    try:
+        DI.build_lsh_index(spark, base, "lsht_guard")
+        with pytest.raises(ValueError, match="doc-disjoint"):
+            DI.append_to_lsh_index(spark, base.limit(3), "lsht_guard")
+        dup = base.limit(1).unionByName(base.limit(1))
+        with pytest.raises(ValueError, match="duplicate doc_id"):
+            DI.append_to_lsh_index(spark, dup, "lsht_guard", check_disjoint=False)
+        # nothing was committed by the failed appends
+        assert DI._generations(spark, "lsht_guard") == [""]
+    finally:
+        _drop_prefix(spark, "lsht_guard")
+
+
+def test_ensure_lsh_index_builds_once_and_detects_staleness(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    try:
+        assert DI.ensure_lsh_index(spark, half, "lsht_ens") is True
+        lazy = DI.probe_lsh_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), "lsht_ens"
+        )
+        assert DI.ensure_lsh_index(spark, half, "lsht_ens") is False
+        assert len(lazy.collect()) > 0  # no drop/rewrite raced the plan
+        shrunk = half.filter(F.col("doc_id") % 4 == 0)
+        assert DI.ensure_lsh_index(spark, shrunk, "lsht_ens") is True
+        assert DI._read_meta(spark, "lsht_ens")["n_docs"] == shrunk.count()
+    finally:
+        _drop_prefix(spark, "lsht_ens")
+
+
+def test_probe_plan_never_shuffles_the_index_side(spark, sf_dir):
+    """The probe's work must be batch-sized: the stored bands table
+    reads in its bucket layout (its scan carries the bucket spec and
+    sits under no Exchange) and the whole plan stays within the
+    batch-signature + join-align + final-agg exchange budget."""
+    import re
+
+    docs = t(spark, sf_dir, "documents")
+    try:
+        DI.build_lsh_index(spark, docs.filter(F.col("doc_id") % 2 == 0), "lsht_plan")
+        probe = DI.probe_lsh_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), "lsht_plan"
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        n_ex = len(
+            re.findall(
+                r"Exchange (?:hash|range|rangepartitioning|SinglePartition)",
+                plan,
+            )
+        )
+        assert n_ex <= 3, f"probe plan grew exchanges ({n_ex}):\n{plan[:3000]}"
+        assert "Bucketed: true" in plan, plan[:3000]
+    finally:
+        _drop_prefix(spark, "lsht_plan")
