@@ -255,6 +255,63 @@ def compact_lsh_index(
     _write_meta(spark, prefix, 0, meta["n_docs"], meta["fp_sum_ids"])
 
 
+def stream_lsh_maintenance(
+    spark: SparkSession,
+    src_dir: str,
+    prefix: str,
+    checkpoint_dir: str,
+    buckets: int = 16,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Keep the LSH index fresh over a continuously-ingested corpus: a
+    file stream of new document batches, each micro-batch appended as a
+    delta generation (T1 micro-batch ingest composed with the N2 delta
+    lifecycle — the streaming twin of search.py's postings
+    maintenance).
+
+    foreachBatch is at-least-once, so replays resolve by CONTENT: a
+    batch whose doc_ids are ALL already indexed is a replay of a
+    committed append (the meta write is the append's single commit
+    point, so "all present" can only mean "fully applied") — skipped
+    whole. A PARTIAL overlap is corrupt input and fails loudly.
+    Compaction cadence is the operator's call — compact_lsh_index()
+    after the stream drains or on a generation-count threshold."""
+    from ..sources.formats import DOCUMENTS_SCHEMA
+
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(src_dir)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_ids = batch_df.select("doc_id").distinct()
+        n_batch = batch_ids.count()
+        if n_batch == 0:
+            return
+        n_dup = batch_ids.join(
+            _existing_doc_ids(spark, prefix), "doc_id", "left_semi"
+        ).count()
+        if n_dup == n_batch:
+            return  # replayed, already-committed batch — idempotent skip
+        if n_dup:
+            raise ValueError(
+                f"stream_lsh_maintenance: batch {epoch_id} overlaps the "
+                f"index on {n_dup}/{n_batch} doc_ids — partial overlap is "
+                "corrupt input, not a replay; quarantine the batch"
+            )
+        append_to_lsh_index(
+            spark, batch_df, prefix, buckets=buckets, check_disjoint=False
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _lshix_prefix(sf_dir: str) -> str:
     import re
 

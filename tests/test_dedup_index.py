@@ -108,3 +108,52 @@ def test_probe_plan_never_shuffles_the_index_side(spark, sf_dir):
         assert "Bucketed: true" in plan, plan[:3000]
     finally:
         _drop_prefix(spark, "lsht_plan")
+
+
+def test_stream_lsh_maintenance_appends_and_replays_idempotently(
+    spark, sf_dir, tmp_path
+):
+    """A document file stream keeps the LSH index fresh: each
+    micro-batch lands as a delta generation and the final index probes
+    exactly like a fresh build over everything indexed. A wiped
+    checkpoint replays every batch — all must be content-skipped,
+    leaving generations and probe answers untouched."""
+    import glob
+    import shutil
+
+    docs = t(spark, sf_dir, "documents")
+    src = tmp_path / "docstream"
+    src.mkdir()
+    for i in (1, 2):
+        staged = str(tmp_path / f"stage{i}")
+        docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        shutil.copy(
+            glob.glob(f"{staged}/part-*.parquet")[0], str(src / f"b{i}.parquet")
+        )
+    probe_batch = docs.filter(F.col("doc_id") % 4 == 3)
+    chk = str(tmp_path / "chk")
+    try:
+        DI.build_lsh_index(spark, docs.filter(F.col("doc_id") % 4 == 0), "lshstr")
+        DI.stream_lsh_maintenance(
+            spark, str(src), "lshstr", chk, max_files_per_trigger=1
+        )
+        n_gens = len(DI._generations(spark, "lshstr"))
+        assert n_gens >= 2  # at least one delta landed as its own batch
+
+        DI.build_lsh_index(
+            spark, docs.filter(F.col("doc_id") % 4 < 3), "lshstr_full"
+        )
+        want = _rows(DI.probe_lsh_index(spark, probe_batch, "lshstr_full"))
+        assert _rows(DI.probe_lsh_index(spark, probe_batch, "lshstr")) == want
+
+        # wiped checkpoint → full replay → every batch content-skipped
+        shutil.rmtree(chk)
+        DI.stream_lsh_maintenance(
+            spark, str(src), "lshstr", chk, max_files_per_trigger=1
+        )
+        assert len(DI._generations(spark, "lshstr")) == n_gens
+        assert _rows(DI.probe_lsh_index(spark, probe_batch, "lshstr")) == want
+    finally:
+        _drop_prefix(spark, "lshstr")
