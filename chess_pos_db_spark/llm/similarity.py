@@ -555,6 +555,62 @@ def ivf_query_layout(
     )
 
 
+def _ivf_layout_home(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(layout directory, meta table name) for this corpus — the layout
+    lives under the local warehouse next to the catalog tables; the
+    single-row meta table records the corpus fingerprint so the layout
+    is written at most once per corpus (same ensure discipline as the
+    postings and LSH indexes)."""
+    import os
+    import re
+    from urllib.parse import urlparse
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    return os.path.join(wh, f"ivf_layout_{tag}"), f"ivflay_{tag}_meta"
+
+
+@register("similarity_ivf_layout", oracle=_ivf_oracle())
+def similarity_ivf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index realized as PHYSICAL layout, externally verified:
+    the corpus written `partitionBy(cell)` once per corpus, queries
+    reading ONLY their nprobe cell directories (PartitionFilters — the
+    probe is partition pruning, so scan cost is nprobe/K of the corpus
+    at any scale, with zero per-query assignment work). Uses the
+    relational deterministic quantizer so the oracle is the same SQL as
+    similarity_ivf: same candidate set, same scores — the layout
+    changes the ACCESS PATH, never the answer. Build-once semantics: a
+    matching corpus fingerprint in the meta table skips the rewrite, so
+    a previously returned lazy plan never races an overwrite of the
+    directories it scans."""
+    emb = t(spark, sf_dir, "embeddings")
+    path, meta_table = _ivf_layout_home(spark, sf_dir)
+    fp = emb.groupBy().agg(
+        F.count("*").alias("n"), F.sum("vec_id").alias("s")
+    ).first()
+    n, s = int(fp["n"]), int(fp["s"] or 0)
+    centroids, cnorms = _ivf_centroids(spark, sf_dir)
+    fresh = True
+    if spark.catalog.tableExists(meta_table):
+        m = spark.table(meta_table).first()
+        if m["n_vecs"] == n and m["fp_sum_ids"] == s:
+            fresh = False
+    if fresh:
+        (
+            emb.join(_cell_assignments(emb, centroids, cnorms), "vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+        from ..plans.bucketing import drop_orphaned_table
+
+        drop_orphaned_table(spark, meta_table)
+        spark.createDataFrame(
+            [(n, s)], "n_vecs bigint, fp_sum_ids bigint"
+        ).write.mode("overwrite").saveAsTable(meta_table)
+    return ivf_query_layout(spark, path, centroids, cnorms)
+
+
 # --- kNN graph construction (N3+) --------------------------------------------
 # The all-vectors variant of ANN search: every vector's top-k nearest
 # neighbors, candidates restricted to its sign-LSH bucket — the
@@ -805,10 +861,15 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = _PR_ITERS) -> Data
     weight 1/out_degree each.
     """
     n = nodes.count()
-    # checkpoint deg too: the per-iteration dangling-mass action joins
-    # against it, and an un-checkpointed deg replays the whole upstream
-    # edge-producer plan (the full kNN-graph build when called from
-    # graph_pagerank) every round — the triangle_counts replay class
+    if n == 0:
+        raise ValueError("pagerank over an empty node set")
+    # checkpoint the edge set FIRST: deg and ed both derive from it, and
+    # two eager checkpoints over the raw input would each replay the
+    # whole upstream edge-producer plan (the full kNN-graph build when
+    # called from graph_pagerank) — the triangle_counts replay class.
+    # deg is checkpointed too because the per-iteration dangling-mass
+    # action joins against it every round.
+    edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.groupBy("src")
         .agg(F.count("*").alias("deg"))

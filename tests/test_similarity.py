@@ -324,3 +324,43 @@ def test_ivf_trained_sample_scales_with_k(spark, sf_dir):
     assert c.shape[0] == k and cn.shape == (k,)
     with pytest.raises(ValueError, match="cannot train"):
         sim._ivf_trained_centroids(spark, sf_dir, k=10_000)
+
+
+def test_ivf_layout_registered_builds_once(spark, sf_dir):
+    """similarity_ivf_layout writes the partitioned layout at most once
+    per corpus (a second call must not rewrite the directories a
+    previously returned plan reads) and its scan partition-prunes to
+    the probe cells."""
+    import os
+    import re
+
+    import chess_pos_db_spark as engine
+
+    path, meta_table = sim._ivf_layout_home(spark, sf_dir)
+    try:
+        q = engine.get_queries()["similarity_ivf_layout"]
+        first = q(spark, sf_dir)
+        rows = [tuple(r) for r in first.collect()]
+        mtimes = {
+            d: os.path.getmtime(os.path.join(path, d))
+            for d in os.listdir(path)
+            if d.startswith("cell=")
+        }
+        assert mtimes  # the layout exists, partitioned by cell
+        again = q(spark, sf_dir)
+        assert [tuple(r) for r in again.collect()] == rows
+        after = {
+            d: os.path.getmtime(os.path.join(path, d))
+            for d in os.listdir(path)
+            if d.startswith("cell=")
+        }
+        assert after == mtimes, "second call rewrote the layout"
+        plan = again._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"PartitionFilters: \[cell#\d+ IN \(", plan), plan[:2000]
+        # the earlier plan still collects — nothing rewrote beneath it
+        assert [tuple(r) for r in first.collect()] == rows
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {meta_table}")
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
