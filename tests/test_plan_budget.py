@@ -49,6 +49,10 @@ SHUFFLE_BUDGET = {
     "search_bm25_incremental": 2,  # same, over base + delta generations
     "search_phrase_postings": 0,  # per-term bucket probes, broadcast fold
     "search_proximity_postings": 0,  # same access shape as phrase
+    # round-8 materialized-index additions (query-path budgets)
+    "dedup_lsh_index_probe": 2,  # batch signature agg + candidate min-agg
+    "dedup_lsh_index_incremental": 3,  # same, over base + delta generations
+    "similarity_ivf_layout": 0,  # partition pruning IS the probe
 }
 
 
