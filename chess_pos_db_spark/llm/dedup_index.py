@@ -215,14 +215,23 @@ def probe_lsh_index(
     bands table reads in its bucket layout (no index-side exchange) and
     only the delta-sized banded batch moves; the final min-aggregate is
     candidate-sized. The corpus is never rescanned, nothing is ever
-    pairwise."""
+    pairwise.
+
+    Self-pairs are excluded in the join: probing a doc_id that is
+    ALREADY indexed (re-probing a committed batch) must not report the
+    document as a near-duplicate of itself — only collisions with
+    OTHER indexed docs count."""
     banded = banded_keys(minhash_signatures(batch_docs))
     hits = None
     for g in _generations(spark, prefix):
         ix = spark.table(f"{prefix}_bands{g}").withColumnRenamed(
             "doc_id", "match_id"
         )
-        h = banded.join(ix, "band_key").select("doc_id", "match_id")
+        h = (
+            banded.join(ix, "band_key")
+            .filter(F.col("doc_id") != F.col("match_id"))
+            .select("doc_id", "match_id")
+        )
         hits = h if hits is None else hits.unionByName(h)
     return hits.groupBy("doc_id").agg(F.min("match_id").alias("match_id"))
 

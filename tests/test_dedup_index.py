@@ -157,3 +157,24 @@ def test_stream_lsh_maintenance_appends_and_replays_idempotently(
         assert _rows(DI.probe_lsh_index(spark, probe_batch, "lshstr")) == want
     finally:
         _drop_prefix(spark, "lshstr")
+
+
+def test_probe_of_already_indexed_docs_excludes_self_matches(spark, sf_dir):
+    """Re-probing a committed batch must not report each doc as a
+    near-dup of ITSELF — only collisions with other indexed docs
+    count (a min-aggregate over unexcluded self-pairs would also
+    corrupt match_id for docs with real matches)."""
+    docs = t(spark, sf_dir, "documents")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    try:
+        DI.build_lsh_index(spark, half, "lsht_self")
+        res = {r["doc_id"]: r["match_id"]
+               for r in DI.probe_lsh_index(spark, half, "lsht_self").collect()}
+        assert all(m != d for d, m in res.items())
+        # and match_id is never polluted by the self-pair minimum
+        fresh = DI.probe_lsh_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), "lsht_self"
+        )
+        assert all(r["match_id"] % 2 == 0 for r in fresh.collect())
+    finally:
+        _drop_prefix(spark, "lsht_self")
