@@ -242,8 +242,12 @@ _IVF_K = 16  # number of coarse cells
 _IVF_NPROBE = 4  # cells searched per query
 
 
-def _ivf_centroids(spark: SparkSession, sf_dir: str, k: int = _IVF_K):
-    """Deterministic coarse centroids: the K lowest-vec_id vectors.
+def _ivf_centroids(
+    spark: SparkSession, sf_dir: str, k: int = _IVF_K, emb: DataFrame = None
+):
+    """Deterministic coarse centroids: the K lowest-vec_id vectors
+    (of `emb` when given — e.g. a base corpus whose quantizer is then
+    FROZEN across appends — else the whole embeddings table).
 
     A trained variant (k-means over a deterministic sample) lives in
     ``similarity_ivf_trained``; seeding from a deterministic corpus
@@ -258,13 +262,9 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str, k: int = _IVF_K):
     """
     import numpy as np
 
-    rows = (
-        t(spark, sf_dir, "embeddings")
-        .orderBy("vec_id")
-        .limit(k)
-        .select("embedding")
-        .collect()
-    )
+    if emb is None:
+        emb = t(spark, sf_dir, "embeddings")
+    rows = emb.orderBy("vec_id").limit(k).select("embedding").collect()
     c = np.array([r.embedding for r in rows], dtype=np.float64)
     norms = np.linalg.norm(c, axis=1)
     return c, np.where(norms == 0, 1.0, norms)
@@ -273,9 +273,13 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str, k: int = _IVF_K):
 # The relational coarse-quantizer CTE chain (cent/cnorm/vdot/cells) is
 # shared verbatim by every oracle that needs cell assignments
 # (similarity_ivf here; dedup_semdedup in llm/dedup.py).
-_CELLS_CTE = f"""cent AS (
+# `cent_where` restricts which vectors the quantizer trains on — the
+# incremental-layout oracle freezes centroids to the BASE corpus while
+# assigning (vdot/cells) over everything, exactly like the engine.
+def _cells_cte_sql(cent_where: str = "") -> str:
+    return f"""cent AS (
     SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c_idx, embedding AS cv
-    FROM (SELECT vec_id, embedding FROM embeddings
+    FROM (SELECT vec_id, embedding FROM embeddings {cent_where}
           ORDER BY vec_id LIMIT {_IVF_K})
 ),
 cnorm AS (
@@ -305,10 +309,14 @@ cells AS (
 )"""
 
 
-def _ivf_oracle() -> str:
+_CELLS_CTE = _cells_cte_sql()
+
+
+def _ivf_oracle(cent_where: str = "") -> str:
     """Oracle: the coarse quantizer is itself relational — centroids are
-    the K lowest-vec_id vectors, cell assignment is the argmax of
-    ROUND(dot / centroid_norm, 6) with numpy's first-index tie-break
+    the K lowest-vec_id vectors (of the `cent_where` subset, when the
+    quantizer is frozen to a base corpus), cell assignment is the argmax
+    of ROUND(dot / centroid_norm, 6) with numpy's first-index tie-break
     (ORDER BY score DESC, c_idx), probe cells are the query's top-nprobe
     centroids under the same ordering. Dividing by the centroid norm
     (not the vector norm) preserves the per-vector argmax ordering; the
@@ -316,7 +324,7 @@ def _ivf_oracle() -> str:
     DuckDB sequential SUM, ~1 ulp apart) from flipping a vector's cell
     and hence the candidate set."""
     return f"""
-WITH {_CELLS_CTE},
+WITH {_cells_cte_sql(cent_where)},
 probe AS (
     SELECT v.c_idx
     FROM vdot v JOIN cnorm n USING (c_idx)
@@ -555,7 +563,9 @@ def ivf_query_layout(
     )
 
 
-def _ivf_layout_home(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+def _ivf_layout_home(
+    spark: SparkSession, sf_dir: str, variant: str = ""
+) -> tuple[str, str]:
     """(layout directory, meta table name) for this corpus — the layout
     lives under the local warehouse next to the catalog tables; the
     single-row meta table records the corpus fingerprint so the layout
@@ -567,7 +577,10 @@ def _ivf_layout_home(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-    return os.path.join(wh, f"ivf_layout_{tag}"), f"ivflay_{tag}_meta"
+    return (
+        os.path.join(wh, f"ivf_layout{variant}_{tag}"),
+        f"ivflay{variant}_{tag}_meta",
+    )
 
 
 @register("similarity_ivf_layout", oracle=_ivf_oracle())
@@ -602,6 +615,73 @@ def similarity_ivf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("cell")
             .parquet(path)
         )
+        from ..plans.bucketing import drop_orphaned_table
+
+        drop_orphaned_table(spark, meta_table)
+        spark.createDataFrame(
+            [(n, s)], "n_vecs bigint, fp_sum_ids bigint"
+        ).write.mode("overwrite").saveAsTable(meta_table)
+    return ivf_query_layout(spark, path, centroids, cnorms)
+
+
+def append_ivf_layout(
+    new_emb: DataFrame, layout_dir: str, centroids, cnorms
+) -> None:
+    """Append new vectors into an existing IVF layout with the FROZEN
+    quantizer: one map-only assignment pass over the batch, files
+    landing INSIDE the existing cell=N directories (mode=append never
+    touches prior files). The corpus is never re-clustered or
+    rewritten — the delta-generation economics of the postings/LSH
+    indexes, realized here by the filesystem (a cell directory IS the
+    generation-union of every batch routed to it, so the query path
+    needs no generation bookkeeping at all). Centroids MUST be the
+    index's frozen quantizer — assigning a batch with retrained
+    centroids would route it inconsistently with the resident data."""
+    (
+        new_emb.join(_cell_assignments(new_emb, centroids, cnorms), "vec_id")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(layout_dir)
+    )
+
+
+@register(
+    "similarity_ivf_incremental",
+    oracle=_ivf_oracle(f"WHERE vec_id % 2 = 0"),
+)
+def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF append lifecycle externally verified — the third index
+    family to get it (postings, LSH bands, now the vector index): base
+    layout from even vec_ids with the base-frozen relational quantizer,
+    odd vec_ids APPENDED (map-only assignment + file append into the
+    cell directories, nothing rewritten), ANN top-k answered over the
+    union by partition pruning. Oracle = the same relational quantizer
+    frozen to the base (cent from even vec_ids) assigning ALL vectors:
+    append+query must equal a fresh assignment of the union under the
+    frozen quantizer — the property that makes appending to a vector
+    index trustworthy. Build-once per corpus via fingerprinted meta."""
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    delta = emb.filter(F.col("vec_id") % 2 == 1)
+    centroids, cnorms = _ivf_centroids(spark, sf_dir, emb=base)
+    path, meta_table = _ivf_layout_home(spark, sf_dir, variant="_inc")
+    fp = emb.groupBy().agg(
+        F.count("*").alias("n"), F.sum("vec_id").alias("s")
+    ).first()
+    n, s = int(fp["n"]), int(fp["s"] or 0)
+    fresh = True
+    if spark.catalog.tableExists(meta_table):
+        m = spark.table(meta_table).first()
+        if m["n_vecs"] == n and m["fp_sum_ids"] == s:
+            fresh = False
+    if fresh:
+        (
+            base.join(_cell_assignments(base, centroids, cnorms), "vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+        append_ivf_layout(delta, path, centroids, cnorms)
         from ..plans.bucketing import drop_orphaned_table
 
         drop_orphaned_table(spark, meta_table)

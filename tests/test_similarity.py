@@ -364,3 +364,55 @@ def test_ivf_layout_registered_builds_once(spark, sf_dir):
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_ivf_incremental_append_equals_fresh_union_layout(spark, sf_dir, tmp_path):
+    """Appending a delta under the FROZEN base quantizer must leave the
+    layout indistinguishable from assigning the union fresh with the
+    same centroids: identical per-vector cells, identical query answer,
+    and the append adds files without touching the base's."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from chess_pos_db_spark.tables import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    delta = emb.filter(F.col("vec_id") % 2 == 1)
+    centroids, cnorms = sim._ivf_centroids(spark, sf_dir, emb=base)
+
+    inc_dir = str(tmp_path / "inc")
+    base.join(sim._cell_assignments(base, centroids, cnorms), "vec_id").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(inc_dir)
+    base_files = set(glob.glob(os.path.join(inc_dir, "cell=*", "*.parquet")))
+    sim.append_ivf_layout(delta, inc_dir, centroids, cnorms)
+    after_files = set(glob.glob(os.path.join(inc_dir, "cell=*", "*.parquet")))
+    assert base_files < after_files  # append only ever ADDS files
+
+    full_dir = str(tmp_path / "full")
+    emb.join(sim._cell_assignments(emb, centroids, cnorms), "vec_id").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(full_dir)
+
+    inc_cells = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(inc_dir).select("vec_id", "cell").collect()
+    }
+    full_cells = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(full_dir).select("vec_id", "cell").collect()
+    }
+    assert inc_cells == full_cells
+
+    got = [
+        tuple(r)
+        for r in sim.ivf_query_layout(spark, inc_dir, centroids, cnorms).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in sim.ivf_query_layout(spark, full_dir, centroids, cnorms).collect()
+    ]
+    assert got == want and len(got) > 0
