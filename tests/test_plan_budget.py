@@ -53,6 +53,7 @@ SHUFFLE_BUDGET = {
     "dedup_lsh_index_probe": 2,  # batch signature agg + candidate min-agg
     "dedup_lsh_index_incremental": 3,  # same, over base + delta generations
     "similarity_ivf_layout": 0,  # partition pruning IS the probe
+    "similarity_ivf_incremental": 0,  # appended files prune identically
 }
 
 
