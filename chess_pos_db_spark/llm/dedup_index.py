@@ -321,6 +321,69 @@ def stream_lsh_maintenance(
     q.awaitTermination()
 
 
+def kept_doc_ids(spark: SparkSession, prefix: str) -> DataFrame:
+    """The accepted-document set of a dedup gate over index `prefix` —
+    the union of every live generation's docs table. The curated corpus
+    is the raw stream semi-joined to this (ids only live in the index;
+    the gate never copies document payloads)."""
+    return _existing_doc_ids(spark, prefix)
+
+
+def stream_lsh_dedup_gate(
+    spark: SparkSession,
+    src_dir: str,
+    prefix: str,
+    checkpoint_dir: str,
+    buckets: int = 16,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """The streaming CURATION GATE: documents arrive as a file stream,
+    each micro-batch keeps only docs that do NOT near-duplicate the
+    already-accepted corpus, and the survivors join that corpus (their
+    bands append as a delta generation). T6 streaming dedup composed
+    with the persistent LSH index — corpus-level near-dup state that
+    one-shot per-batch dedup cannot see.
+
+    The INDEX IS THE GATE'S ONLY STATE: accepted ids live in the docs
+    tables, so there is no separate sink to keep consistent and the
+    append's meta write remains the single commit point. At-least-once
+    replays are resolved per-doc: already-accepted ids are skipped
+    (idempotent re-accept), previously-rejected ids re-probe against an
+    index that still contains whatever they matched — so they reject
+    again deterministically. Within-batch near-dups are OUT of scope by
+    the probe's contract (run dedup_near on the batch first); the gate
+    dedups the batch against the CORPUS."""
+    from ..sources.formats import DOCUMENTS_SCHEMA
+
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(src_dir)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        present = _existing_doc_ids(spark, prefix)
+        fresh = batch_df.join(present, "doc_id", "left_anti")
+        if fresh.isEmpty():
+            return  # fully-committed replay
+        matched = probe_lsh_index(spark, fresh, prefix).select("doc_id")
+        survivors = fresh.join(matched, "doc_id", "left_anti")
+        if survivors.isEmpty():
+            return  # every new doc near-duplicates the corpus
+        append_to_lsh_index(
+            spark, survivors, prefix, buckets=buckets, check_disjoint=False
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _lshix_prefix(sf_dir: str) -> str:
     import re
 

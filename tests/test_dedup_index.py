@@ -178,3 +178,90 @@ def test_probe_of_already_indexed_docs_excludes_self_matches(spark, sf_dir):
         assert all(r["match_id"] % 2 == 0 for r in fresh.collect())
     finally:
         _drop_prefix(spark, "lsht_self")
+
+
+def test_stream_lsh_dedup_gate_greedy_semantics_and_replay(
+    spark, sf_dir, tmp_path
+):
+    """The streaming curation gate must implement greedy corpus-level
+    near-dup admission: a doc is kept iff it has no LSH collision with
+    any PREVIOUSLY KEPT doc (seed corpus or earlier batches) — verified
+    against an independent python simulation over the full candidate
+    pair set. A wiped checkpoint replays every batch without changing
+    the kept set or the generation count."""
+    import glob
+    import shutil
+
+    docs = t(spark, sf_dir, "documents")
+    # batch 1: fixture docs (the sf0.001 LSH graph is dense — these all
+    # collide with the seed, exercising rejection); batch 2: synthetic
+    # novel docs with disjoint gibberish vocabularies — zero collisions,
+    # exercising admission. Both paths must be non-trivial or the test
+    # proves nothing.
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    novel = spark.createDataFrame(
+        [
+            (
+                max_id + 1 + i,
+                " ".join(f"zqx{i}w{j}" for j in range(30)),
+                "xx",
+                "synthetic",
+                0,
+            )
+            for i in range(5)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    src = tmp_path / "docstream"
+    src.mkdir()
+    batches = []
+    for i, b in ((1, docs.filter(F.col("doc_id") % 4 == 1)), (2, novel)):
+        batches.append({r["doc_id"] for r in b.select("doc_id").collect()})
+        staged = str(tmp_path / f"stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(staged)
+        shutil.copy(
+            glob.glob(f"{staged}/part-*.parquet")[0], str(src / f"b{i}.parquet")
+        )
+    seed = docs.filter(F.col("doc_id") % 4 == 0)
+    seed_ids = {r["doc_id"] for r in seed.select("doc_id").collect()}
+
+    # independent greedy ground truth over the full LSH candidate graph
+    from chess_pos_db_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    adj: dict[int, set[int]] = {}
+    universe = docs.select("doc_id", "text").unionByName(
+        novel.select("doc_id", "text")
+    )
+    for r in lsh_candidate_pairs(minhash_signatures(universe)).collect():
+        adj.setdefault(r["doc_a"], set()).add(r["doc_b"])
+        adj.setdefault(r["doc_b"], set()).add(r["doc_a"])
+    kept = set(seed_ids)
+    for batch in batches:
+        rejected = {d for d in batch if adj.get(d, set()) & kept}
+        kept |= batch - rejected
+
+    chk = str(tmp_path / "chk")
+    try:
+        DI.build_lsh_index(spark, seed, "lshgate")
+        DI.stream_lsh_dedup_gate(
+            spark, str(src), "lshgate", chk, max_files_per_trigger=1
+        )
+        got = {r["doc_id"] for r in DI.kept_doc_ids(spark, "lshgate").collect()}
+        assert got == kept
+        assert kept - seed_ids  # some batch docs survived
+        assert set().union(*batches) - kept  # and some were rejected
+        n_gens = len(DI._generations(spark, "lshgate"))
+
+        shutil.rmtree(chk)
+        DI.stream_lsh_dedup_gate(
+            spark, str(src), "lshgate", chk, max_files_per_trigger=1
+        )
+        assert {
+            r["doc_id"] for r in DI.kept_doc_ids(spark, "lshgate").collect()
+        } == kept
+        assert len(DI._generations(spark, "lshgate")) == n_gens
+    finally:
+        _drop_prefix(spark, "lshgate")
