@@ -119,7 +119,12 @@ def main() -> None:
             else "rows-only" if rec["match"] is None
             else "ok" if rec["match"] else "MISMATCH"
         )
-        print(f"{status:>9}  {name}", flush=True)
+        # surface the failure reason inline: in --pandas-canon/--only
+        # modes no JSON is written, so a bare "ERR name" line would be
+        # the ONLY trace of what broke (round-8: a transient dedup_near
+        # ERR left nothing to diagnose but its name)
+        detail = f"  [{rec['err']}]" if "err" in rec else ""
+        print(f"{status:>9}  {name}{detail}", flush=True)
 
     if only is None and not pandas_canon:
         with open("CORRECTNESS_local.json", "w") as f:
