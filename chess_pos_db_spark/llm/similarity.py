@@ -532,23 +532,32 @@ def ivf_query_layout(
     query_vec_id: int = _QUERY_VEC_ID,
     nprobe: int = _IVF_NPROBE,
     k: int = _TOP_K,
+    query_vec=None,
 ) -> DataFrame:
     """ANN top-k over an IVF layout: the cell IN-list filter prunes to
     nprobe partition directories (PartitionFilters in the scan — pinned
-    in test_similarity), then brute-force cosine inside them."""
+    in test_similarity), then brute-force cosine inside them.
+
+    Pass ``query_vec`` (the raw embedding) when the caller already has
+    it — resolving it BY ID from the layout is a fallback convenience
+    that scans every cell directory for one row (fine at fixture scale,
+    O(corpus) at 100 TB where the right source is the probe request
+    itself or an id-keyed lookup table)."""
     layout = spark.read.parquet(layout_dir)
-    qrow = (
-        layout.filter(F.col("vec_id") == query_vec_id)
-        .select("embedding")
-        .head()
-    )
-    if qrow is None:
-        raise ValueError(
-            f"IVF layout query: vec_id {query_vec_id} not found in "
-            f"layout {layout_dir!r}"
+    if query_vec is None:
+        qrow = (
+            layout.filter(F.col("vec_id") == query_vec_id)
+            .select("embedding")
+            .head()
         )
-    probe = _probe_cells(qrow.embedding, centroids, cnorms, nprobe)
-    q = spark.createDataFrame([(list(qrow.embedding),)], "qv array<float>")
+        if qrow is None:
+            raise ValueError(
+                f"IVF layout query: vec_id {query_vec_id} not found in "
+                f"layout {layout_dir!r}"
+            )
+        query_vec = qrow.embedding
+    probe = _probe_cells(query_vec, centroids, cnorms, nprobe)
+    q = spark.createDataFrame([(list(query_vec),)], "qv array<float>")
     return (
         layout.filter(F.col("cell").isin(probe))
         .join(F.broadcast(q))
@@ -621,7 +630,16 @@ def similarity_ivf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(
             [(n, s)], "n_vecs bigint, fp_sum_ids bigint"
         ).write.mode("overwrite").saveAsTable(meta_table)
-    return ivf_query_layout(spark, path, centroids, cnorms)
+    qrow = (
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").head()
+    )
+    if qrow is None:
+        raise ValueError(
+            f"IVF layout query: vec_id {_QUERY_VEC_ID} not in embeddings"
+        )
+    return ivf_query_layout(
+        spark, path, centroids, cnorms, query_vec=qrow.embedding
+    )
 
 
 def append_ivf_layout(
@@ -688,7 +706,18 @@ def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(
             [(n, s)], "n_vecs bigint, fp_sum_ids bigint"
         ).write.mode("overwrite").saveAsTable(meta_table)
-    return ivf_query_layout(spark, path, centroids, cnorms)
+    # query vector from the SOURCE table (pushed-down point filter),
+    # not a by-id scan of every cell directory in the layout
+    qrow = (
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").head()
+    )
+    if qrow is None:
+        raise ValueError(
+            f"IVF layout query: vec_id {_QUERY_VEC_ID} not in embeddings"
+        )
+    return ivf_query_layout(
+        spark, path, centroids, cnorms, query_vec=qrow.embedding
+    )
 
 
 # --- kNN graph construction (N3+) --------------------------------------------
