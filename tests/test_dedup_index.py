@@ -265,3 +265,80 @@ def test_stream_lsh_dedup_gate_greedy_semantics_and_replay(
         assert len(DI._generations(spark, "lshgate")) == n_gens
     finally:
         _drop_prefix(spark, "lshgate")
+
+
+# --- property pin: the whole index pipeline vs a pure-python twin -----------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_VOCAB = ["aa", "bb", "cc", "dd", "ee"]
+
+
+def _py_md5_long(s: str, start: int = 1, length: int = 15) -> int:
+    import hashlib
+
+    return int(
+        hashlib.md5(s.encode()).hexdigest()[start - 1 : start - 1 + length], 16
+    )
+
+
+def _py_bands(text: str) -> set[str]:
+    """Pure-python twin of minhash_signatures + banded_keys (md5 K-M
+    family, 16 hashes, 8 bands x 2 rows, band index embedded)."""
+    toks = text.split(" ")
+    h = [(_py_md5_long(t) % (1 << 58), _py_md5_long(t, 16) % (1 << 58)) for t in toks]
+    mh = [
+        min((h1 + i * h2) % ((1 << 61) - 1) for h1, h2 in h) for i in range(16)
+    ]
+    return {f"{b}|{mh[2 * b]}|{mh[2 * b + 1]}" for b in range(8)}
+
+
+_spark_holder = {}
+
+
+@pytest.fixture(autouse=True)
+def _stash_spark(spark):
+    _spark_holder["spark"] = spark
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=5).map(" ".join),
+        min_size=4,
+        max_size=10,
+    )
+)
+def test_probe_matches_pure_python_pipeline(texts):
+    """For arbitrary tiny corpora, build-on-evens + probe-odds must
+    return exactly the pure-python minhash/banding collision answer:
+    (doc_id, min indexed doc sharing a band), no self-pairs."""
+    spark = _spark_holder["spark"]
+    rows = [
+        (i, tx, "en", "s", len(tx)) for i, tx in enumerate(texts)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    indexed = {i: _py_bands(tx) for i, tx in enumerate(texts) if i % 2 == 0}
+    want = {}
+    for i, tx in enumerate(texts):
+        if i % 2 == 0:
+            continue
+        b = _py_bands(tx)
+        hits = [j for j, jb in indexed.items() if b & jb]
+        if hits:
+            want[i] = min(hits)
+    try:
+        DI.build_lsh_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 0), "lsht_hyp", buckets=4
+        )
+        got = {
+            r["doc_id"]: r["match_id"]
+            for r in DI.probe_lsh_index(
+                spark, docs.filter(F.col("doc_id") % 2 == 1), "lsht_hyp"
+            ).collect()
+        }
+        assert got == want
+    finally:
+        _drop_prefix(spark, "lsht_hyp")
