@@ -117,17 +117,45 @@ def _check_batch(docs: DataFrame) -> tuple[int, int]:
     return int(fp["n"]), int(fp["s"] or 0)
 
 
+def _bucket_tops(banded: DataFrame) -> DataFrame:
+    """(band_key, min1, min2): the TWO smallest doc_ids per band bucket
+    — all the probe ever needs, and the index's skew armor.
+
+    Probe semantics are "smallest indexed doc sharing any band, other
+    than yourself": min over hit buckets of the bucket minimum — and
+    when the prober IS a bucket's minimum (re-probe of a committed doc),
+    the second-smallest answers. So storing the top-2 per bucket is
+    EXACT, while collapsing every bucket to ONE row: a mega-bucket of
+    boilerplate (the classic web-corpus skew — millions of docs sharing
+    a band) would otherwise multiply the probe join's output by bucket
+    size; here it costs the same single row as a two-member bucket, and
+    the index size is bounded by distinct buckets, not corpus rows.
+    min2 is NULL for singleton buckets. The top-2 window shares the
+    band_key partitioning the bucketed write needs."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_key").orderBy("doc_id")
+    top2 = banded.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    return top2.groupBy("band_key").agg(
+        F.min("doc_id").alias("min1"),
+        F.when(F.count("*") >= 2, F.max("doc_id")).alias("min2"),
+    )
+
+
 def build_lsh_index(
     spark: SparkSession, docs: DataFrame, prefix: str, buckets: int = 16
 ) -> None:
     """Materialize the corpus's band buckets: `{prefix}_bands`
-    (band_key, doc_id — bucketed by band_key so probes never shuffle
-    the index side), `{prefix}_docs` (doc_id — bucketed, the append
+    (band_key, min1, min2 — ONE row per bucket, bucketed by band_key so
+    probes never shuffle the index side; see _bucket_tops for why top-2
+    is exact), `{prefix}_docs` (doc_id — bucketed, the append
     disjointness probe's 8 B/doc side), and the meta commit row."""
     from ..plans.bucketing import write_bucketed
 
     n, s = _check_batch(docs)
-    bands = banded_keys(minhash_signatures(docs))
+    bands = _bucket_tops(banded_keys(minhash_signatures(docs)))
     write_bucketed(bands, f"{prefix}_bands", ["band_key"], buckets=buckets)
     write_bucketed(
         docs.select("doc_id"), f"{prefix}_docs", ["doc_id"], buckets=buckets
@@ -191,7 +219,7 @@ def append_to_lsh_index(
             )
     m = _read_meta(spark, prefix)
     n = m["n_deltas"] + 1
-    bands = banded_keys(minhash_signatures(new_docs))
+    bands = _bucket_tops(banded_keys(minhash_signatures(new_docs)))
     write_bucketed(bands, f"{prefix}_bands_d{n}", ["band_key"], buckets=buckets)
     write_bucketed(
         new_docs.select("doc_id"), f"{prefix}_docs_d{n}", ["doc_id"],
@@ -217,20 +245,27 @@ def probe_lsh_index(
     candidate-sized. The corpus is never rescanned, nothing is ever
     pairwise.
 
-    Self-pairs are excluded in the join: probing a doc_id that is
-    ALREADY indexed (re-probing a committed batch) must not report the
-    document as a near-duplicate of itself — only collisions with
-    OTHER indexed docs count."""
+    Self-pairs are excluded: probing a doc_id that is ALREADY indexed
+    (re-probing a committed batch) must not report the document as a
+    near-duplicate of itself — when the prober is a bucket's stored
+    minimum, the bucket's second-smallest answers (NULL for a
+    singleton bucket = no match from that bucket). Each hit row is one
+    BUCKET, not one colliding document — ≤ _N_BANDS hit rows per batch
+    doc per generation regardless of how crowded the buckets are (the
+    _bucket_tops skew bound)."""
     banded = banded_keys(minhash_signatures(batch_docs))
     hits = None
     for g in _generations(spark, prefix):
-        ix = spark.table(f"{prefix}_bands{g}").withColumnRenamed(
-            "doc_id", "match_id"
-        )
+        ix = spark.table(f"{prefix}_bands{g}")
         h = (
             banded.join(ix, "band_key")
-            .filter(F.col("doc_id") != F.col("match_id"))
-            .select("doc_id", "match_id")
+            .select(
+                "doc_id",
+                F.when(F.col("min1") != F.col("doc_id"), F.col("min1"))
+                .otherwise(F.col("min2"))
+                .alias("match_id"),
+            )
+            .filter(F.col("match_id").isNotNull())
         )
         hits = h if hits is None else hits.unionByName(h)
     return hits.groupBy("doc_id").agg(F.min("match_id").alias("match_id"))
@@ -239,12 +274,18 @@ def probe_lsh_index(
 def compact_lsh_index(
     spark: SparkSession, prefix: str, buckets: int = 16
 ) -> None:
-    """Fold every delta generation into the base tables (pure
-    doc-disjoint union, staged then swapped via ALTER TABLE RENAME —
-    overwriting a table while lazily reading it would corrupt it).
-    Not crash-atomic across the two table families: a crash between
-    swaps leaves meta pointing at dropped generation tables, so reads
-    FAIL LOUDLY rather than serving a half-compacted index."""
+    """Fold every delta generation into the base tables, staged then
+    swapped via ALTER TABLE RENAME (overwriting a table while lazily
+    reading it would corrupt it). docs tables union directly
+    (doc-disjoint); bands tables re-derive the bucket top-2 from the
+    union of each generation's top-2 — exact, because each generation's
+    (min1, min2) are the two smallest of that generation, so the two
+    smallest of the union are among the union of the top-2s (the
+    aggregate-combining merge of compact_runs, with min-pair as the
+    combinable state). Not crash-atomic across the two table families:
+    a crash between swaps leaves meta pointing at dropped generation
+    tables, so reads FAIL LOUDLY rather than serving a half-compacted
+    index."""
     from ..plans.bucketing import drop_orphaned_table, write_bucketed
 
     meta = _read_meta(spark, prefix)
@@ -256,6 +297,13 @@ def compact_lsh_index(
         for g in gens:
             t_g = spark.table(f"{prefix}_{kind}{g}")
             merged = t_g if merged is None else merged.unionByName(t_g)
+        if kind == "bands":
+            merged = _bucket_tops(
+                merged.select(
+                    "band_key",
+                    F.explode(F.array("min1", "min2")).alias("doc_id"),
+                ).filter(F.col("doc_id").isNotNull())
+            )
         write_bucketed(merged, f"{prefix}_{kind}_stage", [key], buckets=buckets)
         for g in gens:
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{kind}{g}")
