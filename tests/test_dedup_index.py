@@ -342,3 +342,41 @@ def test_probe_matches_pure_python_pipeline(texts):
         assert got == want
     finally:
         _drop_prefix(spark, "lsht_hyp")
+
+
+def test_mega_bucket_probe_is_bucket_bounded_and_exact(spark):
+    """THE motivating skew case: 150 identical boilerplate docs share
+    every band bucket. Top-2 storage keeps each bucket one row, and a
+    50-doc probe batch must still match every doc to the smallest
+    indexed copy — with the join output bounded by buckets, not by the
+    150-deep occupancy."""
+    rows = [
+        (i, "lorem ipsum dolor sit amet boilerplate", "en", "s", 38)
+        for i in range(200)
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    docs = spark.createDataFrame(rows, schema)
+    try:
+        DI.build_lsh_index(
+            spark, docs.filter(F.col("doc_id") < 150), "lsht_mega", buckets=4
+        )
+        # one row per bucket, not one per (bucket, member): 8 bands of
+        # one shared signature = at most 8 stored rows for 150 docs
+        assert spark.table("lsht_mega_bands").count() <= 8
+        got = {
+            r["doc_id"]: r["match_id"]
+            for r in DI.probe_lsh_index(
+                spark, docs.filter(F.col("doc_id") >= 150), "lsht_mega"
+            ).collect()
+        }
+        assert got == {i: 0 for i in range(150, 200)}
+        # re-probe of the committed minimum itself: min2 answers
+        self_probe = {
+            r["doc_id"]: r["match_id"]
+            for r in DI.probe_lsh_index(
+                spark, docs.filter(F.col("doc_id") == 0), "lsht_mega"
+            ).collect()
+        }
+        assert self_probe == {0: 1}
+    finally:
+        _drop_prefix(spark, "lsht_mega")
