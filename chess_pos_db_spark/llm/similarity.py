@@ -720,6 +720,121 @@ def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ND_COS = 0.45  # same operating point as dedup_semdedup
+
+
+def probe_ivf_near_dup(
+    spark: SparkSession,
+    new_emb: DataFrame,
+    layout_dir: str,
+    centroids,
+    cnorms,
+    threshold: float = _ND_COS,
+) -> DataFrame:
+    """(vec_id, match_id, n_near, max_cos) for every NEW vector whose
+    exact cosine against a resident vector in ITS cell exceeds
+    `threshold` — the embedding-modality twin of the LSH index probe
+    (daily-delta near-dup without re-processing the corpus), with the
+    SemDeDup cell-restriction contract: candidates come only from the
+    frozen-quantizer cell, so the verify is batch × cell-resident, never
+    batch × corpus. Threshold applies to the RAW cosine (rounding is
+    display-only — the repo-wide discipline)."""
+    assigned = new_emb.join(
+        _cell_assignments(new_emb, centroids, cnorms), "vec_id"
+    )
+    resident = spark.read.parquet(layout_dir).select(
+        F.col("vec_id").alias("match_id"),
+        F.col("embedding").alias("r_emb"),
+        "cell",
+    )
+    raw = cosine(F.col("embedding"), F.col("r_emb"))
+    return (
+        assigned.join(resident, "cell")
+        .filter(F.col("vec_id") != F.col("match_id"))
+        .withColumn("raw_cos", raw)
+        .filter(F.col("raw_cos") > threshold)
+        .groupBy("vec_id")
+        .agg(
+            F.min("match_id").alias("match_id"),
+            F.count("*").alias("n_near"),
+            F.max(F.round("raw_cos", 6)).alias("max_cos"),
+        )
+    )
+
+
+@register(
+    "dedup_embedding_incremental",
+    oracle=f"""
+WITH {_cells_cte_sql("WHERE vec_id % 2 = 0")},
+pairs AS (
+    SELECT ca.vec_id AS id_a, cb.vec_id AS id_b,
+           SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+           SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na,
+           SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb
+    FROM cells ca
+    JOIN cells cb ON ca.cell = cb.cell
+       AND ca.vec_id % 2 = 0 AND cb.vec_id % 2 = 1
+    JOIN embeddings a ON a.vec_id = ca.vec_id
+    JOIN embeddings b ON b.vec_id = cb.vec_id,
+    GENERATE_SERIES(1, {_DIMS}) AS t(i)
+    GROUP BY ca.vec_id, cb.vec_id
+),
+near AS (
+    SELECT id_a, id_b, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cos_sim
+    FROM pairs
+    WHERE dot / (SQRT(na) * SQRT(nb)) > {_ND_COS}
+)
+SELECT id_b AS vec_id,
+       MIN(id_a) AS match_id,
+       CAST(COUNT(*) AS BIGINT) AS n_near,
+       MAX(cos_sim) AS max_cos
+FROM near
+GROUP BY id_b
+ORDER BY vec_id
+""",
+)
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-modality delta near-dup, externally verified:
+    even vec_ids are the resident corpus (IVF layout built at most once
+    under the base-frozen quantizer), odd vec_ids are today's batch —
+    which new vectors near-duplicate something already resident, and
+    whom? Completes the delta-dedup story across both modalities (text:
+    dedup_lsh_index_*; embeddings: here) on the same frozen-quantizer
+    layout similarity_ivf_incremental appends to. Oracle = cell-
+    restricted exact-cosine pairs under the base-frozen relational
+    quantizer, indexed-side even × batch-side odd."""
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    centroids, cnorms = _ivf_centroids(spark, sf_dir, emb=base)
+    path, meta_table = _ivf_layout_home(spark, sf_dir, variant="_nd")
+    fp = base.groupBy().agg(
+        F.count("*").alias("n"), F.sum("vec_id").alias("s")
+    ).first()
+    n, s = int(fp["n"]), int(fp["s"] or 0)
+    fresh = True
+    if spark.catalog.tableExists(meta_table):
+        m = spark.table(meta_table).first()
+        if m["n_vecs"] == n and m["fp_sum_ids"] == s:
+            fresh = False
+    if fresh:
+        (
+            base.join(_cell_assignments(base, centroids, cnorms), "vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+        from ..plans.bucketing import drop_orphaned_table
+
+        drop_orphaned_table(spark, meta_table)
+        spark.createDataFrame(
+            [(n, s)], "n_vecs bigint, fp_sum_ids bigint"
+        ).write.mode("overwrite").saveAsTable(meta_table)
+    return probe_ivf_near_dup(spark, batch, path, centroids, cnorms).orderBy(
+        "vec_id"
+    )
+
+
 # --- kNN graph construction (N3+) --------------------------------------------
 # The all-vectors variant of ANN search: every vector's top-k nearest
 # neighbors, candidates restricted to its sign-LSH bucket — the

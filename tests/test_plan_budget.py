@@ -54,6 +54,7 @@ SHUFFLE_BUDGET = {
     "dedup_lsh_index_incremental": 3,  # same, over base + delta generations
     "similarity_ivf_layout": 0,  # partition pruning IS the probe
     "similarity_ivf_incremental": 0,  # appended files prune identically
+    "dedup_embedding_incremental": 2,  # cell-join align + per-probe rollup
 }
 
 
