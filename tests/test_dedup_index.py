@@ -380,3 +380,41 @@ def test_mega_bucket_probe_is_bucket_bounded_and_exact(spark):
         assert self_probe == {0: 1}
     finally:
         _drop_prefix(spark, "lsht_mega")
+
+
+def test_append_crash_before_meta_commit_replays_cleanly(
+    spark, sf_dir, monkeypatch
+):
+    """A crash AFTER the delta tables land but BEFORE the meta write
+    must leave the index answering from the committed state (the delta
+    invisible), and a retried append must overwrite the orphan tables
+    and commit — the single-commit-point contract, exercised."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 1)
+    batch = docs.filter(F.col("doc_id") % 3 == 2)
+    try:
+        DI.build_lsh_index(spark, base, "lsht_crash")
+        before = _rows(DI.probe_lsh_index(spark, batch, "lsht_crash"))
+
+        real_write_meta = DI._write_meta
+
+        def dying_write_meta(*a, **kw):
+            raise RuntimeError("simulated crash before the meta commit")
+
+        monkeypatch.setattr(DI, "_write_meta", dying_write_meta)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            DI.append_to_lsh_index(spark, delta, "lsht_crash")
+        monkeypatch.setattr(DI, "_write_meta", real_write_meta)
+
+        # uncommitted: generation list unchanged, probes see only base
+        assert DI._generations(spark, "lsht_crash") == [""]
+        assert _rows(DI.probe_lsh_index(spark, batch, "lsht_crash")) == before
+
+        # replay commits; the index now answers like a fresh build
+        DI.append_to_lsh_index(spark, delta, "lsht_crash")
+        DI.build_lsh_index(spark, base.unionByName(delta), "lsht_crash_full")
+        want = _rows(DI.probe_lsh_index(spark, batch, "lsht_crash_full"))
+        assert _rows(DI.probe_lsh_index(spark, batch, "lsht_crash")) == want
+    finally:
+        _drop_prefix(spark, "lsht_crash", "lsht_crash_full")
