@@ -891,3 +891,64 @@ def test_index_stats_fold_into_single_meta_commit(spark, sf_dir):
         for name in list(spark.catalog.listTables()):
             if name.name.startswith("ixmeta_test"):
                 spark.sql(f"DROP TABLE IF EXISTS {name.name}")
+
+
+def test_postings_append_crash_before_meta_commit_replays_cleanly(
+    spark, sf_dir, monkeypatch
+):
+    """Round-8 meta fold, exercised: a crash after the delta
+    postings/doclen land but before the single meta write must leave
+    queries answering from the committed state (generation count AND
+    corpus stats unchanged together — the window where stats ran ahead
+    of the generation list no longer exists); a retried append repairs
+    and commits."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from chess_pos_db_spark.llm import search as S
+    from chess_pos_db_spark.tables import t as load
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 1)
+    try:
+        S.build_inverted_index(spark, base, "ixcrash")
+        before = [
+            tuple(r)
+            for r in S.search_indexed(spark, "ixcrash", S._QUERY_TERMS).collect()
+        ]
+        meta_before = S._read_meta(spark, "ixcrash")
+
+        real_write_meta = S._write_meta
+
+        def dying(*a, **kw):
+            raise RuntimeError("simulated crash before the meta commit")
+
+        monkeypatch.setattr(S, "_write_meta", dying)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            S.append_to_index(spark, delta, "ixcrash")
+        monkeypatch.setattr(S, "_write_meta", real_write_meta)
+
+        meta_after = S._read_meta(spark, "ixcrash")
+        assert tuple(meta_after) == tuple(meta_before)  # stats AND gens
+        assert [
+            tuple(r)
+            for r in S.search_indexed(spark, "ixcrash", S._QUERY_TERMS).collect()
+        ] == before
+
+        S.append_to_index(spark, delta, "ixcrash")
+        S.build_inverted_index(spark, base.unionByName(delta), "ixcrash_full")
+        want = [
+            tuple(r)
+            for r in S.search_indexed(
+                spark, "ixcrash_full", S._QUERY_TERMS
+            ).collect()
+        ]
+        assert [
+            tuple(r)
+            for r in S.search_indexed(spark, "ixcrash", S._QUERY_TERMS).collect()
+        ] == want
+    finally:
+        for name in list(spark.catalog.listTables()):
+            if name.name.startswith("ixcrash"):
+                spark.sql(f"DROP TABLE IF EXISTS {name.name}")
