@@ -418,3 +418,40 @@ def test_append_crash_before_meta_commit_replays_cleanly(
         assert _rows(DI.probe_lsh_index(spark, batch, "lsht_crash")) == want
     finally:
         _drop_prefix(spark, "lsht_crash", "lsht_crash_full")
+
+
+def test_compact_crash_between_swaps_fails_loudly_not_silently(
+    spark, sf_dir, monkeypatch
+):
+    """compact is documented NOT crash-atomic across the two table
+    families: a crash between the bands swap and the docs swap must
+    leave every subsequent read FAILING LOUDLY (meta points at dropped
+    generation tables) — never serving a half-compacted answer."""
+    from chess_pos_db_spark.plans import bucketing as B
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 1)
+    batch = docs.filter(F.col("doc_id") % 3 == 2)
+    try:
+        DI.build_lsh_index(spark, base, "lsht_cswap")
+        DI.append_to_lsh_index(spark, delta, "lsht_cswap")
+
+        real = B.write_bucketed
+
+        def dying(df, table, *a, **kw):
+            if table == "lsht_cswap_docs_stage":
+                raise RuntimeError("simulated crash between family swaps")
+            return real(df, table, *a, **kw)
+
+        monkeypatch.setattr(B, "write_bucketed", dying)
+        with pytest.raises(RuntimeError, match="between family swaps"):
+            DI.compact_lsh_index(spark, "lsht_cswap")
+        monkeypatch.setattr(B, "write_bucketed", real)
+
+        # bands generations were folded+dropped, meta still says 1 delta
+        # -> the probe must raise (missing table), not half-answer
+        with pytest.raises(Exception, match="(?i)table|not.*found"):
+            DI.probe_lsh_index(spark, batch, "lsht_cswap").collect()
+    finally:
+        _drop_prefix(spark, "lsht_cswap")
