@@ -486,3 +486,38 @@ def test_compact_empty_inputs_fail_loudly(spark, tmp_path):
         layout.compact_runs(
             spark, [], str(tmp_path / "out"), ["k"], {"cnt": "sum"}
         )
+
+
+def test_versioned_append_crash_before_manifest_commit_replays(
+    spark, tmp_path, monkeypatch
+):
+    """The manifest write is append_versioned's commit point: a crash
+    after the vN/ data write but before it leaves the new files
+    INVISIBLE (readers see the prior snapshot), and a replayed append
+    reuses the same version id, overwriting the orphan directory — no
+    duplicate snapshot, no torn state."""
+    import pytest
+
+    path = str(tmp_path / "versioned_crash")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, cnt long")
+    layout.append_versioned(mk([(1, 1)]), path, ["k"])
+
+    real = layout._dump_manifest
+
+    def dying(*a, **kw):
+        raise RuntimeError("simulated crash before the manifest commit")
+
+    monkeypatch.setattr(layout, "_dump_manifest", dying)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        layout.append_versioned(mk([(2, 7)]), path, ["k"])
+    monkeypatch.setattr(layout, "_dump_manifest", real)
+
+    # uncommitted: the latest snapshot is still v1's content
+    latest = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+    assert latest == [(1, 1)]
+
+    # replay lands as the SAME version id, overwriting the orphan dir
+    v = layout.append_versioned(mk([(2, 7)]), path, ["k"])
+    assert v == 2
+    after = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+    assert after == [(1, 1), (2, 7)]
