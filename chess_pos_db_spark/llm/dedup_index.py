@@ -369,6 +369,21 @@ def stream_lsh_maintenance(
     q.awaitTermination()
 
 
+def maybe_compact_lsh_index(
+    spark: SparkSession, prefix: str, max_generations: int = 8,
+    buckets: int = 16,
+) -> bool:
+    """Compact when the delta-generation count exceeds the threshold —
+    the cadence policy a maintenance loop calls after every append (the
+    reference's merge-after-N-runs discipline; probe cost grows one
+    bucket-pruned join per generation, so the threshold bounds it).
+    Returns True iff a compaction ran."""
+    if _read_meta(spark, prefix)["n_deltas"] < max_generations:
+        return False
+    compact_lsh_index(spark, prefix, buckets=buckets)
+    return True
+
+
 def kept_doc_ids(spark: SparkSession, prefix: str) -> DataFrame:
     """The accepted-document set of a dedup gate over index `prefix` —
     the union of every live generation's docs table. The curated corpus

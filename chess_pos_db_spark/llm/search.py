@@ -635,6 +635,21 @@ def compact_index(spark: SparkSession, prefix: str, buckets: int = 16) -> None:
     )
 
 
+def maybe_compact_index(
+    spark: SparkSession, prefix: str, max_generations: int = 8,
+    buckets: int = 16,
+) -> bool:
+    """Compact when the delta-generation count exceeds the threshold —
+    the cadence policy a maintenance loop calls after every append
+    (query cost grows one bucket-pruned read per generation, so the
+    threshold bounds it; same merge-after-N-runs discipline as the
+    reference's sorted-run store). Returns True iff a compaction ran."""
+    if _read_meta(spark, prefix)["n_deltas"] < max_generations:
+        return False
+    compact_index(spark, prefix, buckets=buckets)
+    return True
+
+
 def search_indexed(
     spark: SparkSession,
     prefix: str,

@@ -455,3 +455,34 @@ def test_compact_crash_between_swaps_fails_loudly_not_silently(
             DI.probe_lsh_index(spark, batch, "lsht_cswap").collect()
     finally:
         _drop_prefix(spark, "lsht_cswap")
+
+
+def test_maybe_compact_threshold_cadence(spark, sf_dir):
+    """maybe_compact runs only past the generation threshold, and the
+    postings twin behaves identically — both preserve answers."""
+    from chess_pos_db_spark.llm import search as S
+
+    docs = t(spark, sf_dir, "documents")
+    try:
+        DI.build_lsh_index(spark, docs.filter(F.col("doc_id") % 3 == 0), "lsht_mc")
+        DI.append_to_lsh_index(spark, docs.filter(F.col("doc_id") % 3 == 1), "lsht_mc")
+        batch = docs.filter(F.col("doc_id") % 3 == 2)
+        want = _rows(DI.probe_lsh_index(spark, batch, "lsht_mc"))
+        assert DI.maybe_compact_lsh_index(spark, "lsht_mc", max_generations=2) is False
+        assert DI._generations(spark, "lsht_mc") == ["", "_d1"]
+        assert DI.maybe_compact_lsh_index(spark, "lsht_mc", max_generations=1) is True
+        assert DI._generations(spark, "lsht_mc") == [""]
+        assert _rows(DI.probe_lsh_index(spark, batch, "lsht_mc")) == want
+
+        S.build_inverted_index(spark, docs.filter(F.col("doc_id") % 2 == 0), "ixmc")
+        S.append_to_index(spark, docs.filter(F.col("doc_id") % 2 == 1), "ixmc")
+        swant = [tuple(r) for r in S.search_indexed(spark, "ixmc", S._QUERY_TERMS).collect()]
+        assert S.maybe_compact_index(spark, "ixmc", max_generations=2) is False
+        assert S.maybe_compact_index(spark, "ixmc", max_generations=1) is True
+        assert S._generations(spark, "ixmc") == [""]
+        assert [tuple(r) for r in S.search_indexed(spark, "ixmc", S._QUERY_TERMS).collect()] == swant
+    finally:
+        _drop_prefix(spark, "lsht_mc")
+        for name in list(spark.catalog.listTables()):
+            if name.name.startswith("ixmc"):
+                spark.sql(f"DROP TABLE IF EXISTS {name.name}")
