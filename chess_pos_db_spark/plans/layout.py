@@ -345,6 +345,9 @@ def append_versioned(df: DataFrame, path: str, key: Sequence[str],
         .parquet(os.path.join(path, vdir))
     )
     snaps.append({"id": v, "dirs": [vdir], "supersedes": []})
+    # latest write's schema: the empty-store read fallback (a delete
+    # that removes every row must still return a typed DataFrame)
+    manifest["schema"] = df.schema.json()
     _dump_manifest(path, manifest)
     return v
 
@@ -378,8 +381,121 @@ def compact_versioned(
     manifest["snapshots"].append(
         {"id": v, "dirs": [vdir], "supersedes": sorted(live)}
     )
+    manifest["schema"] = merged.schema.json()
     _dump_manifest(path, manifest)
     return v
+
+
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    partitions: int = 8,
+) -> dict:
+    """Targeted row deletion from the versioned store — the
+    right-to-be-forgotten operation a 100 TB training-data corpus must
+    support without rewriting the corpus. Two steps, Iceberg
+    copy-on-write economics:
+
+    1. FIND: one scan of the live file set with the predicate pushed
+       down (a key-range or key-IN delete reads only the row groups
+       whose stats intersect — the sorted layout makes the common
+       GDPR shape cheap), grouping matched rows by
+       ``input_file_name()`` to resolve the TOUCHED file set
+       driver-side (bounded by file count, like the zone map).
+    2. REWRITE: only the touched files are read back and rewritten
+       minus matching rows into a new version directory; every
+       untouched live file is carried into the new snapshot BY
+       REFERENCE (its manifest entry's ``files`` list) — zero data
+       I/O for them.
+
+    The manifest write is the single commit point: a crash after the
+    rewrite but before it leaves an orphan v-dir invisible to every
+    reader, and a replay rewrites the same version id. Time travel to
+    pre-delete versions still shows the deleted rows until
+    ``expire_snapshots`` vacuums them — run it to make the forgetting
+    PHYSICAL (compliance deletes need both steps).
+
+    NULL predicate semantics: a row where the predicate evaluates NULL
+    is NOT deleted (kept by ``NOT coalesce(pred, false)``, not matched
+    by the find step — consistent on both sides).
+
+    `predicate` is a Column or SQL string. Returns
+    ``{"version", "rows_deleted", "files_rewritten", "files_total"}``;
+    a predicate matching nothing returns version=None and writes
+    nothing.
+    """
+    from urllib.parse import urlparse
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    manifest = read_manifest(path)
+    if not manifest["snapshots"]:
+        raise ValueError(f"delete_rows: no snapshots at {path!r}")
+    live = _live_snapshot_ids(manifest)
+    rels = _snapshot_files(path, manifest, live)
+    if not rels:
+        return {
+            "version": None, "rows_deleted": 0,
+            "files_rewritten": 0, "files_total": 0,
+        }
+    src = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, r) for r in rels]
+    )
+    hits = (
+        src.filter(pred)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    if not hits:
+        return {
+            "version": None, "rows_deleted": 0,
+            "files_rewritten": 0, "files_total": len(rels),
+        }
+    touched = {
+        os.path.relpath(urlparse(r["f"]).path, os.path.abspath(path))
+        for r in hits
+    }
+    unknown = touched - set(rels)
+    if unknown:
+        raise ValueError(
+            f"delete_rows: matched files outside the live snapshot set "
+            f"{sorted(unknown)} — manifest and data directory disagree"
+        )
+    rows_deleted = sum(int(r["n"]) for r in hits)
+    key = manifest["sort_key"]
+    keep = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(path, r) for r in sorted(touched)])
+        .filter(~F.coalesce(pred, F.lit(False)))
+    )
+    v = (max(s["id"] for s in manifest["snapshots"])) + 1
+    vdir = f"v{v}"
+    (
+        keep.repartitionByRange(partitions, *[F.col(k) for k in key])
+        .sortWithinPartitions(*key)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, vdir))
+    )
+    manifest["snapshots"].append(
+        {
+            "id": v,
+            "dirs": [vdir],
+            "files": sorted(set(rels) - touched),
+            "supersedes": sorted(live),
+        }
+    )
+    # union schema of the LIVE set (not just the touched files): the
+    # empty-store fallback must still show columns only untouched
+    # files carry
+    manifest["schema"] = src.schema.json()
+    _dump_manifest(path, manifest)
+    return {
+        "version": v,
+        "rows_deleted": rows_deleted,
+        "files_rewritten": len(touched),
+        "files_total": len(rels),
+    }
 
 
 def _live_snapshot_ids(manifest: dict, as_of: int | None = None) -> set[int]:
@@ -393,18 +509,44 @@ def _live_snapshot_ids(manifest: dict, as_of: int | None = None) -> set[int]:
     return {s["id"] for s in snaps if s["id"] not in dead}
 
 
+def _snapshot_files(path: str, manifest: dict, ids) -> list[str]:
+    """Relative parquet paths visible for snapshot ids `ids`: each
+    entry's exclusively-owned dirs expanded to their parquet files,
+    plus any file-level references (`files`) a delete snapshot carries
+    into other versions' directories (the Iceberg manifest-file-list
+    model: a snapshot is a FILE SET, dirs are just the common case)."""
+    rels: list[str] = []
+    for s in manifest["snapshots"]:
+        if s["id"] not in ids:
+            continue
+        for d in s["dirs"]:
+            full = os.path.join(path, d)
+            rels.extend(
+                os.path.join(d, name)
+                for name in sorted(os.listdir(full))
+                if name.endswith(".parquet")
+            )
+        rels.extend(s.get("files", []))
+    return rels
+
+
 def _read_dirs(spark, path, manifest, ids) -> DataFrame:
-    dirs = [
-        os.path.join(path, d)
-        for s in manifest["snapshots"]
-        if s["id"] in ids
-        for d in s["dirs"]
-    ]
+    rels = _snapshot_files(path, manifest, ids)
+    if not rels:
+        # every row deleted: answer with the recorded schema instead of
+        # failing "unable to infer schema" on a file-less read
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(manifest["schema"]))
+        )
     # mergeSchema: snapshots written before a column existed read as
     # NULL for it — additive schema evolution without rewriting history
     # (the Iceberg/Delta add-column semantic; footer union is per-file
     # metadata work, not data). Rename/retype still require a rewrite.
-    return spark.read.option("mergeSchema", "true").parquet(*dirs)
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, r) for r in rels]
+    )
 
 
 def read_snapshot(
@@ -446,13 +588,40 @@ def expire_snapshots(path: str, before: int) -> list[str]:
         s["id"] for s in manifest["snapshots"] if s["id"] > before
     }
     doomed = [s for s in manifest["snapshots"] if s["id"] not in keep]
+    # Delete snapshots share files ACROSS version directories (their
+    # `files` lists reference untouched files inside superseded
+    # versions' dirs), so vacuum is file-level refcounting — Iceberg's
+    # remove_orphan_files: a physical file dies only when NO kept
+    # snapshot references it. A doomed dir whose every file is
+    # unreferenced is removed whole (reported by dir name, the common
+    # no-deletes case); a dir partially kept alive by a delete
+    # snapshot's references loses only its dead files.
+    referenced = set(_snapshot_files(path, manifest, keep))
     deleted = []
+    # (a doomed snapshot's `files` references point into OTHER
+    # snapshots' dirs — physical removal is those dirs' owners' job
+    # below, or the files stay because a kept snapshot references them)
     for s in doomed:
         for d in s["dirs"]:
             full = os.path.join(path, d)
-            if os.path.isdir(full):
+            if not os.path.isdir(full):
+                deleted.append(d)
+                continue
+            kept_here = [
+                name
+                for name in os.listdir(full)
+                if name.endswith(".parquet")
+                and os.path.join(d, name) in referenced
+            ]
+            if kept_here:
+                for name in os.listdir(full):
+                    rel = os.path.join(d, name)
+                    if name.endswith(".parquet") and rel not in referenced:
+                        os.unlink(os.path.join(full, name))
+                        deleted.append(rel)
+            else:
                 shutil.rmtree(full)
-            deleted.append(d)
+                deleted.append(d)
     manifest["snapshots"] = [
         s for s in manifest["snapshots"] if s["id"] in keep
     ]

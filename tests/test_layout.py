@@ -521,3 +521,100 @@ def test_versioned_append_crash_before_manifest_commit_replays(
     assert v == 2
     after = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
     assert after == [(1, 1), (2, 7)]
+
+
+def test_delete_rows_targeted_rewrite(spark, tmp_path):
+    """delete_rows removes exactly the matching rows, rewrites ONLY the
+    touched files (untouched live files carry by reference), keeps
+    pre-delete time travel intact, and expire_snapshots afterwards
+    removes the superseded copies while preserving every file the
+    delete snapshot still references."""
+    import os
+
+    path = str(tmp_path / "del_store")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, cnt long")
+    # two appends with disjoint key ranges → v1 files never contain
+    # k >= 100, so a delete targeting v2's range must not rewrite v1
+    layout.append_versioned(
+        mk([(i, i * 10) for i in range(8)]), path, ["k"], partitions=2
+    )
+    layout.append_versioned(
+        mk([(100 + i, i) for i in range(8)]), path, ["k"], partitions=2
+    )
+
+    res = layout.delete_rows(spark, path, "k >= 100 AND k % 2 = 0")
+    assert res["version"] == 3
+    assert res["rows_deleted"] == 4
+    # only v2's files are touched; v1's carry by reference
+    assert 0 < res["files_rewritten"] < res["files_total"]
+    entry = [
+        s for s in layout.read_manifest(path)["snapshots"] if s["id"] == 3
+    ][0]
+    assert entry["files"] and all(f.startswith("v1/") for f in entry["files"])
+
+    latest = sorted(r["k"] for r in layout.read_snapshot(spark, path).collect())
+    assert latest == list(range(8)) + [101, 103, 105, 107]
+    # pre-delete history still shows the deleted rows
+    pre = sorted(r["k"] for r in layout.read_snapshot(spark, path, 2).collect())
+    assert pre == list(range(8)) + list(range(100, 108))
+
+    # vacuum to the delete point: v2's superseded copies go, v1 files
+    # survive because the delete snapshot references them
+    deleted = layout.expire_snapshots(path, before=3)
+    assert any(d.startswith("v2") for d in deleted)
+    assert os.path.isdir(os.path.join(path, "v1"))
+    after = sorted(r["k"] for r in layout.read_snapshot(spark, path).collect())
+    assert after == latest
+
+
+def test_delete_rows_noop_and_null_predicate(spark, tmp_path):
+    """A predicate matching nothing writes NOTHING (no new version);
+    rows where the predicate evaluates NULL are kept, not deleted."""
+    path = str(tmp_path / "del_noop")
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "k long, cnt long"
+    )
+    layout.append_versioned(df, path, ["k"])
+
+    res = layout.delete_rows(spark, path, "k > 999")
+    assert res["version"] is None and res["rows_deleted"] == 0
+    assert len(layout.read_manifest(path)["snapshots"]) == 1
+
+    # cnt > 15 is NULL for k=2 → k=2 must survive
+    res = layout.delete_rows(spark, path, "cnt > 15")
+    assert res["rows_deleted"] == 1
+    left = sorted(r["k"] for r in layout.read_snapshot(spark, path).collect())
+    assert left == [1, 2]
+
+
+def test_delete_rows_everything_and_crash(spark, tmp_path, monkeypatch):
+    """Deleting every row leaves a readable empty store with the
+    recorded schema; a crash before the manifest commit leaves the
+    delete invisible and the replay lands the same version id."""
+    import pytest
+
+    path = str(tmp_path / "del_all")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, cnt long")
+    layout.append_versioned(mk([(1, 1), (2, 2)]), path, ["k"])
+
+    real = layout._dump_manifest
+
+    def dying(*a, **kw):
+        raise RuntimeError("simulated crash before the manifest commit")
+
+    monkeypatch.setattr(layout, "_dump_manifest", dying)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        layout.delete_rows(spark, path, "k = 1")
+    monkeypatch.setattr(layout, "_dump_manifest", real)
+    # uncommitted: nothing deleted
+    assert sorted(
+        r["k"] for r in layout.read_snapshot(spark, path).collect()
+    ) == [1, 2]
+    # replay commits as the same version id
+    res = layout.delete_rows(spark, path, "k = 1")
+    assert res["version"] == 2
+
+    res = layout.delete_rows(spark, path, "k >= 0")
+    empty = layout.read_snapshot(spark, path)
+    assert empty.count() == 0
+    assert empty.columns == ["k", "cnt"]
