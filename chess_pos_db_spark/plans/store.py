@@ -1,0 +1,116 @@
+"""Versioned-store lifecycle as registered queries (SURVEY §2.1 S8 —
+the snapshot store's append/delete/vacuum half, externally verified).
+
+The reference's storage lifecycle is create/append/merge over immutable
+sorted runs (`src/persistence/pos_db/` †); the Spark-first store adds
+snapshot isolation, time travel, targeted deletion and vacuum
+(plans/layout.py). This module registers the DELETE path against the
+fixture corpus so the external gate checks it oracle-exact: append the
+corpus as two snapshot versions, delete a deterministic slice
+(copy-on-write, touched-files-only rewrite), and read the live state —
+which must equal plain SQL over the corpus minus the slice. The store
+changes WHERE rows live, never what a query answers.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import t
+from . import layout
+
+# the right-to-be-forgotten slice: deterministic, hits both snapshot
+# versions (odd and even doc_ids are in different versions)
+_DELETE_PRED = "doc_id % 7 = 3"
+_DELETE_SQL = "doc_id % 7 = 3"
+
+
+def _store_home(spark: SparkSession, sf_dir: str) -> str:
+    """Per-corpus store directory under the local warehouse (same home
+    discipline as the IVF layout / postings index)."""
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    return os.path.join(wh, f"docstore_{tag}")
+
+
+def _ensure_deleted_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build the two-version store and apply the delete AT MOST ONCE
+    per corpus: the manifest records the corpus fingerprint and a
+    lifecycle state marker, so repeat calls (and a previously returned
+    lazy read plan) never race a rebuild. Returns the store path."""
+    docs = t(spark, sf_dir, "documents")
+    fp = docs.groupBy().agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("s")
+    ).first()
+    n, s = int(fp["n"]), int(fp["s"] or 0)
+    path = _store_home(spark, sf_dir)
+    try:
+        m = layout.read_manifest(path)
+        if m.get("corpus_fp") == [n, s] and m.get("lifecycle") == "deleted":
+            return path
+    except FileNotFoundError:
+        pass
+    # stale or absent: rebuild from scratch (fixture corpora are
+    # immutable per sf_dir, so this runs once per corpus per warehouse)
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    payload = docs.select("doc_id", "source", "text")
+    layout.append_versioned(
+        payload.filter(F.col("doc_id") % 2 == 0), path, ["doc_id"]
+    )
+    layout.append_versioned(
+        payload.filter(F.col("doc_id") % 2 == 1), path, ["doc_id"]
+    )
+    res = layout.delete_rows(spark, path, _DELETE_PRED)
+    if res["version"] is None:
+        raise ValueError(
+            f"store_delete_rows: delete predicate matched nothing at "
+            f"{sf_dir!r} — fixture contract violated"
+        )
+    m = layout.read_manifest(path)
+    m["corpus_fp"] = [n, s]
+    m["lifecycle"] = "deleted"
+    layout._dump_manifest(path, m)
+    return path
+
+
+@register(
+    "store_delete_rows",
+    oracle=f"""
+SELECT doc_id, source, CAST(LENGTH(text) AS BIGINT) AS text_len
+FROM documents
+WHERE NOT ({_DELETE_SQL})
+ORDER BY doc_id
+""",
+)
+def store_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8-delete externally verified: corpus appended as TWO snapshot
+    versions (even doc_ids then odd — the delete slice spans both),
+    `doc_id % 7 = 3` deleted copy-on-write (only files whose row-group
+    stats intersect the predicate are rewritten; untouched files carry
+    into the new snapshot by manifest reference, zero data I/O), then
+    the live snapshot read back. Oracle is plain SQL over the corpus
+    minus the slice: the store must answer as if the rows never
+    existed, while `read_snapshot(path, 2)` still reproduces the
+    pre-delete corpus for audits (pinned in tests/test_layout.py).
+    Scale shape: the find step is ONE pushed-down scan of the live file
+    set; the rewrite is touched-files-only; vacuum afterwards is pure
+    manifest arithmetic + unlink (expire_snapshots)."""
+    path = _ensure_deleted_store(spark, sf_dir)
+    return (
+        layout.read_snapshot(spark, path)
+        .select(
+            "doc_id",
+            "source",
+            F.length("text").cast("long").alias("text_len"),
+        )
+        .orderBy("doc_id")
+    )

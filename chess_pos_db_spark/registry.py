@@ -104,6 +104,7 @@ def _import_registering_modules() -> None:
     from .llm import quality  # noqa: F401
     from .plans import mv  # noqa: F401
     from .plans import skew  # noqa: F401
+    from .plans import store  # noqa: F401
     from .llm import scoring  # noqa: F401
     from .llm import search  # noqa: F401
     from .llm import similarity  # noqa: F401
