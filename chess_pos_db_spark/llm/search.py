@@ -34,13 +34,17 @@ _TOP_K = 10
 _TERMS_SQL = ", ".join(f"('{q}')" for q in _QUERY_TERMS)
 
 
-@register(
-    "search_bm25",
-    oracle=f"""
+def _bm25_oracle(corpus_where: str = "") -> str:
+    """The BM25 oracle, parameterized by an optional corpus predicate —
+    the delete-lifecycle twin scores over `documents` minus the deleted
+    slice with the SAME expression (deletes change the corpus, never
+    the scoring)."""
+    where = f"WHERE {corpus_where}" if corpus_where else ""
+    return f"""
 WITH d AS (
     SELECT doc_id, STRING_SPLIT(text, ' ') AS s,
            len(STRING_SPLIT(text, ' ')) AS dl
-    FROM documents
+    FROM documents {where}
 ),
 corpus AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -73,8 +77,10 @@ SELECT doc_id, ROUND(score, 6) AS bm25
 FROM scored
 ORDER BY ROUND(score, 6) DESC, doc_id
 LIMIT {_TOP_K}
-""",
-)
+"""
+
+
+@register("search_bm25", oracle=_bm25_oracle())
 def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k: per-doc term frequencies via JVM array expressions
     (no explode of the token stream), corpus stats and per-term df as
@@ -405,10 +411,12 @@ def _write_meta(
     n_docs: int,
     sum_dl: float,
     fp_sum_ids: int,
+    n_tomb_gens: int = 0,
 ) -> None:
-    """Write the index's ONE commit record: generation count AND
-    corpus stats in the same single-row table, so there is no window
-    where a reader sees stats from a different generation set."""
+    """Write the index's ONE commit record: generation count, corpus
+    stats AND the tombstone-generation count in the same single-row
+    table, so there is no window where a reader sees stats (or a
+    deletion set) from a different generation set."""
     from ..plans.bucketing import drop_orphaned_table
 
     drop_orphaned_table(spark, f"{prefix}_meta")
@@ -419,15 +427,36 @@ def _write_meta(
             sum_dl / n_docs if n_docs else 0.0,
             sum_dl,
             fp_sum_ids,
+            n_tomb_gens,
         )],
         "n_deltas int, n_docs bigint, avgdl double, sum_dl double, "
-        "fp_sum_ids bigint",
+        "fp_sum_ids bigint, n_tomb_gens int",
     ).write.mode("overwrite").saveAsTable(f"{prefix}_meta")
 
 
 def _read_meta(spark: SparkSession, prefix: str):
     """The index's commit record (generations + corpus stats)."""
     return spark.table(f"{prefix}_meta").first()
+
+
+def _n_tomb_gens(meta) -> int:
+    """Tombstone-generation count; 0 for meta rows written before the
+    delete lifecycle existed (cross-session warehouse dirs)."""
+    return meta.asDict().get("n_tomb_gens") or 0
+
+
+def _tombstone_ids(spark: SparkSession, prefix: str, meta) -> DataFrame | None:
+    """Union of every tombstone generation's doc_ids (None when no
+    deletes are pending) — the deletion mask every read path applies
+    until compaction makes the forgetting physical."""
+    k = _n_tomb_gens(meta)
+    if not k:
+        return None
+    out = None
+    for i in range(1, k + 1):
+        tg = spark.table(f"{prefix}_tomb_d{i}")
+        out = tg if out is None else out.unionByName(tg)
+    return out
 
 
 def _generations(spark: SparkSession, prefix: str) -> list[str]:
@@ -529,6 +558,12 @@ def append_to_index(
     all_dl = spark.table(f"{prefix}_doclen_d{n}")
     for g in gens:
         all_dl = all_dl.unionByName(spark.table(f"{prefix}_doclen{g}"))
+    meta = _read_meta(spark, prefix)
+    tombs = _tombstone_ids(spark, prefix, meta)
+    if tombs is not None:
+        # pending deletes: stats must not resurrect tombstoned docs
+        # (their doclen rows exist physically until compaction purges)
+        all_dl = all_dl.join(tombs, "doc_id", "left_anti")
     tot = all_dl.groupBy().agg(
         F.count("*").alias("n"),
         F.sum("dl").alias("s"),
@@ -539,9 +574,82 @@ def append_to_index(
     # while the generation list doesn't
     _write_meta(
         spark, prefix, n, int(tot["n"]), float(tot["s"] or 0),
-        int(tot["fp"] or 0),
+        int(tot["fp"] or 0), n_tomb_gens=_n_tomb_gens(meta),
     )
     return n
+
+
+def delete_from_index(
+    spark: SparkSession,
+    doc_ids: DataFrame,
+    prefix: str,
+    buckets: int = 16,
+) -> int:
+    """Delete documents from the postings index WITHOUT rewriting any
+    postings — the tombstone half of the sorted-run lifecycle (the
+    right-to-be-forgotten operation, mirroring the store's
+    plans/layout.delete_rows). Writes the batch's doc_ids as a new
+    TOMBSTONE GENERATION (`{prefix}_tomb_d{K}`, bucketed by doc_id);
+    every read path masks tombstoned docs (postings anti-join) and
+    derives df from the surviving rows, so queries answer EXACTLY as a
+    fresh build over the live corpus (pinned in tests). Corpus stats
+    (n_docs/avgdl) are recomputed live-only from the doclen union —
+    16 B/doc, never a corpus rescan — and land in the SAME single-row
+    meta write as the bumped tombstone-generation count: that write is
+    the delete's ONLY commit point (a crash before it leaves an orphan
+    tombstone table invisible to every reader; a replay rewrites the
+    identical table).
+
+    Physical forgetting happens at the next ``compact_index``, which
+    purges tombstoned rows and resets the tombstone set — compliance
+    deletes need both steps, exactly like the store's delete+vacuum.
+    Until then a deleted doc_id cannot be re-appended (its physical
+    rows would be masked too; the append disjointness probe fails
+    loudly on it — compact first).
+
+    Fails loudly if any id is not LIVE in the index (absent, or
+    already tombstoned): a silent partial delete would mask bugs in
+    the caller's id bookkeeping. Returns the new tombstone-generation
+    number."""
+    from ..plans.bucketing import write_bucketed
+
+    ids = doc_ids.select("doc_id").distinct()
+    meta = _read_meta(spark, prefix)
+    tombs = _tombstone_ids(spark, prefix, meta)
+    live = _existing_doc_ids(spark, prefix)
+    if tombs is not None:
+        live = live.join(tombs, "doc_id", "left_anti")
+    stats = ids.join(live, "doc_id", "left_semi").groupBy().agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("s")
+    ).first()
+    n_live_hits = int(stats["n"])
+    n_ids = ids.count()
+    if n_live_hits != n_ids:
+        raise ValueError(
+            f"delete_from_index: {n_ids - n_live_hits}/{n_ids} doc_id(s) "
+            f"are not live in index {prefix!r} (absent or already "
+            "deleted) — deletes must target live documents exactly"
+        )
+    k = _n_tomb_gens(meta) + 1
+    write_bucketed(ids, f"{prefix}_tomb_d{k}", ["doc_id"], buckets=buckets)
+    # live-only stats: doclen union minus (old ∪ new) tombstones
+    all_dl = None
+    for g in _generations(spark, prefix):
+        dg = spark.table(f"{prefix}_doclen{g}")
+        all_dl = dg if all_dl is None else all_dl.unionByName(dg)
+    mask = spark.table(f"{prefix}_tomb_d{k}")
+    if tombs is not None:
+        mask = mask.unionByName(tombs)
+    tot = all_dl.join(mask, "doc_id", "left_anti").groupBy().agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("s"),
+        F.sum("doc_id").alias("fp"),
+    ).first()
+    _write_meta(
+        spark, prefix, meta["n_deltas"], int(tot["n"]),
+        float(tot["s"] or 0), int(tot["fp"] or 0), n_tomb_gens=k,
+    )
+    return k
 
 
 def search_indexed_incremental(
@@ -557,7 +665,10 @@ def search_indexed_incremental(
     Every generation's postings scan is bucket-pruned by the query
     terms; per-term df is the count of the pruned postings rows
     (exact across doc-disjoint generations, and cheaper at scale than
-    maintaining df deltas: the rows are already in hand)."""
+    maintaining df deltas: the rows are already in hand). Tombstoned
+    docs are masked with one anti-join on the pruned postings BEFORE
+    df derivation, so deletes are exact here too — the mask is
+    term-candidate-sized, never corpus-sized."""
     gens = _generations(spark, prefix)
     p = None
     doclen = None
@@ -568,8 +679,11 @@ def search_indexed_incremental(
         p = pg if p is None else p.unionByName(pg)
         dg = spark.table(f"{prefix}_doclen{g}")
         doclen = dg if doclen is None else doclen.unionByName(dg)
-    dft = p.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     st = _read_meta(spark, prefix)
+    tombs = _tombstone_ids(spark, prefix, st)
+    if tombs is not None:
+        p = p.join(tombs, "doc_id", "left_anti")
+    dft = p.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     n_docs, avgdl = st["n_docs"], st["avgdl"]
     idf = F.log(
         1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -608,13 +722,18 @@ def compact_index(spark: SparkSession, prefix: str, buckets: int = 16) -> None:
 
     meta = _read_meta(spark, prefix)  # stats survive the fold unchanged
     gens = _generations(spark, prefix)
-    if len(gens) == 1:
-        return  # nothing to fold
+    tombs = _tombstone_ids(spark, prefix, meta)
+    if len(gens) == 1 and tombs is None:
+        return  # nothing to fold, nothing to purge
     for kind, key in (("postings", "token"), ("doclen", "doc_id")):
         merged = None
         for g in gens:
             t_g = spark.table(f"{prefix}_{kind}{g}")
             merged = t_g if merged is None else merged.unionByName(t_g)
+        if tombs is not None:
+            # the PHYSICAL half of the delete lifecycle: tombstoned
+            # rows are dropped from the rewrite, the masks retire
+            merged = merged.join(tombs, "doc_id", "left_anti")
         write_bucketed(merged, f"{prefix}_{kind}_stage", [key], buckets=buckets)
         for g in gens:
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{kind}{g}")
@@ -622,6 +741,8 @@ def compact_index(spark: SparkSession, prefix: str, buckets: int = 16) -> None:
         spark.sql(
             f"ALTER TABLE {prefix}_{kind}_stage RENAME TO {prefix}_{kind}"
         )
+    for i in range(1, _n_tomb_gens(meta) + 1):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_tomb_d{i}")
     # df is derived from the base postings exactly as the full build does
     dft = (
         spark.table(f"{prefix}_postings")
@@ -663,13 +784,14 @@ def search_indexed(
     bm25_scores (equivalence pinned in tests).
 
     Single-generation fast path ONLY: when the index has live delta
-    generations (appends since the last compaction) this DELEGATES to
+    generations (appends since the last compaction) OR pending
+    tombstones (deletes since the last compaction) this DELEGATES to
     search_indexed_incremental — the base `_df`/`_doclen` tables here
-    don't see appended docs, so querying them directly would silently
-    drop every appended document and score the rest with union-level
-    n_docs/avgdl against base-only df (regression-pinned in tests)."""
+    don't see appended docs, and the precomputed `_df` counts still
+    include tombstoned ones, so querying them directly would answer
+    from the wrong corpus (regression-pinned in tests)."""
     st = _read_meta(spark, prefix)
-    if st["n_deltas"] > 0:
+    if st["n_deltas"] > 0 or _n_tomb_gens(st) > 0:
         return search_indexed_incremental(
             spark, prefix, terms, k=k, k1=k1, b=b
         )
@@ -785,6 +907,44 @@ def search_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_indexed_incremental(spark, prefix, _QUERY_TERMS)
 
 
+_DELETED_PRED = "doc_id % 11 = 2"
+
+
+@register(
+    "search_bm25_deleted",
+    oracle=_bm25_oracle(f"NOT ({_DELETED_PRED})"),
+)
+def search_bm25_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE lifecycle as a registered query: full-corpus index,
+    then the `doc_id % 11 = 2` slice deleted (one tombstone generation
+    — no postings rewritten), then BM25 answered from the index. The
+    oracle is the BM25 SQL over the corpus MINUS the slice: tombstone
+    masking, live-only df derivation and the recomputed n_docs/avgdl
+    must together answer exactly as a fresh build over the live corpus
+    — the property that makes tombstone deletes trustworthy (physical
+    purge happens at the next compact_index, pinned equivalent in
+    tests). Idempotent per corpus: a matching post-delete fingerprint
+    skips the build+delete, so a previously returned plan never races
+    a rebuild."""
+    prefix = _index_prefix(sf_dir) + "_del"
+    docs = t(spark, sf_dir, "documents")
+    live = docs.filter(~F.expr(_DELETED_PRED))
+    n, s = _corpus_fingerprint(live)
+    if spark.catalog.tableExists(f"{prefix}_meta"):
+        m = _read_meta(spark, prefix)
+        if (
+            _n_tomb_gens(m) == 1
+            and m["n_docs"] == n
+            and m["fp_sum_ids"] == s
+        ):
+            return search_indexed(spark, prefix, _QUERY_TERMS)
+    build_inverted_index(spark, docs, prefix)
+    delete_from_index(
+        spark, docs.filter(F.expr(_DELETED_PRED)).select("doc_id"), prefix
+    )
+    return search_indexed(spark, prefix, _QUERY_TERMS)
+
+
 def phrase_indexed(
     spark: SparkSession, prefix: str, phrase: str, k: int = _TOP_K
 ) -> DataFrame:
@@ -801,6 +961,7 @@ def phrase_indexed(
     'value table' — so the two operators answer related but distinct
     questions; the oracle encodes the token form)."""
     terms = phrase.split(" ")
+    tombs = _tombstone_ids(spark, prefix, _read_meta(spark, prefix))
 
     def pruned(term: str) -> DataFrame:
         out = None
@@ -811,6 +972,8 @@ def phrase_indexed(
                 .select("doc_id", "positions")
             )
             out = pg if out is None else out.unionByName(pg)
+        if tombs is not None:
+            out = out.join(tombs, "doc_id", "left_anti")
         return out
 
     cur = pruned(terms[0]).select("doc_id", F.col("positions").alias("ends"))
@@ -936,6 +1099,8 @@ def proximity_indexed(
     difference, so the DuckDB oracle's 1-based list positions agree
     exactly."""
 
+    tombs = _tombstone_ids(spark, prefix, _read_meta(spark, prefix))
+
     def pruned(term: str, out: str) -> DataFrame:
         res = None
         for g in _generations(spark, prefix):
@@ -945,6 +1110,8 @@ def proximity_indexed(
                 .select("doc_id", F.col("positions").alias(out))
             )
             res = pg if res is None else res.unionByName(pg)
+        if tombs is not None:
+            res = res.join(tombs, "doc_id", "left_anti")
         return res
 
     joined = pruned(term_a, "pa").join(pruned(term_b, "pb"), "doc_id")

@@ -952,3 +952,157 @@ def test_postings_append_crash_before_meta_commit_replays_cleanly(
         for name in list(spark.catalog.listTables()):
             if name.name.startswith("ixcrash"):
                 spark.sql(f"DROP TABLE IF EXISTS {name.name}")
+
+
+def test_delete_from_index_equals_fresh_build_on_live_corpus(spark, sf_dir):
+    """Tombstone delete lifecycle of the postings index: deleting a
+    slice must make EVERY query path (BM25 fast path, incremental,
+    phrase, proximity) answer exactly as a fresh build over the live
+    corpus — tombstone masking, live-only df and the recomputed
+    n_docs/avgdl all have to line up. Deletes of absent or
+    already-deleted ids fail loudly; a deleted id cannot be
+    re-appended until compaction purges it; compaction drops the
+    tombstoned rows physically, retires the masks, and answers
+    unchanged — after which the id CAN be re-appended."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from chess_pos_db_spark.llm import search as S
+    from chess_pos_db_spark.tables import t as load
+
+    docs = load(spark, sf_dir, "documents")
+    doomed = docs.filter(F.col("doc_id") % 5 == 1).select("doc_id")
+    live = docs.filter(F.col("doc_id") % 5 != 1)
+    prefix, ref = "ixdel_test", "ixdelref_test"
+    try:
+        S.build_inverted_index(spark, docs, prefix)
+        S.build_inverted_index(spark, live, ref)
+        gen = S.delete_from_index(spark, doomed, prefix)
+        assert gen == 1
+
+        want_bm25 = [
+            tuple(r)
+            for r in S.search_indexed(spark, ref, S._QUERY_TERMS).collect()
+        ]
+        # fast path delegates to the tombstone-aware incremental path
+        got = S.search_indexed(spark, prefix, S._QUERY_TERMS)
+        assert [tuple(r) for r in got.collect()] == want_bm25
+        assert [
+            tuple(r)
+            for r in S.phrase_indexed(spark, prefix, S._PHRASE).collect()
+        ] == [tuple(r) for r in S.phrase_indexed(spark, ref, S._PHRASE).collect()]
+        assert [
+            tuple(r)
+            for r in S.proximity_indexed(
+                spark, prefix, "window", "table"
+            ).collect()
+        ] == [
+            tuple(r)
+            for r in S.proximity_indexed(spark, ref, "window", "table").collect()
+        ]
+
+        # absent and already-deleted ids fail loudly
+        with pytest.raises(ValueError, match="not live"):
+            S.delete_from_index(
+                spark, spark.range(1).select(F.lit(-99).alias("doc_id")), prefix
+            )
+        with pytest.raises(ValueError, match="not live"):
+            S.delete_from_index(spark, doomed.limit(3), prefix)
+        # a tombstoned id cannot be re-appended until compaction
+        with pytest.raises(ValueError, match="doc-disjoint"):
+            S.append_to_index(
+                spark, docs.filter(F.col("doc_id") % 5 == 1).limit(2), prefix
+            )
+
+        # compaction: physical purge, masks retired, answers unchanged
+        S.compact_index(spark, prefix)
+        m = S._read_meta(spark, prefix)
+        assert S._n_tomb_gens(m) == 0 and m["n_deltas"] == 0
+        live_tables = {t.name for t in spark.catalog.listTables()}
+        assert f"{prefix}_tomb_d1" not in live_tables
+        n_doomed_left = (
+            spark.table(f"{prefix}_doclen")
+            .join(doomed, "doc_id", "left_semi")
+            .count()
+        )
+        assert n_doomed_left == 0
+        got2 = S.search_indexed(spark, prefix, S._QUERY_TERMS)
+        assert [tuple(r) for r in got2.collect()] == want_bm25
+        # after the purge the slice can rejoin the corpus
+        S.append_to_index(spark, docs.filter(F.col("doc_id") % 5 == 1), prefix)
+        full = "ixdelfull_test"
+        S.build_inverted_index(spark, docs, full)
+        assert [
+            tuple(r)
+            for r in S.search_indexed(spark, prefix, S._QUERY_TERMS).collect()
+        ] == [
+            tuple(r)
+            for r in S.search_indexed(spark, full, S._QUERY_TERMS).collect()
+        ]
+    finally:
+        for name in list(spark.catalog.listTables()):
+            if name.name.startswith(("ixdel_test", "ixdelref_test",
+                                     "ixdelfull_test")):
+                spark.sql(f"DROP TABLE IF EXISTS {name.name}")
+
+
+def test_delete_then_append_and_crash_semantics(spark, sf_dir, monkeypatch):
+    """(a) An append AFTER a pending delete must not resurrect the
+    tombstoned docs in the corpus stats — base+delete+append answers
+    exactly like a fresh build over (live base ∪ appended batch).
+    (b) A crash BEFORE the delete's meta commit leaves the index
+    answering as if the delete never happened, and the replay lands
+    the same tombstone generation."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from chess_pos_db_spark.llm import search as S
+    from chess_pos_db_spark.tables import t as load
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    doomed = base.filter(F.col("doc_id") % 5 == 1).select("doc_id")
+    batch = docs.filter(F.col("doc_id") % 3 == 1)
+    live_union = base.filter(F.col("doc_id") % 5 != 1).unionByName(batch)
+    prefix, ref = "ixda_test", "ixdaref_test"
+    try:
+        S.build_inverted_index(spark, base, prefix)
+
+        # crash before the meta commit: tombstones invisible
+        real = S._write_meta
+
+        def dying(*a, **kw):
+            raise RuntimeError("simulated crash before the meta commit")
+
+        monkeypatch.setattr(S, "_write_meta", dying)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            S.delete_from_index(spark, doomed, prefix)
+        monkeypatch.setattr(S, "_write_meta", real)
+        m = S._read_meta(spark, prefix)
+        assert S._n_tomb_gens(m) == 0  # uncommitted
+        want_pre = [
+            tuple(r)
+            for r in S.search_indexed(spark, prefix, S._QUERY_TERMS).collect()
+        ]
+        fresh_pre = "ixdapre_test"
+        S.build_inverted_index(spark, base, fresh_pre)
+        assert want_pre == [
+            tuple(r)
+            for r in S.search_indexed(spark, fresh_pre, S._QUERY_TERMS).collect()
+        ]
+
+        # replay lands the same generation; append after delete keeps
+        # stats live-only
+        assert S.delete_from_index(spark, doomed, prefix) == 1
+        S.append_to_index(spark, batch, prefix)
+        S.build_inverted_index(spark, live_union, ref)
+        got = S.search_indexed(spark, prefix, S._QUERY_TERMS)
+        want = S.search_indexed(spark, ref, S._QUERY_TERMS)
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in want.collect()
+        ]
+    finally:
+        for name in list(spark.catalog.listTables()):
+            if name.name.startswith(("ixda_test", "ixdaref_test",
+                                     "ixdapre_test")):
+                spark.sql(f"DROP TABLE IF EXISTS {name.name}")
