@@ -150,12 +150,21 @@ def build_lsh_index(
     """Materialize the corpus's band buckets: `{prefix}_bands`
     (band_key, min1, min2 — ONE row per bucket, bucketed by band_key so
     probes never shuffle the index side; see _bucket_tops for why top-2
-    is exact), `{prefix}_docs` (doc_id — bucketed, the append
-    disjointness probe's 8 B/doc side), and the meta commit row."""
+    is exact), `{prefix}_members` (band_key, doc_id — FULL bucket
+    membership, the DELETE sidecar: never read by probes, so the
+    mega-bucket skew bound is untouched; without it an exact delete of
+    a bucket's stored minimum could not recover the next-smallest
+    member), `{prefix}_docs` (doc_id — bucketed, the append
+    disjointness probe's 8 B/doc side), and the meta commit row.
+    Members are written FIRST and the tops derived from the WRITTEN
+    table (bucketed by band_key, so the top-2 window re-uses the
+    layout with no new exchange) — one MinHash pass, not two."""
     from ..plans.bucketing import write_bucketed
 
     n, s = _check_batch(docs)
-    bands = _bucket_tops(banded_keys(minhash_signatures(docs)))
+    members = banded_keys(minhash_signatures(docs))
+    write_bucketed(members, f"{prefix}_members", ["band_key"], buckets=buckets)
+    bands = _bucket_tops(spark.table(f"{prefix}_members"))
     write_bucketed(bands, f"{prefix}_bands", ["band_key"], buckets=buckets)
     write_bucketed(
         docs.select("doc_id"), f"{prefix}_docs", ["doc_id"], buckets=buckets
@@ -219,7 +228,11 @@ def append_to_lsh_index(
             )
     m = _read_meta(spark, prefix)
     n = m["n_deltas"] + 1
-    bands = _bucket_tops(banded_keys(minhash_signatures(new_docs)))
+    members = banded_keys(minhash_signatures(new_docs))
+    write_bucketed(
+        members, f"{prefix}_members_d{n}", ["band_key"], buckets=buckets
+    )
+    bands = _bucket_tops(spark.table(f"{prefix}_members_d{n}"))
     write_bucketed(bands, f"{prefix}_bands_d{n}", ["band_key"], buckets=buckets)
     write_bucketed(
         new_docs.select("doc_id"), f"{prefix}_docs_d{n}", ["doc_id"],
@@ -292,7 +305,16 @@ def compact_lsh_index(
     gens = _generations(spark, prefix)
     if len(gens) == 1:
         return
-    for kind, key in (("bands", "band_key"), ("docs", "doc_id")):
+    # docs FIRST: the members purge below semi-joins against the live
+    # docs union, which must be computed before any table is dropped
+    live_docs = None
+    for g in gens:
+        t_g = spark.table(f"{prefix}_docs{g}")
+        live_docs = t_g if live_docs is None else live_docs.unionByName(t_g)
+    live_docs = live_docs.localCheckpoint(eager=True)
+    for kind, key in (
+        ("bands", "band_key"), ("docs", "doc_id"), ("members", "band_key"),
+    ):
         merged = None
         for g in gens:
             t_g = spark.table(f"{prefix}_{kind}{g}")
@@ -304,12 +326,130 @@ def compact_lsh_index(
                     F.explode(F.array("min1", "min2")).alias("doc_id"),
                 ).filter(F.col("doc_id").isNotNull())
             )
+        elif kind == "members":
+            # physical half of the delete lifecycle: membership rows of
+            # deleted docs (masked-but-present since their delete) drop
+            # out of the rewrite here
+            merged = merged.join(live_docs, "doc_id", "left_semi")
         write_bucketed(merged, f"{prefix}_{kind}_stage", [key], buckets=buckets)
         for g in gens:
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{kind}{g}")
         drop_orphaned_table(spark, f"{prefix}_{kind}")
         spark.sql(f"ALTER TABLE {prefix}_{kind}_stage RENAME TO {prefix}_{kind}")
     _write_meta(spark, prefix, 0, meta["n_docs"], meta["fp_sum_ids"])
+
+
+def delete_from_lsh_index(
+    spark: SparkSession,
+    doc_ids: DataFrame,
+    prefix: str,
+    buckets: int = 16,
+) -> int:
+    """Delete documents from the LSH index EXACTLY — after the delete,
+    probes answer as if the index had been freshly built over the live
+    corpus (pinned in tests), including the hard case where a deleted
+    doc was a bucket's stored minimum: the membership sidecar recovers
+    the next-smallest LIVE member, which top-2 storage alone cannot.
+
+    Work is affected-bucket-sized, never corpus-sized: per generation,
+    (1) the buckets whose stored top-2 contain a deleted id are found
+    with two equi-semi-joins against the (tiny) delete set, (2) ONLY
+    those buckets' tops are recomputed from the bucket-pruned members
+    sidecar restricted to live docs, (3) the bands and docs tables are
+    rewritten via the staged-swap discipline (bands is one row per
+    distinct bucket — the skew-bounded small table; docs is 8 B/doc).
+    The members sidecar is NOT rewritten here — deleted rows stay
+    physically present but masked (every recompute joins members to
+    the live docs set), and the next ``compact_lsh_index`` purges them,
+    mirroring the postings index's tombstone→compact split.
+
+    Crash contract: stage writes happen for every touched generation
+    BEFORE any swap, so a crash while staging is invisible; a crash
+    mid-swap either fails loudly on the next read (missing table
+    between drop and rename) or leaves a half-applied delete that
+    REPLAYING the same delete repairs (an already-swapped bands table
+    yields an empty affected set; docs rewrites are idempotent) —
+    until a docs swap has removed some of the ids, after which the
+    replay's own presence validation fails loudly and the recovery is
+    compaction/rebuild. Probes are live-correct in every intermediate
+    state (bands swaps only ever remove deleted docs from buckets).
+    The meta write is the final commit.
+
+    Fails loudly if any id is not present in the index (a silent
+    partial delete would mask caller bookkeeping bugs). Generations
+    containing none of the ids are untouched. Returns the number of
+    documents deleted."""
+    from ..plans.bucketing import drop_orphaned_table, write_bucketed
+
+    ids = doc_ids.select("doc_id").distinct().localCheckpoint(eager=True)
+    stats = ids.groupBy().agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("s")
+    ).first()
+    n_ids, s_ids = int(stats["n"]), int(stats["s"] or 0)
+    n_present = ids.join(
+        _existing_doc_ids(spark, prefix), "doc_id", "left_semi"
+    ).count()
+    if n_present != n_ids:
+        raise ValueError(
+            f"delete_from_lsh_index: {n_ids - n_present}/{n_ids} doc_id(s) "
+            f"not present in index {prefix!r} — deletes must target "
+            "indexed documents exactly"
+        )
+    meta = _read_meta(spark, prefix)
+    touched: list[str] = []
+    for g in _generations(spark, prefix):
+        if ids.join(
+            spark.table(f"{prefix}_docs{g}"), "doc_id", "left_semi"
+        ).isEmpty():
+            continue
+        touched.append(g)
+        bands_g = spark.table(f"{prefix}_bands{g}")
+        affected = (
+            bands_g.join(
+                ids.withColumnRenamed("doc_id", "min1"), "min1", "left_semi"
+            )
+            .select("band_key")
+            .unionByName(
+                bands_g.join(
+                    ids.withColumnRenamed("doc_id", "min2"),
+                    "min2",
+                    "left_semi",
+                ).select("band_key")
+            )
+            .distinct()
+        )
+        live_docs_g = spark.table(f"{prefix}_docs{g}").join(
+            ids, "doc_id", "left_anti"
+        )
+        recomputed = _bucket_tops(
+            spark.table(f"{prefix}_members{g}")
+            .join(affected, "band_key", "left_semi")
+            .join(live_docs_g, "doc_id", "left_semi")
+        )
+        new_bands = bands_g.join(
+            affected, "band_key", "left_anti"
+        ).unionByName(recomputed)
+        write_bucketed(
+            new_bands, f"{prefix}_bands{g}_stage", ["band_key"],
+            buckets=buckets,
+        )
+        write_bucketed(
+            live_docs_g, f"{prefix}_docs{g}_stage", ["doc_id"],
+            buckets=buckets,
+        )
+    for g in touched:
+        for kind in ("bands", "docs"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{kind}{g}")
+            drop_orphaned_table(spark, f"{prefix}_{kind}{g}")
+            spark.sql(
+                f"ALTER TABLE {prefix}_{kind}{g}_stage "
+                f"RENAME TO {prefix}_{kind}{g}"
+            )
+    _write_meta(
+        spark, prefix, meta["n_deltas"], meta["n_docs"] - n_ids,
+        meta["fp_sum_ids"] - s_ids,
+    )
+    return n_ids
 
 
 def stream_lsh_maintenance(
@@ -520,4 +660,48 @@ def dedup_lsh_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_to_lsh_index(spark, docs.filter(F.col("doc_id") % 3 == 1), prefix)
     return probe_lsh_index(
         spark, docs.filter(F.col("doc_id") % 3 == 2), prefix
+    ).orderBy("doc_id")
+
+
+# the deleted slice: doc_id % 10 == 4 is a subset of the even
+# (indexed) ids, so live = evens minus it
+_LSH_DELETE_MOD = "% 10 = 4"
+
+
+@register(
+    "dedup_lsh_index_delete",
+    oracle=_probe_oracle("% 2 = 0 AND a.doc_id % 10 != 4", "% 2 = 1"),
+)
+def dedup_lsh_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delete lifecycle externally verified: even doc_ids indexed,
+    the % 10 == 4 slice deleted (affected-bucket-sized recompute via
+    the membership sidecar — the corpus is never re-MinHashed), odd
+    doc_ids probed. The oracle is the one-shot banded collision set of
+    the batch against the LIVE indexed docs only: deletes must remove
+    every match through a deleted doc INCLUDING the bucket-minimum
+    case where top-2 storage alone could not recover the next live
+    member. Idempotent per corpus: a matching post-delete fingerprint
+    skips the build+delete, so a previously returned plan never races
+    a rebuild."""
+    docs = t(spark, sf_dir, "documents")
+    prefix = _lshix_prefix(sf_dir) + "_del"
+    indexed = docs.filter(F.col("doc_id") % 2 == 0)
+    live = indexed.filter(F.expr(f"NOT (doc_id {_LSH_DELETE_MOD})"))
+    n, s = _fingerprint(live)
+    rebuild = True
+    if spark.catalog.tableExists(f"{prefix}_meta"):
+        m = _read_meta(spark, prefix)
+        if m["n_deltas"] == 0 and m["n_docs"] == n and m["fp_sum_ids"] == s:
+            rebuild = False
+    if rebuild:
+        build_lsh_index(spark, indexed, prefix)
+        delete_from_lsh_index(
+            spark,
+            indexed.filter(F.expr(f"doc_id {_LSH_DELETE_MOD}")).select(
+                "doc_id"
+            ),
+            prefix,
+        )
+    return probe_lsh_index(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), prefix
     ).orderBy("doc_id")

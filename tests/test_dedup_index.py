@@ -486,3 +486,160 @@ def test_maybe_compact_threshold_cadence(spark, sf_dir):
         for name in list(spark.catalog.listTables()):
             if name.name.startswith("ixmc"):
                 spark.sql(f"DROP TABLE IF EXISTS {name.name}")
+
+
+def test_delete_probe_equals_fresh_build_on_live_corpus(spark, sf_dir):
+    """Deleting a slice must make the probe answer EXACTLY like a fresh
+    index over the live corpus — including matches whose only link was
+    a deleted doc, and buckets where the deleted doc was the stored
+    minimum (the membership sidecar must recover the next live
+    member). Works across generations; untouched generations keep
+    their tables. Deletes of unknown ids fail loudly."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 1)
+    batch = docs.filter(F.col("doc_id") % 3 == 2)
+    # the deleted slice spans BOTH generations and, being the smallest
+    # ids in many buckets, includes stored minima
+    doomed_pred = (F.col("doc_id") % 3 < 2) & (F.col("doc_id") % 7 == 0)
+    doomed = docs.filter(doomed_pred).select("doc_id")
+    live = docs.filter((F.col("doc_id") % 3 < 2) & ~doomed_pred)
+    try:
+        DI.build_lsh_index(spark, base, "lshdel_inc")
+        DI.append_to_lsh_index(spark, delta, "lshdel_inc")
+        n = DI.delete_from_lsh_index(spark, doomed, "lshdel_inc")
+        assert n == doomed.count() > 0
+
+        DI.build_lsh_index(spark, live, "lshdel_ref")
+        want = _rows(DI.probe_lsh_index(spark, batch, "lshdel_ref"))
+        assert _rows(DI.probe_lsh_index(spark, batch, "lshdel_inc")) == want
+        assert len(want) > 0
+
+        # meta reflects the live corpus (ensure-style staleness math)
+        m = DI._read_meta(spark, "lshdel_inc")
+        n_live, s_live = DI._fingerprint(live)
+        assert (m["n_docs"], m["fp_sum_ids"]) == (n_live, s_live)
+
+        # the curation-gate state excludes deleted ids
+        assert DI.kept_doc_ids(spark, "lshdel_inc").join(
+            doomed, "doc_id", "left_semi"
+        ).count() == 0
+
+        # unknown ids fail loudly (including re-deleting the same ids)
+        with pytest.raises(ValueError, match="not present"):
+            DI.delete_from_lsh_index(spark, doomed, "lshdel_inc")
+
+        # compaction purges the masked membership rows physically and
+        # answers unchanged; post-compact deletes still work (the
+        # compacted members table carries full live membership)
+        DI.compact_lsh_index(spark, "lshdel_inc")
+        assert DI._generations(spark, "lshdel_inc") == [""]
+        assert spark.table("lshdel_inc_members").join(
+            doomed, "doc_id", "left_semi"
+        ).count() == 0
+        assert _rows(DI.probe_lsh_index(spark, batch, "lshdel_inc")) == want
+
+        doomed2 = live.filter(F.col("doc_id") % 11 == 3).select("doc_id")
+        DI.delete_from_lsh_index(spark, doomed2, "lshdel_inc")
+        live2 = live.filter(F.col("doc_id") % 11 != 3)
+        DI.build_lsh_index(spark, live2, "lshdel_ref2")
+        assert _rows(DI.probe_lsh_index(spark, batch, "lshdel_inc")) == _rows(
+            DI.probe_lsh_index(spark, batch, "lshdel_ref2")
+        )
+    finally:
+        _drop_prefix(spark, "lshdel_inc", "lshdel_ref", "lshdel_ref2")
+
+
+def test_delete_bucket_minimum_recovers_third_member(spark):
+    """Three identical docs share every bucket; deleting the stored
+    minimum must surface the SECOND-smallest as the new min1 and the
+    third as min2 — exactly what top-2 storage alone cannot do — and a
+    probe of a fourth identical doc must match the new minimum."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in (10, 20, 30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    probe = spark.createDataFrame(
+        [(99, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    try:
+        DI.build_lsh_index(spark, docs, "lshdel_min")
+        got = DI.probe_lsh_index(spark, probe, "lshdel_min").collect()
+        assert [(r["doc_id"], r["match_id"]) for r in got] == [(99, 10)]
+
+        DI.delete_from_lsh_index(
+            spark, docs.filter(F.col("doc_id") == 10).select("doc_id"),
+            "lshdel_min",
+        )
+        got = DI.probe_lsh_index(spark, probe, "lshdel_min").collect()
+        assert [(r["doc_id"], r["match_id"]) for r in got] == [(99, 20)]
+        tops = spark.table("lshdel_min_bands").select("min1", "min2").first()
+        assert (tops["min1"], tops["min2"]) == (20, 30)
+
+        # delete down to a singleton: min2 becomes NULL, probe still
+        # matches the survivor
+        DI.delete_from_lsh_index(
+            spark, docs.filter(F.col("doc_id") == 20).select("doc_id"),
+            "lshdel_min",
+        )
+        got = DI.probe_lsh_index(spark, probe, "lshdel_min").collect()
+        assert [(r["doc_id"], r["match_id"]) for r in got] == [(99, 30)]
+
+        # delete the last member: buckets vanish, probe finds nothing
+        DI.delete_from_lsh_index(
+            spark, docs.filter(F.col("doc_id") == 30).select("doc_id"),
+            "lshdel_min",
+        )
+        assert DI.probe_lsh_index(spark, probe, "lshdel_min").count() == 0
+        assert spark.table("lshdel_min_bands").count() == 0
+    finally:
+        _drop_prefix(spark, "lshdel_min")
+
+
+def test_delete_crash_while_staging_is_invisible_and_replayable(
+    spark, monkeypatch
+):
+    """A crash during the stage-write phase (before any swap) leaves
+    every read answering as if the delete never happened, and the
+    replayed delete succeeds."""
+    rows = [(i, f"one two three four five w{i % 2}") for i in range(1, 9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    probe = spark.createDataFrame(
+        [(99, "one two three four five w1")], "doc_id long, text string"
+    )
+    try:
+        DI.build_lsh_index(spark, docs, "lshdel_crash")
+        want_pre = _rows(DI.probe_lsh_index(spark, probe, "lshdel_crash"))
+
+        from chess_pos_db_spark.plans import bucketing
+
+        real = bucketing.write_bucketed
+        calls = {"n": 0}
+
+        def dying(df, table, key, **kw):
+            if "_stage" in table:
+                raise RuntimeError("simulated crash while staging")
+            return real(df, table, key, **kw)
+
+        monkeypatch.setattr(DI, "write_bucketed", dying, raising=False)
+        import chess_pos_db_spark.plans.bucketing as B
+
+        monkeypatch.setattr(B, "write_bucketed", dying)
+        doomed = docs.filter(F.col("doc_id") == 1).select("doc_id")
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            DI.delete_from_lsh_index(spark, doomed, "lshdel_crash")
+        monkeypatch.setattr(B, "write_bucketed", real)
+
+        # invisible: probe and meta unchanged
+        assert _rows(DI.probe_lsh_index(spark, probe, "lshdel_crash")) == want_pre
+        assert DI._read_meta(spark, "lshdel_crash")["n_docs"] == 8
+
+        # replay succeeds and equals a fresh live build
+        DI.delete_from_lsh_index(spark, doomed, "lshdel_crash")
+        DI.build_lsh_index(
+            spark, docs.filter(F.col("doc_id") != 1), "lshdel_crash_ref"
+        )
+        assert _rows(
+            DI.probe_lsh_index(spark, probe, "lshdel_crash")
+        ) == _rows(DI.probe_lsh_index(spark, probe, "lshdel_crash_ref"))
+    finally:
+        _drop_prefix(spark, "lshdel_crash", "lshdel_crash_ref")
