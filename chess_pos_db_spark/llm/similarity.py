@@ -312,7 +312,7 @@ cells AS (
 _CELLS_CTE = _cells_cte_sql()
 
 
-def _ivf_oracle(cent_where: str = "") -> str:
+def _ivf_oracle(cent_where: str = "", cand_where: str = "TRUE") -> str:
     """Oracle: the coarse quantizer is itself relational — centroids are
     the K lowest-vec_id vectors (of the `cent_where` subset, when the
     quantizer is frozen to a base corpus), cell assignment is the argmax
@@ -322,7 +322,9 @@ def _ivf_oracle(cent_where: str = "") -> str:
     (not the vector norm) preserves the per-vector argmax ordering; the
     ROUND on BOTH sides keeps a near-tie (numpy pairwise summation vs
     DuckDB sequential SUM, ~1 ulp apart) from flipping a vector's cell
-    and hence the candidate set."""
+    and hence the candidate set. `cand_where` restricts the CANDIDATE
+    set only (the delete lifecycle: deleted vectors leave the index but
+    the frozen quantizer — a data copy — keeps every centroid)."""
     return f"""
 WITH {_cells_cte_sql(cent_where)},
 probe AS (
@@ -343,6 +345,7 @@ scored AS (
     JOIN cells c ON c.vec_id = e.vec_id
     JOIN probe p ON c.cell = p.c_idx,
     q, GENERATE_SERIES(1, {_DIMS}) AS t(i)
+    WHERE {cand_where}
     GROUP BY e.vec_id
 )
 SELECT vec_id, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cos_sim
@@ -660,6 +663,145 @@ def append_ivf_layout(
         .write.mode("append")
         .partitionBy("cell")
         .parquet(layout_dir)
+    )
+
+
+def delete_from_ivf_layout(
+    spark: SparkSession,
+    del_vecs: DataFrame,
+    layout_dir: str,
+    centroids,
+    cnorms,
+) -> dict:
+    """Delete vectors from an IVF layout — affected-CELLS-only rewrite,
+    the vector-index half of the delete lifecycle (postings/LSH get
+    tombstones + sidecar recomputes; here the filesystem layout makes
+    the targeted rewrite natural).
+
+    `del_vecs` carries (vec_id, embedding): the frozen quantizer
+    assigns the batch map-only, which names the ≤ nbatch cell
+    directories that can contain the ids — the corpus is never scanned
+    to FIND them. Those cells are read back (partition-pruned), the
+    ids anti-joined away, and ONLY those cell directories replaced via
+    dynamic partition overwrite; a cell emptied entirely is removed
+    (dynamic overwrite only replaces partitions present in the new
+    data — leaving an emptied cell's old files would resurrect its
+    vectors). Fails loudly if any id is absent from its computed cell
+    (wrong/stale embeddings in `del_vecs` would otherwise silently
+    delete nothing). The quantizer is FROZEN data — deleting a vector
+    that seeded a centroid does not move any cell boundary.
+
+    Crash contract: the per-cell file commit is Spark's staging
+    (atomic per partition directory); a crash mid-job can leave a
+    PREFIX of the affected cells rewritten, after which replaying the
+    delete fails its own presence validation loudly — recovery is
+    re-deleting only the still-present ids or rebuilding the layout.
+    Returns {"n_deleted", "cells_rewritten", "cells_emptied"}."""
+    import os
+    import shutil
+
+    ids = del_vecs.select("vec_id").distinct()
+    n_ids = ids.count()
+    cells = sorted(
+        int(r["cell"])
+        for r in _cell_assignments(del_vecs, centroids, cnorms)
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    affected = spark.read.parquet(layout_dir).filter(
+        F.col("cell").isin(cells)
+    )
+    n_present = affected.join(ids, "vec_id", "left_semi").count()
+    if n_present != n_ids:
+        raise ValueError(
+            f"delete_from_ivf_layout: {n_ids - n_present}/{n_ids} vec_id(s) "
+            f"absent from their computed cells in {layout_dir!r} — deletes "
+            "must pass the INDEXED embeddings (frozen-quantizer routing) "
+            "and target present vectors exactly"
+        )
+    # break lineage before overwriting the files being read (bounded:
+    # affected cells only, never the corpus)
+    keep = affected.join(ids, "vec_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    kept_cells = {
+        int(r["cell"]) for r in keep.select("cell").distinct().collect()
+    }
+    if kept_cells:
+        (
+            keep.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .parquet(layout_dir)
+        )
+    emptied = [c for c in cells if c not in kept_cells]
+    for c in emptied:
+        cell_dir = os.path.join(layout_dir, f"cell={c}")
+        if os.path.isdir(cell_dir):
+            shutil.rmtree(cell_dir)
+    return {
+        "n_deleted": n_ids,
+        "cells_rewritten": len(kept_cells),
+        "cells_emptied": len(emptied),
+    }
+
+
+_IVF_DELETE_PRED = "vec_id % 9 = 5"  # never the query vector (id 0)
+
+
+@register(
+    "similarity_ivf_deleted",
+    oracle=_ivf_oracle(cand_where=f"NOT (e.vec_id % 9 = 5)"),
+)
+def similarity_ivf_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-index DELETE lifecycle externally verified: full
+    layout under the relational frozen quantizer, the `vec_id % 9 = 5`
+    slice deleted (affected-cells-only rewrite — the deleted batch's
+    own cell assignment names the directories, the corpus is never
+    scanned), ANN top-k answered by partition pruning. Oracle = the
+    same quantizer over the FULL corpus (frozen centroids are data
+    copies; deletes never move cell boundaries) with deleted vectors
+    excluded from the candidate set only: delete+query must equal a
+    fresh layout over the live vectors. Build-once per corpus via
+    fingerprinted meta over the LIVE set."""
+    emb = t(spark, sf_dir, "embeddings")
+    doomed = emb.filter(F.expr(_IVF_DELETE_PRED))
+    live = emb.filter(~F.expr(_IVF_DELETE_PRED))
+    centroids, cnorms = _ivf_centroids(spark, sf_dir)
+    path, meta_table = _ivf_layout_home(spark, sf_dir, variant="_del")
+    fp = live.groupBy().agg(
+        F.count("*").alias("n"), F.sum("vec_id").alias("s")
+    ).first()
+    n, s = int(fp["n"]), int(fp["s"] or 0)
+    fresh = True
+    if spark.catalog.tableExists(meta_table):
+        m = spark.table(meta_table).first()
+        if m["n_vecs"] == n and m["fp_sum_ids"] == s:
+            fresh = False
+    if fresh:
+        (
+            emb.join(_cell_assignments(emb, centroids, cnorms), "vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+        delete_from_ivf_layout(spark, doomed, path, centroids, cnorms)
+        from ..plans.bucketing import drop_orphaned_table
+
+        drop_orphaned_table(spark, meta_table)
+        spark.createDataFrame(
+            [(n, s)], "n_vecs bigint, fp_sum_ids bigint"
+        ).write.mode("overwrite").saveAsTable(meta_table)
+    qrow = (
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").head()
+    )
+    if qrow is None:
+        raise ValueError(
+            f"IVF layout query: vec_id {_QUERY_VEC_ID} not in embeddings"
+        )
+    return ivf_query_layout(
+        spark, path, centroids, cnorms, query_vec=qrow.embedding
     )
 
 

@@ -55,6 +55,13 @@ SHUFFLE_BUDGET = {
     "similarity_ivf_layout": 0,  # partition pruning IS the probe
     "similarity_ivf_incremental": 0,  # appended files prune identically
     "dedup_embedding_incremental": 2,  # cell-join align + per-probe rollup
+    # round-8 delete lifecycle (query-path budgets: a pending delete
+    # may not add shuffles over the non-delete twin — tombstone and
+    # top-2 masks are candidate-sized broadcast anti-joins)
+    "store_delete_rows": 1,  # presentation ORDER BY's range exchange
+    "search_bm25_deleted": 1,  # pruned postings -> doclen join
+    "dedup_lsh_index_delete": 2,  # identical to dedup_lsh_index_probe
+    "similarity_ivf_deleted": 0,  # identical to similarity_ivf_layout
 }
 
 

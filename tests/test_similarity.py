@@ -416,3 +416,117 @@ def test_ivf_incremental_append_equals_fresh_union_layout(spark, sf_dir, tmp_pat
         for r in sim.ivf_query_layout(spark, full_dir, centroids, cnorms).collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_ivf_layout_delete_rewrites_only_affected_cells(spark, sf_dir, tmp_path):
+    """Deleting vectors from the IVF layout must (a) answer queries
+    exactly like a fresh layout over the live vectors under the SAME
+    frozen quantizer, (b) physically rewrite ONLY the cells the
+    deleted batch routes to — every other cell directory's files stay
+    byte-identical — and (c) fail loudly on absent ids."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from chess_pos_db_spark.tables import t as load
+
+    out = str(tmp_path / "ivfdel")
+    centroids, cnorms = sim.write_ivf_layout(spark, sf_dir, out)
+    emb = load(spark, sf_dir, "embeddings")
+    doomed = emb.filter(F.col("vec_id") % 9 == 5)
+
+    def files_by_cell():
+        state = {}
+        for cd in glob.glob(f"{out}/cell=*"):
+            fs = sorted(
+                (f, os.path.getmtime(os.path.join(cd, f)),
+                 os.path.getsize(os.path.join(cd, f)))
+                for f in os.listdir(cd) if f.endswith(".parquet")
+            )
+            state[os.path.basename(cd)] = fs
+        return state
+
+    before = files_by_cell()
+    res = sim.delete_from_ivf_layout(spark, doomed, out, centroids, cnorms)
+    assert res["n_deleted"] == doomed.count() > 0
+    after = files_by_cell()
+    touched = {
+        f"cell={c}"
+        for c in (
+            int(r["cell"])
+            for r in sim._cell_assignments(doomed, centroids, cnorms)
+            .select("cell").distinct().collect()
+        )
+    }
+    assert res["cells_rewritten"] + res["cells_emptied"] == len(touched)
+    for cell, fs in before.items():
+        if cell not in touched:
+            assert after[cell] == fs, f"untouched {cell} was rewritten"
+
+    # deleted ids are gone; remaining set is exactly the live corpus
+    layout_ids = {
+        r["vec_id"] for r in spark.read.parquet(out).select("vec_id").collect()
+    }
+    live_ids = {r["vec_id"] for r in emb.filter(
+        F.col("vec_id") % 9 != 5
+    ).select("vec_id").collect()}
+    assert layout_ids == live_ids
+
+    # query equals a fresh layout over the live vectors, frozen quantizer
+    out_ref = str(tmp_path / "ivfref")
+    live = emb.filter(F.col("vec_id") % 9 != 5)
+    (
+        live.join(sim._cell_assignments(live, centroids, cnorms), "vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(out_ref)
+    )
+    got = [tuple(r) for r in sim.ivf_query_layout(
+        spark, out, centroids, cnorms).collect()]
+    want = [tuple(r) for r in sim.ivf_query_layout(
+        spark, out_ref, centroids, cnorms).collect()]
+    assert got == want
+
+    # absent ids (already deleted) fail loudly
+    with pytest.raises(ValueError, match="absent"):
+        sim.delete_from_ivf_layout(spark, doomed.limit(3), out, centroids, cnorms)
+
+
+def test_ivf_layout_delete_empties_a_cell(spark, tmp_path):
+    """Deleting every vector of a cell must REMOVE its directory —
+    dynamic partition overwrite alone would leave the old files and
+    resurrect the vectors."""
+    import glob
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    dims = sim._DIMS
+    rng = []
+    # 20 vectors in two tight clusters so the 2 lowest-id centroids
+    # split them deterministically; K centroids come from the corpus
+    for i in range(20):
+        v = np.zeros(dims)
+        v[i % 2] = 1.0
+        v[2 + (i % 3)] = 0.1 * ((i % 5) + 1)
+        rng.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    centroids, cnorms = sim._ivf_centroids(spark, "", k=2, emb=emb)
+    out = str(tmp_path / "ivfempty")
+    (
+        emb.join(sim._cell_assignments(emb, centroids, cnorms), "vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(out)
+    )
+    cells = sim._cell_assignments(emb, centroids, cnorms)
+    target = int(cells.groupBy("cell").count().orderBy("cell").first()["cell"])
+    victims = emb.join(
+        cells.filter(F.col("cell") == target).select("vec_id"), "vec_id"
+    )
+    res = sim.delete_from_ivf_layout(spark, victims, out, centroids, cnorms)
+    assert res["cells_emptied"] >= 1
+    assert f"cell={target}" not in {
+        g.split("/")[-1] for g in glob.glob(f"{out}/cell=*")
+    }
+    survivors = spark.read.parquet(out)
+    assert survivors.filter(F.col("cell") == target).count() == 0
+    assert survivors.count() == 20 - victims.count()
