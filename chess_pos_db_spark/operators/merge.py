@@ -77,7 +77,17 @@ def merge_changes(
 
     ``changes`` carries the key columns, ``op_col`` in {'I','U','D'},
     and any subset of the target's payload columns (missing / NULL
-    payload columns keep the target's value — partial update).
+    payload columns keep the target's value — partial update). A
+    change column that is NOT a target column fails loudly: a typo'd
+    payload name would otherwise silently update nothing while the
+    job reports success.
+
+    Unmatched-key semantics (pinned in tests/test_merge.py): a 'U' or
+    'I' whose key is absent from the target INSERTS the row with the
+    change's payload (converge-to-latest-state CDC à la Debezium
+    consumers — out-of-order create/update feeds still converge);
+    payload columns the change doesn't carry are NULL on such rows. A
+    'D' on an absent key is a no-op (the retraction already holds).
     """
     if seq_col is not None:
         changes = latest_per_key(changes, key, seq_col, op_col)
@@ -133,6 +143,13 @@ def merge_changes(
     )
     payload = [c for c in target.columns if c not in key]
     change_payload = set(changes.columns) - set(key) - {op_col, seq_col}
+    unknown = change_payload - set(target.columns)
+    if unknown:
+        raise ValueError(
+            f"merge_changes: change column(s) {sorted(unknown)} do not "
+            "exist in the target — a typo'd payload name would silently "
+            "update nothing; fix the changeset schema"
+        )
     tgt = target.alias("t")
     chg = changes.alias("c")
     joined = tgt.join(chg, on=list(key), how="full_outer")

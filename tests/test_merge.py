@@ -46,7 +46,7 @@ def test_merge_semantics(spark):
         ],
         CHANGES_SCHEMA,
     )
-    out = merge_changes(_target(spark), chg, ["k"])
+    out = merge_changes(_target(spark), chg, ["k"], seq_col="seq")
     assert _rows(out) == [(1, "A", 11), (2, "B", 20), (4, "d", 40)]
 
 
@@ -76,8 +76,8 @@ def test_merge_idempotent(spark):
         [(2, "U", "B", 22, 1), (3, "D", None, None, 1), (4, "I", "d", 40, 1)],
         CHANGES_SCHEMA,
     )
-    once = merge_changes(_target(spark), chg, ["k"])
-    twice = merge_changes(once, chg, ["k"])
+    once = merge_changes(_target(spark), chg, ["k"], seq_col="seq")
+    twice = merge_changes(once, chg, ["k"], seq_col="seq")
     assert _rows(once) == _rows(twice)
 
 
@@ -241,3 +241,36 @@ def test_maintain_agg_view_over_retraction_fails_loudly(spark):
         deletes=spark.createDataFrame([("a", 1.0)], "g string, x double"),
     )
     assert ok.collect() == []
+
+
+def test_merge_unmatched_keys_and_unknown_columns(spark):
+    """Unmatched-key contract: U/I on an absent key INSERTS with the
+    change's payload (converge-to-latest CDC), D on an absent key is a
+    no-op; a change column that doesn't exist in the target fails
+    loudly instead of silently updating nothing."""
+    import pytest
+
+    from chess_pos_db_spark.operators.merge import merge_changes
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0)], "k long, name string, price double"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "U", 20.0),   # U on absent key -> insert (name NULL)
+            (3, "I", 30.0),   # I on absent key -> insert
+            (4, "D", None),   # D on absent key -> no-op
+        ],
+        "k long, op string, price double",
+    )
+    got = {
+        r["k"]: (r["name"], r["price"])
+        for r in merge_changes(target, changes, ["k"]).collect()
+    }
+    assert got == {1: ("a", 10.0), 2: (None, 20.0), 3: (None, 30.0)}
+
+    typo = spark.createDataFrame(
+        [(1, "U", 99.0)], "k long, op string, pricee double"
+    )
+    with pytest.raises(ValueError, match="pricee"):
+        merge_changes(target, typo, ["k"])
