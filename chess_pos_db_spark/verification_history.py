@@ -160,6 +160,21 @@ ROUND7_VERIFIED: frozenset[str] = frozenset({
     "win_topk_per_group",
 })
 
+# ROUND-9 SESSION TODO (fold timing): CORRECTNESS_r08 will be generated
+# at the END of round 8 against round-8 final HEAD, whose first-50
+# ordering is the 9 never-verified round-8 registrations (the
+# index-layout family + the four delete-lifecycle queries:
+# similarity_ivf_layout/_deleted/_incremental,
+# dedup_embedding_incremental, dedup_lsh_index_probe/_incremental/
+# _delete, store_delete_rows, search_bm25_deleted) followed by
+# merge_into_cdc, all 22 TPC-H, quality_expectations, the arrow UDFs
+# and the stalest r4-era dedup/text names — rehearsed 50/50 green at
+# sf0.01 pandas-canon this round.  Fold that file's names as
+# ROUND8_VERIFIED (and extend DRIVER_VERIFIED/_VERIFIED_BY_ROUND) at
+# the START of round 9, exactly as ROUND7_VERIFIED was folded at the
+# start of round 8 — folding before the gate runs would reorder the
+# slate out from under it and strand the never-verified queries.
+
 # union of everything any driver CORRECTNESS gate has verified so far
 DRIVER_VERIFIED: frozenset[str] = (
     ROUND12_VERIFIED | ROUND3_VERIFIED | ROUND4_VERIFIED | ROUND5_VERIFIED
