@@ -643,3 +643,54 @@ def test_delete_crash_while_staging_is_invisible_and_replayable(
         ) == _rows(DI.probe_lsh_index(spark, probe, "lshdel_crash_ref"))
     finally:
         _drop_prefix(spark, "lshdel_crash", "lshdel_crash_ref")
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=5).map(" ".join),
+        min_size=6,
+        max_size=12,
+    ),
+    del_mod=st.integers(min_value=2, max_value=4),
+)
+def test_delete_matches_pure_python_pipeline(texts, del_mod):
+    """For arbitrary tiny corpora, build-on-evens + DELETE a slice +
+    probe-odds must return exactly the pure-python collision answer
+    computed over the LIVE indexed docs — whatever buckets the deleted
+    docs topped, however many buckets they empty."""
+    spark = _spark_holder["spark"]
+    rows = [(i, tx, "en", "s", len(tx)) for i, tx in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    indexed_ids = [i for i in range(len(texts)) if i % 2 == 0]
+    doomed_ids = [i for i in indexed_ids if (i // 2) % del_mod == 0]
+    live = {i: _py_bands(texts[i]) for i in indexed_ids if i not in doomed_ids}
+    want = {}
+    for i, tx in enumerate(texts):
+        if i % 2 == 0:
+            continue
+        b = _py_bands(tx)
+        hits = [j for j, jb in live.items() if b & jb]
+        if hits:
+            want[i] = min(hits)
+    try:
+        DI.build_lsh_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 0), "lsht_hypd", buckets=4
+        )
+        if doomed_ids:
+            DI.delete_from_lsh_index(
+                spark,
+                docs.filter(F.col("doc_id").isin(doomed_ids)).select("doc_id"),
+                "lsht_hypd",
+            )
+        got = {
+            r["doc_id"]: r["match_id"]
+            for r in DI.probe_lsh_index(
+                spark, docs.filter(F.col("doc_id") % 2 == 1), "lsht_hypd"
+            ).collect()
+        }
+        assert got == want
+    finally:
+        _drop_prefix(spark, "lsht_hypd")
