@@ -425,7 +425,7 @@ def delete_rows(
     a predicate matching nothing returns version=None and writes
     nothing.
     """
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     manifest = read_manifest(path)
@@ -452,8 +452,12 @@ def delete_rows(
             "version": None, "rows_deleted": 0,
             "files_rewritten": 0, "files_total": len(rels),
         }
+    # input_file_name() yields percent-encoded file: URIs — decode the
+    # same way the importer's binaryFile path mapping does, or a store
+    # under a path with spaces would flag every touched file as
+    # outside the manifest
     touched = {
-        os.path.relpath(urlparse(r["f"]).path, os.path.abspath(path))
+        os.path.relpath(unquote(urlparse(r["f"]).path), os.path.abspath(path))
         for r in hits
     }
     unknown = touched - set(rels)

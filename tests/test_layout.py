@@ -618,3 +618,16 @@ def test_delete_rows_everything_and_crash(spark, tmp_path, monkeypatch):
     empty = layout.read_snapshot(spark, path)
     assert empty.count() == 0
     assert empty.columns == ["k", "cnt"]
+
+
+def test_delete_rows_path_with_spaces(spark, tmp_path):
+    """input_file_name() returns percent-encoded URIs; a store under a
+    path with spaces must still map touched files back into the
+    manifest (regression: the undecoded relpath flagged every touched
+    file as outside the live snapshot set)."""
+    path = str(tmp_path / "del store dir")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, cnt long")
+    layout.append_versioned(df, path, ["k"])
+    res = layout.delete_rows(spark, path, "k = 1")
+    assert res["rows_deleted"] == 1
+    assert [r["k"] for r in layout.read_snapshot(spark, path).collect()] == [2]
