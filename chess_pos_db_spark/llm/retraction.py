@@ -1,0 +1,101 @@
+"""Cross-structure retraction: ONE feed of doc_ids to forget, propagated
+through every derived structure a curation pipeline maintains — the
+end-to-end right-to-be-forgotten job (DMCA takedown, contamination
+discovery, GDPR erasure) composed from the per-structure deletes:
+
+    corpus snapshot store   plans/layout.delete_rows      (copy-on-write)
+    postings index          llm/search.delete_from_index  (tombstones)
+    LSH near-dup index      llm/dedup_index.delete_from_lsh_index
+    aggregate views         operators/ivm.maintain_agg_view (retraction
+                            deltas — the caller's concern, views are
+                            DataFrames not named stores)
+
+There is deliberately NO cross-structure transaction: each structure has
+its own single commit point (matching its append side), and the
+orchestrator is IDEMPOTENT instead — before touching a structure it
+restricts the feed to the ids that structure still holds LIVE, so a
+re-run after a crash mid-propagation finishes the remaining structures
+and no-ops the completed ones (the per-structure deletes themselves fail
+loudly on absent ids precisely so that only THIS orchestrator, which
+checks liveness first, may skip them). That is the standard shape for
+multi-store compliance jobs: retries converge, every structure ends at
+"these ids are gone", and an auditor reads per-structure counts.
+
+Scale: the feed is a retraction batch (requests/day — thousands, not
+corpus-sized); each per-structure delete is affected-data-sized by its
+own contract. The feed is collected driver-side ONLY to build the
+store's pushed-down IN-predicate (bounded by the batch, never the
+corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def retract_documents(
+    spark: SparkSession,
+    doc_ids: DataFrame,
+    store_path: str | None = None,
+    postings_prefix: str | None = None,
+    lsh_prefix: str | None = None,
+) -> dict:
+    """Propagate a retraction feed through every structure given.
+
+    Returns per-structure counts: ``{"requested": n, "store": n1,
+    "postings": n2, "lsh": n3}`` where each count is how many of the
+    requested ids that structure still held (and therefore deleted) —
+    on a clean first run they all equal ``requested``; on a recovery
+    re-run the already-converged structures report 0.
+
+    Vacuum/compaction is NOT run here: the snapshot store keeps
+    pre-delete time travel until ``expire_snapshots`` and the postings
+    index keeps masked rows until ``compact_index`` — a compliance
+    pipeline runs those on its own cadence to make the forgetting
+    physical (both are pinned elsewhere).
+    """
+    from ..plans import layout
+    from . import dedup_index as DI
+    from . import search as S
+
+    ids = doc_ids.select("doc_id").distinct().localCheckpoint(eager=True)
+    requested = ids.count()
+    out = {"requested": requested}
+
+    if store_path is not None:
+        live_store = layout.read_snapshot(spark, store_path).select("doc_id")
+        todo = ids.join(live_store, "doc_id", "left_semi")
+        id_list = [r["doc_id"] for r in todo.collect()]
+        if id_list:
+            res = layout.delete_rows(
+                spark,
+                store_path,
+                F.col("doc_id").isin(id_list),
+            )
+            out["store"] = res["rows_deleted"]
+        else:
+            out["store"] = 0
+
+    if postings_prefix is not None:
+        live = S._existing_doc_ids(spark, postings_prefix)
+        tombs = S._tombstone_ids(
+            spark, postings_prefix, S._read_meta(spark, postings_prefix)
+        )
+        if tombs is not None:
+            live = live.join(tombs, "doc_id", "left_anti")
+        todo = ids.join(live, "doc_id", "left_semi")
+        n = todo.count()
+        if n:
+            S.delete_from_index(spark, todo, postings_prefix)
+        out["postings"] = n
+
+    if lsh_prefix is not None:
+        live = DI._existing_doc_ids(spark, lsh_prefix)
+        todo = ids.join(live, "doc_id", "left_semi")
+        n = todo.count()
+        if n:
+            DI.delete_from_lsh_index(spark, todo, lsh_prefix)
+        out["lsh"] = n
+
+    return out

@@ -1,0 +1,138 @@
+"""Cross-structure retraction: one feed of doc_ids propagates through
+the snapshot store, the postings index, and the LSH index — after the
+job, EVERY structure answers exactly as if built fresh over the live
+corpus, and a re-run after a mid-propagation crash converges instead of
+failing or double-deleting."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from chess_pos_db_spark.llm import dedup_index as DI
+from chess_pos_db_spark.llm import retraction, search as S
+from chess_pos_db_spark.plans import layout
+from chess_pos_db_spark.tables import t
+
+
+def _mk_structures(spark, docs, tag, tmp_path):
+    store = str(tmp_path / f"store_{tag}")
+    layout.append_versioned(
+        docs.select("doc_id", "source", "text"), store, ["doc_id"]
+    )
+    S.build_inverted_index(spark, docs, f"retr_{tag}_ix")
+    DI.build_lsh_index(spark, docs, f"retr_{tag}_lsh")
+    return store, f"retr_{tag}_ix", f"retr_{tag}_lsh"
+
+
+def _drop(spark, *prefixes):
+    for name in list(spark.catalog.listTables()):
+        if name.name.startswith(prefixes):
+            spark.sql(f"DROP TABLE IF EXISTS {name.name}")
+
+
+def test_retraction_converges_every_structure(spark, sf_dir, tmp_path):
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 800)
+    doomed = docs.filter(F.col("doc_id") % 13 == 5).select("doc_id")
+    live = docs.filter(F.col("doc_id") % 13 != 5)
+    try:
+        store, ix, lsh = _mk_structures(spark, docs, "full", tmp_path)
+        res = retraction.retract_documents(
+            spark, doomed, store_path=store,
+            postings_prefix=ix, lsh_prefix=lsh,
+        )
+        n = doomed.count()
+        assert res == {
+            "requested": n, "store": n, "postings": n, "lsh": n,
+        }
+
+        # store answers the live corpus
+        got_ids = sorted(
+            r["doc_id"]
+            for r in layout.read_snapshot(spark, store).select("doc_id").collect()
+        )
+        assert got_ids == sorted(r["doc_id"] for r in live.select("doc_id").collect())
+
+        # search answers as a fresh build over live
+        S.build_inverted_index(spark, live, "retr_ref_ix")
+        assert [
+            tuple(r) for r in S.search_indexed(spark, ix, S._QUERY_TERMS).collect()
+        ] == [
+            tuple(r)
+            for r in S.search_indexed(spark, "retr_ref_ix", S._QUERY_TERMS).collect()
+        ]
+
+        # LSH probes answer as a fresh build over live
+        DI.build_lsh_index(spark, live, "retr_ref_lsh")
+        probe = t(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") >= 800) & (F.col("doc_id") < 1200)
+        )
+        want = sorted(
+            tuple(r) for r in DI.probe_lsh_index(spark, probe, "retr_ref_lsh").collect()
+        )
+        assert sorted(
+            tuple(r) for r in DI.probe_lsh_index(spark, probe, lsh).collect()
+        ) == want
+
+        # a second identical run is a clean no-op (idempotent)
+        res2 = retraction.retract_documents(
+            spark, doomed, store_path=store,
+            postings_prefix=ix, lsh_prefix=lsh,
+        )
+        assert res2 == {"requested": n, "store": 0, "postings": 0, "lsh": 0}
+    finally:
+        _drop(spark, "retr_full", "retr_ref")
+
+
+def test_retraction_rerun_after_partial_failure_converges(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash mid-propagation (the LSH delete dies after store+postings
+    committed): the RE-RUN completes the remaining structure and
+    no-ops the finished ones."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    doomed = docs.filter(F.col("doc_id") % 11 == 3).select("doc_id")
+    n = doomed.count()
+    try:
+        store, ix, lsh = _mk_structures(spark, docs, "crash", tmp_path)
+
+        real = DI.delete_from_lsh_index
+
+        def dying(*a, **kw):
+            raise RuntimeError("simulated crash in the LSH delete")
+
+        monkeypatch.setattr(DI, "delete_from_lsh_index", dying)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            retraction.retract_documents(
+                spark, doomed, store_path=store,
+                postings_prefix=ix, lsh_prefix=lsh,
+            )
+        monkeypatch.setattr(DI, "delete_from_lsh_index", real)
+
+        # store and postings committed; LSH still holds the ids
+        res = retraction.retract_documents(
+            spark, doomed, store_path=store,
+            postings_prefix=ix, lsh_prefix=lsh,
+        )
+        assert res == {"requested": n, "store": 0, "postings": 0, "lsh": n}
+
+        # every structure converged to the live corpus
+        live = docs.filter(F.col("doc_id") % 11 != 3)
+        assert layout.read_snapshot(spark, store).join(
+            doomed, "doc_id", "left_semi"
+        ).count() == 0
+        assert DI.kept_doc_ids(spark, lsh).join(
+            doomed, "doc_id", "left_semi"
+        ).count() == 0
+        S.build_inverted_index(spark, live, "retr_crash_ref")
+        assert [
+            tuple(r) for r in S.search_indexed(spark, ix, S._QUERY_TERMS).collect()
+        ] == [
+            tuple(r)
+            for r in S.search_indexed(
+                spark, "retr_crash_ref", S._QUERY_TERMS
+            ).collect()
+        ]
+    finally:
+        _drop(spark, "retr_crash")
