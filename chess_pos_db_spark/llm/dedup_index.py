@@ -386,6 +386,8 @@ def delete_from_lsh_index(
         F.count("*").alias("n"), F.sum("doc_id").alias("s")
     ).first()
     n_ids, s_ids = int(stats["n"]), int(stats["s"] or 0)
+    if n_ids == 0:
+        return 0  # empty retraction feed: nothing to swap or commit
     n_present = ids.join(
         _existing_doc_ids(spark, prefix), "doc_id", "left_semi"
     ).count()

@@ -624,6 +624,11 @@ def delete_from_index(
     ).first()
     n_live_hits = int(stats["n"])
     n_ids = ids.count()
+    if n_ids == 0:
+        # an empty retraction feed is a legitimate no-op — writing an
+        # empty tombstone generation would bump the counter (one extra
+        # anti-join per query) for zero information
+        return _n_tomb_gens(meta)
     if n_live_hits != n_ids:
         raise ValueError(
             f"delete_from_index: {n_ids - n_live_hits}/{n_ids} doc_id(s) "

@@ -136,3 +136,31 @@ def test_retraction_rerun_after_partial_failure_converges(
         ]
     finally:
         _drop(spark, "retr_crash")
+
+
+def test_empty_retraction_feed_is_a_clean_noop(spark, tmp_path):
+    """An empty feed must not write tombstone generations, swap tables,
+    or bump any commit record — the direct-delete no-op halves of the
+    orchestrator's liveness filtering."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i}", "en", "s", 10) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    empty = docs.filter(F.col("doc_id") < 0).select("doc_id")
+    try:
+        S.build_inverted_index(spark, docs, "retr_empty_ix")
+        assert S.delete_from_index(spark, empty, "retr_empty_ix") == 0
+        m = S._read_meta(spark, "retr_empty_ix")
+        assert S._n_tomb_gens(m) == 0 and m["n_docs"] == 4
+
+        DI.build_lsh_index(spark, docs, "retr_empty_lsh")
+        assert DI.delete_from_lsh_index(spark, empty, "retr_empty_lsh") == 0
+        assert DI._read_meta(spark, "retr_empty_lsh")["n_docs"] == 4
+
+        res = retraction.retract_documents(
+            spark, empty,
+            postings_prefix="retr_empty_ix", lsh_prefix="retr_empty_lsh",
+        )
+        assert res == {"requested": 0, "postings": 0, "lsh": 0}
+    finally:
+        _drop(spark, "retr_empty")
