@@ -20,6 +20,10 @@ oracle-verifies individually):
         thresholds override llm/quality.py defaults)
   {"op": "entropy_gate", "min_entropy": X} — char-entropy floor (gibberish
         and filler collapse to low entropy; map-only)
+  {"op": "exclude_ids", "doc_ids": [...] | "path": dir}
+        — retraction denylist (the lazy half of llm/retraction.py:
+        training runs exclude retracted docs immediately, before the
+        stores' physical deletes converge)
 """
 
 from __future__ import annotations
@@ -112,6 +116,25 @@ def _entropy_gate(df: DataFrame, stage: dict) -> DataFrame:
     return df.filter(F.round(ent, 4) >= float(stage["min_entropy"]))
 
 
+def _exclude_ids(df: DataFrame, stage: dict) -> DataFrame:
+    # The LAZY half of the retraction story (llm/retraction.py is the
+    # physical half): a training run must exclude retracted doc_ids
+    # IMMEDIATELY, even before the stores' deletes/vacuums converge.
+    # Inline "doc_ids" for a config-sized denylist (broadcast IN-list);
+    # "path" for the production shape — a parquet of doc_ids anti-joined
+    # in (broadcast by AQE at denylist scale, never corpus-shuffling
+    # the fact side).
+    if "doc_ids" in stage and "path" in stage:
+        raise ValueError(
+            "exclude_ids: pass EITHER an inline doc_ids list OR a path "
+            "to a doc_id parquet, not both (ambiguous denylist source)"
+        )
+    if "doc_ids" in stage:
+        return df.filter(~F.col("doc_id").isin(list(stage["doc_ids"])))
+    ids = df.sparkSession.read.parquet(stage["path"]).select("doc_id")
+    return df.join(ids, "doc_id", "left_anti")
+
+
 _STAGES = {
     "normalize": _normalize,
     "lang_filter": _lang_filter,
@@ -121,6 +144,7 @@ _STAGES = {
     "domain_cap": _domain_cap,
     "gopher_gate": _gopher_gate,
     "entropy_gate": _entropy_gate,
+    "exclude_ids": _exclude_ids,
 }
 
 # Allowed parameter keys per stage: a misspelled threshold (min_token
@@ -144,6 +168,7 @@ _STAGE_KEYS = {
         "min_stopwords",
     },
     "entropy_gate": {"min_entropy"},
+    "exclude_ids": {"doc_ids", "path"},
 }
 
 # Keys a stage cannot function without: their absence is the same
@@ -158,7 +183,7 @@ _STAGE_REQUIRED = {
     "domain_cap": {"per_source"},
     "entropy_gate": {"min_entropy"},
 }
-_STAGE_AT_LEAST_ONE = {"quality_gate"}
+_STAGE_AT_LEAST_ONE = {"quality_gate", "exclude_ids"}
 
 
 def run_pipeline(docs: DataFrame, spec: dict, observe: bool = False):

@@ -164,3 +164,34 @@ def test_empty_retraction_feed_is_a_clean_noop(spark, tmp_path):
         assert res == {"requested": 0, "postings": 0, "lsh": 0}
     finally:
         _drop(spark, "retr_empty")
+
+
+def test_spec_exclude_ids_stage(spark, tmp_path):
+    """The lazy retraction half: the spec runner's exclude_ids stage
+    drops denylisted docs inline (list form and parquet form), rejects
+    ambiguous double-source configs, and requires a source."""
+    from chess_pos_db_spark.llm.spec import run_pipeline
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "s", 10) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = run_pipeline(
+        docs, {"stages": [{"op": "exclude_ids", "doc_ids": [2, 5]}]}
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 1, 3, 4, 6, 7, 8, 9]
+
+    deny = str(tmp_path / "denylist")
+    spark.createDataFrame([(3,), (7,)], "doc_id long").write.parquet(deny)
+    out = run_pipeline(
+        docs, {"stages": [{"op": "exclude_ids", "path": deny}]}
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 1, 2, 4, 5, 6, 8, 9]
+
+    with pytest.raises(ValueError, match="not both"):
+        run_pipeline(
+            docs,
+            {"stages": [{"op": "exclude_ids", "doc_ids": [1], "path": deny}]},
+        ).collect()
+    with pytest.raises(ValueError):
+        run_pipeline(docs, {"stages": [{"op": "exclude_ids"}]})
