@@ -160,25 +160,42 @@ ROUND7_VERIFIED: frozenset[str] = frozenset({
     "win_topk_per_group",
 })
 
-# ROUND-9 SESSION TODO (fold timing): CORRECTNESS_r08 will be generated
-# at the END of round 8 against round-8 final HEAD, whose first-50
-# ordering is the 9 never-verified round-8 registrations (the
-# index-layout family + the four delete-lifecycle queries:
-# similarity_ivf_layout/_deleted/_incremental,
-# dedup_embedding_incremental, dedup_lsh_index_probe/_incremental/
-# _delete, store_delete_rows, search_bm25_deleted) followed by
-# merge_into_cdc, all 22 TPC-H, quality_expectations, the arrow UDFs
-# and the stalest r4-era dedup/text names — rehearsed 50/50 green at
-# sf0.01 pandas-canon this round.  Fold that file's names as
-# ROUND8_VERIFIED (and extend DRIVER_VERIFIED/_VERIFIED_BY_ROUND) at
-# the START of round 9, exactly as ROUND7_VERIFIED was folded at the
-# start of round 8 — folding before the gate runs would reorder the
-# slate out from under it and strand the never-verified queries.
+# the 50 queries covered by CORRECTNESS_r08.json (driver gate, round
+# 8): all 50 hash-exact — the 9 round-8 registrations (the delete
+# lifecycle + index-layout family), merge_into_cdc, all 22 TPC-H,
+# quality_expectations, the arrow UDFs and the stalest r4-era
+# dedup/text names.  Folded at the START of round 9 per the standing
+# fold-timing rule (folding mid-round would reorder the slate out from
+# under the gate and strand never-verified queries).
+ROUND8_VERIFIED: frozenset[str] = frozenset({
+    "ann_knn_graph", "dedup_components_contraction", "dedup_containment",
+    "dedup_embedding_ann", "dedup_embedding_incremental",
+    "dedup_incremental", "dedup_lsh_index_delete",
+    "dedup_lsh_index_incremental", "dedup_lsh_index_probe",
+    "dedup_normalized_groups", "dedup_paragraphs", "dedup_semdedup",
+    "dedup_verified_components", "graph_clustering_coeff",
+    "graph_triangles", "merge_into_cdc", "quality_expectations",
+    "search_bm25_deleted", "similarity_ivf_deleted",
+    "similarity_ivf_incremental", "similarity_ivf_layout",
+    "store_delete_rows", "text_chunk_overlap",
+    "text_heavy_hitters_sketch", "text_normalize", "text_quality_model",
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "udf_arrow_scalar", "udf_map_in_arrow",
+})
+
+# ROUND-10 SESSION TODO (fold timing): CORRECTNESS_r09 will be
+# generated at the END of round 9 against round-9 final HEAD — fold
+# that file's names as ROUND9_VERIFIED (and extend
+# DRIVER_VERIFIED/_VERIFIED_BY_ROUND) at the START of round 10,
+# exactly as ROUND8_VERIFIED was folded at the start of round 9.
 
 # union of everything any driver CORRECTNESS gate has verified so far
 DRIVER_VERIFIED: frozenset[str] = (
     ROUND12_VERIFIED | ROUND3_VERIFIED | ROUND4_VERIFIED | ROUND5_VERIFIED
-    | ROUND6_VERIFIED | ROUND7_VERIFIED
+    | ROUND6_VERIFIED | ROUND7_VERIFIED | ROUND8_VERIFIED
 )
 
 # round of each name's most recent green driver row (r1 and r2 covered
@@ -191,6 +208,7 @@ _VERIFIED_BY_ROUND: tuple[tuple[int, frozenset[str]], ...] = (
     (5, ROUND5_VERIFIED),
     (6, ROUND6_VERIFIED),
     (7, ROUND7_VERIFIED),
+    (8, ROUND8_VERIFIED),
 )
 
 LAST_VERIFIED_ROUND: dict[str, int] = {}

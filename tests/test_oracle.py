@@ -80,6 +80,7 @@ def test_rotation_history_names_are_registered():
         ("ROUND5_VERIFIED", vh.ROUND5_VERIFIED),
         ("ROUND6_VERIFIED", vh.ROUND6_VERIFIED),
         ("ROUND7_VERIFIED", vh.ROUND7_VERIFIED),
+        ("ROUND8_VERIFIED", vh.ROUND8_VERIFIED),
         ("ROUND1_REGISTRY", vh.ROUND1_REGISTRY),
     ):
         missing = set(names) - set(QUERIES)
