@@ -65,22 +65,38 @@ def banded_keys(sig: DataFrame) -> DataFrame:
 
 
 def _write_meta(
-    spark: SparkSession, prefix: str, n_deltas: int, n_docs: int, fp: int
+    spark: SparkSession,
+    prefix: str,
+    n_deltas: int,
+    n_docs: int,
+    fp: int,
+    n_masked: int = 0,
 ) -> None:
-    """The index's ONE commit record: generation count and corpus
-    fingerprint land in the same single-row write, so a reader can
-    never observe one without the other."""
+    """The index's ONE commit record: generation count, corpus
+    fingerprint and the pending-purge count land in the same single-row
+    write, so a reader can never observe one without the others.
+    ``n_masked`` counts deleted documents whose membership-sidecar rows
+    are still physically present (masked) — the signal that the next
+    compaction must run the members purge even with zero delta
+    generations (mirroring search.py's 'single generation but pending
+    tombstones' compaction guard)."""
     from ..plans.bucketing import drop_orphaned_table
 
     drop_orphaned_table(spark, f"{prefix}_meta")
     spark.createDataFrame(
-        [(n_deltas, n_docs, fp)],
-        "n_deltas int, n_docs bigint, fp_sum_ids bigint",
+        [(n_deltas, n_docs, fp, n_masked)],
+        "n_deltas int, n_docs bigint, fp_sum_ids bigint, n_masked bigint",
     ).write.mode("overwrite").saveAsTable(f"{prefix}_meta")
 
 
 def _read_meta(spark: SparkSession, prefix: str):
     return spark.table(f"{prefix}_meta").first()
+
+
+def _meta_masked(m) -> int:
+    """Pending-purge count; pre-round-9 meta rows lack the column
+    (absent = no delete ever recorded against that index)."""
+    return int(m["n_masked"]) if "n_masked" in m.__fields__ else 0
 
 
 def _generations(spark: SparkSession, prefix: str) -> list[str]:
@@ -238,7 +254,10 @@ def append_to_lsh_index(
         new_docs.select("doc_id"), f"{prefix}_docs_d{n}", ["doc_id"],
         buckets=buckets,
     )
-    _write_meta(spark, prefix, n, m["n_docs"] + nb, m["fp_sum_ids"] + sb)
+    _write_meta(
+        spark, prefix, n, m["n_docs"] + nb, m["fp_sum_ids"] + sb,
+        n_masked=_meta_masked(m),
+    )
     return n
 
 
@@ -303,7 +322,11 @@ def compact_lsh_index(
 
     meta = _read_meta(spark, prefix)
     gens = _generations(spark, prefix)
-    if len(gens) == 1:
+    if len(gens) == 1 and _meta_masked(meta) == 0:
+        # nothing to fold AND no masked membership rows pending purge —
+        # the only state in which skipping the rewrite is correct (a
+        # build+delete with no appends leaves gens==1 but masked>0, and
+        # the deleted docs' band keys must still be physically purged)
         return
     # docs FIRST: the members purge below semi-joins against the live
     # docs union, which must be computed before any table is dropped
@@ -336,7 +359,7 @@ def compact_lsh_index(
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{kind}{g}")
         drop_orphaned_table(spark, f"{prefix}_{kind}")
         spark.sql(f"ALTER TABLE {prefix}_{kind}_stage RENAME TO {prefix}_{kind}")
-    _write_meta(spark, prefix, 0, meta["n_docs"], meta["fp_sum_ids"])
+    _write_meta(spark, prefix, 0, meta["n_docs"], meta["fp_sum_ids"], n_masked=0)
 
 
 def delete_from_lsh_index(
@@ -449,7 +472,7 @@ def delete_from_lsh_index(
             )
     _write_meta(
         spark, prefix, meta["n_deltas"], meta["n_docs"] - n_ids,
-        meta["fp_sum_ids"] - s_ids,
+        meta["fp_sum_ids"] - s_ids, n_masked=_meta_masked(meta) + n_ids,
     )
     return n_ids
 

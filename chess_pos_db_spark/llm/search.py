@@ -938,7 +938,13 @@ def search_bm25_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     if spark.catalog.tableExists(f"{prefix}_meta"):
         m = _read_meta(spark, prefix)
         if (
-            _n_tomb_gens(m) == 1
+            # <= 1, not == 1: a corpus with NO doc_id % 11 == 2 rows
+            # makes delete_from_index an empty-feed no-op (0 tombstone
+            # generations), and the live-corpus fingerprint already
+            # identifies the post-delete state — requiring exactly 1
+            # would rebuild on every call AND let a previously returned
+            # lazy plan race the rebuild's drop+rewrite
+            _n_tomb_gens(m) <= 1
             and m["n_docs"] == n
             and m["fp_sum_ids"] == s
         ):

@@ -712,7 +712,12 @@ def delete_from_ivf_layout(
     affected = spark.read.parquet(layout_dir).filter(
         F.col("cell").isin(cells)
     )
-    n_present = affected.join(ids, "vec_id", "left_semi").count()
+    # count from the ids side (matching requested ids, not matching
+    # LAYOUT rows): a vec_id present twice in the layout would inflate
+    # a layout-side count and could exactly mask an absent id, turning
+    # the fail-loud below into a silent partial delete — same direction
+    # as delete_from_lsh_index / delete_from_index
+    n_present = ids.join(affected, "vec_id", "left_semi").count()
     if n_present != n_ids:
         raise ValueError(
             f"delete_from_ivf_layout: {n_ids - n_present}/{n_ids} vec_id(s) "

@@ -601,10 +601,10 @@ def expire_snapshots(path: str, before: int) -> list[str]:
     # no-deletes case); a dir partially kept alive by a delete
     # snapshot's references loses only its dead files.
     referenced = set(_snapshot_files(path, manifest, keep))
+    kept_dirs = {
+        d for s in manifest["snapshots"] if s["id"] in keep for d in s["dirs"]
+    }
     deleted = []
-    # (a doomed snapshot's `files` references point into OTHER
-    # snapshots' dirs — physical removal is those dirs' owners' job
-    # below, or the files stay because a kept snapshot references them)
     for s in doomed:
         for d in s["dirs"]:
             full = os.path.join(path, d)
@@ -625,6 +625,33 @@ def expire_snapshots(path: str, before: int) -> list[str]:
                         deleted.append(rel)
             else:
                 shutil.rmtree(full)
+                deleted.append(d)
+        # A doomed DELETE snapshot's `files` references can be the LAST
+        # thing keeping files alive inside a dir whose owner snapshot
+        # was expired in an earlier pass (the dir then belongs to no
+        # manifest entry, so no later dirs-loop will ever visit it):
+        # sweep any now-unreferenced file here, and remove the dir once
+        # it holds no parquet — otherwise staged expiry leaks the files
+        # forever. Files inside dirs handled above are already gone
+        # (isfile guard); files a kept snapshot still references are in
+        # `referenced` and stay.
+        for rel in s.get("files", []):
+            if rel in referenced:
+                continue
+            full = os.path.join(path, rel)
+            if os.path.isfile(full):
+                os.unlink(full)
+                deleted.append(rel)
+            d = os.path.dirname(rel)
+            dfull = os.path.join(path, d)
+            if (
+                d not in kept_dirs
+                and os.path.isdir(dfull)
+                and not any(
+                    n.endswith(".parquet") for n in os.listdir(dfull)
+                )
+            ):
+                shutil.rmtree(dfull)
                 deleted.append(d)
     manifest["snapshots"] = [
         s for s in manifest["snapshots"] if s["id"] in keep

@@ -550,6 +550,47 @@ def test_delete_probe_equals_fresh_build_on_live_corpus(spark, sf_dir):
         _drop_prefix(spark, "lshdel_inc", "lshdel_ref", "lshdel_ref2")
 
 
+def test_compact_purges_masked_members_on_single_generation(spark, sf_dir):
+    """build → delete → compact with NO appends (n_deltas == 0, the
+    common retraction shape) must still physically purge the deleted
+    docs' membership rows: the meta row's pending-purge count makes
+    compaction run its members rewrite even when there is nothing to
+    fold — without it a deleted doc's MinHash band keys would persist
+    on disk forever, contradicting the documented tombstone→compact
+    lifecycle. A second compaction (masked count reset to 0) is then a
+    true no-op: the members table's files are untouched."""
+    docs = t(spark, sf_dir, "documents")
+    indexed = docs.filter(F.col("doc_id") % 2 == 0)
+    doomed = indexed.filter(F.col("doc_id") % 10 == 4).select("doc_id")
+    try:
+        DI.build_lsh_index(spark, indexed, "lshdel_1g")
+        n = DI.delete_from_lsh_index(spark, doomed, "lshdel_1g")
+        assert n == doomed.count() > 0
+        m = DI._read_meta(spark, "lshdel_1g")
+        assert (m["n_deltas"], DI._meta_masked(m)) == (0, n)
+        # masked-but-present until compaction (the documented split)
+        assert spark.table("lshdel_1g_members").join(
+            doomed, "doc_id", "left_semi"
+        ).count() > 0
+
+        batch = docs.filter(F.col("doc_id") % 2 == 1)
+        want = _rows(DI.probe_lsh_index(spark, batch, "lshdel_1g"))
+        DI.compact_lsh_index(spark, "lshdel_1g")
+        assert spark.table("lshdel_1g_members").join(
+            doomed, "doc_id", "left_semi"
+        ).count() == 0
+        m2 = DI._read_meta(spark, "lshdel_1g")
+        assert (m2["n_deltas"], DI._meta_masked(m2)) == (0, 0)
+        assert _rows(DI.probe_lsh_index(spark, batch, "lshdel_1g")) == want
+
+        # clean single-generation index: compaction is a no-op again
+        before = set(spark.table("lshdel_1g_members").inputFiles())
+        DI.compact_lsh_index(spark, "lshdel_1g")
+        assert set(spark.table("lshdel_1g_members").inputFiles()) == before
+    finally:
+        _drop_prefix(spark, "lshdel_1g")
+
+
 def test_delete_bucket_minimum_recovers_third_member(spark):
     """Three identical docs share every bucket; deleting the stored
     minimum must surface the SECOND-smallest as the new min1 and the

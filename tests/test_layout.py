@@ -567,6 +567,56 @@ def test_delete_rows_targeted_rewrite(spark, tmp_path):
     assert after == latest
 
 
+def test_expire_snapshots_sweeps_orphaned_delete_references(spark, tmp_path):
+    """Staged expiry must not leak files. After an owner snapshot (v1)
+    is expired, its surviving files live in a dir owned by NO manifest
+    entry, kept alive only by a delete snapshot's `files` references.
+    When that delete snapshot is itself superseded and expired later,
+    its references are the last owner — expire must unlink them and
+    remove the emptied orphan dir, not just the delete snapshot's own
+    dirs (the disk-leak case: no later pass would ever visit v1)."""
+    import os
+
+    path = str(tmp_path / "del_staged")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, cnt long")
+    layout.append_versioned(
+        mk([(i, i * 10) for i in range(8)]), path, ["k"], partitions=2
+    )
+    layout.append_versioned(
+        mk([(100 + i, i) for i in range(8)]), path, ["k"], partitions=2
+    )
+    # v3: delete touches only v2's files → v3 carries v1's files by
+    # reference
+    layout.delete_rows(spark, path, "k >= 100 AND k % 2 = 0")
+    layout.expire_snapshots(path, before=3)
+    assert os.path.isdir(os.path.join(path, "v1"))
+    assert not any(
+        "v1" in s["dirs"] for s in layout.read_manifest(path)["snapshots"]
+    )
+    # v4: delete touches ALL of v1's files (evens live in both range
+    # files) → v4 references none of them; v3 becomes superseded
+    layout.delete_rows(spark, path, "k < 8 AND k % 2 = 0")
+    want = sorted(r["k"] for r in layout.read_snapshot(spark, path).collect())
+    deleted = layout.expire_snapshots(path, before=4)
+    # the orphan dir's files were the doomed delete snapshot's last
+    # references — swept, dir removed, reads unchanged
+    assert not os.path.isdir(os.path.join(path, "v1"))
+    assert any(d.startswith("v1") for d in deleted)
+    got = sorted(r["k"] for r in layout.read_snapshot(spark, path).collect())
+    assert got == want == [1, 3, 5, 7, 101, 103, 105, 107]
+    # no unreferenced parquet anywhere: every on-disk file is owned
+    manifest = layout.read_manifest(path)
+    live = layout._live_snapshot_ids(manifest)
+    referenced = set(layout._snapshot_files(path, manifest, live))
+    on_disk = {
+        os.path.relpath(os.path.join(r, f), path)
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert on_disk == set(referenced)
+
+
 def test_delete_rows_noop_and_null_predicate(spark, tmp_path):
     """A predicate matching nothing writes NOTHING (no new version);
     rows where the predicate evaluates NULL are kept, not deleted."""

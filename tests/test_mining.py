@@ -1046,6 +1046,48 @@ def test_delete_from_index_equals_fresh_build_on_live_corpus(spark, sf_dir):
                 spark.sql(f"DROP TABLE IF EXISTS {name.name}")
 
 
+def test_bm25_deleted_memo_matches_when_delete_slice_is_empty(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A corpus with NO doc_id % 11 == 2 rows makes the registered
+    delete-lifecycle query's delete an empty-feed no-op (0 tombstone
+    generations). The build-once memo must still match on the second
+    invocation — an exactly-one-generation requirement would rebuild
+    the index on every call, and a previously returned lazy plan could
+    then race the rebuild's drop+rewrite."""
+    import os
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    import chess_pos_db_spark as engine
+    from chess_pos_db_spark.llm import search as S
+    from chess_pos_db_spark.tables import t as load
+
+    mydir = str(tmp_path / "sfno11")
+    os.makedirs(mydir, exist_ok=True)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 != 2)
+    docs.write.mode("overwrite").parquet(os.path.join(mydir, "documents.parquet"))
+    q = engine.get_queries()["search_bm25_deleted"]
+    prefix = S._index_prefix(mydir) + "_del"
+    try:
+        want = [tuple(r) for r in q(spark, mydir).collect()]
+        assert S._n_tomb_gens(S._read_meta(spark, prefix)) == 0
+
+        def dying(*a, **kw):
+            raise AssertionError("memo missed: index rebuilt on re-invoke")
+
+        monkeypatch.setattr(S, "build_inverted_index", dying)
+        got = [tuple(r) for r in q(spark, mydir).collect()]
+        assert got == want and len(got) > 0
+    finally:
+        for name in list(spark.catalog.listTables()):
+            if name.name.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {name.name}")
+        shutil.rmtree(mydir, ignore_errors=True)
+
+
 def test_delete_then_append_and_crash_semantics(spark, sf_dir, monkeypatch):
     """(a) An append AFTER a pending delete must not resurrect the
     tombstoned docs in the corpus stats — base+delete+append answers

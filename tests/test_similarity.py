@@ -492,6 +492,47 @@ def test_ivf_layout_delete_rewrites_only_affected_cells(spark, sf_dir, tmp_path)
         sim.delete_from_ivf_layout(spark, doomed.limit(3), out, centroids, cnorms)
 
 
+def test_ivf_layout_delete_duplicate_row_cannot_mask_absent_id(
+    spark, tmp_path
+):
+    """Presence validation must count matching REQUESTED ids, not
+    matching layout rows: with a vec_id accidentally resident twice
+    (append_ivf_layout has no disjointness guard), a layout-side count
+    would tally 2 for the duplicate and exactly mask one absent id —
+    silently partial-deleting instead of failing loudly."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    dims = sim._DIMS
+    rows = []
+    for i in range(12):
+        v = np.zeros(dims)
+        v[i % 2] = 1.0
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids, cnorms = sim._ivf_centroids(spark, "", k=2, emb=emb)
+    out = str(tmp_path / "ivfdup")
+    (
+        emb.join(sim._cell_assignments(emb, centroids, cnorms), "vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(out)
+    )
+    # vec_id 4 lands twice (replayed append); vec_id 999 is absent
+    dup = emb.filter(F.col("vec_id") == 4)
+    sim.append_ivf_layout(dup, out, centroids, cnorms)
+    bad = dup.unionByName(
+        dup.select(F.lit(999).cast("long").alias("vec_id"), "embedding")
+    )
+    with pytest.raises(ValueError, match="absent"):
+        sim.delete_from_ivf_layout(spark, bad, out, centroids, cnorms)
+    # nothing was deleted by the failed call
+    assert spark.read.parquet(out).filter(F.col("vec_id") == 4).count() == 2
+    # deleting the duplicate id alone removes BOTH resident rows
+    res = sim.delete_from_ivf_layout(spark, dup, out, centroids, cnorms)
+    assert res["n_deleted"] == 1
+    assert spark.read.parquet(out).filter(F.col("vec_id") == 4).count() == 0
+
+
 def test_ivf_layout_delete_empties_a_cell(spark, tmp_path):
     """Deleting every vector of a cell must REMOVE its directory —
     dynamic partition overwrite alone would leave the old files and
