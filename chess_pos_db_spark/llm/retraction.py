@@ -6,9 +6,11 @@ discovery, GDPR erasure) composed from the per-structure deletes:
     corpus snapshot store   plans/layout.delete_rows      (copy-on-write)
     postings index          llm/search.delete_from_index  (tombstones)
     LSH near-dup index      llm/dedup_index.delete_from_lsh_index
-    aggregate views         operators/ivm.maintain_agg_view (retraction
-                            deltas — the caller's concern, views are
-                            DataFrames not named stores)
+    aggregate views         plans/mv.advance_view (materialized views
+                            pinned to a store version catch up through
+                            the store's own CDC — pass their paths via
+                            ``view_paths``; ad-hoc DataFrame views use
+                            operators/ivm.maintain_agg_view directly)
 
 There is deliberately NO cross-structure transaction: each structure has
 its own single commit point (matching its append side), and the
@@ -40,14 +42,26 @@ def retract_documents(
     store_path: str | None = None,
     postings_prefix: str | None = None,
     lsh_prefix: str | None = None,
+    view_paths: list[str] | None = None,
 ) -> dict:
     """Propagate a retraction feed through every structure given.
 
     Returns per-structure counts: ``{"requested": n, "store": n1,
-    "postings": n2, "lsh": n3}`` where each count is how many of the
-    requested ids that structure still held (and therefore deleted) —
-    on a clean first run they all equal ``requested``; on a recovery
-    re-run the already-converged structures report 0.
+    "postings": n2, "lsh": n3, "views": {path: to_version}}`` where
+    each count is how many of the requested ids that structure still
+    held (and therefore deleted) — on a clean first run they all equal
+    ``requested``; on a recovery re-run the already-converged
+    structures report 0.
+
+    ``view_paths`` are materialized aggregate views (plans/mv) pinned
+    to ``store_path``'s version ledger: after the store delete commits
+    a new version, each view catches up through the store's OWN CDC
+    (plans/mv.advance_view), so the one feed also leaves every
+    materialized aggregate. Requires ``store_path``. The version pin
+    makes the view leg idempotent independently of the feed: a crash
+    between the store delete and a view advance is repaired by any
+    re-run (even with an empty feed), and views that already reflect
+    the latest store version no-op.
 
     Vacuum/compaction is NOT run here: the snapshot store keeps
     pre-delete time travel until ``expire_snapshots`` and the postings
@@ -55,9 +69,15 @@ def retract_documents(
     pipeline runs those on its own cadence to make the forgetting
     physical (both are pinned elsewhere).
     """
-    from ..plans import layout
+    from ..plans import layout, mv
     from . import dedup_index as DI
     from . import search as S
+
+    if view_paths and store_path is None:
+        raise ValueError(
+            "retract_documents: view_paths require store_path — views "
+            "advance through the store's version ledger"
+        )
 
     ids = doc_ids.select("doc_id").distinct().localCheckpoint(eager=True)
     requested = ids.count()
@@ -97,5 +117,17 @@ def retract_documents(
         if n:
             DI.delete_from_lsh_index(spark, todo, lsh_prefix)
         out["lsh"] = n
+
+    if view_paths:
+        # AFTER the store leg: the views consume the store's CDC, so
+        # the delete must be committed first. Runs unconditionally
+        # (not gated on this feed's liveness) — that is what repairs a
+        # prior run that crashed between the store delete and a view
+        # advance, and what folds in any other store writes the views
+        # have not yet seen.
+        out["views"] = {
+            vp: mv.advance_view(spark, store_path, vp)["to"]
+            for vp in view_paths
+        }
 
     return out

@@ -137,8 +137,96 @@ def read_view(
             f"view built at base version {manifest['base_version']}, "
             f"base is now at {expect_base_version}"
         )
-    df = spark.read.parquet(os.path.join(path, "data"))
+    # advance_view commits each maintenance step into its own data dir
+    # (manifest names it); pre-advance views keep the original "data"
+    df = spark.read.parquet(
+        os.path.join(path, manifest.get("data_dir", "data"))
+    )
     return df, manifest["dims"], [tuple(m) for m in manifest["measures"]]
+
+
+def advance_view(
+    spark: SparkSession,
+    store_path: str,
+    view_path: str,
+    key: Sequence[str] = ("doc_id",),
+) -> dict:
+    """Catch a materialized view up to its base snapshot-store's latest
+    live version — the view leg of the delete/retraction lifecycle (a
+    compliance job that forgets a doc everywhere EXCEPT materialized
+    aggregates is an audit finding).
+
+    The view's manifest pins the store version it reflects; the CDC
+    between that pin and the store's latest version (snapshot_diff —
+    added/removed/changed rows keyed by `key`) feeds maintain_view as
+    insert/delete deltas. The work is delta-sized: the view itself is
+    |grain| rows and the diff is bounded by what actually changed; the
+    base is never re-aggregated.
+
+    Idempotent and crash-convergent BY THE VERSION PIN: the updated
+    partials land in a fresh ``data_v{latest}`` dir and the manifest
+    replace (atomic tmp+rename) is the single commit point — a crash
+    before it leaves the old pin, and the re-run recomputes the same
+    diff into the same staging dir; a crash after it makes the re-run a
+    no-op (pin == latest). Old data dirs are removed best-effort AFTER
+    the commit. Mirrors the manifest-swap discipline of the store
+    itself (reference analogue: merge's manifest-swap atomicity †,
+    `src/external_storage/External.h` †).
+
+    Limits, enforced loudly: a view with min/max/hll partials cannot
+    advance over a diff that contains deletes (maintain_view's honest
+    boundary — rebuild instead); if expire_snapshots has vacuumed past
+    the view's pin, read_snapshot raises and the view needs a rebuild
+    (vacuum cadence must not outrun view maintenance).
+
+    Returns ``{"from": pinned, "to": latest, "advanced": bool}``.
+    """
+    from .layout import _live_snapshot_ids, read_manifest, snapshot_diff
+
+    with open(os.path.join(view_path, _MANIFEST)) as f:
+        manifest = json.load(f)
+    pinned = manifest["base_version"]
+    if pinned is None:
+        raise ValueError(
+            f"advance_view: view at {view_path!r} was materialized "
+            "without a base_version pin — there is no version to diff "
+            "from; rebuild it with write_view(..., base_version=...)"
+        )
+    dims = manifest["dims"]
+    measures = [tuple(m) for m in manifest["measures"]]
+    latest = max(_live_snapshot_ids(read_manifest(store_path)))
+    if pinned == latest:
+        return {"from": pinned, "to": latest, "advanced": False}
+    view = spark.read.parquet(
+        os.path.join(view_path, manifest.get("data_dir", "data"))
+    )
+    diff = snapshot_diff(spark, store_path, pinned, latest, key).localCheckpoint(
+        eager=True
+    )  # two downstream branches; and the source snapshot may be vacuumed later
+    inserts = diff.filter(F.col("change").isin("added", "changed")).select(
+        *key, "new.*"
+    )
+    deletes = diff.filter(F.col("change").isin("removed", "changed")).select(
+        *key, "old.*"
+    )
+    updated = maintain_view(
+        view,
+        dims,
+        measures,
+        inserts=None if inserts.isEmpty() else inserts,
+        deletes=None if deletes.isEmpty() else deletes,
+    )
+    new_dir = f"data_v{latest}"
+    updated.write.mode("overwrite").parquet(os.path.join(view_path, new_dir))
+    old_dir = manifest.get("data_dir", "data")
+    manifest["base_version"] = latest
+    manifest["data_dir"] = new_dir
+    _dump_manifest(view_path, manifest, filename=_MANIFEST)
+    if old_dir != new_dir:
+        import shutil
+
+        shutil.rmtree(os.path.join(view_path, old_dir), ignore_errors=True)
+    return {"from": pinned, "to": latest, "advanced": True}
 
 
 def answer(

@@ -377,3 +377,112 @@ def test_route_group_expr_fallback_and_defect_not_masked(spark, sf_dir):
             [("l_returnflag", "l_returnflag")],
             {"sq": ("sum", "l_quantity")},
         )
+
+
+def test_advance_view_follows_store_deletes_and_appends(spark, tmp_path):
+    """advance_view must catch a version-pinned view up to the store's
+    latest version through the store's own CDC: after a copy-on-write
+    delete the view equals a rebuild over the live base; a second
+    advance is a no-op; an append advances through the insert leg; a
+    min/max view advances under an insert-only diff but refuses a
+    delete diff (maintain_view's honest boundary)."""
+    from chess_pos_db_spark.plans import layout
+    from chess_pos_db_spark.plans.mv import advance_view, maintain_view
+
+    store = str(tmp_path / "av_store")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    )
+    base = [(i, f"s{i % 3}", 10 * (i + 1)) for i in range(30)]
+    layout.append_versioned(mk(base), store, ["doc_id"])
+
+    dims, ms = ["source"], [("count", "*"), ("sum", "n_chars")]
+    vp = str(tmp_path / "av_view")
+    write_view(
+        build_view(layout.read_snapshot(spark, store), dims, ms),
+        vp, dims, ms, base_version=1,
+    )
+
+    # delete → v2; advance applies the removed rows as a delete delta
+    layout.delete_rows(spark, store, "doc_id % 5 = 2")
+    res = advance_view(spark, store, vp, key=["doc_id"])
+    assert res == {"from": 1, "to": 2, "advanced": True}
+    view, vdims, vms = read_view(spark, vp, expect_base_version=2)
+    want = build_view(layout.read_snapshot(spark, store), dims, ms)
+    assert _rows(view) == _rows(want)
+
+    # converged: a second advance is a no-op and the pin holds
+    assert advance_view(spark, store, vp, key=["doc_id"]) == {
+        "from": 2, "to": 2, "advanced": False,
+    }
+
+    # append → v3; advance applies the insert leg
+    layout.append_versioned(
+        mk([(100 + i, "s9", 7) for i in range(5)]), store, ["doc_id"]
+    )
+    assert advance_view(spark, store, vp, key=["doc_id"])["to"] == 3
+    view, _, _ = read_view(spark, vp, expect_base_version=3)
+    assert _rows(view) == _rows(
+        build_view(layout.read_snapshot(spark, store), dims, ms)
+    )
+
+    # min/max view: insert-only diff advances, delete diff refuses
+    ms2 = [("count", "*"), ("max", "n_chars")]
+    vp2 = str(tmp_path / "av_view_mm")
+    write_view(
+        build_view(layout.read_snapshot(spark, store, 2), dims, ms2),
+        vp2, dims, ms2, base_version=2,
+    )
+    assert advance_view(spark, store, vp2, key=["doc_id"])["advanced"]
+    layout.delete_rows(spark, store, "doc_id % 7 = 1")
+    with pytest.raises(NotDerivableError, match="not maintainable"):
+        advance_view(spark, store, vp2, key=["doc_id"])
+
+
+def test_advance_view_crash_before_manifest_commit_replays(
+    spark, tmp_path, monkeypatch
+):
+    """A crash after the new partials land but BEFORE the manifest
+    replace leaves the old pin authoritative — the view reads its old
+    data, and the replayed advance recomputes the same diff and
+    commits. After commit the superseded data dir is gone."""
+    import os
+
+    from chess_pos_db_spark.plans import layout, mv
+
+    store = str(tmp_path / "avc_store")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    )
+    layout.append_versioned(
+        mk([(i, f"s{i % 2}", i) for i in range(20)]), store, ["doc_id"]
+    )
+    dims, ms = ["source"], [("count", "*"), ("sum", "n_chars")]
+    vp = str(tmp_path / "avc_view")
+    write_view(
+        build_view(layout.read_snapshot(spark, store), dims, ms),
+        vp, dims, ms, base_version=1,
+    )
+    pre = _rows(read_view(spark, vp)[0])
+    layout.delete_rows(spark, store, "doc_id >= 15")
+
+    real = mv._dump_manifest
+
+    def dying(*a, **kw):
+        raise RuntimeError("simulated crash before the view manifest commit")
+
+    monkeypatch.setattr(mv, "_dump_manifest", dying)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        mv.advance_view(spark, store, vp, key=["doc_id"])
+    monkeypatch.setattr(mv, "_dump_manifest", real)
+
+    # uncommitted: the old pin still answers the old content
+    assert _rows(read_view(spark, vp, expect_base_version=1)[0]) == pre
+
+    res = mv.advance_view(spark, store, vp, key=["doc_id"])
+    assert res == {"from": 1, "to": 2, "advanced": True}
+    assert _rows(read_view(spark, vp, expect_base_version=2)[0]) == _rows(
+        build_view(layout.read_snapshot(spark, store), dims, ms)
+    )
+    # the superseded data dir was swept after the commit
+    assert not os.path.isdir(os.path.join(vp, "data"))

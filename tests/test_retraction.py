@@ -195,3 +195,67 @@ def test_spec_exclude_ids_stage(spark, tmp_path):
         ).collect()
     with pytest.raises(ValueError):
         run_pipeline(docs, {"stages": [{"op": "exclude_ids"}]})
+
+
+def test_retraction_propagates_to_materialized_views(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """One feed forgets everywhere INCLUDING materialized aggregates:
+    views pinned to the store's version ledger catch up through the
+    store's own CDC in the same retraction call; a re-run is a no-op;
+    a crash between the store delete and the view advance is repaired
+    by the re-run (the version pin, not the feed, drives the view
+    leg)."""
+    from chess_pos_db_spark.plans import mv
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    doomed = docs.filter(F.col("doc_id") % 9 == 4).select("doc_id")
+    n = doomed.count()
+    store = str(tmp_path / "store_views")
+    layout.append_versioned(
+        docs.select("doc_id", "source", "lang", "n_chars"), store, ["doc_id"]
+    )
+    dims, ms = ["source"], [("count", "*"), ("sum", "n_chars")]
+    vp = str(tmp_path / "view_views")
+    mv.write_view(
+        mv.build_view(layout.read_snapshot(spark, store), dims, ms),
+        vp, dims, ms, base_version=1,
+    )
+
+    # crash AFTER the store delete commits, BEFORE the view advances
+    real = mv.advance_view
+
+    def dying(*a, **kw):
+        raise RuntimeError("simulated crash before the view leg")
+
+    monkeypatch.setattr(mv, "advance_view", dying)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        retraction.retract_documents(
+            spark, doomed, store_path=store, view_paths=[vp]
+        )
+    monkeypatch.setattr(mv, "advance_view", real)
+    # the view still reflects v1 (crash left it behind the store)
+    assert mv.read_view(spark, vp)[0].count() > 0
+    with pytest.raises(mv.StaleViewError):
+        mv.read_view(spark, vp, expect_base_version=2)
+
+    # the RE-RUN repairs the view leg even though the store leg no-ops
+    res = retraction.retract_documents(
+        spark, doomed, store_path=store, view_paths=[vp]
+    )
+    assert res == {"requested": n, "store": 0, "views": {vp: 2}}
+    got, _, _ = mv.read_view(spark, vp, expect_base_version=2)
+    want = mv.build_view(layout.read_snapshot(spark, store), dims, ms)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+
+    # idempotent: the identical run no-ops everywhere
+    res2 = retraction.retract_documents(
+        spark, doomed, store_path=store, view_paths=[vp]
+    )
+    assert res2 == {"requested": n, "store": 0, "views": {vp: 2}}
+
+    # views without a store are a caller bug, loudly
+    with pytest.raises(ValueError, match="require store_path"):
+        retraction.retract_documents(spark, doomed, view_paths=[vp])
