@@ -1,0 +1,179 @@
+"""Unified index-maintenance scheduler: ONE operational entry point a
+pipeline schedules (post-ingest, nightly, after a retraction batch)
+that reads each materialized structure's own commit record and runs
+exactly the maintenance that is DUE — the merge-after-N-runs cadence
+the reference applies to its sorted-run store †, generalized across
+the three index families plus the IVF physical layout:
+
+    postings index   llm/search.compact_index       due: delta gens OR
+                     pending tombstone gens over threshold (both grow
+                     per-query cost: one bucket-pruned read per delta,
+                     one anti-join mask per query while tombs pend)
+    LSH index        llm/dedup_index.compact_lsh_index  due: delta gens
+                     over threshold OR masked membership rows over a
+                     fraction of the corpus (probe cost grows with
+                     gens; masked rows are pure disk debt)
+    IVF layout       compact_ivf_cells (here)        due: small files
+                     per cell dir over threshold (every append lands
+                     ≥1 new file per touched cell; scan cost per query
+                     grows with file count in the probed cells)
+
+Re-clustering the IVF quantizer is deliberately NOT automated: new
+centroids re-route every resident vector (a full-corpus rewrite) and
+invalidate the frozen-quantizer contract the append/delete paths rely
+on — the scheduler only REPORTS cell-population skew so an operator
+can decide to rebuild.
+
+Crash contract: there is deliberately NO cross-structure transaction
+(mirroring llm/retraction.py). Each family's compaction keeps its own
+commit discipline; the scheduler derives "due" from each structure's
+live state, so a crash between two families' compactions is repaired
+by RERUNNING the scheduler — completed structures are no longer due
+and no-op, the rest run (pinned in tests/test_maintenance.py).
+
+Scale: every action is affected-data-sized by the underlying op's
+contract; the due-checks are single-row meta reads (postings/LSH) or
+directory listings (IVF) — the scheduler itself never scans a corpus.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def ivf_cell_file_counts(layout_dir: str) -> dict[int, int]:
+    """Parquet-file count per cell directory — the IVF due-check's
+    input, a pure directory listing (no data read)."""
+    out: dict[int, int] = {}
+    for cd in glob.glob(os.path.join(layout_dir, "cell=*")):
+        cell = int(os.path.basename(cd).split("=", 1)[1])
+        out[cell] = sum(
+            1 for f in os.listdir(cd) if f.endswith(".parquet")
+        )
+    return out
+
+
+def compact_ivf_cells(
+    spark: SparkSession,
+    layout_dir: str,
+    max_files_per_cell: int = 8,
+) -> dict:
+    """Coalesce the small files append_ivf_layout accumulates — ONLY in
+    the cell directories over the threshold (affected-cells-only, like
+    the delete path). Each due cell is read back (partition-pruned),
+    lineage broken, and its directory replaced via dynamic partition
+    overwrite; untouched cells' files are never opened.
+
+    Idempotent and crash-convergent WITHOUT a commit record: the
+    trigger is derived from the filesystem itself, so a crash that
+    leaves a prefix of due cells rewritten just leaves the rest due —
+    the rerun finishes them and a converged layout no-ops. Returns
+    ``{"cells_compacted": n, "files_before": n, "files_after": n}``.
+    """
+    counts = ivf_cell_file_counts(layout_dir)
+    due = sorted(c for c, n in counts.items() if n > max_files_per_cell)
+    if not due:
+        return {
+            "cells_compacted": 0,
+            "files_before": sum(counts.values()),
+            "files_after": sum(counts.values()),
+        }
+    files_before = sum(counts.values())
+    affected = spark.read.parquet(layout_dir).filter(F.col("cell").isin(due))
+    # break lineage before overwriting the files being read (bounded:
+    # due cells only), then land ~one file per cell — repartitioning by
+    # the partition column means each task holds whole cells, so each
+    # cell dir gets one file per task that owns it (usually exactly 1)
+    compacted = affected.localCheckpoint(eager=True).repartition(
+        len(due), "cell"
+    )
+    (
+        compacted.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(layout_dir)
+    )
+    return {
+        "cells_compacted": len(due),
+        "files_before": files_before,
+        "files_after": sum(ivf_cell_file_counts(layout_dir).values()),
+    }
+
+
+def ivf_cell_skew(spark: SparkSession, layout_dir: str) -> float:
+    """max/mean cell population — the re-cluster signal. Row counts
+    come from one count-only aggregate over the layout (parquet
+    metadata-driven; no payload columns read)."""
+    rows = (
+        spark.read.parquet(layout_dir)
+        .groupBy("cell")
+        .count()
+        .agg(F.max("count").alias("mx"), F.avg("count").alias("mean"))
+        .first()
+    )
+    if rows["mean"] is None or rows["mean"] == 0:
+        return 1.0
+    return float(rows["mx"]) / float(rows["mean"])
+
+
+def maintain_indexes(
+    spark: SparkSession,
+    postings_prefixes: list[str] | tuple[str, ...] = (),
+    lsh_prefixes: list[str] | tuple[str, ...] = (),
+    ivf_layouts: list[str] | tuple[str, ...] = (),
+    max_generations: int = 8,
+    max_tombstone_generations: int = 4,
+    max_masked_frac: float = 0.2,
+    max_files_per_cell: int = 8,
+    recluster_skew_factor: float = 4.0,
+    buckets: int = 16,
+) -> dict:
+    """Run every DUE maintenance action across the given structures.
+
+    Returns a per-structure report:
+    ``{"postings": {prefix: "compacted"|"ok"}, "lsh": {...},
+    "ivf": {layout_dir: {"cells_compacted": n, ..., "skew": x,
+    "recluster_recommended": bool}}}`` — an auditor (or a cron log)
+    reads what ran and why. The skew line is advisory only; acting on
+    it is a rebuild decision (see module docstring).
+    """
+    from . import dedup_index as DI
+    from . import search as S
+
+    report: dict = {"postings": {}, "lsh": {}, "ivf": {}}
+
+    for prefix in postings_prefixes:
+        m = S._read_meta(spark, prefix)
+        due = (
+            m["n_deltas"] >= max_generations
+            or S._n_tomb_gens(m) >= max_tombstone_generations
+        )
+        if due:
+            S.compact_index(spark, prefix, buckets=buckets)
+        report["postings"][prefix] = "compacted" if due else "ok"
+
+    for prefix in lsh_prefixes:
+        m = DI._read_meta(spark, prefix)
+        masked_frac = DI._meta_masked(m) / max(int(m["n_docs"]), 1)
+        due = (
+            m["n_deltas"] >= max_generations
+            or masked_frac >= max_masked_frac
+        )
+        if due:
+            DI.compact_lsh_index(spark, prefix, buckets=buckets)
+        report["lsh"][prefix] = "compacted" if due else "ok"
+
+    for layout_dir in ivf_layouts:
+        res = compact_ivf_cells(
+            spark, layout_dir, max_files_per_cell=max_files_per_cell
+        )
+        skew = ivf_cell_skew(spark, layout_dir)
+        res["skew"] = skew
+        res["recluster_recommended"] = skew >= recluster_skew_factor
+        report["ivf"][layout_dir] = res
+
+    return report

@@ -1,0 +1,277 @@
+"""Unified index-maintenance scheduler (llm/maintenance.py): one call
+runs exactly the compactions that are DUE per each structure's own
+commit record, answers are unchanged, a converged pass is a no-op, and
+a crash between two families' compactions is repaired by rerunning."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chess_pos_db_spark.llm import dedup_index as DI
+from chess_pos_db_spark.llm import maintenance as M
+from chess_pos_db_spark.llm import search as S
+from chess_pos_db_spark.llm import similarity as sim
+from chess_pos_db_spark.tables import t
+
+
+def _drop(spark, *prefixes):
+    for name in list(spark.catalog.listTables()):
+        if name.name.startswith(prefixes):
+            spark.sql(f"DROP TABLE IF EXISTS {name.name}")
+
+
+def _mk_ivf(spark, tmp_path, n_appends=4):
+    dims = sim._DIMS
+    rows = []
+    for i in range(20):
+        v = np.zeros(dims)
+        v[i % 2] = 1.0
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids, cnorms = sim._ivf_centroids(spark, "", k=2, emb=emb)
+    out = str(tmp_path / "mnt_ivf")
+    base = emb.filter(F.col("vec_id") < 20 - 2 * n_appends)
+    (
+        base.join(sim._cell_assignments(base, centroids, cnorms), "vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(out)
+    )
+    for j in range(n_appends):
+        lo = 20 - 2 * n_appends + 2 * j
+        batch = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 2))
+        sim.append_ivf_layout(batch, out, centroids, cnorms)
+    return emb, centroids, cnorms, out
+
+
+def test_maintain_runs_exactly_the_due_compactions(spark, sf_dir, tmp_path):
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    try:
+        # postings: 2 delta generations — due at max_generations=2
+        S.build_inverted_index(spark, docs.filter(F.col("doc_id") % 3 == 0), "mnt_ix")
+        S.append_to_index(spark, docs.filter(F.col("doc_id") % 3 == 1), "mnt_ix")
+        S.append_to_index(spark, docs.filter(F.col("doc_id") % 3 == 2), "mnt_ix")
+        want_search = [
+            tuple(r) for r in S.search_indexed(spark, "mnt_ix", S._QUERY_TERMS).collect()
+        ]
+
+        # LSH: no appends, but a delete leaves masked members over the
+        # fraction threshold — due through the masked leg
+        DI.build_lsh_index(spark, docs, "mnt_lsh")
+        doomed = docs.filter(F.col("doc_id") % 4 == 1).select("doc_id")
+        DI.delete_from_lsh_index(spark, doomed, "mnt_lsh")
+        probe = t(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") >= 600) & (F.col("doc_id") < 900)
+        )
+        want_probe = sorted(
+            tuple(r) for r in DI.probe_lsh_index(spark, probe, "mnt_lsh").collect()
+        )
+
+        # IVF: appends accumulated small files in the two cells
+        emb, centroids, cnorms, out = _mk_ivf(spark, tmp_path)
+        counts = M.ivf_cell_file_counts(out)
+        assert max(counts.values()) > 2
+        want_ann = [
+            tuple(r)
+            for r in sim.ivf_query_layout(
+                spark, out, centroids, cnorms,
+                query_vec=emb.filter(F.col("vec_id") == 0).first().embedding,
+            ).collect()
+        ]
+
+        rep = M.maintain_indexes(
+            spark,
+            postings_prefixes=["mnt_ix"],
+            lsh_prefixes=["mnt_lsh"],
+            ivf_layouts=[out],
+            max_generations=2,
+            max_masked_frac=0.1,
+            max_files_per_cell=2,
+        )
+        assert rep["postings"]["mnt_ix"] == "compacted"
+        assert rep["lsh"]["mnt_lsh"] == "compacted"
+        assert rep["ivf"][out]["cells_compacted"] == 2
+        assert rep["ivf"][out]["files_after"] < rep["ivf"][out]["files_before"]
+
+        # state physically folded/purged, answers unchanged
+        assert S._generations(spark, "mnt_ix") == [""]
+        assert DI._generations(spark, "mnt_lsh") == [""]
+        assert spark.table("mnt_lsh_members").join(
+            doomed, "doc_id", "left_semi"
+        ).count() == 0
+        assert [
+            tuple(r) for r in S.search_indexed(spark, "mnt_ix", S._QUERY_TERMS).collect()
+        ] == want_search
+        assert sorted(
+            tuple(r) for r in DI.probe_lsh_index(spark, probe, "mnt_lsh").collect()
+        ) == want_probe
+        assert [
+            tuple(r)
+            for r in sim.ivf_query_layout(
+                spark, out, centroids, cnorms,
+                query_vec=emb.filter(F.col("vec_id") == 0).first().embedding,
+            ).collect()
+        ] == want_ann
+
+        # converged: a second pass is a clean no-op everywhere
+        before_files = {
+            cd: sorted(os.listdir(cd)) for cd in glob.glob(f"{out}/cell=*")
+        }
+        rep2 = M.maintain_indexes(
+            spark,
+            postings_prefixes=["mnt_ix"],
+            lsh_prefixes=["mnt_lsh"],
+            ivf_layouts=[out],
+            max_generations=2,
+            max_masked_frac=0.1,
+            max_files_per_cell=2,
+        )
+        assert rep2["postings"]["mnt_ix"] == "ok"
+        assert rep2["lsh"]["mnt_lsh"] == "ok"
+        assert rep2["ivf"][out]["cells_compacted"] == 0
+        assert {
+            cd: sorted(os.listdir(cd)) for cd in glob.glob(f"{out}/cell=*")
+        } == before_files
+    finally:
+        _drop(spark, "mnt_ix", "mnt_lsh")
+
+
+def test_maintain_tombstone_pressure_alone_triggers_postings(spark, sf_dir):
+    """Deletes without appends: tombstone generations over their own
+    threshold make the postings index due even at zero delta gens —
+    each pending generation costs every query an anti-join mask."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    try:
+        S.build_inverted_index(spark, docs, "mnt_tomb")
+        for mod in (5, 6):
+            S.delete_from_index(
+                spark,
+                docs.filter(F.col("doc_id") % 17 == mod).select("doc_id"),
+                "mnt_tomb",
+            )
+        m = S._read_meta(spark, "mnt_tomb")
+        assert m["n_deltas"] == 0 and S._n_tomb_gens(m) == 2
+        want = [
+            tuple(r)
+            for r in S.search_indexed(spark, "mnt_tomb", S._QUERY_TERMS).collect()
+        ]
+        rep = M.maintain_indexes(
+            spark, postings_prefixes=["mnt_tomb"],
+            max_generations=8, max_tombstone_generations=2,
+        )
+        assert rep["postings"]["mnt_tomb"] == "compacted"
+        m2 = S._read_meta(spark, "mnt_tomb")
+        assert S._n_tomb_gens(m2) == 0
+        assert [
+            tuple(r)
+            for r in S.search_indexed(spark, "mnt_tomb", S._QUERY_TERMS).collect()
+        ] == want
+    finally:
+        _drop(spark, "mnt_tomb")
+
+
+def test_maintain_crash_between_families_rerun_converges(
+    spark, sf_dir, monkeypatch
+):
+    """No cross-structure transaction, by design: a crash AFTER the
+    postings compaction but BEFORE the LSH one leaves the scheduler
+    rerunnable — postings is no longer due (no-ops), LSH runs."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    try:
+        S.build_inverted_index(spark, docs.filter(F.col("doc_id") % 2 == 0), "mntc_ix")
+        S.append_to_index(spark, docs.filter(F.col("doc_id") % 2 == 1), "mntc_ix")
+        DI.build_lsh_index(spark, docs.filter(F.col("doc_id") % 3 == 0), "mntc_lsh")
+        DI.append_to_lsh_index(
+            spark, docs.filter(F.col("doc_id") % 3 == 1), "mntc_lsh"
+        )
+
+        real = DI.compact_lsh_index
+
+        def dying(*a, **kw):
+            raise RuntimeError("simulated crash in the LSH compaction")
+
+        monkeypatch.setattr(DI, "compact_lsh_index", dying)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            M.maintain_indexes(
+                spark,
+                postings_prefixes=["mntc_ix"],
+                lsh_prefixes=["mntc_lsh"],
+                max_generations=1,
+            )
+        monkeypatch.setattr(DI, "compact_lsh_index", real)
+
+        # postings folded before the crash; LSH untouched
+        assert S._generations(spark, "mntc_ix") == [""]
+        assert DI._generations(spark, "mntc_lsh") == ["", "_d1"]
+
+        rep = M.maintain_indexes(
+            spark,
+            postings_prefixes=["mntc_ix"],
+            lsh_prefixes=["mntc_lsh"],
+            max_generations=1,
+        )
+        assert rep["postings"]["mntc_ix"] == "ok"
+        assert rep["lsh"]["mntc_lsh"] == "compacted"
+        assert DI._generations(spark, "mntc_lsh") == [""]
+    finally:
+        _drop(spark, "mntc_ix", "mntc_lsh")
+
+
+def test_ivf_compaction_touches_only_due_cells_and_reports_skew(
+    spark, tmp_path
+):
+    """Cells under the file threshold keep their files byte-identical;
+    the skew report flags a lopsided layout without acting on it."""
+    dims = sim._DIMS
+    rows = []
+    # centroids seed from vec_ids 0 and 1, so they must differ; ids
+    # {1, 16, 17} point along e1 (the quiet cell), the other 15 along
+    # e0 (the crowded cell)
+    for i in range(18):
+        v = np.zeros(dims)
+        v[1 if i in (1, 16, 17) else 0] = 1.0
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids, cnorms = sim._ivf_centroids(spark, "", k=2, emb=emb)
+    out = str(tmp_path / "skew_ivf")
+    base = emb.filter((F.col("vec_id") < 10) | (F.col("vec_id") >= 16))
+    (
+        base.join(sim._cell_assignments(base, centroids, cnorms), "vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(out)
+    )
+    # appends land only in the crowded cell → only it becomes due
+    for j in range(3):
+        batch = emb.filter(
+            (F.col("vec_id") >= 10 + 2 * j) & (F.col("vec_id") < 12 + 2 * j)
+        )
+        sim.append_ivf_layout(batch, out, centroids, cnorms)
+    counts = M.ivf_cell_file_counts(out)
+    due = [c for c, n in counts.items() if n > 3]
+    quiet = [c for c, n in counts.items() if n <= 3]
+    assert due and quiet
+
+    def state(cell):
+        cd = os.path.join(out, f"cell={cell}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(cd, f)))
+            for f in os.listdir(cd) if f.endswith(".parquet")
+        )
+
+    quiet_before = {c: state(c) for c in quiet}
+    res = M.compact_ivf_cells(spark, out, max_files_per_cell=3)
+    assert res["cells_compacted"] == len(due)
+    for c in quiet:
+        assert state(c) == quiet_before[c], f"quiet cell {c} rewritten"
+    # layout content unchanged by compaction
+    got = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(18))
+    skew = M.ivf_cell_skew(spark, out)
+    assert skew > 1.5
+    rep = M.maintain_indexes(
+        spark, ivf_layouts=[out], max_files_per_cell=3,
+        recluster_skew_factor=1.5,
+    )
+    assert rep["ivf"][out]["recluster_recommended"] is True
