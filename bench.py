@@ -49,6 +49,11 @@ HEADLINE = [
     "text_token_count_bpe",
     "subquery_exists",
     "similarity_ivf",
+    # round 9: the materialized-index economics get a tracked per-round
+    # number — BM25 answered from the bucketed postings index (build
+    # amortizes in warmup via the fingerprint memo; the timed path is
+    # the bucket-pruned probe). Totals before round 9 cover 25 queries.
+    "search_bm25_postings",
 ]
 
 
@@ -72,6 +77,10 @@ def main() -> None:
     _run(queries["agg_groupcount"](spark, sf_dir))
     _run(spark.range(64).repartition(32).mapInPandas(lambda it: it, schema="id long"))
     _run(spark.range(100).join(F.broadcast(spark.range(10)), "id"))
+    # index build runs once here (ensure-style fingerprint memo); the
+    # timed rounds measure the query path the way a user of a
+    # materialized index experiences it — builds amortize
+    _run(queries["search_bm25_postings"](spark, sf_dir))
 
     # best-of-N: per-query minimum over N INTERLEAVED rounds (all queries
     # once, then again, ...). The default N keeps the floor stable
