@@ -172,18 +172,26 @@ class Engine:
                     "format=sbgn — import via pgn or omit retractions"
                 )
             games = self._load_games(files, fmt).cache()
-            agg = importer.build_agg_entries(importer.explode_positions(games))
-            stored = (
-                games
-                if bool(cmd.get("storeMoves", False))
-                else games.drop("sans")
-            )
-            layout.write_sorted_run(
-                stored, f"{db_dir}/games", key=["game_id"]
-            )
-            layout.write_sorted_run(agg, f"{db_dir}/entries", key=["pos_key"])
-            stats = {"games": games.count(), "db_dir": db_dir}
-            games.unpersist()
+            try:
+                agg = importer.build_agg_entries(
+                    importer.explode_positions(games)
+                )
+                stored = (
+                    games
+                    if bool(cmd.get("storeMoves", False))
+                    else games.drop("sans")
+                )
+                layout.write_sorted_run(
+                    stored, f"{db_dir}/games", key=["game_id"]
+                )
+                layout.write_sorted_run(
+                    agg, f"{db_dir}/entries", key=["pos_key"]
+                )
+                stats = {"games": games.count(), "db_dir": db_dir}
+            finally:
+                # a failed write must not leave the parsed corpus pinned
+                # in executor memory for the rest of the session
+                games.unpersist()
         self.cmd_open({"database": db_dir})
         return {"import": stats}
 
@@ -375,7 +383,16 @@ class Engine:
         rows = rows[:n]
 
         def safe(v):
-            if v is None or isinstance(v, (bool, int, float, str)):
+            if isinstance(v, float):
+                # json.dumps emits bare NaN/Infinity tokens for
+                # non-finite floats — NOT valid JSON; a strict client
+                # fails to parse the response line (SELECT sqrt(-1),
+                # 1e308*10, ... produce them). String form keeps the
+                # line parseable and the value readable.
+                import math
+
+                return v if math.isfinite(v) else repr(v)
+            if v is None or isinstance(v, (bool, int, str)):
                 return v
             if isinstance(v, (bytes, bytearray)):
                 return bytes(v).hex()
@@ -428,6 +445,19 @@ class Engine:
         }
 
 
+def _dump_response(out: dict) -> str:
+    """One VALID JSON line per response, always: a payload a strict
+    parser would reject (non-finite float that slipped past a command's
+    own sanitizer) degrades to an error response instead of emitting a
+    bare NaN token or killing the connection/loop."""
+    try:
+        return json.dumps(out, allow_nan=False)
+    except ValueError as exc:
+        return json.dumps(
+            {"ok": False, "error": f"unserializable response: {exc}"}
+        )
+
+
 def serve_tcp(engine: Engine, host: str = "127.0.0.1", port: int = 0):
     """Start a line-JSON TCP server; returns (server, thread, port).
     Each connection handles commands until 'exit' or EOF."""
@@ -467,7 +497,9 @@ def serve_tcp(engine: Engine, host: str = "127.0.0.1", port: int = 0):
                         break
                     else:
                         out = engine.handle(cmd)
-                self.wfile.write((json.dumps(out) + "\n").encode("utf-8"))
+                self.wfile.write(
+                    (_dump_response(out) + "\n").encode("utf-8")
+                )
                 self.wfile.flush()
 
     class _Server(socketserver.ThreadingTCPServer):
@@ -524,4 +556,4 @@ def console_loop(engine: Engine, stdin, stdout) -> None:
             continue
         if cmd.get("command") == "exit":
             break
-        print(json.dumps(engine.handle(cmd)), file=stdout, flush=True)
+        print(_dump_response(engine.handle(cmd)), file=stdout, flush=True)

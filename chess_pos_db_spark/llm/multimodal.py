@@ -692,6 +692,14 @@ def cross_modal_topk(
     """Top-k media for a 64-dim query vector (e.g. a text embedding):
     broadcast query, JVM cosine, TakeOrdered — identical plan shape to
     llm/similarity.similarity_topk, media side instead of corpus."""
+    if len(query_vec) != _XMODAL_OUT:
+        # zip_with over mismatched lengths pads with NULLs, so the
+        # cosine would come back NULL for every row and the top-k would
+        # be silently arbitrary instead of failing the bad query
+        raise ValueError(
+            f"cross_modal_topk: query_vec has {len(query_vec)} dims, "
+            f"the shared embedding space is {_XMODAL_OUT}"
+        )
     emb = media_embeddings(media)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     cos = _media_cosine(F.col("embedding"), qlit)

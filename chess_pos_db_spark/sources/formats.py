@@ -37,13 +37,22 @@ def read_csv(
     spark: SparkSession, path: str, schema: T.StructType, header: bool = True
 ) -> DataFrame:
     """Explicit-schema CSV scan with malformed-row quarantine."""
-    return (
+    reader = (
         spark.read.schema(_with_corrupt(schema))
         .option("header", header)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .csv(path)
     )
+    if header:
+        # Spark's default (enforceSchema=true) DISCARDS the header and
+        # binds columns by position — a file whose column order differs
+        # from the declared schema silently mis-assigns every value.
+        # Strict mode fails the read loudly on a name mismatch instead,
+        # which is this module's malformed-input discipline applied to
+        # the file's own self-description. Headerless CSVs can only
+        # bind positionally, so the option applies only with a header.
+        reader = reader.option("enforceSchema", False)
+    return reader.csv(path)
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:

@@ -226,3 +226,14 @@ def test_cross_modal_retrieval_shape_and_selfmatch(spark):
     plan = mm.cross_modal_topk(media, embs[probe_id], k=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
+
+
+def test_cross_modal_wrong_query_dims_fail_loudly(spark):
+    """A query vector outside the shared 64-dim space must raise —
+    zip_with over mismatched lengths NULL-pads, so the cosine would be
+    NULL for every row and the top-k silently arbitrary."""
+    import pytest
+
+    media = mm.synthetic_media(spark, 6)
+    with pytest.raises(ValueError, match="dims"):
+        mm.cross_modal_topk(media, [1.0] * 16, k=3)

@@ -449,3 +449,42 @@ def test_tcp_non_object_json_gets_error_and_connection_survives(spark):
     lines = out.getvalue().strip().splitlines()
     assert len(lines) == 2  # loop survived the non-object line
     assert "JSON object" in lines[0] and "unknown command" in lines[1]
+
+
+def test_sql_nonfinite_floats_stay_valid_json(engine_db):
+    """NaN/Infinity SQL results must cross the wire as VALID JSON —
+    json.dumps's default emits bare NaN/Infinity tokens a strict parser
+    rejects. The row sanitizer renders them as strings; the response
+    line must survive allow_nan=False serialization."""
+    import json
+
+    resp = engine_db.handle(
+        {
+            "command": "sql",
+            "sql": "SELECT sqrt(-1.0) AS bad, 1e308 * 10 AS huge, "
+                   "count(*) AS n FROM entries",
+        }
+    )
+    assert resp["ok"], resp
+    # strict round-trip: this raises on any non-finite float payload
+    line = json.dumps(resp, allow_nan=False)
+    back = json.loads(line)
+    row = back["rows"][0]
+    assert isinstance(row[0], str) and row[0] == "nan"
+    assert isinstance(row[1], str) and row[1] == "inf"
+    assert isinstance(row[2], int)
+
+
+def test_dump_response_backstop_never_emits_invalid_json():
+    """A response payload that bypassed every sanitizer (a command
+    returning a raw non-finite float) must still leave the wire as one
+    valid JSON line — degraded to ok:false, never a bare NaN token."""
+    import json
+
+    line = server._dump_response({"ok": True, "value": float("nan")})
+    back = json.loads(line)
+    assert back["ok"] is False and "unserializable" in back["error"]
+    # normal payloads pass through untouched
+    assert json.loads(server._dump_response({"ok": True, "v": 1.5})) == {
+        "ok": True, "v": 1.5,
+    }

@@ -237,3 +237,22 @@ def test_stream_reader_legacy_new_file_size_fallback(tmp_path):
     os.remove(a)
     with pytest.raises(ValueError, match="no recorded size"):
         rd.partitions({"seen": []}, {"seen": [a]})
+
+
+def test_csv_header_order_mismatch_fails_loudly(spark, tmp_path):
+    """A CSV whose header order disagrees with the declared schema must
+    FAIL the read, not silently bind columns by position (Spark's
+    enforceSchema default discards the header): text landing in lang
+    and lang in text would corrupt every downstream operator with zero
+    signal. Matching headers (any case) still read clean — the
+    quarantine tests above cover that path with the corrupt column."""
+    import pytest
+
+    p = tmp_path / "swapped.csv"
+    p.write_text(
+        "text,doc_id,lang,source,n_chars\n"  # first two columns swapped
+        "ok doc,1,en,s,6\n"
+    )
+    back = formats.read_csv(spark, str(p), formats.DOCUMENTS_SCHEMA)
+    with pytest.raises(Exception, match="header|conform|CSV"):
+        back.collect()
