@@ -730,3 +730,53 @@ def dedup_lsh_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_lsh_index(
         spark, docs.filter(F.col("doc_id") % 2 == 1), prefix
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_lsh_index_compacted",
+    oracle=_probe_oracle("% 2 = 0 AND a.doc_id % 10 != 4", "% 2 = 1"),
+)
+def dedup_lsh_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delete→compact half of the lifecycle externally verified:
+    even doc_ids indexed, the % 10 == 4 slice deleted (masked members
+    pending), then the UNIFIED MAINTENANCE SCHEDULER compacts on the
+    masked-fraction trigger — the single-generation purge path — and
+    odd doc_ids probe the compacted index. The oracle is the same live
+    collision set as dedup_lsh_index_delete: compaction must change
+    the PHYSICAL state only (deleted docs' band keys leave disk,
+    pinned in pytest), never an answer. Idempotent per corpus: a
+    compacted post-delete fingerprint (0 generations, 0 masked) skips
+    the build+delete+compact."""
+    from .maintenance import maintain_indexes
+
+    docs = t(spark, sf_dir, "documents")
+    prefix = _lshix_prefix(sf_dir) + "_delc"
+    indexed = docs.filter(F.col("doc_id") % 2 == 0)
+    live = indexed.filter(F.expr(f"NOT (doc_id {_LSH_DELETE_MOD})"))
+    n, s = _fingerprint(live)
+    rebuild = True
+    if spark.catalog.tableExists(f"{prefix}_meta"):
+        m = _read_meta(spark, prefix)
+        if (
+            m["n_deltas"] == 0
+            and _meta_masked(m) == 0
+            and m["n_docs"] == n
+            and m["fp_sum_ids"] == s
+        ):
+            rebuild = False
+    if rebuild:
+        build_lsh_index(spark, indexed, prefix)
+        delete_from_lsh_index(
+            spark,
+            indexed.filter(F.expr(f"doc_id {_LSH_DELETE_MOD}")).select(
+                "doc_id"
+            ),
+            prefix,
+        )
+        rep = maintain_indexes(
+            spark, lsh_prefixes=[prefix], max_masked_frac=0.001
+        )
+        assert rep["lsh"][prefix] == "compacted"
+    return probe_lsh_index(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), prefix
+    ).orderBy("doc_id")

@@ -1167,3 +1167,49 @@ def search_proximity_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = _index_prefix(sf_dir)
     ensure_index(spark, t(spark, sf_dir, "documents"), prefix)
     return proximity_indexed(spark, prefix, "window", "table")
+
+
+@register(
+    "search_bm25_maintained",
+    oracle=_bm25_oracle(f"NOT ({_DELETED_PRED})"),
+)
+def search_bm25_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full postings lifecycle composed and externally verified:
+    base index from even doc_ids, odd doc_ids APPENDED as a delta
+    generation, the `doc_id % 11 = 2` slice DELETED (one tombstone
+    generation), then the UNIFIED MAINTENANCE SCHEDULER folds the
+    generations and physically purges the tombstoned rows (due on the
+    generation threshold), and BM25 answers from the compacted index.
+    The oracle is the BM25 SQL over the live corpus: append+delete+
+    compact+query must equal a fresh build over (everything minus the
+    deleted slice) — the composition property none of the single-step
+    queries pin externally. Idempotent per corpus: a compacted
+    post-lifecycle fingerprint (0 delta gens, 0 tombstone gens) skips
+    the rebuild."""
+    from .maintenance import maintain_indexes
+
+    prefix = _index_prefix(sf_dir) + "_mnt"
+    docs = t(spark, sf_dir, "documents")
+    live = docs.filter(~F.expr(_DELETED_PRED))
+    n, s = _corpus_fingerprint(live)
+    rebuild = True
+    if spark.catalog.tableExists(f"{prefix}_meta"):
+        m = _read_meta(spark, prefix)
+        if (
+            m["n_deltas"] == 0
+            and _n_tomb_gens(m) == 0
+            and m["n_docs"] == n
+            and m["fp_sum_ids"] == s
+        ):
+            rebuild = False
+    if rebuild:
+        build_inverted_index(spark, docs.filter(F.col("doc_id") % 2 == 0), prefix)
+        append_to_index(spark, docs.filter(F.col("doc_id") % 2 == 1), prefix)
+        delete_from_index(
+            spark, docs.filter(F.expr(_DELETED_PRED)).select("doc_id"), prefix
+        )
+        rep = maintain_indexes(
+            spark, postings_prefixes=[prefix], max_generations=1
+        )
+        assert rep["postings"][prefix] == "compacted"
+    return search_indexed(spark, prefix, _QUERY_TERMS)

@@ -1456,3 +1456,64 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+@register(
+    "similarity_ivf_maintained",
+    oracle=_ivf_oracle("WHERE vec_id % 2 = 0"),
+)
+def similarity_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF layout lifecycle with maintenance composed and
+    externally verified: base layout from even vec_ids (base-frozen
+    relational quantizer), odd vec_ids appended in THREE batches (each
+    lands new small files inside its cell directories), then the
+    UNIFIED MAINTENANCE SCHEDULER coalesces every cell over the file
+    threshold (affected-cells-only rewrite), and ANN top-k answers by
+    partition pruning over the compacted layout. Oracle = the frozen
+    base quantizer assigning ALL vectors (same as the incremental
+    query): file compaction must change the PHYSICAL layout only,
+    never an answer. Build-once per corpus via fingerprinted meta."""
+    from .maintenance import maintain_indexes
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    centroids, cnorms = _ivf_centroids(spark, sf_dir, emb=base)
+    path, meta_table = _ivf_layout_home(spark, sf_dir, variant="_mnt")
+    fp = emb.groupBy().agg(
+        F.count("*").alias("n"), F.sum("vec_id").alias("s")
+    ).first()
+    n, s = int(fp["n"]), int(fp["s"] or 0)
+    fresh = True
+    if spark.catalog.tableExists(meta_table):
+        m = spark.table(meta_table).first()
+        if m["n_vecs"] == n and m["fp_sum_ids"] == s:
+            fresh = False
+    if fresh:
+        (
+            base.join(_cell_assignments(base, centroids, cnorms), "vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+        for mod in (1, 3, 5):
+            append_ivf_layout(
+                emb.filter(F.col("vec_id") % 6 == mod), path, centroids,
+                cnorms,
+            )
+        maintain_indexes(spark, ivf_layouts=[path], max_files_per_cell=1)
+        from ..plans.bucketing import drop_orphaned_table
+
+        drop_orphaned_table(spark, meta_table)
+        spark.createDataFrame(
+            [(n, s)], "n_vecs bigint, fp_sum_ids bigint"
+        ).write.mode("overwrite").saveAsTable(meta_table)
+    qrow = (
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").head()
+    )
+    if qrow is None:
+        raise ValueError(
+            f"IVF layout query: vec_id {_QUERY_VEC_ID} not in embeddings"
+        )
+    return ivf_query_layout(
+        spark, path, centroids, cnorms, query_vec=qrow.embedding
+    )

@@ -506,3 +506,121 @@ def agg_from_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_qty", 2).alias("max_qty"),
         F.round("avg_price", 4).alias("avg_price"),
     )
+
+
+def _view_retr_home(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(snapshot-store dir, materialized-view dir) for the retraction
+    lifecycle query — both under the local warehouse like the IVF
+    layout home, so build-once state survives within a session's
+    catalog scope."""
+    import re
+    from urllib.parse import urlparse
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    return (
+        os.path.join(wh, f"mvretr_store_{tag}"),
+        os.path.join(wh, f"mvretr_view_{tag}"),
+    )
+
+
+# the retracted slice; doc_id < 4000 bounds the store (and the delete's
+# IN-list) at every scale factor
+_RETR_PRED = "doc_id % 7 = 3"
+_RETR_BOUND = "doc_id < 4000"
+
+
+@register(
+    "agg_view_retracted",
+    oracle=f"""
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT)      AS cnt,
+       CAST(SUM(n_chars) AS BIGINT)  AS total
+FROM documents
+WHERE {_RETR_BOUND} AND NOT ({_RETR_PRED})
+GROUP BY source, lang
+ORDER BY source, lang
+""",
+)
+def agg_view_retracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retraction→view lifecycle externally verified: a versioned
+    corpus store (v1), a materialized (source, lang) aggregate view
+    pinned at v1, then ONE retract_documents feed that copy-on-write
+    deletes the `doc_id % 7 = 3` slice from the store (v2) AND advances
+    the view through the store's own CDC (plans/mv.advance_view). The
+    oracle aggregates the live base directly: forget-everywhere must
+    leave the materialized aggregate exactly equal to a recompute —
+    the audit property a compliance job needs at 100 TB, where the
+    view is |grain| rows and the advance is delta-sized.
+
+    Build-once per corpus: when the store's latest version is the
+    post-delete v2 with the expected live fingerprint and the view pin
+    matches it, the whole build+retract is skipped — a previously
+    returned lazy plan never races a rebuild."""
+    import shutil
+
+    from ..llm.retraction import retract_documents
+    from ..tables import t as load
+    from . import layout
+
+    docs = load(spark, sf_dir, "documents").filter(F.expr(_RETR_BOUND))
+    live = docs.filter(~F.expr(_RETR_PRED))
+    store, vp = _view_retr_home(spark, sf_dir)
+    dims, ms = ["source", "lang"], [("count", "*"), ("sum", "n_chars")]
+    fp = live.groupBy().agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("s")
+    ).first()
+    n_live, s_live = int(fp["n"]), int(fp["s"] or 0)
+
+    def _converged() -> bool:
+        from .layout import MANIFEST_NAME
+
+        if not (
+            os.path.isfile(os.path.join(store, MANIFEST_NAME))
+            and os.path.isfile(os.path.join(vp, _MANIFEST))
+        ):
+            return False
+        try:
+            sm = layout.read_manifest(store)
+            from .layout import _live_snapshot_ids
+
+            latest = max(_live_snapshot_ids(sm))
+            if latest != 2:
+                return False
+            st = layout.read_snapshot(spark, store)
+            got = st.groupBy().agg(
+                F.count("*").alias("n"), F.sum("doc_id").alias("s")
+            ).first()
+            if (int(got["n"]), int(got["s"] or 0)) != (n_live, s_live):
+                return False
+            with open(os.path.join(vp, _MANIFEST)) as f:
+                vm = json.load(f)
+            return vm["base_version"] == 2
+        except Exception:
+            return False
+
+    if not _converged():
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(vp, ignore_errors=True)
+        layout.append_versioned(
+            docs.select("doc_id", "source", "lang", "n_chars"),
+            store,
+            ["doc_id"],
+        )
+        write_view(
+            build_view(layout.read_snapshot(spark, store), dims, ms),
+            vp, dims, ms, base_version=1,
+        )
+        retract_documents(
+            spark,
+            docs.filter(F.expr(_RETR_PRED)).select("doc_id"),
+            store_path=store,
+            view_paths=[vp],
+        )
+    view, _, _ = read_view(spark, vp, expect_base_version=2)
+    return view.select(
+        "source",
+        "lang",
+        F.col(_mcol("count", "*")).alias("cnt"),
+        F.col(_mcol("sum", "n_chars")).alias("total"),
+    ).orderBy("source", "lang")

@@ -62,6 +62,13 @@ SHUFFLE_BUDGET = {
     "search_bm25_deleted": 1,  # pruned postings -> doclen join
     "dedup_lsh_index_delete": 2,  # identical to dedup_lsh_index_probe
     "similarity_ivf_deleted": 0,  # identical to similarity_ivf_layout
+    # round-9 maintenance-lifecycle compositions (query-path budgets:
+    # compaction must never ADD query-side shuffles — the compacted
+    # index answers with the single-generation plan)
+    "search_bm25_maintained": 1,  # identical to search_bm25_postings
+    "dedup_lsh_index_compacted": 2,  # identical to dedup_lsh_index_probe
+    "similarity_ivf_maintained": 0,  # identical to similarity_ivf_layout
+    "agg_view_retracted": 1,  # presentation ORDER BY over the |grain| view
 }
 
 
