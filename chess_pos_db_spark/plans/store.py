@@ -114,3 +114,137 @@ def store_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# the diff lifecycle's slices: v2 appends %4==3, v3 deletes %9==2
+_DIFF_APPEND = "doc_id % 4 = 3"
+_DIFF_DELETE = "doc_id % 9 = 2"
+
+
+def _ensure_lifecycle_store(
+    spark: SparkSession, sf_dir: str, variant: str, build
+) -> str:
+    """Shared build-once discipline for the S8 lifecycle queries: the
+    manifest records the corpus fingerprint + a lifecycle marker, so
+    repeat calls (and previously returned lazy read plans) never race a
+    rebuild. `build(path, payload)` runs the variant's append/delete/
+    vacuum sequence."""
+    import shutil
+
+    docs = t(spark, sf_dir, "documents")
+    fp = docs.groupBy().agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("s")
+    ).first()
+    n, s = int(fp["n"]), int(fp["s"] or 0)
+    path = _store_home(spark, sf_dir) + f"_{variant}"
+    try:
+        m = layout.read_manifest(path)
+        if m.get("corpus_fp") == [n, s] and m.get("lifecycle") == variant:
+            return path
+    except FileNotFoundError:
+        pass
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    build(path, docs.select("doc_id", "source", "text"))
+    m = layout.read_manifest(path)
+    m["corpus_fp"] = [n, s]
+    m["lifecycle"] = variant
+    layout._dump_manifest(path, m)
+    return path
+
+
+@register(
+    "store_snapshot_diff",
+    oracle=f"""
+SELECT doc_id, 'added' AS change,
+       CAST(NULL AS BIGINT)          AS old_len,
+       CAST(LENGTH(text) AS BIGINT)  AS new_len
+FROM documents WHERE ({_DIFF_APPEND}) AND NOT ({_DIFF_DELETE})
+UNION ALL
+SELECT doc_id, 'removed' AS change,
+       CAST(LENGTH(text) AS BIGINT)  AS old_len,
+       CAST(NULL AS BIGINT)          AS new_len
+FROM documents WHERE NOT ({_DIFF_APPEND}) AND ({_DIFF_DELETE})
+ORDER BY doc_id
+""",
+)
+def store_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 CDC externally verified: the store's version-to-version diff
+    — the audit answer to "what did that append/delete do" and the
+    feed a downstream CDC export replays. Base v1 holds the corpus
+    minus the %4==3 slice, v2 APPENDS that slice, v3 DELETES the
+    %9==2 slice copy-on-write; snapshot_diff(v1 → v3) keyed by doc_id
+    must report exactly the appended-and-still-live rows as `added`
+    and the deleted-from-v1 rows as `removed` (rows both appended and
+    deleted never surface — they were not in v1 and are not in v3).
+    One full-outer equi-join of the two snapshot reads; at 100 TB it
+    runs on the partitions the manifest says changed."""
+
+    def build(path: str, payload: DataFrame) -> None:
+        layout.append_versioned(
+            payload.filter(~F.expr(_DIFF_APPEND)), path, ["doc_id"]
+        )
+        layout.append_versioned(
+            payload.filter(F.expr(_DIFF_APPEND)), path, ["doc_id"]
+        )
+        res = layout.delete_rows(spark, path, _DIFF_DELETE)
+        if res["version"] is None:
+            raise ValueError(
+                f"store_snapshot_diff: delete matched nothing at {sf_dir!r}"
+            )
+
+    path = _ensure_lifecycle_store(spark, sf_dir, "diffed", build)
+    diff = layout.snapshot_diff(spark, path, 1, 3, ["doc_id"])
+    return diff.select(
+        "doc_id",
+        "change",
+        F.length("old.text").cast("long").alias("old_len"),
+        F.length("new.text").cast("long").alias("new_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "store_vacuumed",
+    oracle=f"""
+SELECT doc_id, source, CAST(LENGTH(text) AS BIGINT) AS text_len
+FROM documents
+WHERE NOT ({_DELETE_SQL})
+ORDER BY doc_id
+""",
+)
+def store_vacuumed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 vacuum externally verified: after the copy-on-write delete,
+    `expire_snapshots` gives up pre-delete time travel and physically
+    removes every file only that history kept alive — file-level
+    refcounting, so the untouched files the delete snapshot carries BY
+    REFERENCE survive the removal of their owner version's entry
+    (including the staged-expiry orphan sweep fixed this round). The
+    live read after vacuum must still equal plain SQL over the corpus
+    minus the slice: vacuum changes what is ON DISK, never what a
+    query answers. Time travel below the floor fails loudly (pinned in
+    tests/test_layout.py)."""
+
+    def build(path: str, payload: DataFrame) -> None:
+        layout.append_versioned(
+            payload.filter(F.col("doc_id") % 2 == 0), path, ["doc_id"]
+        )
+        layout.append_versioned(
+            payload.filter(F.col("doc_id") % 2 == 1), path, ["doc_id"]
+        )
+        res = layout.delete_rows(spark, path, _DELETE_PRED)
+        if res["version"] is None:
+            raise ValueError(
+                f"store_vacuumed: delete matched nothing at {sf_dir!r}"
+            )
+        layout.expire_snapshots(path, before=res["version"])
+
+    path = _ensure_lifecycle_store(spark, sf_dir, "vacuumed", build)
+    return (
+        layout.read_snapshot(spark, path)
+        .select(
+            "doc_id",
+            "source",
+            F.length("text").cast("long").alias("text_len"),
+        )
+        .orderBy("doc_id")
+    )

@@ -69,6 +69,8 @@ SHUFFLE_BUDGET = {
     "dedup_lsh_index_compacted": 2,  # identical to dedup_lsh_index_probe
     "similarity_ivf_maintained": 0,  # identical to similarity_ivf_layout
     "agg_view_retracted": 1,  # presentation ORDER BY over the |grain| view
+    "store_snapshot_diff": 3,  # full-outer SMJ (2) + presentation ORDER BY
+    "store_vacuumed": 1,  # identical read shape to store_delete_rows
 }
 
 
