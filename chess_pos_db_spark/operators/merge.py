@@ -141,6 +141,26 @@ def merge_changes(
             ),
         ).otherwise(F.col(op_col)),
     )
+    # an op outside {'I','U','D'} (a lowercase 'd', an empty string, a
+    # NULL) would fall through the keep filter's `!= 'D'` arm and
+    # silently UPSERT a row the feed meant to delete — malformed ops
+    # fail loudly like NULL keys do, woven into the same always-read
+    # column so Catalyst cannot prune the guard
+    changes = changes.withColumn(
+        op_col,
+        F.when(
+            F.col(op_col).isin("I", "U", "D"),
+            F.col(op_col),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("merge_changes: unknown op "),
+                    F.coalesce(F.col(op_col), F.lit("NULL")),
+                    F.lit(" — ops must be 'I', 'U' or 'D'"),
+                )
+            )
+        ),
+    )
     payload = [c for c in target.columns if c not in key]
     change_payload = set(changes.columns) - set(key) - {op_col, seq_col}
     unknown = change_payload - set(target.columns)

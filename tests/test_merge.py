@@ -274,3 +274,30 @@ def test_merge_unmatched_keys_and_unknown_columns(spark):
     )
     with pytest.raises(ValueError, match="pricee"):
         merge_changes(target, typo, ["k"])
+
+
+def test_merge_rejects_unknown_ops(spark):
+    """An op outside {'I','U','D'} must fail the job, not silently
+    upsert: a lowercase 'd' falling through the keep filter's != 'D'
+    arm would KEEP (and update) a row the feed meant to delete."""
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, price double"
+    )
+    for bad_op in ("d", "", "X"):
+        changes = spark.createDataFrame(
+            [(1, bad_op, None)], "k long, op string, price double"
+        )
+        with pytest.raises(Exception, match="unknown op"):
+            merge_changes(target, changes, ["k"]).collect()
+    # NULL op fails too (would read as "keep" through op.isNull())
+    changes = spark.createDataFrame(
+        [(1, None, 99.0)], "k long, op string, price double"
+    )
+    with pytest.raises(Exception, match="unknown op"):
+        merge_changes(target, changes, ["k"]).collect()
+    # valid ops still work untouched
+    ok = spark.createDataFrame(
+        [(1, "D", None), (2, "U", 25.0)], "k long, op string, price double"
+    )
+    got = {r["k"]: r["price"] for r in merge_changes(target, ok, ["k"]).collect()}
+    assert got == {2: 25.0}
