@@ -716,3 +716,88 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .select(*key, "change", "old", "new")
     )
+
+
+def export_changes(
+    spark: SparkSession,
+    path: str,
+    out_dir: str,
+    key: Sequence[str],
+) -> list[int]:
+    """Incremental CDC EXPORT: emit each store version's changes exactly
+    once — the store as a CHANGE SOURCE for downstream consumers (the
+    Iceberg changelog-read analogue). `merge_changes` covers CDC IN and
+    `mv.advance_view` consumes diffs directly; this is the remaining
+    direction: replicate the store's evolution elsewhere without ever
+    shipping a full snapshot.
+
+    Per unexported version v (cursor+1 .. latest), snapshot_diff(v-1, v)
+    lands under ``out_dir/changes/to_version=v`` as flat op rows —
+    (key..., op ∈ I/U/D, payload columns) — exactly the shape
+    operators/merge.merge_changes applies, so a consumer folding the
+    change dirs in version order reproduces every snapshot (pinned in
+    tests). `changed` rows export the NEW payload as a 'U'.
+
+    Exactly-once discipline: each version's dir is written with
+    mode=overwrite, THEN the cursor file advances via atomic
+    tmp+replace — a crash between the two replays the same version into
+    the same dir (idempotent), and a consumer reading change dirs never
+    sees a half-exported version it cannot re-read. The cursor is the
+    only state; wiping it re-exports from the beginning into the same
+    dirs (same content — snapshots are immutable).
+
+    Fails loudly (read_snapshot's time-travel floor) if vacuum has
+    expired a version that was never exported — export cadence must
+    outrun expire_snapshots, which is the operational contract of any
+    changelog. Returns the version ids exported this call.
+
+    Scale: each diff is one full-outer equi-join of two snapshot reads
+    — at 100 TB run it on the partitions the manifest says changed (an
+    append's diff only needs the new run unioned against nothing; the
+    general form here reads both snapshots, correct at any size).
+    """
+    cursor_file = os.path.join(out_dir, "_cursor.json")
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        with open(cursor_file) as f:
+            last = json.load(f)["last_exported"]
+    except FileNotFoundError:
+        last = 0
+    manifest = read_manifest(path)
+    latest = max(s["id"] for s in manifest["snapshots"])
+    exported: list[int] = []
+    for v in range(last + 1, latest + 1):
+        base = 1 if v == 1 else v - 1
+        if v == 1:
+            # version 1 has no predecessor: its entire content exports
+            # as inserts
+            snap = read_snapshot(spark, path, 1)
+            payload = [c for c in snap.columns if c not in key]
+            out = snap.select(
+                *key, F.lit("I").alias("op"), *payload
+            )
+        else:
+            diff = snapshot_diff(spark, path, base, v, key)
+            op = (
+                F.when(F.col("change") == "added", F.lit("I"))
+                .when(F.col("change") == "removed", F.lit("D"))
+                .otherwise(F.lit("U"))
+            )
+            out = diff.select(*key, op.alias("op"), F.col("new.*"))
+        (
+            out.write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "changes", f"to_version={v}"))
+        )
+        tmp = cursor_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_exported": v}, f)
+        os.replace(tmp, cursor_file)
+        exported.append(v)
+    return exported
+
+
+def read_changes(spark: SparkSession, out_dir: str, version: int) -> DataFrame:
+    """One exported version's change rows (merge_changes-shaped)."""
+    return spark.read.parquet(
+        os.path.join(out_dir, "changes", f"to_version={version}")
+    )

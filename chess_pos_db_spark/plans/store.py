@@ -248,3 +248,53 @@ def store_vacuumed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "store_cdc_export",
+    oracle=f"""
+SELECT 1 AS to_version, doc_id, 'I' AS op
+FROM documents WHERE NOT ({_DIFF_APPEND})
+UNION ALL
+SELECT 2 AS to_version, doc_id, 'I' AS op
+FROM documents WHERE ({_DIFF_APPEND})
+UNION ALL
+SELECT 3 AS to_version, doc_id, 'D' AS op
+FROM documents WHERE ({_DIFF_DELETE})
+ORDER BY to_version, doc_id
+""",
+)
+def store_cdc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 change-log externally verified: the store as a CDC SOURCE.
+    `export_changes` emits each version's diff exactly once in
+    merge_changes shape (version 1 = full initial content as inserts;
+    v2 = the appended slice as inserts; v3 = the deleted slice as
+    deletes — note the LOG view differs from the collapsed v1→v3 diff:
+    a row appended in v2 and deleted in v3 appears in BOTH, which is
+    exactly what a downstream replica needs to converge through every
+    intermediate state). Exactly-once discipline: per-version dir
+    write, then atomic cursor advance — a repeat call exports nothing
+    (pinned in tests/test_layout.py with the fold-the-log-with-
+    merge_changes round-trip). The export lives INSIDE the store dir
+    so a corpus-fingerprint rebuild starts it fresh."""
+
+    def build(path: str, payload: DataFrame) -> None:
+        layout.append_versioned(
+            payload.filter(~F.expr(_DIFF_APPEND)), path, ["doc_id"]
+        )
+        layout.append_versioned(
+            payload.filter(F.expr(_DIFF_APPEND)), path, ["doc_id"]
+        )
+        res = layout.delete_rows(spark, path, _DIFF_DELETE)
+        if res["version"] is None:
+            raise ValueError(
+                f"store_cdc_export: delete matched nothing at {sf_dir!r}"
+            )
+
+    path = _ensure_lifecycle_store(spark, sf_dir, "exported", build)
+    out = os.path.join(path, "_cdc_export")
+    layout.export_changes(spark, path, out, ["doc_id"])
+    log = spark.read.parquet(os.path.join(out, "changes"))
+    return log.select(
+        F.col("to_version").cast("int").alias("to_version"), "doc_id", "op"
+    ).orderBy("to_version", "doc_id")

@@ -681,3 +681,63 @@ def test_delete_rows_path_with_spaces(spark, tmp_path):
     res = layout.delete_rows(spark, path, "k = 1")
     assert res["rows_deleted"] == 1
     assert [r["k"] for r in layout.read_snapshot(spark, path).collect()] == [2]
+
+
+def test_export_changes_cdc_roundtrip(spark, tmp_path):
+    """The store as a CDC SOURCE: export_changes emits each version's
+    diff exactly once in merge_changes shape, and a consumer folding
+    the change dirs in version order reproduces every snapshot — CDC
+    OUT feeding CDC IN. Incremental: a second export is empty; a new
+    version exports alone; a wiped cursor re-exports identical content
+    into the same dirs."""
+    import os
+
+    from chess_pos_db_spark.operators.merge import merge_changes
+
+    path = str(tmp_path / "cdc_store")
+    out = str(tmp_path / "cdc_out")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, val long")
+    layout.append_versioned(mk([(i, i * 10) for i in range(10)]), path, ["k"])
+    layout.append_versioned(mk([(i, i) for i in range(10, 16)]), path, ["k"])
+    layout.delete_rows(spark, path, "k % 4 = 1")
+
+    got = layout.export_changes(spark, path, out, ["k"])
+    assert got == [1, 2, 3]
+    # incremental: nothing new -> nothing exported
+    assert layout.export_changes(spark, path, out, ["k"]) == []
+
+    # consumer folds the log in order and matches every snapshot
+    target = spark.createDataFrame([], "k long, val long")
+    for v in (1, 2, 3):
+        target = merge_changes(
+            target, layout.read_changes(spark, out, v), ["k"]
+        ).localCheckpoint(eager=True)
+        want = sorted(
+            tuple(r) for r in layout.read_snapshot(spark, path, v).collect()
+        )
+        assert sorted(tuple(r) for r in target.collect()) == want
+
+    # a new version exports alone, and the consumer catches up
+    layout.append_versioned(mk([(100, 1)]), path, ["k"])
+    assert layout.export_changes(spark, path, out, ["k"]) == [4]
+    target = merge_changes(
+        target, layout.read_changes(spark, out, 4), ["k"]
+    )
+    assert sorted(tuple(r) for r in target.collect()) == sorted(
+        tuple(r) for r in layout.read_snapshot(spark, path).collect()
+    )
+
+    # wiped cursor: deterministic re-export into the same dirs
+    pre = sorted(
+        tuple(r)
+        for v in (1, 2, 3, 4)
+        for r in layout.read_changes(spark, out, v).collect()
+    )
+    os.unlink(os.path.join(out, "_cursor.json"))
+    assert layout.export_changes(spark, path, out, ["k"]) == [1, 2, 3, 4]
+    post = sorted(
+        tuple(r)
+        for v in (1, 2, 3, 4)
+        for r in layout.read_changes(spark, out, v).collect()
+    )
+    assert post == pre

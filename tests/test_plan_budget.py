@@ -71,6 +71,7 @@ SHUFFLE_BUDGET = {
     "agg_view_retracted": 1,  # presentation ORDER BY over the |grain| view
     "store_snapshot_diff": 3,  # full-outer SMJ (2) + presentation ORDER BY
     "store_vacuumed": 1,  # identical read shape to store_delete_rows
+    "store_cdc_export": 1,  # log read + presentation ORDER BY
 }
 
 
