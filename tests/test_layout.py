@@ -741,3 +741,48 @@ def test_export_changes_cdc_roundtrip(spark, tmp_path):
         for r in layout.read_changes(spark, out, v).collect()
     )
     assert post == pre
+
+
+def test_export_changes_feeds_streaming_replica(spark, tmp_path):
+    """The full replication pipeline: store evolves (append/append/
+    delete), export_changes emits the log, and the STREAMING consumer
+    (cdc_apply_stream over the changes dir, to_version as the sequence
+    column) converges a replica to the latest snapshot — the exported
+    log is not just batch-foldable, it is a valid at-least-once stream
+    feed where a micro-batch mixing versions still resolves per key by
+    latest_per_key."""
+    from pyspark.sql import types as T
+
+    from chess_pos_db_spark.streaming import jobs
+
+    path = str(tmp_path / "repl_store")
+    out = str(tmp_path / "repl_out")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, val long")
+    layout.append_versioned(mk([(i, i * 10) for i in range(8)]), path, ["k"])
+    layout.append_versioned(mk([(i, i) for i in range(8, 12)]), path, ["k"])
+    layout.delete_rows(spark, path, "k % 3 = 1")
+    assert layout.export_changes(spark, path, out, ["k"]) == [1, 2, 3]
+
+    changes_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("val", T.LongType()),
+            T.StructField("to_version", T.IntegerType()),
+        ]
+    )
+    seed = spark.createDataFrame([], "k long, val long")
+    replica = jobs.cdc_apply_stream(
+        spark,
+        f"{out}/changes",
+        changes_schema,
+        str(tmp_path / "replica"),
+        seed,
+        ["k"],
+        seq_col="to_version",
+    )
+    want = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+    got = sorted(
+        tuple(r) for r in replica.select("k", "val").collect()
+    )
+    assert got == want and len(got) > 0
