@@ -186,6 +186,33 @@ _STAGE_REQUIRED = {
 _STAGE_AT_LEAST_ONE = {"quality_gate", "exclude_ids"}
 
 
+def _check_values(op: str, stage: dict) -> None:
+    """Degenerate-value validation: these values bind cleanly and then
+    silently produce an EMPTY (or unfiltered) corpus — the worst config
+    failure mode, because the job succeeds and ships nothing/everything.
+    Same discipline as the unknown-key check: surface it at bind time.
+    (An explicitly empty exclude_ids denylist is NOT here — excluding
+    nothing is the correct reading of an empty retraction list.)"""
+    if op == "lang_filter" and not list(stage["langs"]):
+        raise ValueError(
+            "lang_filter: empty langs list would silently drop EVERY "
+            "document — list the languages to keep"
+        )
+    if op == "sample_hash":
+        p = int(stage["permille"])
+        if not (0 < p <= 1000):
+            raise ValueError(
+                f"sample_hash: permille={p} out of range — must be in "
+                "(0, 1000] (0 keeps nothing, >1000 is a rate typo: the "
+                "unit is per-mille, not per-cent or a count)"
+            )
+    if op == "domain_cap" and int(stage["per_source"]) < 1:
+        raise ValueError(
+            f"domain_cap: per_source={stage['per_source']} keeps "
+            "nothing — must be >= 1"
+        )
+
+
 def run_pipeline(docs: DataFrame, spec: dict, observe: bool = False):
     """Bind `spec["stages"]` in order over `docs`; returns the composed
     lazy plan. Unknown ops raise at bind time (config errors surface
@@ -234,6 +261,7 @@ def run_pipeline(docs: DataFrame, spec: dict, observe: bool = False):
                 f"gate filters nothing; set at least one of "
                 f"{sorted(_STAGE_KEYS[op])}"
             )
+        _check_values(op, stage)
         out = tap(_STAGES[op](out, stage), f"{i}:{op}")
     if observe:
         return out, observations

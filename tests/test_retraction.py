@@ -259,3 +259,37 @@ def test_retraction_propagates_to_materialized_views(
     # views without a store are a caller bug, loudly
     with pytest.raises(ValueError, match="require store_path"):
         retraction.retract_documents(spark, doomed, view_paths=[vp])
+
+
+def test_spec_degenerate_values_fail_at_bind_time(spark):
+    """Config values that bind cleanly but silently produce an empty
+    (or unfiltered) corpus must raise at bind time: an empty
+    lang_filter, a permille of 0 / >1000 (rate-unit typo), a
+    per_source of 0. An empty exclude_ids DENYLIST stays legal —
+    excluding nothing is the correct reading of an empty retraction
+    list."""
+    from chess_pos_db_spark.llm.spec import run_pipeline
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "s", 10) for i in range(6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    for bad in (
+        {"op": "lang_filter", "langs": []},
+        {"op": "sample_hash", "permille": 0},
+        {"op": "sample_hash", "permille": 1001},
+        {"op": "sample_hash", "permille": -5},
+        {"op": "domain_cap", "per_source": 0},
+    ):
+        with pytest.raises(ValueError):
+            run_pipeline(docs, {"stages": [bad]})
+    # boundary values stay legal
+    out = run_pipeline(
+        docs,
+        {"stages": [
+            {"op": "sample_hash", "permille": 1000},
+            {"op": "domain_cap", "per_source": 1},
+            {"op": "exclude_ids", "doc_ids": []},
+        ]},
+    )
+    assert out.count() == 1  # one source, capped at 1
