@@ -186,16 +186,45 @@ ROUND8_VERIFIED: frozenset[str] = frozenset({
     "udf_arrow_scalar", "udf_map_in_arrow",
 })
 
-# ROUND-10 SESSION TODO (fold timing): CORRECTNESS_r09 will be
-# generated at the END of round 9 against round-9 final HEAD — fold
-# that file's names as ROUND9_VERIFIED (and extend
-# DRIVER_VERIFIED/_VERIFIED_BY_ROUND) at the START of round 10,
-# exactly as ROUND8_VERIFIED was folded at the start of round 9.
+# the 50 queries covered by CORRECTNESS_r09.json (driver gate, round
+# 9): all 50 hash-exact (rows/schema/hash True, err None for every
+# row) — the 7 round-9 lifecycle registrations (view retraction, LSH
+# compaction, BM25/IVF maintenance, snapshot diff/vacuum/CDC export)
+# plus the 43 least-recently-verified r4/r5-era greens the rotation
+# surfaced.  Folded at the START of round 10 per the standing
+# fold-timing rule.
+ROUND9_VERIFIED: frozenset[str] = frozenset({
+    "agg_bitwise", "agg_bool_countif", "agg_from_view",
+    "agg_grouping_sets", "agg_listagg", "agg_median", "agg_mode",
+    "agg_percentile", "agg_regr", "agg_stats_suite",
+    "agg_view_retracted", "curation_domain_cap", "curation_end_to_end",
+    "curation_funnel", "dataset_card", "dedup_cross_source",
+    "dedup_lsh_index_compacted", "dedup_substring",
+    "dedup_substring_fraction", "doc_pack_sequences", "lang_id_eval",
+    "mix_source_weights", "search_bm25_maintained",
+    "select_contamination_free", "select_diverse_docs",
+    "similarity_ivf_maintained", "source_overlap_matrix",
+    "split_train_val_test", "sql_orders_revenue", "store_cdc_export",
+    "store_snapshot_diff", "store_vacuumed", "str_basic_suite",
+    "str_regexp_suite", "subquery_above_avg", "subquery_exists",
+    "subquery_in", "text_bpe_merge_pairs", "text_char_entropy",
+    "text_contamination", "text_count_min", "text_gopher_quality",
+    "text_ngram_counts", "text_pii_scrub", "text_repetition",
+    "text_skipgram_pairs", "unpivot_measures", "win_cume_nth",
+    "win_moving_avg", "win_range_frame",
+})
+
+# ROUND-11 SESSION TODO (fold timing): CORRECTNESS_r10 will be
+# generated at the END of round 10 against round-10 final HEAD — fold
+# that file's names as ROUND10_VERIFIED (and extend
+# DRIVER_VERIFIED/_VERIFIED_BY_ROUND) at the START of round 11,
+# exactly as ROUND9_VERIFIED was folded at the start of round 10.
 
 # union of everything any driver CORRECTNESS gate has verified so far
 DRIVER_VERIFIED: frozenset[str] = (
     ROUND12_VERIFIED | ROUND3_VERIFIED | ROUND4_VERIFIED | ROUND5_VERIFIED
     | ROUND6_VERIFIED | ROUND7_VERIFIED | ROUND8_VERIFIED
+    | ROUND9_VERIFIED
 )
 
 # round of each name's most recent green driver row (r1 and r2 covered
@@ -209,6 +238,7 @@ _VERIFIED_BY_ROUND: tuple[tuple[int, frozenset[str]], ...] = (
     (6, ROUND6_VERIFIED),
     (7, ROUND7_VERIFIED),
     (8, ROUND8_VERIFIED),
+    (9, ROUND9_VERIFIED),
 )
 
 LAST_VERIFIED_ROUND: dict[str, int] = {}
