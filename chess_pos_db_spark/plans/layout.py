@@ -566,7 +566,7 @@ def read_snapshot(
     return _read_dirs(spark, path, manifest, _live_snapshot_ids(manifest, version))
 
 
-def expire_snapshots(path: str, before: int) -> list[str]:
+def expire_snapshots(path: str, before: int, force: bool = False) -> list[str]:
     """Vacuum: give up time travel EARLIER than version `before` and
     delete the files only that history was keeping alive.
 
@@ -578,6 +578,16 @@ def expire_snapshots(path: str, before: int) -> list[str]:
     time-travel reads fail loudly instead of resurrecting partial
     state. Returns the deleted directories.
 
+    Export guard: a CDC export registered by `export_changes` needs
+    `read_snapshot(last_exported)` as the base of its next diff, so a
+    vacuum whose new floor would pass ANY registered export's cursor is
+    REFUSED — otherwise a crashed/lagging exporter silently loses the
+    changelog's ability to replay (the "export cadence must outrun
+    expire_snapshots" contract, enforced). `force=True` overrides,
+    accepting that lagging exports must restart from scratch; their
+    manifest registrations advance to the floor so the refusal does not
+    re-trigger forever on an abandoned export.
+
     Scale note: this is pure manifest arithmetic + file deletion —
     no data is read or rewritten. Run it after compactions the same
     way the reference's merge is followed by deleting source runs
@@ -588,6 +598,23 @@ def expire_snapshots(path: str, before: int) -> list[str]:
     manifest = read_manifest(path)
     if not manifest["snapshots"]:
         raise ValueError(f"expire_snapshots: no snapshots at {path!r}")
+    latest_id = max(s["id"] for s in manifest["snapshots"])
+    floor = min(before, latest_id)
+    lagging = {
+        d: lv
+        for d, lv in manifest.get("exports", {}).items()
+        if lv < floor
+    }
+    if lagging:
+        if not force:
+            raise ValueError(
+                f"expire_snapshots: vacuum to v{floor} would strand CDC "
+                f"export(s) {sorted(lagging)} (last_exported "
+                f"{sorted(lagging.values())}) — run export_changes first, "
+                "or pass force=True to abandon their replay history"
+            )
+        for d in lagging:
+            manifest["exports"][d] = floor
     keep = _live_snapshot_ids(manifest, before) | {
         s["id"] for s in manifest["snapshots"] if s["id"] > before
     }
@@ -669,12 +696,33 @@ def expire_snapshots(path: str, before: int) -> list[str]:
     return deleted
 
 
+def _restrict_to_files(
+    spark: SparkSession, path: str, full: DataFrame, rels
+) -> DataFrame:
+    """`full`'s rows restricted to the given relative parquet files,
+    column-aligned to `full`'s schema (a restricted subset may predate
+    an additive column; it reads as typed NULL, exactly as the full
+    mergeSchema read would show it). An empty file set folds to an
+    empty LocalRelation — filter(false) is optimized away, no scan."""
+    if not rels:
+        return full.filter(F.lit(False))
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, r) for r in sorted(rels)]
+    )
+    have = dict(df.dtypes)
+    for c, t in full.dtypes:
+        if c not in have:
+            df = df.withColumn(c, F.lit(None).cast(t))
+    return df.select(*full.columns)
+
+
 def snapshot_diff(
     spark: SparkSession,
     path: str,
     v_from: int,
     v_to: int,
     key: Sequence[str],
+    scan: str = "auto",
 ) -> DataFrame:
     """What changed between two snapshot versions: one row per key with
     change ∈ {added, removed, changed}, old/new payload structs — the
@@ -682,13 +730,40 @@ def snapshot_diff(
     to a downstream CDC export (feed it to operators/merge to replay
     the delta elsewhere).
 
-    One full-outer equi-join on the key; payload comparison is a
-    struct equality (codegen, no per-column plumbing). Cost is the two
-    snapshot scans — at 100 TB you run it on the partitions the
-    manifest says changed, which for an append is just the new run.
+    ``scan='auto'`` (default) is DELTA-SIZED: the manifest records each
+    snapshot's file set, and a file common to both versions is
+    byte-identical on both sides, so under the store's keyed discipline
+    (each key in at most one live row per snapshot — what delete_rows /
+    compact_versioned maintain and what fold-the-log replication
+    already requires) no row in a common file can produce a diff row.
+    Both sides of the full-outer equi-join are therefore restricted to
+    the SYMMETRIC DIFFERENCE of the two file sets: an append's diff
+    reads only the new run (the old side folds to an empty relation and
+    Catalyst eliminates the join entirely — pinned in
+    tests/test_layout.py), a copy-on-write delete reads only the
+    touched files plus their rewrite, and only a full compaction — where
+    every file genuinely changed — degrades to the two full scans.
+    ``scan='full'`` forces the general form (also the honest choice for
+    a store deliberately holding duplicate keys between compactions,
+    where the keyed-discipline shortcut does not apply).
+
+    Payload comparison is a struct equality (codegen, no per-column
+    plumbing).
     """
+    if scan not in ("auto", "full"):
+        raise ValueError(f"snapshot_diff: unknown scan mode {scan!r}")
+    manifest = read_manifest(path)
     a = read_snapshot(spark, path, v_from)
     b = read_snapshot(spark, path, v_to)
+    if scan == "auto":
+        files_from = set(
+            _snapshot_files(path, manifest, _live_snapshot_ids(manifest, v_from))
+        )
+        files_to = set(
+            _snapshot_files(path, manifest, _live_snapshot_ids(manifest, v_to))
+        )
+        a = _restrict_to_files(spark, path, a, files_from - files_to)
+        b = _restrict_to_files(spark, path, b, files_to - files_from)
     # payload = UNION of both sides' columns: additive schema evolution
     # means v_to can carry columns v_from never had (and a reverse diff
     # the opposite) — taking v_from's columns alone hid changes in the
@@ -746,15 +821,22 @@ def export_changes(
     only state; wiping it re-exports from the beginning into the same
     dirs (same content — snapshots are immutable).
 
-    Fails loudly (read_snapshot's time-travel floor) if vacuum has
-    expired a version that was never exported — export cadence must
-    outrun expire_snapshots, which is the operational contract of any
-    changelog. Returns the version ids exported this call.
+    The export registers its cursor position in the STORE manifest
+    (``exports``), and `expire_snapshots` refuses to vacuum history an
+    unfinished export still needs (force=True overrides) — the
+    "export cadence must outrun expire_snapshots" contract is enforced,
+    not just documented. A version whose delta is empty still gets a
+    cursor advance; its dir may hold no parquet files, and
+    `read_changes` answers it as a typed empty DataFrame from the
+    ``_schema.json`` sidecar written here. Returns the version ids
+    exported this call.
 
-    Scale: each diff is one full-outer equi-join of two snapshot reads
-    — at 100 TB run it on the partitions the manifest says changed (an
-    append's diff only needs the new run unioned against nothing; the
-    general form here reads both snapshots, correct at any size).
+    Scale: each diff is snapshot_diff(scan='auto') — DELTA-SIZED via
+    the manifest's file sets. An append version reads only its new run
+    with no join at all (pinned in tests/test_layout.py), a
+    copy-on-write delete reads only the touched files; only a full
+    compaction pays two snapshot scans, because every byte genuinely
+    changed.
     """
     cursor_file = os.path.join(out_dir, "_cursor.json")
     os.makedirs(out_dir, exist_ok=True)
@@ -767,7 +849,6 @@ def export_changes(
     latest = max(s["id"] for s in manifest["snapshots"])
     exported: list[int] = []
     for v in range(last + 1, latest + 1):
-        base = 1 if v == 1 else v - 1
         if v == 1:
             # version 1 has no predecessor: its entire content exports
             # as inserts
@@ -777,13 +858,22 @@ def export_changes(
                 *key, F.lit("I").alias("op"), *payload
             )
         else:
-            diff = snapshot_diff(spark, path, base, v, key)
+            diff = snapshot_diff(spark, path, v - 1, v, key)
             op = (
                 F.when(F.col("change") == "added", F.lit("I"))
                 .when(F.col("change") == "removed", F.lit("D"))
                 .otherwise(F.lit("U"))
             )
             out = diff.select(*key, op.alias("op"), F.col("new.*"))
+        schema_file = os.path.join(out_dir, "_schema.json")
+        if not os.path.isfile(schema_file):
+            # op-row schema sidecar: an empty delta writes no part
+            # files, so read_changes needs this to answer the version
+            # as a typed empty DataFrame (atomic like the cursor)
+            tmp = schema_file + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(out.schema.json())
+            os.replace(tmp, schema_file)
         (
             out.write.mode("overwrite")
             .parquet(os.path.join(out_dir, "changes", f"to_version={v}"))
@@ -793,11 +883,36 @@ def export_changes(
             json.dump({"last_exported": v}, f)
         os.replace(tmp, cursor_file)
         exported.append(v)
+    # register/advance this export's cursor in the store manifest so
+    # expire_snapshots can see which history a changelog still needs
+    # (re-read: the loop's snapshot reads don't mutate it, but stay
+    # fresh against the copy parsed before the export ran)
+    new_last = exported[-1] if exported else last
+    m = read_manifest(path)
+    exports = m.setdefault("exports", {})
+    export_id = os.path.abspath(out_dir)
+    if exports.get(export_id) != new_last:
+        exports[export_id] = new_last
+        _dump_manifest(path, m)
     return exported
 
 
 def read_changes(spark: SparkSession, out_dir: str, version: int) -> DataFrame:
-    """One exported version's change rows (merge_changes-shaped)."""
-    return spark.read.parquet(
-        os.path.join(out_dir, "changes", f"to_version={version}")
-    )
+    """One exported version's change rows (merge_changes-shaped).
+
+    A version whose delta was empty holds no parquet files (parquet
+    schema inference would fail); it answers as a typed empty DataFrame
+    from the export's ``_schema.json`` sidecar. A version that was
+    never exported still fails with Spark's own path error."""
+    d = os.path.join(out_dir, "changes", f"to_version={version}")
+    schema_file = os.path.join(out_dir, "_schema.json")
+    if (
+        os.path.isdir(d)
+        and os.path.isfile(schema_file)
+        and not any(n.endswith(".parquet") for n in os.listdir(d))
+    ):
+        from pyspark.sql.types import StructType
+
+        with open(schema_file) as f:
+            return spark.createDataFrame([], StructType.fromJson(json.load(f)))
+    return spark.read.parquet(d)

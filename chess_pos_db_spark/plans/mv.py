@@ -129,7 +129,14 @@ def read_view(
     spark: SparkSession, path: str, expect_base_version: int | None = None
 ) -> tuple[DataFrame, list[str], list[tuple[str, str]]]:
     """Open a materialized view; raises StaleViewError if the base has
-    moved past the version the view was built at."""
+    moved past the version the view was built at.
+
+    Invalidation window: the returned DataFrame reads the manifest's
+    current data dir LAZILY. One `advance_view` retains that dir
+    (deferred cleanup), so a reader racing a single advance still
+    scans complete data; the SECOND advance sweeps it and any still-lazy
+    plan over it breaks. Re-open (or collect) promptly after an
+    advance."""
     with open(os.path.join(path, _MANIFEST)) as f:
         manifest = json.load(f)
     if expect_base_version is not None and manifest["base_version"] != expect_base_version:
@@ -222,10 +229,22 @@ def advance_view(
     manifest["base_version"] = latest
     manifest["data_dir"] = new_dir
     _dump_manifest(view_path, manifest, filename=_MANIFEST)
-    if old_dir != new_dir:
-        import shutil
+    # Deferred cleanup: the just-superseded dir is RETAINED one advance
+    # (a lazy DataFrame handed out by read_view before this commit may
+    # still be mid-scan over it — the expire_snapshots logical/physical
+    # split, scaled down); dirs superseded two+ advances ago are swept.
+    # A read_view result is therefore invalidated by the SECOND advance
+    # after it, never the one racing it.
+    import shutil
 
-        shutil.rmtree(os.path.join(view_path, old_dir), ignore_errors=True)
+    for name in os.listdir(view_path):
+        full = os.path.join(view_path, name)
+        if (
+            name.startswith("data")
+            and name not in (new_dir, old_dir)
+            and os.path.isdir(full)
+        ):
+            shutil.rmtree(full, ignore_errors=True)
     return {"from": pinned, "to": latest, "advanced": True}
 
 

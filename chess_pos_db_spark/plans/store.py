@@ -177,8 +177,10 @@ def store_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     must report exactly the appended-and-still-live rows as `added`
     and the deleted-from-v1 rows as `removed` (rows both appended and
     deleted never surface — they were not in v1 and are not in v3).
-    One full-outer equi-join of the two snapshot reads; at 100 TB it
-    runs on the partitions the manifest says changed."""
+    Delta-sized by the manifest (snapshot_diff scan='auto'): both join
+    sides are restricted to the symmetric difference of the two
+    versions' file sets, so the diff reads the appended run and the
+    delete's touched files — never two full snapshots."""
 
     def build(path: str, payload: DataFrame) -> None:
         layout.append_versioned(

@@ -786,3 +786,133 @@ def test_export_changes_feeds_streaming_replica(spark, tmp_path):
         tuple(r) for r in replica.select("k", "val").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_snapshot_diff_append_is_delta_sized(spark, tmp_path):
+    """The 100 TB pin for the CDC source: an append version's diff is
+    manifest-resolved to the NEW files only — no join in the physical
+    plan (the empty old side folds away), and the scan's file index
+    holds nothing from v1. A copy-on-write delete's diff joins, but
+    both sides are restricted to the symmetric file difference — fewer
+    files than the two full snapshots."""
+    import re
+
+    path = str(tmp_path / "delta_store")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, val long")
+    layout.append_versioned(mk([(i, i * 10) for i in range(10)]), path, ["k"])
+    layout.append_versioned(mk([(i, i) for i in range(10, 16)]), path, ["k"])
+
+    diff = layout.snapshot_diff(spark, path, 1, 2, ["k"])
+    plan = diff._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "append diff must not join"
+    assert "/v1/" not in plan, "append diff must not scan v1 files"
+    assert sorted((r["k"], r["change"]) for r in diff.collect()) == [
+        (k, "added") for k in range(10, 16)
+    ]
+
+    layout.delete_rows(spark, path, "k % 4 = 1")
+    manifest = layout.read_manifest(path)
+    live_files = layout._snapshot_files(
+        path, manifest, layout._live_snapshot_ids(manifest)
+    )
+    d2 = layout.snapshot_diff(spark, path, 2, 3, ["k"])
+    p2 = d2._jdf.queryExecution().executedPlan().toString()
+    scanned = sum(
+        int(n) for n in re.findall(r"InMemoryFileIndex\((\d+) paths?\)", p2)
+    )
+    assert 0 < scanned < 2 * len(live_files), (
+        "delete diff must scan only the touched files, "
+        f"not two full snapshots (scanned {scanned})"
+    )
+    assert sorted((r["k"], r["change"]) for r in d2.collect()) == [
+        (k, "removed") for k in (1, 5, 9, 13)
+    ]
+
+    # the delta form must agree with the general form on every span
+    for v_from, v_to in ((1, 2), (2, 3), (1, 3)):
+        auto = sorted(
+            map(str, layout.snapshot_diff(spark, path, v_from, v_to, ["k"]).collect())
+        )
+        full = sorted(
+            map(
+                str,
+                layout.snapshot_diff(
+                    spark, path, v_from, v_to, ["k"], scan="full"
+                ).collect(),
+            )
+        )
+        assert auto == full, f"delta diff diverged on v{v_from}->v{v_to}"
+
+    with pytest.raises(ValueError, match="scan mode"):
+        layout.snapshot_diff(spark, path, 1, 2, ["k"], scan="fast")
+
+
+def test_read_changes_empty_version_is_typed(spark, tmp_path):
+    """An exported version whose delta is EMPTY (here: an append of
+    zero rows) writes no parquet part files; read_changes must still
+    answer it as a typed empty DataFrame (from the _schema.json
+    sidecar) so a consumer folding the log in version order survives
+    it — and merge_changes applies it as a no-op."""
+    from chess_pos_db_spark.operators.merge import merge_changes
+
+    path = str(tmp_path / "empty_store")
+    out = str(tmp_path / "empty_out")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, val long")
+    layout.append_versioned(mk([(1, 10), (2, 20)]), path, ["k"])
+    layout.append_versioned(mk([]), path, ["k"])  # empty delta version
+    layout.append_versioned(mk([(3, 30)]), path, ["k"])
+    assert layout.export_changes(spark, path, out, ["k"]) == [1, 2, 3]
+
+    v2 = layout.read_changes(spark, out, 2)
+    assert v2.count() == 0
+    assert set(v2.columns) == {"k", "op", "val"}
+
+    target = spark.createDataFrame([], "k long, val long")
+    for v in (1, 2, 3):
+        target = merge_changes(
+            target, layout.read_changes(spark, out, v), ["k"]
+        ).localCheckpoint(eager=True)
+    assert sorted(tuple(r) for r in target.collect()) == [
+        (1, 10), (2, 20), (3, 30),
+    ]
+
+    # a version that was never exported still fails loudly
+    with pytest.raises(Exception):
+        layout.read_changes(spark, out, 9).collect()
+
+
+def test_expire_snapshots_refuses_to_strand_export(spark, tmp_path):
+    """The vacuum/export contract, enforced: expire_snapshots refuses a
+    floor past any registered CDC export's cursor (the export's next
+    diff needs read_snapshot(last_exported)), and force=True abandons
+    the lagging export instead of silently bricking its replay."""
+    path = str(tmp_path / "guard_store")
+    out = str(tmp_path / "guard_out")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, val long")
+    layout.append_versioned(mk([(1, 10)]), path, ["k"])
+    assert layout.export_changes(spark, path, out, ["k"]) == [1]
+    layout.append_versioned(mk([(2, 20)]), path, ["k"])
+    v3 = layout.compact_versioned(
+        spark, path, key=["k"], agg_spec={"val": "sum"}
+    )
+
+    with pytest.raises(ValueError, match="strand CDC export"):
+        layout.expire_snapshots(path, before=v3)
+    # catching up the export clears the refusal
+    assert layout.export_changes(spark, path, out, ["k"]) == [2, 3]
+    layout.expire_snapshots(path, before=v3)
+    assert layout.read_manifest(path)["min_time_travel"] == v3
+
+    # force path: a second lagging export is abandoned explicitly
+    layout.append_versioned(mk([(4, 40)]), path, ["k"])
+    v5 = layout.compact_versioned(
+        spark, path, key=["k"], agg_spec={"val": "sum"}
+    )
+    with pytest.raises(ValueError, match="strand CDC export"):
+        layout.expire_snapshots(path, before=v5)
+    layout.expire_snapshots(path, before=v5, force=True)
+    m = layout.read_manifest(path)
+    assert m["min_time_travel"] == v5
+    # the abandoned export's registration advanced to the floor so the
+    # refusal does not re-trigger forever
+    assert m["exports"][__import__("os").path.abspath(out)] == v5

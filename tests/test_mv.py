@@ -445,7 +445,9 @@ def test_advance_view_crash_before_manifest_commit_replays(
     """A crash after the new partials land but BEFORE the manifest
     replace leaves the old pin authoritative — the view reads its old
     data, and the replayed advance recomputes the same diff and
-    commits. After commit the superseded data dir is gone."""
+    commits. The just-superseded data dir is RETAINED one generation
+    (deferred cleanup for racing readers — see
+    test_advance_view_defers_old_dir_cleanup)."""
     import os
 
     from chess_pos_db_spark.plans import layout, mv
@@ -484,5 +486,48 @@ def test_advance_view_crash_before_manifest_commit_replays(
     assert _rows(read_view(spark, vp, expect_base_version=2)[0]) == _rows(
         build_view(layout.read_snapshot(spark, store), dims, ms)
     )
-    # the superseded data dir was swept after the commit
+    # the just-superseded data dir is retained one generation for
+    # racing readers; the committed pin answers from the new dir
+    assert os.path.isdir(os.path.join(vp, "data"))
+    assert os.path.isdir(os.path.join(vp, "data_v2"))
+
+
+def test_advance_view_defers_old_dir_cleanup(spark, tmp_path):
+    """A lazy DataFrame handed out by read_view must survive ONE racing
+    advance: the superseded data dir is retained for one generation
+    and swept on the next advance (the expire_snapshots
+    logical/physical split, scaled down to the view)."""
+    import os
+
+    from chess_pos_db_spark.plans import layout
+    from chess_pos_db_spark.plans.mv import advance_view
+
+    store = str(tmp_path / "defer_store")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    )
+    layout.append_versioned(
+        mk([(i, f"s{i % 2}", i + 1) for i in range(10)]), store, ["doc_id"]
+    )
+    dims, ms = ["source"], [("count", "*"), ("sum", "n_chars")]
+    vp = str(tmp_path / "defer_view")
+    write_view(
+        build_view(layout.read_snapshot(spark, store), dims, ms),
+        vp, dims, ms, base_version=1,
+    )
+    stale, _, _ = read_view(spark, vp)  # lazy plan over data/
+    pre_rows = None
+
+    layout.append_versioned(mk([(100, "s0", 5)]), store, ["doc_id"])
+    assert advance_view(spark, store, vp, key=["doc_id"])["advanced"]
+    # the racing reader's dir survives the advance that superseded it
+    assert os.path.isdir(os.path.join(vp, "data"))
+    pre_rows = sorted(tuple(r) for r in stale.collect())
+    assert pre_rows  # still scannable, pre-advance content
+
+    layout.append_versioned(mk([(101, "s1", 6)]), store, ["doc_id"])
+    assert advance_view(spark, store, vp, key=["doc_id"])["advanced"]
+    # second advance sweeps it; the previous generation is retained
     assert not os.path.isdir(os.path.join(vp, "data"))
+    assert os.path.isdir(os.path.join(vp, "data_v2"))
+    assert os.path.isdir(os.path.join(vp, "data_v3"))
