@@ -34,6 +34,9 @@ and no-op, the rest run (pinned in tests/test_maintenance.py).
 Scale: every action is affected-data-sized by the underlying op's
 contract; the due-checks are single-row meta reads (postings/LSH) or
 directory listings (IVF) — the scheduler itself never scans a corpus.
+The IVF skew report reads per-file row counts from parquet FOOTERS
+during the same walk, so an all-ok IVF invocation runs ZERO Spark jobs
+(pinned in tests/test_maintenance.py).
 """
 
 from __future__ import annotations
@@ -45,16 +48,38 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+def _cell_dirs(layout_dir: str) -> dict[int, str]:
+    """cell → directory map for a LOCAL IVF layout, failing loudly when
+    the walk can see nothing: a remote URI (hdfs://, s3a://) or a dir
+    with no ``cell=*`` children would otherwise make every due-check
+    silently report a clean no-op while the module presents itself as
+    the operational maintenance entry point."""
+    if "://" in layout_dir:
+        raise ValueError(
+            f"IVF maintenance walks the filesystem and supports local "
+            f"layout paths only, got {layout_dir!r} — run it where the "
+            "layout is mounted, or extend the walk with a remote lister"
+        )
+    dirs = {
+        int(os.path.basename(cd).split("=", 1)[1]): cd
+        for cd in glob.glob(os.path.join(layout_dir, "cell=*"))
+        if os.path.isdir(cd)
+    }
+    if not dirs:
+        raise ValueError(
+            f"no cell=* directories under {layout_dir!r} — not an IVF "
+            "layout (build one with write_ivf_layout first)"
+        )
+    return dirs
+
+
 def ivf_cell_file_counts(layout_dir: str) -> dict[int, int]:
     """Parquet-file count per cell directory — the IVF due-check's
     input, a pure directory listing (no data read)."""
-    out: dict[int, int] = {}
-    for cd in glob.glob(os.path.join(layout_dir, "cell=*")):
-        cell = int(os.path.basename(cd).split("=", 1)[1])
-        out[cell] = sum(
-            1 for f in os.listdir(cd) if f.endswith(".parquet")
-        )
-    return out
+    return {
+        cell: sum(1 for f in os.listdir(cd) if f.endswith(".parquet"))
+        for cell, cd in _cell_dirs(layout_dir).items()
+    }
 
 
 def compact_ivf_cells(
@@ -104,20 +129,25 @@ def compact_ivf_cells(
     }
 
 
-def ivf_cell_skew(spark: SparkSession, layout_dir: str) -> float:
+def ivf_cell_skew(layout_dir: str) -> float:
     """max/mean cell population — the re-cluster signal. Row counts
-    come from one count-only aggregate over the layout (parquet
-    metadata-driven; no payload columns read)."""
-    rows = (
-        spark.read.parquet(layout_dir)
-        .groupBy("cell")
-        .count()
-        .agg(F.max("count").alias("mx"), F.avg("count").alias("mean"))
-        .first()
-    )
-    if rows["mean"] is None or rows["mean"] == 0:
+    come from the parquet FOOTERS during the same directory walk the
+    file-count due-check does (``metadata.num_rows`` per file) — zero
+    Spark jobs, so the scheduler's own idle cost stays O(files)
+    metadata reads and never a full-layout task wave."""
+    import pyarrow.parquet as pq
+
+    per_cell: list[int] = []
+    for cell, cd in _cell_dirs(layout_dir).items():
+        n = 0
+        for f in os.listdir(cd):
+            if f.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(cd, f)).metadata.num_rows
+        per_cell.append(n)
+    total = sum(per_cell)
+    if not per_cell or total == 0:
         return 1.0
-    return float(rows["mx"]) / float(rows["mean"])
+    return max(per_cell) / (total / len(per_cell))
 
 
 def maintain_indexes(
@@ -171,7 +201,7 @@ def maintain_indexes(
         res = compact_ivf_cells(
             spark, layout_dir, max_files_per_cell=max_files_per_cell
         )
-        skew = ivf_cell_skew(spark, layout_dir)
+        skew = ivf_cell_skew(layout_dir)
         res["skew"] = skew
         res["recluster_recommended"] = skew >= recluster_skew_factor
         report["ivf"][layout_dir] = res

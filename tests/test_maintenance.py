@@ -268,10 +268,57 @@ def test_ivf_compaction_touches_only_due_cells_and_reports_skew(
     # layout content unchanged by compaction
     got = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
     assert got == list(range(18))
-    skew = M.ivf_cell_skew(spark, out)
+    skew = M.ivf_cell_skew(out)
     assert skew > 1.5
     rep = M.maintain_indexes(
         spark, ivf_layouts=[out], max_files_per_cell=3,
         recluster_skew_factor=1.5,
     )
     assert rep["ivf"][out]["recluster_recommended"] is True
+
+
+def test_maintain_indexes_idle_ivf_runs_zero_spark_jobs(spark, tmp_path):
+    """The scheduler's own contract: when nothing is due, the IVF leg
+    is pure filesystem metadata (directory walk + parquet footers for
+    the skew report) — ZERO Spark jobs. Pinned via a job group: any
+    job submitted by the idle invocation would land in it."""
+    import os
+
+    from chess_pos_db_spark.llm import maintenance as M
+
+    out = str(tmp_path / "idle_ivf")
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(20)], "vec_id long, cell int"
+    )
+    df.repartition(1).write.mode("overwrite").partitionBy("cell").parquet(out)
+    counts = M.ivf_cell_file_counts(out)
+    assert all(n <= 8 for n in counts.values())  # nothing due
+
+    sc = spark.sparkContext
+    sc.setJobGroup("idle-maintain-probe", "zero-job contract")
+    try:
+        rep = M.maintain_indexes(spark, ivf_layouts=[out])
+    finally:
+        jobs = sc.statusTracker().getJobIdsForGroup("idle-maintain-probe")
+        sc.setJobGroup("", "")
+    assert rep["ivf"][out]["cells_compacted"] == 0
+    assert rep["ivf"][out]["skew"] >= 1.0
+    assert list(jobs) == [], f"idle IVF maintenance ran Spark jobs: {jobs}"
+
+
+def test_ivf_maintenance_rejects_unwalkable_layouts(spark, tmp_path):
+    """ADVICE fix: a layout URI the filesystem walk cannot see (remote
+    scheme) or a dir with no cell=* children must FAIL the due-check
+    loudly instead of silently reporting a clean no-op."""
+    import pytest as _pytest
+
+    from chess_pos_db_spark.llm import maintenance as M
+
+    with _pytest.raises(ValueError, match="local"):
+        M.ivf_cell_file_counts("hdfs://nn/warehouse/ivf_layout")
+    empty = str(tmp_path / "not_a_layout")
+    __import__("os").makedirs(empty)
+    with _pytest.raises(ValueError, match="cell="):
+        M.ivf_cell_file_counts(empty)
+    with _pytest.raises(ValueError, match="cell="):
+        M.maintain_indexes(spark, ivf_layouts=[empty])
