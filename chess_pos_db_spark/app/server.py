@@ -387,11 +387,13 @@ class Engine:
                 # json.dumps emits bare NaN/Infinity tokens for
                 # non-finite floats — NOT valid JSON; a strict client
                 # fails to parse the response line (SELECT sqrt(-1),
-                # 1e308*10, ... produce them). String form keeps the
-                # line parseable and the value readable.
+                # 1e308*10, ... produce them). The TAGGED form keeps the
+                # line parseable and stays distinguishable from a
+                # genuine string cell: SELECT 'nan' renders "nan",
+                # SELECT sqrt(-1.0) renders {"float": "nan"}.
                 import math
 
-                return v if math.isfinite(v) else repr(v)
+                return v if math.isfinite(v) else {"float": repr(v)}
             if v is None or isinstance(v, (bool, int, str)):
                 return v
             if isinstance(v, (bytes, bytearray)):

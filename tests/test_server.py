@@ -454,15 +454,17 @@ def test_tcp_non_object_json_gets_error_and_connection_survives(spark):
 def test_sql_nonfinite_floats_stay_valid_json(engine_db):
     """NaN/Infinity SQL results must cross the wire as VALID JSON —
     json.dumps's default emits bare NaN/Infinity tokens a strict parser
-    rejects. The row sanitizer renders them as strings; the response
-    line must survive allow_nan=False serialization."""
+    rejects. The row sanitizer renders them in the TAGGED form
+    {"float": "nan"} so a client can tell SELECT sqrt(-1.0) from a
+    genuine string cell SELECT 'nan'; the response line must survive
+    allow_nan=False serialization."""
     import json
 
     resp = engine_db.handle(
         {
             "command": "sql",
             "sql": "SELECT sqrt(-1.0) AS bad, 1e308 * 10 AS huge, "
-                   "count(*) AS n FROM entries",
+                   "'nan' AS s, count(*) AS n FROM entries",
         }
     )
     assert resp["ok"], resp
@@ -470,9 +472,10 @@ def test_sql_nonfinite_floats_stay_valid_json(engine_db):
     line = json.dumps(resp, allow_nan=False)
     back = json.loads(line)
     row = back["rows"][0]
-    assert isinstance(row[0], str) and row[0] == "nan"
-    assert isinstance(row[1], str) and row[1] == "inf"
-    assert isinstance(row[2], int)
+    assert row[0] == {"float": "nan"}
+    assert row[1] == {"float": "inf"}
+    assert row[2] == "nan"  # the string literal stays a bare string
+    assert isinstance(row[3], int)
 
 
 def test_dump_response_backstop_never_emits_invalid_json():
