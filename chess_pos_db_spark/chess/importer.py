@@ -677,6 +677,27 @@ def import_pgn(
     }
 
 
+def _swap_dir(live: str, tmp: str) -> None:
+    """Replace directory `live` with `tmp` rename-first: the live data
+    is moved aside BEFORE the new table takes its name and is deleted
+    only after the swap completes. A crash mid-swap therefore never
+    destroys the only remaining copy — either the old dir still exists
+    (under its own name or the .old staging name) or the new one is
+    already in place; a rmtree-then-rename order had a window where the
+    live table was gone and the replacement not yet named. Stale .old
+    staging from a prior crash is cleared first so the rename cannot
+    fail on a leftover."""
+    import os
+    import shutil
+
+    old = live + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(live, old)
+    os.rename(tmp, live)
+    shutil.rmtree(old)
+
+
 def _require_local(db_dir: str, op: str) -> None:
     """append/merge maintain sidecars and staging dirs with local-FS
     calls (os.path.isdir / shutil): on a remote URI those silently
@@ -780,8 +801,7 @@ def append_pgn(
         },
         partitions=partitions,
     )
-    shutil.rmtree(f"{db_dir}/entries")
-    os.rename(entries_tmp, f"{db_dir}/entries")
+    _swap_dir(f"{db_dir}/entries", entries_tmp)
     shutil.rmtree(runs_dir, ignore_errors=True)
 
     if has_retr:
@@ -803,8 +823,7 @@ def append_pgn(
             agg_spec={"cnt": "sum", "first_game_id": "min"},
             partitions=partitions,
         )
-        shutil.rmtree(retr_dir)
-        os.rename(retr_tmp, retr_dir)
+        _swap_dir(retr_dir, retr_tmp)
         shutil.rmtree(retr_runs_dir, ignore_errors=True)
         pre.unpersist()
     games.unpersist()

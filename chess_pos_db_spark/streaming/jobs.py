@@ -469,6 +469,16 @@ def _versioned_apply_stream(
     import hashlib
     import os
 
+    if "://" in store_dir:
+        # the _LATEST pointer discipline (atomic tmp+replace, existence
+        # probe, version-dir paths) is os-module local-FS code: on a
+        # remote URI os.path.exists is always False, so every restart
+        # would silently re-seed v1 and orphan the real store — reject
+        # loudly, like _prune_stale_epochs does
+        raise ValueError(
+            f"versioned apply stream: {store_dir!r} is a remote URI — "
+            "the _LATEST pointer protocol requires a local store dir"
+        )
     latest_path = os.path.join(store_dir, "_LATEST")
 
     def _batch_fps(batch_df: DataFrame) -> tuple[str, int]:
@@ -654,9 +664,37 @@ def ivm_apply_stream(
     would otherwise double-apply the deltas (doubled counts; re-applied
     deletes silently vanishing live groups through the cnt>0 filter).
 
-    Change rows: key columns + ``val`` + op ∈ {'I','D'}.
+    Change rows: key columns + ``val`` + op ∈ {'I','D'}. Any other op
+    (a CDC-style 'U', a lowercase 'd', a NULL) would match NEITHER
+    filter and silently drop the delta — the view then diverges from
+    recompute with no error anywhere. Malformed ops fail loudly
+    instead, woven into the op column exactly like merge_changes'
+    guard so Catalyst cannot prune it.
     """
     from ..operators.ivm import agg_view, maintain_agg_view
+
+    def apply(view: DataFrame, batch: DataFrame) -> DataFrame:
+        guarded = batch.withColumn(
+            op_col,
+            F.when(
+                F.col(op_col).isin("I", "D"), F.col(op_col)
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("ivm_apply_stream: unknown op "),
+                        F.coalesce(F.col(op_col), F.lit("NULL")),
+                        F.lit(" — ops must be 'I' or 'D'"),
+                    )
+                )
+            ),
+        )
+        return maintain_agg_view(
+            view,
+            key,
+            val,
+            inserts=guarded.filter(F.col(op_col) == "I"),
+            deletes=guarded.filter(F.col(op_col) == "D"),
+        )
 
     return _versioned_apply_stream(
         spark,
@@ -666,11 +704,5 @@ def ivm_apply_stream(
         seed_write=lambda d: agg_view(seed_base, key, val)
         .write.mode("overwrite")
         .parquet(d),
-        apply_fn=lambda view, batch: maintain_agg_view(
-            view,
-            key,
-            val,
-            inserts=batch.filter(F.col(op_col) == "I"),
-            deletes=batch.filter(F.col(op_col) == "D"),
-        ),
+        apply_fn=apply,
     )

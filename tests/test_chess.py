@@ -638,3 +638,32 @@ def test_import_reports_dropped_invalid_games(spark, tmp_path):
     assert stats["games"] == 3
     assert stats["skipped"] == 1
     assert stats["dropped_invalid"] == 1
+
+
+def test_swap_dir_never_deletes_the_only_copy(tmp_path):
+    """append_pgn's table swap must move the live dir aside BEFORE the
+    replacement takes its name: a crash mid-swap leaves a recoverable
+    copy under either name, never a window where the live table was
+    rmtree'd and the replacement not yet renamed. Stale .old staging
+    from a prior crash is cleared, not tripped over."""
+    import os
+
+    live = tmp_path / "entries"
+    tmp = tmp_path / "entries_tmp"
+    stale = tmp_path / "entries.old"
+    for d, marker in ((live, "old"), (tmp, "new"), (stale, "stale")):
+        d.mkdir()
+        (d / f"{marker}.parquet").write_text(marker)
+
+    importer._swap_dir(str(live), str(tmp))
+    assert (live / "new.parquet").read_text() == "new"
+    assert not tmp.exists()
+    assert not stale.exists()
+
+    # crash-window simulation: first rename done, second never runs —
+    # the old data survives under .old
+    live2 = tmp_path / "t2"
+    tmp2 = tmp_path / "t2_tmp"
+    live2.mkdir(); (live2 / "a.parquet").write_text("a")
+    os.rename(str(live2), str(live2) + ".old")  # the crash point
+    assert (tmp_path / "t2.old" / "a.parquet").read_text() == "a"

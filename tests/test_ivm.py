@@ -345,3 +345,50 @@ def test_ivm_stream_pre_upgrade_pointer_fails_honestly(spark, tmp_path):
     shutil.rmtree(store + "_chk")
     with pytest.raises(Exception, match="cannot be verified"):
         jobs.ivm_apply_stream(spark, src, schema, store, base, ["k"], "v")
+
+
+def test_ivm_stream_rejects_unknown_ops(spark, tmp_path):
+    """A change row whose op is not 'I'/'D' (a CDC 'U', a NULL) would
+    match NEITHER delta filter and silently drop from the view — the
+    view then diverges from recompute with no error anywhere. The op
+    guard must fail the batch loudly instead."""
+    from pyspark.sql import types as T
+
+    from chess_pos_db_spark.streaming import jobs
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    base = spark.createDataFrame([("a", 1)], "k string, v long")
+    for bad_rows, label in (
+        ([("a", 2, "U")], "cdc U"),
+        ([("a", 2, None)], "null op"),
+    ):
+        src = str(tmp_path / f"changes_{label.replace(' ', '_')}")
+        store = str(tmp_path / f"view_{label.replace(' ', '_')}")
+        spark.createDataFrame(bad_rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        with pytest.raises(Exception, match="unknown op"):
+            jobs.ivm_apply_stream(spark, src, schema, store, base, ["k"], "v")
+
+
+def test_versioned_apply_stream_rejects_remote_store(spark, tmp_path):
+    """The _LATEST pointer protocol is local-FS code; a remote store
+    URI must be rejected loudly, not silently re-seed v1 on every
+    restart."""
+    from pyspark.sql import types as T
+
+    from chess_pos_db_spark.streaming import jobs
+
+    schema = T.StructType([T.StructField("k", T.StringType())])
+    base = spark.createDataFrame([("a", 1)], "k string, v long")
+    with pytest.raises(ValueError, match="remote URI"):
+        jobs.ivm_apply_stream(
+            spark, str(tmp_path / "src"), schema,
+            "s3a://bucket/view", base, ["k"], "v",
+        )
