@@ -643,3 +643,114 @@ def agg_view_retracted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(_mcol("count", "*")).alias("cnt"),
         F.col(_mcol("sum", "n_chars")).alias("total"),
     ).orderBy("source", "lang")
+
+
+# the advance lifecycle's slices (bounded like the retraction query so
+# the store stays fixture-sized at every scale factor)
+_ADV_BOUND = "doc_id < 4000"
+_ADV_APPEND = "doc_id % 4 = 3"
+_ADV_DELETE = "doc_id % 7 = 3"
+
+
+def _view_adv_home(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import re
+    from urllib.parse import urlparse
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    return (
+        os.path.join(wh, f"mvadv_store_{tag}"),
+        os.path.join(wh, f"mvadv_view_{tag}"),
+    )
+
+
+@register(
+    "agg_view_advanced",
+    oracle=f"""
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT)      AS cnt,
+       CAST(SUM(n_chars) AS BIGINT)  AS total
+FROM documents
+WHERE {_ADV_BOUND} AND NOT ({_ADV_DELETE})
+GROUP BY source, lang
+ORDER BY source, lang
+""",
+)
+def agg_view_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-version view maintenance externally verified: a
+    (source, lang) aggregate view is materialized at store v1, the
+    store then APPENDS the `doc_id % 4 = 3` slice (v2) and copy-on-write
+    DELETES `doc_id % 7 = 3` (v3), and ONE `advance_view` call catches
+    the view up across BOTH versions through the store's own CDC — the
+    round-10 delta-sized snapshot_diff resolves the span's changed
+    files from the manifest (appended run + delete-touched files,
+    never two snapshot scans). The oracle aggregates the final base
+    directly: advance must equal recompute. Complements
+    `agg_view_retracted` (single delete via the retraction feed) with
+    the mixed append+delete span and a direct advance_view call."""
+    import shutil
+
+    from . import layout
+
+    docs = t(spark, sf_dir, "documents").filter(F.expr(_ADV_BOUND))
+    live = docs.filter(~F.expr(_ADV_DELETE))
+    store, vp = _view_adv_home(spark, sf_dir)
+    dims, ms = ["source", "lang"], [("count", "*"), ("sum", "n_chars")]
+    fp = live.groupBy().agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("s")
+    ).first()
+    n_live, s_live = int(fp["n"]), int(fp["s"] or 0)
+
+    def _converged() -> bool:
+        from .layout import MANIFEST_NAME, _live_snapshot_ids
+
+        if not (
+            os.path.isfile(os.path.join(store, MANIFEST_NAME))
+            and os.path.isfile(os.path.join(vp, _MANIFEST))
+        ):
+            return False
+        try:
+            sm = layout.read_manifest(store)
+            if max(_live_snapshot_ids(sm)) != 3:
+                return False
+            st = layout.read_snapshot(spark, store)
+            got = st.groupBy().agg(
+                F.count("*").alias("n"), F.sum("doc_id").alias("s")
+            ).first()
+            if (int(got["n"]), int(got["s"] or 0)) != (n_live, s_live):
+                return False
+            with open(os.path.join(vp, _MANIFEST)) as f:
+                vm = json.load(f)
+            return vm["base_version"] == 3
+        except Exception:
+            return False
+
+    if not _converged():
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(vp, ignore_errors=True)
+        payload = docs.select("doc_id", "source", "lang", "n_chars")
+        layout.append_versioned(
+            payload.filter(~F.expr(_ADV_APPEND)), store, ["doc_id"]
+        )
+        write_view(
+            build_view(layout.read_snapshot(spark, store), dims, ms),
+            vp, dims, ms, base_version=1,
+        )
+        layout.append_versioned(
+            payload.filter(F.expr(_ADV_APPEND)), store, ["doc_id"]
+        )
+        res = layout.delete_rows(spark, store, _ADV_DELETE)
+        if res["version"] is None:
+            raise ValueError("agg_view_advanced: delete matched nothing")
+        adv = advance_view(spark, store, vp, key=["doc_id"])
+        if adv != {"from": 1, "to": 3, "advanced": True}:
+            raise ValueError(f"agg_view_advanced: unexpected advance {adv}")
+    view, vdims, vms = read_view(spark, vp, expect_base_version=3)
+    rolled = answer(
+        view, vdims, vms,
+        group_exprs=[("source", "source"), ("lang", "lang")],
+        aggs={"cnt": ("count", "*"), "total": ("sum", "n_chars")},
+    )
+    return rolled.select(
+        "source", "lang", "cnt", F.col("total").cast("long").alias("total")
+    ).orderBy("source", "lang")

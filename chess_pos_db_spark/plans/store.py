@@ -121,6 +121,25 @@ _DIFF_APPEND = "doc_id % 4 = 3"
 _DIFF_DELETE = "doc_id % 9 = 2"
 
 
+def _diff_lifecycle_build(spark: SparkSession, name: str):
+    """The shared v1-append / v2-append / v3-delete build sequence of
+    every diff-lifecycle query (diffed/exported/... variants must build
+    IDENTICAL stores so whichever query runs first builds for all)."""
+
+    def build(path: str, payload: DataFrame) -> None:
+        layout.append_versioned(
+            payload.filter(~F.expr(_DIFF_APPEND)), path, ["doc_id"]
+        )
+        layout.append_versioned(
+            payload.filter(F.expr(_DIFF_APPEND)), path, ["doc_id"]
+        )
+        res = layout.delete_rows(spark, path, _DIFF_DELETE)
+        if res["version"] is None:
+            raise ValueError(f"{name}: delete matched nothing")
+
+    return build
+
+
 def _ensure_lifecycle_store(
     spark: SparkSession, sf_dir: str, variant: str, build
 ) -> str:
@@ -300,3 +319,130 @@ def store_cdc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log.select(
         F.col("to_version").cast("int").alias("to_version"), "doc_id", "op"
     ).orderBy("to_version", "doc_id")
+
+
+@register(
+    "store_time_travel",
+    oracle=f"""
+SELECT 1 AS as_of, doc_id, CAST(LENGTH(text) AS BIGINT) AS text_len
+FROM documents WHERE NOT ({_DIFF_APPEND})
+UNION ALL
+SELECT 2 AS as_of, doc_id, CAST(LENGTH(text) AS BIGINT) AS text_len
+FROM documents
+ORDER BY as_of, doc_id
+""",
+)
+def store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 time travel externally verified: after the full
+    append/append/delete lifecycle, `read_snapshot(path, v)` must
+    reproduce EVERY historical state exactly — v1 is the corpus minus
+    the appended slice, v2 the full corpus (the delete at v3 is
+    invisible to both) — the "which corpus trained this model" audit
+    read (Iceberg/Delta time travel, scaled to the manifest we keep;
+    reference analogue: immutable runs are never rewritten in place,
+    `src/persistence/pos_db/` †). Driver-side file-list resolution
+    per version: the scan never lists files outside the requested
+    snapshot, so a historical read costs that snapshot's bytes, not
+    the store's."""
+    path = _ensure_lifecycle_store(
+        spark, sf_dir, "diffed", _diff_lifecycle_build(spark, "store_time_travel")
+    )
+
+    def as_of(v: int) -> DataFrame:
+        return layout.read_snapshot(spark, path, v).select(
+            F.lit(v).alias("as_of"),
+            "doc_id",
+            F.length("text").cast("long").alias("text_len"),
+        )
+
+    return as_of(1).unionByName(as_of(2)).orderBy("as_of", "doc_id")
+
+
+@register(
+    "store_changelog_replayed",
+    oracle=f"""
+SELECT doc_id, source, CAST(LENGTH(text) AS BIGINT) AS text_len
+FROM documents
+WHERE NOT ({_DIFF_DELETE})
+ORDER BY doc_id
+""",
+)
+def store_changelog_replayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC TRIANGLE externally verified end-to-end: the store's
+    exported change log (export_changes — delta-sized per version),
+    folded back through operators/merge.merge_changes in version
+    order, must converge a from-scratch replica to exactly the live
+    snapshot — CDC out feeding CDC in, previously pytest-only, now
+    oracle-exact against the corpus. The replica starts EMPTY and sees
+    only change rows; the oracle aggregates the final base directly.
+    Scale: each fold step joins replica × one version's delta (never a
+    snapshot scan); a remote replica applies the same rows via
+    cdc_apply_stream (pinned batch≡stream in tests)."""
+    from ..operators.merge import merge_changes
+
+    path = _ensure_lifecycle_store(
+        spark, sf_dir, "exported",
+        _diff_lifecycle_build(spark, "store_changelog_replayed"),
+    )
+    out = os.path.join(path, "_cdc_export")
+    layout.export_changes(spark, path, out, ["doc_id"])
+    latest = max(
+        s["id"] for s in layout.read_manifest(path)["snapshots"]
+    )
+    replica = spark.createDataFrame(
+        [], "doc_id long, source string, text string"
+    )
+    for v in range(1, latest + 1):
+        replica = merge_changes(
+            replica, layout.read_changes(spark, out, v), ["doc_id"]
+        )
+    return replica.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("text_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "store_row_history",
+    oracle=f"""
+SELECT doc_id,
+       CAST(CASE WHEN ({_DIFF_DELETE}) THEN 2 ELSE 1 END AS BIGINT)
+           AS n_ops,
+       CAST(CASE WHEN ({_DIFF_APPEND}) THEN 2 ELSE 1 END AS BIGINT)
+           AS first_version,
+       CAST(CASE WHEN ({_DIFF_DELETE}) THEN 3
+                 WHEN ({_DIFF_APPEND}) THEN 2
+                 ELSE 1 END AS BIGINT) AS last_version,
+       CASE WHEN ({_DIFF_DELETE}) THEN 'D' ELSE 'I' END AS last_op
+FROM documents
+ORDER BY doc_id
+""",
+)
+def store_row_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row version attribution from the change log — the "when did
+    this row enter/leave the corpus" blame query a provenance audit
+    runs. One aggregate over the exported changes (to_version is the
+    partition column, so version pruning is free); the oracle
+    enumerates each row's expected life directly from the lifecycle
+    predicates, pinning the LOG'S CONTENT row-by-row across versions,
+    not just the folded end state. Scale: the log is delta-sized by
+    construction (round-10 manifest-aware export), so this reads
+    O(changes), never O(corpus × versions)."""
+    path = _ensure_lifecycle_store(
+        spark, sf_dir, "exported",
+        _diff_lifecycle_build(spark, "store_row_history"),
+    )
+    out = os.path.join(path, "_cdc_export")
+    layout.export_changes(spark, path, out, ["doc_id"])
+    log = spark.read.parquet(os.path.join(out, "changes"))
+    return (
+        log.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ops"),
+            F.min("to_version").cast("long").alias("first_version"),
+            F.max("to_version").cast("long").alias("last_version"),
+            F.max_by("op", "to_version").alias("last_op"),
+        )
+        .orderBy("doc_id")
+    )
