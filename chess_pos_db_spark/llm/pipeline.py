@@ -779,3 +779,98 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("shared_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# N6-delta — CDC-fed incremental curation: the ingest gate a LIVE corpus
+# runs on every exported store version. The delta (one version's 'I'
+# rows from plans/layout.export_changes — delta-sized by the round-10
+# manifest-aware diff) passes the quality gate in-row and an exact-
+# digest novelty check against the pre-append corpus, first-occurrence
+# within the batch. Composes the store's CDC OUT with the curation
+# family: curate only what arrived, never rescan the corpus.
+#
+# Scale shape: quality is zero-shuffle in-row array arithmetic on the
+# delta; novelty shuffles the DELTA against a digest projection of the
+# base — in production the right side is the materialized bucketed
+# digest store (dedup_incremental's 16 B/doc table), so the corpus text
+# is never re-read; the snapshot projection here is the oracle-matched
+# form at fixture scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_delta_ingest",
+    oracle=f"""
+WITH delta AS (
+    SELECT doc_id, source, text FROM documents WHERE doc_id % 4 = 3
+),
+base AS (
+    SELECT MD5(text) AS digest FROM documents WHERE NOT (doc_id % 4 = 3)
+),
+scored AS (
+    SELECT doc_id, source, MD5(text) AS digest,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+           (LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                            x -> x IN {_STOPWORDS!r})) * 1.0
+            / LEN(STRING_SPLIT(text, ' '))) AS stop_ratio
+    FROM delta
+),
+novel AS (
+    SELECT s.*, ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+    FROM scored s
+    WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.digest = s.digest)
+)
+SELECT doc_id, source, n_tokens
+FROM novel
+WHERE rn = 1 AND n_tokens >= 5 AND stop_ratio <= 0.5
+ORDER BY doc_id
+""",
+)
+def curation_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..plans import layout
+    from ..plans.store import (
+        _diff_lifecycle_build,
+        _ensure_lifecycle_store,
+    )
+
+    path = _ensure_lifecycle_store(
+        spark, sf_dir, "exported",
+        _diff_lifecycle_build(spark, "curation_delta_ingest"),
+    )
+    out = os.path.join(path, "_cdc_export")
+    layout.export_changes(spark, path, out, ["doc_id"])
+    delta = (
+        layout.read_changes(spark, out, 2)
+        .filter(F.col("op") == "I")
+        .select("doc_id", "source", "text")
+    )
+    toks = F.split("text", " ")
+    scored = delta.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("digest"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (
+            F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+            / F.size(toks)
+        ).alias("stop_ratio"),
+    )
+    base = (
+        layout.read_snapshot(spark, path, 1)
+        .select(F.md5("text").alias("digest"))
+    )
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    return (
+        scored.join(base, "digest", "left_anti")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("n_tokens") >= 5)
+            & (F.col("stop_ratio") <= 0.5)
+        )
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
+    )
