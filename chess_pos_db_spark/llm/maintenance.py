@@ -37,6 +37,13 @@ directory listings (IVF) — the scheduler itself never scans a corpus.
 The IVF skew report reads per-file row counts from parquet FOOTERS
 during the same walk, so an all-ok IVF invocation runs ZERO Spark jobs
 (pinned in tests/test_maintenance.py).
+
+Round 10 extends the same treatment to the VERSIONED STORE itself
+(`maintain_stores`): due-check is one manifest read; actions are
+`compact_versioned` on live-version pressure and `expire_snapshots`
+vacuum honoring the CDC-export guard — a vacuum a lagging export would
+be stranded by is REPORTED, never forced, so the scheduler can run on
+a cron without racing its consumers.
 """
 
 from __future__ import annotations
@@ -206,4 +213,92 @@ def maintain_indexes(
         res["recluster_recommended"] = skew >= recluster_skew_factor
         report["ivf"][layout_dir] = res
 
+    return report
+
+
+def store_version_pressure(path: str) -> dict:
+    """The versioned store's due-check input — ONE manifest read:
+    live/total snapshot counts and each registered CDC export's lag
+    behind the latest version."""
+    from ..plans import layout
+
+    m = layout.read_manifest(path)
+    live = layout._live_snapshot_ids(m)
+    latest = max(s["id"] for s in m["snapshots"])
+    return {
+        "live_versions": len(live),
+        "total_versions": len(m["snapshots"]),
+        "export_lag": {
+            d: latest - lv for d, lv in m.get("exports", {}).items()
+        },
+    }
+
+
+def maintain_stores(
+    spark: SparkSession,
+    stores: dict,
+    max_live_versions: int = 8,
+    vacuum: bool = True,
+) -> dict:
+    """Scheduled health for versioned snapshot stores — the corpus-side
+    sibling of the index legs above. ``stores`` maps store path →
+    agg_spec for `compact_versioned` (column → sum|min|max), or None
+    for a row store that must never be auto-compacted (an agg_spec on
+    a row store would silently drop unlisted payload columns — the
+    loud boundary is "no spec, no compaction").
+
+    Per store, in order:
+    - COMPACT when live snapshot versions exceed ``max_live_versions``
+      (each live version is one more file set every read unions, the
+      same per-query pressure as index delta generations). The merge
+      is the store's own aggregate-combining compaction; its manifest
+      append is the commit point.
+    - VACUUM (``expire_snapshots`` up to the latest version) to
+      reclaim superseded files. The CDC-export guard stays binding: a
+      vacuum that would strand a lagging export is recorded as
+      ``vacuum_blocked`` in the report and SKIPPED — the scheduler
+      never forces; catching the export up (or an explicit
+      force=True call outside the scheduler) is an operator decision,
+      exactly like IVF re-clustering.
+
+    Crash contract: same as the index legs — no cross-store
+    transaction; due-ness derives from each store's manifest, so a
+    crash mid-list leaves finished stores no longer due and the rerun
+    completes the rest (pinned in tests/test_maintenance.py).
+
+    Returns ``{path: {"live_versions_before", "compacted",
+    "vacuumed_files", "vacuum_blocked"}}``.
+    """
+    from ..plans import layout
+
+    report: dict = {}
+    for path, agg_spec in stores.items():
+        pressure = store_version_pressure(path)
+        r = {
+            "live_versions_before": pressure["live_versions"],
+            "compacted": False,
+            "vacuumed_files": 0,
+            "vacuum_blocked": None,
+        }
+        if (
+            agg_spec is not None
+            and pressure["live_versions"] > max_live_versions
+        ):
+            m = layout.read_manifest(path)
+            layout.compact_versioned(
+                spark, path, key=m["sort_key"], agg_spec=agg_spec
+            )
+            r["compacted"] = True
+        if vacuum:
+            m = layout.read_manifest(path)
+            latest = max(layout._live_snapshot_ids(m))
+            try:
+                r["vacuumed_files"] = len(
+                    layout.expire_snapshots(path, before=latest)
+                )
+            except ValueError as e:
+                if "strand CDC export" not in str(e):
+                    raise
+                r["vacuum_blocked"] = str(e)
+        report[path] = r
     return report

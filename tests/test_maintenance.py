@@ -322,3 +322,94 @@ def test_ivf_maintenance_rejects_unwalkable_layouts(spark, tmp_path):
         M.ivf_cell_file_counts(empty)
     with _pytest.raises(ValueError, match="cell="):
         M.maintain_indexes(spark, ivf_layouts=[empty])
+
+
+def test_maintain_stores_compacts_and_vacuums_on_pressure(spark, tmp_path):
+    """The versioned store gets the same scheduled health as the index
+    families: live-version pressure triggers the store's own
+    aggregate-combining compaction, vacuum reclaims the superseded
+    files, a rerun is a no-op, and the store's answers never change."""
+    from chess_pos_db_spark.llm import maintenance as M
+    from chess_pos_db_spark.plans import layout
+
+    path = str(tmp_path / "pressure_store")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, cnt long")
+    for i in range(6):
+        layout.append_versioned(mk([(j, 1) for j in range(4)]), path, ["k"])
+    before = sorted(
+        tuple(r)
+        for r in layout.read_snapshot(spark, path)
+        .groupBy("k").agg(F.sum("cnt").alias("c"))
+        .collect()
+    )
+
+    rep = M.maintain_stores(
+        spark, {path: {"cnt": "sum"}}, max_live_versions=4
+    )
+    r = rep[path]
+    assert r["live_versions_before"] == 6
+    assert r["compacted"] is True
+    assert r["vacuumed_files"] > 0 and r["vacuum_blocked"] is None
+    assert M.store_version_pressure(path)["live_versions"] == 1
+    after = sorted(
+        tuple(r) for r in layout.read_snapshot(spark, path).collect()
+    )
+    assert after == [(j, 6) for j in range(4)]
+    assert before == [(j, 6) for j in range(4)]
+
+    # converged: rerun is a clean no-op
+    rep2 = M.maintain_stores(spark, {path: {"cnt": "sum"}}, max_live_versions=4)
+    assert rep2[path]["compacted"] is False
+    assert rep2[path]["vacuumed_files"] == 0
+
+
+def test_maintain_stores_row_store_and_export_guard(spark, tmp_path):
+    """A row store (agg_spec None) is never auto-compacted — an
+    agg_spec would silently drop unlisted payload columns — and a
+    vacuum that would strand a lagging CDC export is REPORTED as
+    blocked, not forced; catching the export up unblocks it."""
+    from chess_pos_db_spark.llm import maintenance as M
+    from chess_pos_db_spark.plans import layout
+
+    path = str(tmp_path / "row_store")
+    out = str(tmp_path / "row_out")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, val string")
+    layout.append_versioned(mk([(1, "a")]), path, ["k"])
+    assert layout.export_changes(spark, path, out, ["k"]) == [1]
+    layout.append_versioned(mk([(2, "b")]), path, ["k"])
+    layout.delete_rows(spark, path, "k = 1")
+
+    rep = M.maintain_stores(spark, {path: None}, max_live_versions=1)
+    r = rep[path]
+    assert r["compacted"] is False  # no spec, no compaction
+    assert r["vacuumed_files"] == 0
+    assert "strand CDC export" in r["vacuum_blocked"]
+    # the store is untouched: export can still catch up and replay
+    assert layout.export_changes(spark, path, out, ["k"]) == [2, 3]
+
+    rep2 = M.maintain_stores(spark, {path: None})
+    assert rep2[path]["vacuum_blocked"] is None
+    assert rep2[path]["vacuumed_files"] > 0
+    got = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+    assert got == [(2, "b")]
+
+
+def test_maintain_stores_idle_runs_zero_spark_jobs(spark, tmp_path):
+    """All-ok store maintenance is one manifest read + a no-op vacuum —
+    zero Spark jobs, same contract as the idle IVF leg."""
+    from chess_pos_db_spark.llm import maintenance as M
+    from chess_pos_db_spark.plans import layout
+
+    path = str(tmp_path / "idle_store")
+    layout.append_versioned(
+        spark.createDataFrame([(1, 2)], "k long, cnt long"), path, ["k"]
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("idle-store-probe", "zero-job contract")
+    try:
+        rep = M.maintain_stores(spark, {path: {"cnt": "sum"}})
+    finally:
+        jobs = sc.statusTracker().getJobIdsForGroup("idle-store-probe")
+        sc.setJobGroup("", "")
+    assert rep[path]["compacted"] is False
+    assert list(jobs) == [], f"idle store maintenance ran Spark jobs: {jobs}"
