@@ -916,3 +916,34 @@ def test_expire_snapshots_refuses_to_strand_export(spark, tmp_path):
     # the abandoned export's registration advanced to the floor so the
     # refusal does not re-trigger forever
     assert m["exports"][__import__("os").path.abspath(out)] == v5
+
+
+def test_export_changes_over_compaction_version(spark, tmp_path):
+    """A compact_versioned version rewrites every file but (for a
+    converged store) changes no logical content: its export must write
+    an EMPTY delta (the restricted diff joins the two full file sets
+    and finds nothing), advance the cursor, and a consumer folding the
+    log straight through it must still converge to the live state."""
+    from chess_pos_db_spark.operators.merge import merge_changes
+
+    path = str(tmp_path / "compact_store")
+    out = str(tmp_path / "compact_out")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, cnt long")
+    layout.append_versioned(mk([(1, 5), (2, 7)]), path, ["k"])
+    v2 = layout.compact_versioned(
+        spark, path, key=["k"], agg_spec={"cnt": "sum"}
+    )
+    layout.append_versioned(mk([(3, 9)]), path, ["k"])
+    assert layout.export_changes(spark, path, out, ["k"]) == [1, 2, 3]
+
+    d2 = layout.read_changes(spark, out, v2)
+    assert d2.count() == 0 and set(d2.columns) == {"k", "op", "cnt"}
+
+    target = spark.createDataFrame([], "k long, cnt long")
+    for v in (1, 2, 3):
+        target = merge_changes(
+            target, layout.read_changes(spark, out, v), ["k"]
+        ).localCheckpoint(eager=True)
+    assert sorted(tuple(r) for r in target.collect()) == [
+        (1, 5), (2, 7), (3, 9),
+    ]
