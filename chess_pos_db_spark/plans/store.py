@@ -446,3 +446,52 @@ def store_row_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "store_schema_evolved",
+    oracle=f"""
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS text_len,
+       CASE WHEN ({_DIFF_APPEND}) THEN lang ELSE NULL END AS lang
+FROM documents
+ORDER BY doc_id
+""",
+)
+def store_schema_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution externally verified: v1 lands without
+    the `lang` column, v2 appends rows THAT CARRY IT, and the live read
+    answers the union schema with typed NULLs for pre-evolution rows —
+    add-column without rewriting history (the Iceberg/Delta semantic;
+    mergeSchema footer union is per-file metadata work, not data).
+    Previously pytest-only (test_snapshot_additive_schema_evolution);
+    the oracle enumerates exactly which rows may carry the new column.
+    Rename/retype still require a rewrite — that boundary stays."""
+
+    def build(path: str, payload: DataFrame) -> None:
+        docs = t(spark, sf_dir, "documents")
+        layout.append_versioned(
+            docs.filter(~F.expr(_DIFF_APPEND)).select(
+                "doc_id", "source", "text"
+            ),
+            path,
+            ["doc_id"],
+        )
+        layout.append_versioned(
+            docs.filter(F.expr(_DIFF_APPEND)).select(
+                "doc_id", "source", "text", "lang"
+            ),
+            path,
+            ["doc_id"],
+        )
+
+    path = _ensure_lifecycle_store(spark, sf_dir, "evolved", build)
+    return (
+        layout.read_snapshot(spark, path)
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("text_len"),
+            "lang",
+        )
+        .orderBy("doc_id")
+    )
