@@ -553,13 +553,75 @@ def _read_dirs(spark, path, manifest, ids) -> DataFrame:
     )
 
 
-def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
-) -> DataFrame:
-    """The table as of `version` (default: latest live state)."""
+def tag_snapshot(
+    path: str, name: str, version: int | None = None, retag: bool = False
+) -> int:
+    """Name a snapshot version (default: latest) — an Iceberg-style tag.
+
+    A tag is a GC ROOT: `expire_snapshots` keeps every file live at a
+    tagged version and `read_snapshot(tag=...)` stays readable below
+    the time-travel floor — "which corpus trained this model" becomes a
+    name, pinned against vacuum, instead of a version number someone
+    must remember not to expire. Tags are immutable by default (a
+    silently moved tag would rewrite an audit trail); `retag=True`
+    moves one explicitly. Returns the tagged version id.
+    """
     manifest = read_manifest(path)
+    ids = {s["id"] for s in manifest["snapshots"]}
+    v = max(ids) if version is None else version
+    if v not in ids:
+        raise ValueError(
+            f"tag_snapshot: version {v} does not exist at {path!r}"
+        )
+    tags = manifest.setdefault("tags", {})
+    if name in tags and tags[name] != v and not retag:
+        raise ValueError(
+            f"tag_snapshot: tag {name!r} already names v{tags[name]} — "
+            "tags are immutable audit anchors; pass retag=True to move it"
+        )
+    tags[name] = v
+    _dump_manifest(path, manifest)
+    return v
+
+
+def delete_tag(path: str, name: str) -> int:
+    """Drop a tag; its version becomes vacuumable again. Returns the
+    version the tag named; unknown tags fail loudly."""
+    manifest = read_manifest(path)
+    tags = manifest.get("tags", {})
+    if name not in tags:
+        raise ValueError(f"delete_tag: no tag {name!r} at {path!r}")
+    v = tags.pop(name)
+    _dump_manifest(path, manifest)
+    return v
+
+
+def read_snapshot(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    tag: str | None = None,
+) -> DataFrame:
+    """The table as of `version` / `tag` (default: latest live state).
+
+    A TAGGED version reads below the vacuum floor — tags are GC roots,
+    so its files are guaranteed present; an untagged historical version
+    below the floor fails loudly (its files may be gone)."""
+    manifest = read_manifest(path)
+    if tag is not None:
+        if version is not None:
+            raise ValueError("read_snapshot: pass version OR tag, not both")
+        tags = manifest.get("tags", {})
+        if tag not in tags:
+            raise ValueError(f"read_snapshot: no tag {tag!r} at {path!r}")
+        version = tags[tag]
     floor = manifest.get("min_time_travel")
-    if version is not None and floor is not None and version < floor:
+    if (
+        version is not None
+        and floor is not None
+        and version < floor
+        and version not in set(manifest.get("tags", {}).values())
+    ):
         raise ValueError(
             f"time travel to v{version} expired (floor is v{floor})"
         )
@@ -577,6 +639,11 @@ def expire_snapshots(path: str, before: int, force: bool = False) -> list[str]:
     the manifest; `min_time_travel` records the new floor so stale
     time-travel reads fail loudly instead of resurrecting partial
     state. Returns the deleted directories.
+
+    TAGGED versions (tag_snapshot) are GC roots: everything live at a
+    tagged version is kept regardless of `before`, and
+    `read_snapshot(tag=...)` keeps answering below the floor.
+    `delete_tag` releases the pin; the next vacuum reclaims it.
 
     Export guard: a CDC export registered by `export_changes` needs
     `read_snapshot(last_exported)` as the base of its next diff, so a
@@ -618,6 +685,11 @@ def expire_snapshots(path: str, before: int, force: bool = False) -> list[str]:
     keep = _live_snapshot_ids(manifest, before) | {
         s["id"] for s in manifest["snapshots"] if s["id"] > before
     }
+    # tags are GC roots: every snapshot live at a tagged version stays,
+    # so read_snapshot(tag=...) keeps answering below the floor until
+    # delete_tag releases it
+    for tv in manifest.get("tags", {}).values():
+        keep |= _live_snapshot_ids(manifest, tv)
     doomed = [s for s in manifest["snapshots"] if s["id"] not in keep]
     # Delete snapshots share files ACROSS version directories (their
     # `files` lists reference untouched files inside superseded

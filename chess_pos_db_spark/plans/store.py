@@ -495,3 +495,40 @@ def store_schema_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "store_tagged_read",
+    oracle="""
+SELECT doc_id, source, CAST(LENGTH(text) AS BIGINT) AS text_len
+FROM documents
+ORDER BY doc_id
+""",
+)
+def store_tagged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot TAGS as GC roots, externally verified: the pre-delete
+    v2 is tagged (the "which corpus trained this model" anchor), the
+    store is then vacuumed PAST it (expire_snapshots before=v3, which
+    without the tag reclaims v2's superseded history — pinned in
+    tests/test_layout.py), and the tagged read must still reproduce
+    the full corpus exactly. A name pins the training corpus against
+    retention policy instead of a version number someone must remember
+    not to expire (the Iceberg tag/ref semantic). The oracle is the
+    whole documents table: vacuum + tag change what is reclaimable,
+    never what a tagged read answers."""
+
+    def build(path: str, payload: DataFrame) -> None:
+        _diff_lifecycle_build(spark, "store_tagged_read")(path, payload)
+        layout.tag_snapshot(path, "pretrain", version=2)
+        layout.expire_snapshots(path, before=3)
+
+    path = _ensure_lifecycle_store(spark, sf_dir, "tagged", build)
+    return (
+        layout.read_snapshot(spark, path, tag="pretrain")
+        .select(
+            "doc_id",
+            "source",
+            F.length("text").cast("long").alias("text_len"),
+        )
+        .orderBy("doc_id")
+    )

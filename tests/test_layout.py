@@ -947,3 +947,59 @@ def test_export_changes_over_compaction_version(spark, tmp_path):
     assert sorted(tuple(r) for r in target.collect()) == [
         (1, 5), (2, 7), (3, 9),
     ]
+
+
+def test_snapshot_tags_survive_vacuum(spark, tmp_path):
+    """Tags are GC roots: a tagged version's files survive an
+    expire_snapshots that would otherwise reclaim them, the tagged read
+    stays exact below the time-travel floor, an UNtagged version below
+    the floor still fails loudly, and delete_tag releases the pin so
+    the next vacuum reclaims it. Tags are immutable unless retag=True;
+    tagging a nonexistent version fails."""
+    import os
+
+    path = str(tmp_path / "tagged_store")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, cnt long")
+    layout.append_versioned(mk([(1, 10), (2, 20)]), path, ["k"])
+    layout.append_versioned(mk([(3, 30)]), path, ["k"])
+    assert layout.tag_snapshot(path, "pretrain-v1", version=2) == 2
+    v3 = layout.compact_versioned(
+        spark, path, key=["k"], agg_spec={"cnt": "sum"}
+    )
+
+    layout.expire_snapshots(path, before=v3)
+    # floor advanced, but the tag still answers the full v2 state
+    got = sorted(
+        tuple(r) for r in layout.read_snapshot(spark, path, tag="pretrain-v1").collect()
+    )
+    assert got == [(1, 10), (2, 20), (3, 30)]
+    # the same version by NUMBER also reads (it is a tagged version)...
+    assert layout.read_snapshot(spark, path, 2).count() == 3
+    # ...but the untagged v1 below the floor fails loudly
+    with pytest.raises(ValueError, match="expired"):
+        layout.read_snapshot(spark, path, 1)
+    with pytest.raises(ValueError, match="no tag"):
+        layout.read_snapshot(spark, path, tag="nope")
+    with pytest.raises(ValueError, match="version OR tag"):
+        layout.read_snapshot(spark, path, 2, tag="pretrain-v1")
+
+    # immutability and existence guards
+    with pytest.raises(ValueError, match="immutable"):
+        layout.tag_snapshot(path, "pretrain-v1", version=v3)
+    assert layout.tag_snapshot(path, "pretrain-v1", version=v3, retag=True) == v3
+    assert layout.tag_snapshot(path, "pretrain-v1", version=2, retag=True) == 2
+    with pytest.raises(ValueError, match="does not exist"):
+        layout.tag_snapshot(path, "x", version=99)
+
+    # releasing the tag makes the history vacuumable again
+    assert layout.delete_tag(path, "pretrain-v1") == 2
+    with pytest.raises(ValueError, match="no tag"):
+        layout.delete_tag(path, "pretrain-v1")
+    deleted = layout.expire_snapshots(path, before=v3)
+    assert deleted, "released history should be reclaimed"
+    with pytest.raises(ValueError, match="expired"):
+        layout.read_snapshot(spark, path, 2)
+    # live state unaffected throughout
+    assert sorted(
+        tuple(r) for r in layout.read_snapshot(spark, path).collect()
+    ) == [(1, 10), (2, 20), (3, 30)]
