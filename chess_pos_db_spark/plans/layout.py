@@ -502,6 +502,194 @@ def delete_rows(
     }
 
 
+def upsert_rows(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    op_col: str = "op",
+    partitions: int = 8,
+) -> dict:
+    """MERGE a CDC batch into the versioned store copy-on-write — the
+    store's UPDATE/INSERT verb, completing the lifecycle alongside
+    append_versioned (bulk insert) and delete_rows (targeted delete).
+    Same Iceberg copy-on-write economics as delete_rows:
+
+    1. FIND: the change batch's keys (batch-sized, broadcast) semi-join
+       the live file set with the key predicate pushed into the scan —
+       the sorted layout prunes to the row groups whose stats intersect
+       — grouping matches by ``input_file_name()`` to resolve the
+       TOUCHED files driver-side.
+    2. REWRITE: only touched files are read back, matched keys removed,
+       and the batch's I/U payload rows added; every untouched live
+       file carries into the new snapshot BY REFERENCE — zero data I/O.
+
+    Change rows: key columns + ``op`` ∈ {'I','U','D'} + the FULL
+    payload (this is whole-row replacement under the store's keyed
+    discipline — partial column updates belong to operators/merge.
+    merge_changes, which coalesces per column against a target plan).
+    Result ≡ merge_changes(live, changes) for a key-unique store:
+    I/U upsert (insert when absent), D removes, D-for-absent-key
+    no-ops. Guards fail loudly, woven into the op column so Catalyst
+    cannot prune them: NULL keys, ops outside {'I','U','D'}, and
+    conflicting multiple change rows per key (exact duplicates
+    collapse first).
+
+    The manifest append is the single commit point (crash ⇒ orphan
+    v-dir invisible to readers; replay rewrites the same version id).
+    An empty batch returns version=None and writes nothing. Returns
+    ``{"version", "rows_removed", "rows_upserted", "files_rewritten",
+    "files_total"}``.
+    """
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import Window
+
+    manifest = read_manifest(path)
+    if not manifest["snapshots"]:
+        raise ValueError(f"upsert_rows: no snapshots at {path!r}")
+    key = manifest["sort_key"]
+    live = _live_snapshot_ids(manifest)
+    rels = _snapshot_files(path, manifest, live)
+
+    chg = changes.dropDuplicates()
+    # loud-guard column: NULL key / unknown op / conflicting rows per
+    # key all fail the job instead of silently corrupting the store
+    null_key = None
+    for kcol in key:
+        cond = F.col(kcol).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    wk = Window.partitionBy(*key)
+    guarded = (
+        F.when(
+            null_key,
+            F.raise_error(
+                F.lit("upsert_rows: change row with NULL merge key")
+            ),
+        )
+        .when(
+            # coalesce: a NULL op makes isin() NULL and a bare ~NULL
+            # would fall through the guard silently
+            ~F.coalesce(
+                F.col(op_col).isin("I", "U", "D"), F.lit(False)
+            ),
+            F.raise_error(
+                F.concat(
+                    F.lit("upsert_rows: unknown op "),
+                    F.coalesce(F.col(op_col), F.lit("NULL")),
+                    F.lit(" — ops must be 'I', 'U' or 'D'"),
+                )
+            ),
+        )
+        .when(
+            F.count("*").over(wk) > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "upsert_rows: conflicting change rows for key ("
+                    ),
+                    F.concat_ws(
+                        ",", *[F.col(c).cast("string") for c in key]
+                    ),
+                    F.lit(") — pre-collapse the batch"),
+                )
+            ),
+        )
+        .otherwise(F.col(op_col))
+    )
+    chg = chg.withColumn(op_col, guarded).localCheckpoint(eager=True)
+
+    store_cols = None
+    if rels:
+        src = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, r) for r in rels]
+        )
+        store_cols = src.columns
+        unknown = set(chg.columns) - {op_col} - set(store_cols)
+        if unknown:
+            raise ValueError(
+                f"upsert_rows: change column(s) {sorted(unknown)} do not "
+                "exist in the store — fix the changeset schema"
+            )
+        keys_df = chg.select(*key).distinct()
+        hits = (
+            src.join(F.broadcast(keys_df), on=list(key), how="left_semi")
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        touched = {
+            os.path.relpath(
+                unquote(urlparse(r["f"]).path), os.path.abspath(path)
+            )
+            for r in hits
+        }
+        unknown_files = touched - set(rels)
+        if unknown_files:
+            raise ValueError(
+                f"upsert_rows: matched files outside the live snapshot "
+                f"set {sorted(unknown_files)} — manifest and data "
+                "directory disagree"
+            )
+        rows_removed = sum(int(r["n"]) for r in hits)
+        keep = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(path, r) for r in sorted(touched)])
+            .join(F.broadcast(keys_df), on=list(key), how="left_anti")
+            if touched
+            else None
+        )
+    else:
+        touched = set()
+        rows_removed = 0
+        keep = None
+
+    adds = chg.filter(F.col(op_col).isin("I", "U")).drop(op_col)
+    if adds.isEmpty() and not touched:
+        return {
+            "version": None,
+            "rows_removed": 0,
+            "rows_upserted": 0,
+            "files_rewritten": 0,
+            "files_total": len(rels),
+        }
+    if store_cols is not None:
+        for c in store_cols:
+            if c not in adds.columns:
+                adds = adds.withColumn(
+                    c, F.lit(None).cast(dict(src.dtypes)[c])
+                )
+        adds = adds.select(*store_cols)
+        out = adds if keep is None else keep.unionByName(adds)
+    else:
+        out = adds
+    rows_upserted = adds.count()
+    v = (max(s["id"] for s in manifest["snapshots"])) + 1
+    vdir = f"v{v}"
+    (
+        out.repartitionByRange(partitions, *[F.col(k) for k in key])
+        .sortWithinPartitions(*key)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, vdir))
+    )
+    manifest["snapshots"].append(
+        {
+            "id": v,
+            "dirs": [vdir],
+            "files": sorted(set(rels) - touched),
+            "supersedes": sorted(live),
+        }
+    )
+    manifest["schema"] = out.schema.json()
+    _dump_manifest(path, manifest)
+    return {
+        "version": v,
+        "rows_removed": rows_removed,
+        "rows_upserted": int(rows_upserted),
+        "files_rewritten": len(touched),
+        "files_total": len(rels),
+    }
+
+
 def _live_snapshot_ids(manifest: dict, as_of: int | None = None) -> set[int]:
     """Snapshot ids visible at version `as_of` (default: latest):
     every id <= as_of not superseded by a compaction <= as_of."""

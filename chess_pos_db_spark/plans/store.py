@@ -532,3 +532,79 @@ def store_tagged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# the upsert lifecycle's slices: disjoint U/D (a key carrying both
+# would trip the conflicting-rows guard by design); inserts use
+# negated ids, which can never collide with real (positive) doc_ids
+_UPS_UPDATE = "doc_id % 5 = 1"
+_UPS_DELETE = "doc_id % 7 = 3"
+_UPS_INSERT = "doc_id % 11 = 0 AND doc_id <> 0"
+
+
+@register(
+    "store_upsert_rows",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN ({_UPS_UPDATE}) THEN 'revised' ELSE source END AS source,
+       CAST(LENGTH(text) AS BIGINT) AS text_len
+FROM documents WHERE NOT ({_UPS_DELETE})
+UNION ALL
+SELECT -doc_id AS doc_id, 'new' AS source,
+       CAST(LENGTH(text) AS BIGINT) AS text_len
+FROM documents WHERE {_UPS_INSERT}
+ORDER BY doc_id
+""",
+)
+def store_upsert_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store's MERGE verb externally verified: one mixed CDC batch
+    (U revises the `%5==1` slice's source, D removes `%7==3`, I adds
+    negated-id rows) applied copy-on-write by `upsert_rows` — only the
+    files whose row-group stats intersect the batch's keys are
+    rewritten, untouched files carry by manifest reference, and the
+    live read equals merge_changes semantics over the pre-batch state
+    (the oracle enumerates it directly). Completes the lifecycle verb
+    set alongside append (bulk insert), delete_rows and
+    compact_versioned; time travel to the pre-upsert corpus still
+    answers for audits (pinned in tests/test_layout.py)."""
+
+    def build(path: str, payload: DataFrame) -> None:
+        layout.append_versioned(
+            payload.filter(F.col("doc_id") % 2 == 0), path, ["doc_id"]
+        )
+        layout.append_versioned(
+            payload.filter(F.col("doc_id") % 2 == 1), path, ["doc_id"]
+        )
+        upd = payload.filter(
+            F.expr(_UPS_UPDATE) & ~F.expr(_UPS_DELETE)
+        ).select(
+            "doc_id",
+            F.lit("revised").alias("source"),
+            "text",
+            F.lit("U").alias("op"),
+        )
+        dele = payload.filter(F.expr(_UPS_DELETE)).select(
+            "doc_id", "source", "text", F.lit("D").alias("op")
+        )
+        ins = payload.filter(F.expr(_UPS_INSERT)).select(
+            (-F.col("doc_id")).alias("doc_id"),
+            F.lit("new").alias("source"),
+            "text",
+            F.lit("I").alias("op"),
+        )
+        res = layout.upsert_rows(
+            spark, path, upd.unionByName(dele).unionByName(ins)
+        )
+        if res["version"] is None:
+            raise ValueError("store_upsert_rows: batch matched nothing")
+
+    path = _ensure_lifecycle_store(spark, sf_dir, "upserted", build)
+    return (
+        layout.read_snapshot(spark, path)
+        .select(
+            "doc_id",
+            "source",
+            F.length("text").cast("long").alias("text_len"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1003,3 +1003,129 @@ def test_snapshot_tags_survive_vacuum(spark, tmp_path):
     assert sorted(
         tuple(r) for r in layout.read_snapshot(spark, path).collect()
     ) == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_upsert_rows_merges_copy_on_write(spark, tmp_path):
+    """The store's MERGE verb: I/U upsert (insert when absent), D
+    removes, D-for-absent no-ops — result equals merge_changes over the
+    live state; untouched files carry into the new snapshot by
+    reference (never rewritten); time travel to the pre-upsert version
+    still answers; a second identical upsert converges."""
+    import os
+
+    from chess_pos_db_spark.operators.merge import merge_changes
+
+    path = str(tmp_path / "upsert_store")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, val string")
+    layout.append_versioned(mk([(i, f"v{i}") for i in range(0, 10)]), path, ["k"])
+    layout.append_versioned(mk([(i, f"v{i}") for i in range(10, 20)]), path, ["k"])
+
+    chg = spark.createDataFrame(
+        [(3, "V3", "U"), (11, "V11", "U"), (99, "V99", "I"),
+         (5, None, "D"), (777, None, "D")],
+        "k long, val string, op string",
+    )
+    def state(rel_dir):
+        full = os.path.join(path, rel_dir)
+        return sorted(
+            (f, os.path.getmtime(os.path.join(full, f)))
+            for f in os.listdir(full) if f.endswith(".parquet")
+        )
+
+    live_before = layout.read_snapshot(spark, path).localCheckpoint(eager=True)
+    v1_before = state("v1")
+    res = layout.upsert_rows(spark, path, chg)
+    assert res["version"] == 3
+    assert res["rows_upserted"] == 3
+    assert res["rows_removed"] == 3  # keys 3, 11, 5 were present
+    assert 0 < res["files_rewritten"] < res["files_total"]
+
+    want = sorted(
+        tuple(r)
+        for r in merge_changes(live_before, chg, ["k"]).collect()
+    )
+    got = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+    assert got == want
+    # untouched files carried by reference, not rewritten
+    m = layout.read_manifest(path)
+    entry = [s for s in m["snapshots"] if s["id"] == 3][0]
+    assert entry["files"], "untouched files must carry by reference"
+    for rel in entry["files"]:
+        assert os.path.isfile(os.path.join(path, rel))
+    # pre-upsert state still answers
+    assert sorted(
+        tuple(r) for r in layout.read_snapshot(spark, path, 2).collect()
+    ) == sorted(tuple(r) for r in live_before.collect())
+
+    # converged rerun: same changes now touch only the already-merged
+    # rows; the result state is unchanged
+    res2 = layout.upsert_rows(spark, path, chg)
+    got2 = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+    assert got2 == want
+
+    # empty batch is a no-op
+    empty = spark.createDataFrame([], "k long, val string, op string")
+    assert layout.upsert_rows(spark, path, empty)["version"] is None
+
+
+def test_upsert_rows_guards_fail_loudly(spark, tmp_path):
+    """NULL keys, unknown ops, conflicting per-key rows and typo'd
+    payload columns must fail the batch before anything is written."""
+    path = str(tmp_path / "guard_upsert")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, val string")
+    layout.append_versioned(mk([(1, "a")]), path, ["k"])
+    snap = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+
+    cases = [
+        ([(None, "x", "U")], "NULL merge key"),
+        ([(1, "x", "u")], "unknown op"),
+        ([(1, "x", None)], "unknown op"),
+        ([(1, "x", "U"), (1, "y", "U")], "conflicting change rows"),
+    ]
+    for rows, msg in cases:
+        chg = spark.createDataFrame(rows, "k long, val string, op string")
+        with pytest.raises(Exception, match=msg):
+            layout.upsert_rows(spark, path, chg)
+    bad_col = spark.createDataFrame(
+        [(1, "x", "U")], "k long, nope string, op string"
+    )
+    with pytest.raises(ValueError, match="do not exist in the store"):
+        layout.upsert_rows(spark, path, bad_col)
+    # nothing was committed by any failed batch
+    assert sorted(
+        tuple(r) for r in layout.read_snapshot(spark, path).collect()
+    ) == snap
+
+
+def test_export_changes_over_upsert_version(spark, tmp_path):
+    """An upsert version's export carries genuine 'U' ops (the changed
+    rows' NEW payload), 'D' for removals and 'I' for inserts — and the
+    folded log converges a replica through it. Completes the changelog
+    coverage: append → I, delete → D, upsert → mixed I/U/D."""
+    from chess_pos_db_spark.operators.merge import merge_changes
+
+    path = str(tmp_path / "ups_cdc_store")
+    out = str(tmp_path / "ups_cdc_out")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, val string")
+    layout.append_versioned(mk([(1, "a"), (2, "b"), (3, "c")]), path, ["k"])
+    chg = spark.createDataFrame(
+        [(2, "B", "U"), (4, "d", "I"), (3, None, "D")],
+        "k long, val string, op string",
+    )
+    layout.upsert_rows(spark, path, chg)
+    assert layout.export_changes(spark, path, out, ["k"]) == [1, 2]
+
+    v2 = {
+        (r["k"], r["op"], r["val"])
+        for r in layout.read_changes(spark, out, 2).collect()
+    }
+    assert v2 == {(2, "U", "B"), (4, "I", "d"), (3, "D", None)}
+
+    target = spark.createDataFrame([], "k long, val string")
+    for v in (1, 2):
+        target = merge_changes(
+            target, layout.read_changes(spark, out, v), ["k"]
+        ).localCheckpoint(eager=True)
+    assert sorted(tuple(r) for r in target.collect()) == [
+        (1, "a"), (2, "B"), (4, "d"),
+    ]
