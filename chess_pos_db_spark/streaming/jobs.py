@@ -706,3 +706,69 @@ def ivm_apply_stream(
         .parquet(d),
         apply_fn=apply,
     )
+
+
+def store_apply_stream(
+    spark: SparkSession,
+    src_dir: str,
+    changes_schema: T.StructType,
+    store_path: str,
+    key: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming CDC ingestion INTO the manifest-versioned store
+    (plans/layout): each micro-batch of change rows merges via
+    `layout.upsert_rows` — copy-on-write at touched-file cost, one new
+    snapshot version per non-empty batch. The store keeps every
+    capability it has in batch: snapshot isolation for concurrent
+    readers, time travel, tags, export_changes downstream, scheduled
+    maintain_stores health.
+
+    A micro-batch can mix several logical versions of one key (the
+    at-least-once file source bundles whatever arrived); with
+    ``seq_col`` the LATEST change per key wins before the merge
+    (row_number over seq desc — the cdc_apply_stream resolution rule);
+    without it, conflicting rows for a key fail the batch loudly via
+    upsert_rows' guard.
+
+    Recovery contract: delivery is at-least-once across restarts, and
+    a REPLAYED batch converges — U re-applies to the same value, I
+    re-replaces, D re-no-ops — producing a new version with identical
+    logical content (harmless; compaction/vacuum reclaim it). No
+    _LATEST pointer is needed: the manifest IS the commit record.
+    Returns the live store DataFrame after draining (availableNow).
+    """
+    from pyspark.sql.window import Window
+
+    from ..plans import layout
+
+    reader = spark.readStream.schema(changes_schema)
+    if max_files_per_trigger is not None:
+        # version-per-source-file cadence (availableNow otherwise
+        # bundles everything already present into one batch/version)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    changes = reader.parquet(src_dir)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = batch_df
+        if seq_col is not None:
+            w = Window.partitionBy(*key).orderBy(F.col(seq_col).desc())
+            b = (
+                b.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", seq_col)
+            )
+        layout.upsert_rows(spark, store_path, b, op_col=op_col)
+
+    q = (
+        changes.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", store_path + "_chk")
+        .start()
+    )
+    q.awaitTermination()
+    return layout.read_snapshot(spark, store_path)

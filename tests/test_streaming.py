@@ -402,3 +402,74 @@ def test_prune_stale_epochs_rejects_remote_uri():
         jobs._prune_stale_epochs("hdfs://nn/runs", 0)
     # local missing dir still quietly no-ops (nothing to prune)
     jobs._prune_stale_epochs("/nonexistent/local/dir", 1)
+
+
+def test_store_apply_stream_merges_into_manifest_store(spark, tmp_path):
+    """The manifest store as a streaming CDC SINK: each micro-batch
+    merges copy-on-write via upsert_rows (one snapshot version per
+    batch — time travel sees every intermediate state), a batch mixing
+    versions of one key resolves latest-per-seq, and a wiped-checkpoint
+    replay CONVERGES to the same live state (new version ids, same
+    logical content — the manifest is the commit record, no pointer)."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from chess_pos_db_spark.plans import layout
+    from chess_pos_db_spark.streaming import jobs
+
+    src = str(tmp_path / "chg")
+    store = str(tmp_path / "cdc_sink_store")
+    layout.append_versioned(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, val string"),
+        store, ["k"],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("val", T.StringType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    b1 = [(2, "B0", "U", 1), (2, "B", "U", 2), (3, "c", "I", 1)]
+    b2 = [(1, None, "D", 3), (4, "d", "I", 3)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    live = jobs.store_apply_stream(
+        spark, src, schema, store, ["k"], seq_col="seq",
+        max_files_per_trigger=1,
+    )
+    want = [(2, "B"), (3, "c"), (4, "d")]
+    assert sorted(tuple(r) for r in live.collect()) == want
+    # one version per non-empty batch, each intermediate state readable
+    m = layout.read_manifest(store)
+    versions = sorted(s["id"] for s in m["snapshots"])
+    assert len(versions) == 3  # seed + 2 batches
+    assert layout.read_snapshot(spark, store, versions[0]).count() == 2
+
+    # wiped checkpoint: the replay converges (same live content)
+    shutil.rmtree(store + "_chk")
+    live2 = jobs.store_apply_stream(
+        spark, src, schema, store, ["k"], seq_col="seq"
+    )
+    assert sorted(tuple(r) for r in live2.collect()) == want
+
+    # without seq_col, a key-conflicting batch fails loudly
+    store2 = str(tmp_path / "conflict_store")
+    layout.append_versioned(
+        spark.createDataFrame([(1, "a")], "k long, val string"),
+        store2, ["k"],
+    )
+    src2 = str(tmp_path / "chg2")
+    spark.createDataFrame(
+        [(1, "x", "U", 1), (1, "y", "U", 2)], schema
+    ).coalesce(1).write.mode("append").parquet(src2)
+    with pytest.raises(Exception, match="conflicting change rows"):
+        jobs.store_apply_stream(
+            spark, src2,
+            T.StructType([f for f in schema.fields if f.name != "seq"]),
+            store2, ["k"],
+        )
