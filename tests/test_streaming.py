@@ -473,3 +473,52 @@ def test_store_apply_stream_merges_into_manifest_store(spark, tmp_path):
             T.StructType([f for f in schema.fields if f.name != "seq"]),
             store2, ["k"],
         )
+
+
+def test_store_to_store_replication_via_export_log(spark, tmp_path):
+    """Full manifest-store replication: store A evolves through every
+    lifecycle verb (append, copy-on-write upsert with a genuine U,
+    delete), export_changes emits its delta-sized log, and
+    store_apply_stream folds that log into manifest store B — B's live
+    state equals A's, and B is a REAL store (time travel to its seed,
+    its own manifest versions). to_version is the seq column, so a
+    micro-batch bundling several exported versions still resolves
+    per key."""
+    from pyspark.sql import types as T
+
+    from chess_pos_db_spark.plans import layout
+    from chess_pos_db_spark.streaming import jobs
+
+    a = str(tmp_path / "store_a")
+    b = str(tmp_path / "store_b")
+    out = str(tmp_path / "a_log")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, val string")
+    layout.append_versioned(mk([(1, "a"), (2, "b"), (3, "c")]), a, ["k"])
+    layout.upsert_rows(
+        spark, a,
+        spark.createDataFrame(
+            [(2, "B", "U"), (4, "d", "I")], "k long, val string, op string"
+        ),
+    )
+    layout.delete_rows(spark, a, "k = 3")
+    assert layout.export_changes(spark, a, out, ["k"]) == [1, 2, 3]
+
+    layout.append_versioned(mk([]), b, ["k"])  # empty seed store
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("val", T.StringType()),
+            T.StructField("to_version", T.IntegerType()),
+        ]
+    )
+    live_b = jobs.store_apply_stream(
+        spark, f"{out}/changes", schema, b, ["k"], seq_col="to_version"
+    )
+    want = sorted(
+        tuple(r) for r in layout.read_snapshot(spark, a).collect()
+    )
+    assert sorted(tuple(r) for r in live_b.select("k", "val").collect()) == want
+    assert want == [(1, "a"), (2, "B"), (4, "d")]
+    # B is a real store: its seed version still answers empty
+    assert layout.read_snapshot(spark, b, 1).count() == 0
