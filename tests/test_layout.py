@@ -1129,3 +1129,140 @@ def test_export_changes_over_upsert_version(spark, tmp_path):
     assert sorted(tuple(r) for r in target.collect()) == [
         (1, "a"), (2, "B"), (4, "d"),
     ]
+
+
+def test_store_lifecycle_randomized_against_model(spark, tmp_path):
+    """Model-based differential test of the WHOLE store lifecycle: for
+    several seeded random sequences of append / upsert / delete /
+    compact / tag+vacuum, the live snapshot must equal a plain dict
+    model after EVERY step; afterwards the exported change log folded
+    from an empty replica must equal the final model, and the
+    delta-sized snapshot_diff must equal the general form over random
+    version spans. This is the adversarial complement to the
+    scenario-pinned tests: the operations interleave in orders no
+    hand-written scenario covers."""
+    import random
+
+    from chess_pos_db_spark.operators.merge import merge_changes
+
+    mk = lambda rows: spark.createDataFrame(rows, "k long, val long")
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"rand_store_{seed}")
+        model: dict[int, int] = {}
+        next_val = [0]
+
+        def fresh_val():
+            next_val[0] += 1
+            return next_val[0]
+
+        # seed version
+        first = {k: fresh_val() for k in rng.sample(range(30), 5)}
+        model.update(first)
+        layout.append_versioned(mk(sorted(first.items())), path, ["k"])
+        tagged_versions: list[tuple[str, dict]] = []
+        out = str(tmp_path / f"rand_out_{seed}")
+
+        for step in range(7):
+            op = rng.choice(["append", "upsert", "delete", "compact", "vacuum"])
+            if op == "append":
+                fresh = [
+                    k for k in rng.sample(range(100), 6) if k not in model
+                ]
+                if not fresh:
+                    continue
+                batch = {k: fresh_val() for k in fresh}
+                model.update(batch)
+                layout.append_versioned(
+                    mk(sorted(batch.items())), path, ["k"]
+                )
+            elif op == "upsert":
+                rows = []
+                for k in rng.sample(sorted(model) or [0], min(2, len(model))):
+                    v = fresh_val()
+                    rows.append((k, v, "U"))
+                    model[k] = v
+                for k in rng.sample(range(100, 140), 2):
+                    if k in model or any(r[0] == k for r in rows):
+                        continue
+                    v = fresh_val()
+                    rows.append((k, v, "I"))
+                    model[k] = v
+                doomed = [
+                    k for k in rng.sample(sorted(model), min(2, len(model)))
+                    if not any(r[0] == k for r in rows)
+                ]
+                for k in doomed:
+                    rows.append((k, None, "D"))
+                    model.pop(k)
+                rows.append((999, None, "D"))  # D-for-absent no-op
+                if not rows:
+                    continue
+                layout.upsert_rows(
+                    spark, path,
+                    spark.createDataFrame(
+                        rows, "k long, val long, op string"
+                    ),
+                )
+            elif op == "delete":
+                m = rng.choice([3, 5, 7])
+                doomed = [k for k in model if k % m == 1]
+                res = layout.delete_rows(spark, path, f"k % {m} = 1")
+                for k in doomed:
+                    model.pop(k)
+                assert (res["rows_deleted"] > 0) == bool(doomed)
+            elif op == "compact":
+                layout.compact_versioned(
+                    spark, path, key=["k"], agg_spec={"val": "max"}
+                )
+            else:
+                # the export-cadence contract: export BEFORE vacuum so
+                # the changelog never loses replayable history (the
+                # registered-cursor guard enforces this ordering)
+                layout.export_changes(spark, path, out, ["k"])
+                man = layout.read_manifest(path)
+                latest = max(layout._live_snapshot_ids(man))
+                if rng.random() < 0.5:
+                    layout.tag_snapshot(
+                        path, f"t{step}", retag=True
+                    )
+                    tagged_versions.append((f"t{step}", dict(model)))
+                layout.expire_snapshots(path, before=latest)
+
+            got = {
+                r["k"]: r["val"]
+                for r in layout.read_snapshot(spark, path).collect()
+            }
+            assert got == model, f"seed {seed} step {step} op {op}"
+
+        # tagged reads reproduce their pinned states even after vacuums
+        for name, snap in tagged_versions:
+            got = {
+                r["k"]: r["val"]
+                for r in layout.read_snapshot(spark, path, tag=name).collect()
+            }
+            assert got == snap, f"seed {seed} tag {name}"
+
+        # the exported log folds from empty to the final model
+        layout.export_changes(spark, path, out, ["k"])
+        man = layout.read_manifest(path)
+        target = spark.createDataFrame([], "k long, val long")
+        for v in range(1, max(s["id"] for s in man["snapshots"]) + 1):
+            target = merge_changes(
+                target, layout.read_changes(spark, out, v), ["k"]
+            ).localCheckpoint(eager=True)
+        got = {r["k"]: r["val"] for r in target.collect()}
+        assert got == model, f"seed {seed} fold"
+
+        # delta diff == general diff over a random readable span
+        ids = sorted(s["id"] for s in man["snapshots"])
+        floor = man.get("min_time_travel") or 0
+        readable = [i for i in ids if i >= floor]
+        if len(readable) >= 2:
+            v_from, v_to = sorted(rng.sample(readable, 2))
+            auto = sorted(map(str, layout.snapshot_diff(
+                spark, path, v_from, v_to, ["k"]).collect()))
+            full = sorted(map(str, layout.snapshot_diff(
+                spark, path, v_from, v_to, ["k"], scan="full").collect()))
+            assert auto == full, f"seed {seed} diff v{v_from}->v{v_to}"
