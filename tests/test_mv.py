@@ -531,3 +531,94 @@ def test_advance_view_defers_old_dir_cleanup(spark, tmp_path):
     assert not os.path.isdir(os.path.join(vp, "data"))
     assert os.path.isdir(os.path.join(vp, "data_v2"))
     assert os.path.isdir(os.path.join(vp, "data_v3"))
+
+
+def test_view_advance_randomized_against_rebuild(spark, tmp_path):
+    """Model-based stress for the delta view-maintenance path: a store
+    evolves through seeded random append/upsert/delete/compact
+    sequences, and after every few steps ONE advance_view call (spanning
+    however many versions accumulated, through the delta-sized
+    snapshot_diff incl. genuine 'changed' rows from upserts that move a
+    row between groups) must leave the view equal to a from-scratch
+    rebuild over the live base."""
+    import random
+
+    from chess_pos_db_spark.plans import layout
+    from chess_pos_db_spark.plans.mv import advance_view
+
+    dims, ms = ["grp"], [("count", "*"), ("sum", "x")]
+    mk = lambda rows: spark.createDataFrame(rows, "k long, grp string, x long")
+
+    for seed in range(3):
+        rng = random.Random(100 + seed)
+        store = str(tmp_path / f"rv_store_{seed}")
+        vp = str(tmp_path / f"rv_view_{seed}")
+        rows = [
+            (k, f"g{rng.randrange(3)}", rng.randrange(50))
+            for k in rng.sample(range(40), 8)
+        ]
+        layout.append_versioned(mk(rows), store, ["k"])
+        write_view(
+            build_view(layout.read_snapshot(spark, store), dims, ms),
+            vp, dims, ms, base_version=1,
+        )
+        live_keys = {r[0] for r in rows}
+
+        for step in range(6):
+            op = rng.choice(["append", "upsert", "delete", "compact"])
+            if op == "append":
+                fresh = [k for k in rng.sample(range(200), 5)
+                         if k not in live_keys]
+                if not fresh:
+                    continue
+                layout.append_versioned(
+                    mk([
+                        (k, f"g{rng.randrange(3)}", rng.randrange(50))
+                        for k in fresh
+                    ]),
+                    store, ["k"],
+                )
+                live_keys.update(fresh)
+            elif op == "upsert":
+                chg = []
+                for k in rng.sample(sorted(live_keys),
+                                    min(3, len(live_keys))):
+                    # group-moving update: exercises changed-row
+                    # delete+insert legs of maintain_view
+                    chg.append((k, f"g{rng.randrange(3)}",
+                                rng.randrange(50), "U"))
+                for k in rng.sample(range(200, 240), 1):
+                    if k not in live_keys:
+                        chg.append((k, f"g{rng.randrange(3)}",
+                                    rng.randrange(50), "I"))
+                        live_keys.add(k)
+                layout.upsert_rows(
+                    spark, store,
+                    spark.createDataFrame(
+                        chg, "k long, grp string, x long, op string"
+                    ),
+                )
+            elif op == "delete":
+                m = rng.choice([4, 6])
+                doomed = {k for k in live_keys if k % m == 2}
+                if not doomed:
+                    continue
+                layout.delete_rows(spark, store, f"k % {m} = 2")
+                live_keys -= doomed
+            else:
+                layout.compact_versioned(
+                    spark, store, key=["k"],
+                    agg_spec={"grp": "max", "x": "max"},
+                )
+
+            if rng.random() < 0.6 or step == 5:
+                advance_view(spark, store, vp, key=["k"])
+                man_v = max(
+                    layout._live_snapshot_ids(layout.read_manifest(store))
+                )
+                view, vd, vm = read_view(spark, vp,
+                                         expect_base_version=man_v)
+                want = _rows(
+                    build_view(layout.read_snapshot(spark, store), dims, ms)
+                )
+                assert _rows(view) == want, f"seed {seed} step {step} {op}"
