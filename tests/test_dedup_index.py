@@ -735,3 +735,72 @@ def test_delete_matches_pure_python_pipeline(texts, del_mod):
         assert got == want
     finally:
         _drop_prefix(spark, "lsht_hypd")
+
+
+def test_lsh_index_lifecycle_randomized_against_fresh_build(spark, tmp_path):
+    """Model-based stress for the persistent LSH index: seeded random
+    append / exact-delete / compact sequences over a synthetic corpus,
+    then probes against the MAINTAINED index must equal probes against
+    an index FRESHLY BUILT over exactly the live documents — the "the
+    index answers as if rebuilt" contract, across interleavings no
+    scenario test enumerates."""
+    import random
+
+    def mk_docs(ids, rng):
+        vocab = [f"tok{i}" for i in range(25)]
+        rows = []
+        for i in ids:
+            # near-dup structure arises naturally from the small vocab;
+            # seeded per-doc so content is stable across rebuilds
+            r = random.Random(10_000 + i)
+            rows.append((i, " ".join(r.choice(vocab) for _ in range(12))))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    for seed in range(2):
+        rng = random.Random(seed)
+        prefix = f"rand_lsh_{seed}"
+        live = set(rng.sample(range(100), 12))
+        DI.build_lsh_index(spark, mk_docs(sorted(live), rng), prefix)
+        next_id = [100]
+
+        for step in range(5):
+            op = rng.choice(["append", "delete", "compact"])
+            if op == "append":
+                fresh = list(range(next_id[0], next_id[0] + 6))
+                next_id[0] += 6
+                DI.append_to_lsh_index(
+                    spark, mk_docs(fresh, rng), prefix
+                )
+                live.update(fresh)
+            elif op == "delete":
+                if len(live) <= 4:
+                    continue
+                doomed = rng.sample(sorted(live), 3)
+                DI.delete_from_lsh_index(
+                    spark,
+                    spark.createDataFrame(
+                        [(d,) for d in doomed], "doc_id long"
+                    ),
+                    prefix,
+                )
+                live -= set(doomed)
+            else:
+                DI.compact_lsh_index(spark, prefix)
+
+        # probe batch: novel ids whose content collides with live docs
+        probe_ids = list(range(5000, 5010))
+        probes = mk_docs(probe_ids, rng)
+        got = sorted(
+            tuple(r)
+            for r in DI.probe_lsh_index(spark, probes, prefix).collect()
+        )
+        fresh_prefix = f"rand_lsh_fresh_{seed}"
+        DI.build_lsh_index(
+            spark, mk_docs(sorted(live), rng), fresh_prefix
+        )
+        want = sorted(
+            tuple(r)
+            for r in DI.probe_lsh_index(spark, probes, fresh_prefix).collect()
+        )
+        assert got == want, f"seed {seed}: maintained != fresh-built"
+        assert want, f"seed {seed}: degenerate probe (no collisions)"
