@@ -1148,3 +1148,72 @@ def test_delete_then_append_and_crash_semantics(spark, sf_dir, monkeypatch):
             if name.name.startswith(("ixda_test", "ixdaref_test",
                                      "ixdapre_test")):
                 spark.sql(f"DROP TABLE IF EXISTS {name.name}")
+
+
+def test_postings_index_lifecycle_randomized_against_fresh_build(
+    spark, tmp_path
+):
+    """Model-based stress for the postings index (the third index
+    family, mirroring the LSH and store randomized tests): seeded
+    random append / tombstone-delete / compact interleavings over a
+    synthetic corpus, then BM25 top-k against the MAINTAINED index must
+    equal the same search against an index FRESHLY BUILT over exactly
+    the live documents — df counts, corpus stats (n_docs/avgdl) and
+    tombstone masks all have to agree with a from-scratch build for the
+    scores to match."""
+    import random
+
+    from chess_pos_db_spark.llm import search as S
+
+    def mk_docs(ids):
+        vocab = [f"w{i}" for i in range(20)]
+        rows = []
+        for i in ids:
+            r = random.Random(77_000 + i)
+            rows.append((i, " ".join(r.choice(vocab) for _ in range(10))))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    for seed in range(2):
+        rng = random.Random(200 + seed)
+        prefix = f"rand_post_{seed}"
+        live = set(rng.sample(range(100), 10))
+        S.build_inverted_index(spark, mk_docs(sorted(live)), prefix)
+        next_id = [100]
+
+        for step in range(5):
+            op = rng.choice(["append", "delete", "compact"])
+            if op == "append":
+                fresh = list(range(next_id[0], next_id[0] + 5))
+                next_id[0] += 5
+                S.append_to_index(spark, mk_docs(fresh), prefix)
+                live.update(fresh)
+            elif op == "delete":
+                if len(live) <= 4:
+                    continue
+                doomed = rng.sample(sorted(live), 2)
+                S.delete_from_index(
+                    spark,
+                    spark.createDataFrame(
+                        [(d,) for d in doomed], "doc_id long"
+                    ),
+                    prefix,
+                )
+                live -= set(doomed)
+            else:
+                S.compact_index(spark, prefix)
+
+        terms = ["w1", "w5", "w13"]
+        got = sorted(
+            tuple(r)
+            for r in S.search_indexed(spark, prefix, terms, k=15).collect()
+        )
+        fresh_prefix = f"rand_post_fresh_{seed}"
+        S.build_inverted_index(spark, mk_docs(sorted(live)), fresh_prefix)
+        want = sorted(
+            tuple(r)
+            for r in S.search_indexed(
+                spark, fresh_prefix, terms, k=15
+            ).collect()
+        )
+        assert got == want, f"seed {seed}: maintained != fresh-built"
+        assert want, f"seed {seed}: degenerate search (no hits)"
