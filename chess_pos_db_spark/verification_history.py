@@ -214,17 +214,43 @@ ROUND9_VERIFIED: frozenset[str] = frozenset({
     "win_moving_avg", "win_range_frame",
 })
 
-# ROUND-11 SESSION TODO (fold timing): CORRECTNESS_r10 will be
-# generated at the END of round 10 against round-10 final HEAD — fold
-# that file's names as ROUND10_VERIFIED (and extend
-# DRIVER_VERIFIED/_VERIFIED_BY_ROUND) at the START of round 11,
-# exactly as ROUND9_VERIFIED was folded at the start of round 10.
+# the 50 queries covered by CORRECTNESS_r10.json (driver gate, round
+# 10): all 50 hash-exact (rows/schema/hash True, err None for every
+# row) — the 8 round-10 store-lifecycle/CDC registrations
+# (curation_delta_ingest, agg_view_advanced, store_time_travel,
+# store_changelog_replayed, store_row_history, store_schema_evolved,
+# store_tagged_read, store_upsert_rows) plus the 42
+# least-recently-verified r5/r6-era greens the rotation surfaced.
+# Folded at the START of round 11 per the standing fold-timing rule.
+ROUND10_VERIFIED: frozenset[str] = frozenset({
+    "agg_cube", "agg_distinct", "agg_groupcount", "agg_having",
+    "agg_minmax_by", "agg_multi", "agg_pivot", "agg_pivot_rates",
+    "agg_rollup", "agg_salted_skew", "agg_sum_avg", "agg_twolevel",
+    "agg_view_advanced", "array_posexplode", "binary_suite",
+    "case_when_bucketing", "curation_delta_ingest", "date_suite",
+    "dedup_components", "dedup_exact", "dedup_exact_groups",
+    "dedup_fingerprint_groups", "dedup_jaccard", "dedup_keep_best",
+    "dedup_near", "embedding_label_cohesion", "filter_eq_neq",
+    "filter_isin", "filter_range", "grouped_map_normalize", "hash_keys",
+    "json_extract", "map_struct_suite", "math_bitops", "math_suite",
+    "search_bm25", "search_hybrid_rrf", "search_phrase",
+    "similarity_knn_label", "store_changelog_replayed", "store_row_history",
+    "store_schema_evolved", "store_tagged_read", "store_time_travel",
+    "store_upsert_rows", "str_format", "text_lm_familiarity",
+    "udaf_grouped", "udf_scalar", "udtf_expand",
+})
+
+# ROUND-12 SESSION TODO (fold timing): CORRECTNESS_r11 will be
+# generated at the END of round 11 against round-11 final HEAD — fold
+# that file's names as ROUND11_VERIFIED (and extend
+# DRIVER_VERIFIED/_VERIFIED_BY_ROUND) at the START of round 12,
+# exactly as ROUND10_VERIFIED was folded at the start of round 11.
 
 # union of everything any driver CORRECTNESS gate has verified so far
 DRIVER_VERIFIED: frozenset[str] = (
     ROUND12_VERIFIED | ROUND3_VERIFIED | ROUND4_VERIFIED | ROUND5_VERIFIED
     | ROUND6_VERIFIED | ROUND7_VERIFIED | ROUND8_VERIFIED
-    | ROUND9_VERIFIED
+    | ROUND9_VERIFIED | ROUND10_VERIFIED
 )
 
 # round of each name's most recent green driver row (r1 and r2 covered
@@ -239,6 +265,7 @@ _VERIFIED_BY_ROUND: tuple[tuple[int, frozenset[str]], ...] = (
     (7, ROUND7_VERIFIED),
     (8, ROUND8_VERIFIED),
     (9, ROUND9_VERIFIED),
+    (10, ROUND10_VERIFIED),
 )
 
 LAST_VERIFIED_ROUND: dict[str, int] = {}

@@ -81,6 +81,8 @@ def test_rotation_history_names_are_registered():
         ("ROUND6_VERIFIED", vh.ROUND6_VERIFIED),
         ("ROUND7_VERIFIED", vh.ROUND7_VERIFIED),
         ("ROUND8_VERIFIED", vh.ROUND8_VERIFIED),
+        ("ROUND9_VERIFIED", vh.ROUND9_VERIFIED),
+        ("ROUND10_VERIFIED", vh.ROUND10_VERIFIED),
         ("ROUND1_REGISTRY", vh.ROUND1_REGISTRY),
     ):
         missing = set(names) - set(QUERIES)
