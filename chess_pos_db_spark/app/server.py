@@ -25,6 +25,16 @@ when the sidecar is absent.
 A command either returns {"ok": true, ...} or {"ok": false, "error":
 ...} — errors never kill the session (the reference's server loop
 behaves the same way).
+
+Wire-format versioning: every response carries "protocol":
+PROTOCOL_VERSION so clients can detect format changes. History —
+  1: initial format; non-finite floats in `sql` results rendered as
+     the bare strings "nan"/"inf"/"-inf" (indistinguishable from
+     genuine string cells).
+  2 (current): non-finite floats render in the tagged form
+     {"float": "nan"} etc.; SELECT 'nan' still renders "nan", so the
+     two are distinguishable. Clients that parsed the old bare-string
+     form must check the tag.
 """
 
 from __future__ import annotations
@@ -38,6 +48,9 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from ..chess import bcgn, importer, query
+
+# bumped on any breaking wire-format change; see module docstring
+PROTOCOL_VERSION = 2
 
 
 class Engine:
@@ -145,9 +158,13 @@ class Engine:
             fn = getattr(self, f"cmd_{op}", None)
             if fn is None:
                 raise ValueError(f"unknown command {op!r}")
-            return {"ok": True, **(fn(cmd) or {})}
+            return {"ok": True, "protocol": PROTOCOL_VERSION, **(fn(cmd) or {})}
         except Exception as exc:  # protocol errors must not kill the server
-            return {"ok": False, "error": str(exc)}
+            return {
+                "ok": False,
+                "protocol": PROTOCOL_VERSION,
+                "error": str(exc),
+            }
 
     def cmd_create(self, cmd: dict) -> dict:
         files = self._files_arg(cmd)

@@ -239,6 +239,7 @@ def maintain_stores(
     stores: dict,
     max_live_versions: int = 8,
     vacuum: bool = True,
+    keep_history_versions: int = 0,
 ) -> dict:
     """Scheduled health for versioned snapshot stores — the corpus-side
     sibling of the index legs above. ``stores`` maps store path →
@@ -253,13 +254,22 @@ def maintain_stores(
       same per-query pressure as index delta generations). The merge
       is the store's own aggregate-combining compaction; its manifest
       append is the commit point.
-    - VACUUM (``expire_snapshots`` up to the latest version) to
-      reclaim superseded files. The CDC-export guard stays binding: a
-      vacuum that would strand a lagging export is recorded as
-      ``vacuum_blocked`` in the report and SKIPPED — the scheduler
-      never forces; catching the export up (or an explicit
-      force=True call outside the scheduler) is an operator decision,
-      exactly like IVF re-clustering.
+    - VACUUM (``expire_snapshots`` up to ``latest -
+      keep_history_versions``) to reclaim superseded files. The
+      default 0 vacuums to the latest version — maximal reclaim,
+      which destroys all UNTAGGED time travel; that is the honest
+      default because a retention window N>0 also pins every
+      pre-compaction file a time-travel read at latest-N could need
+      (vacuum after a compaction then reclaims nothing until N more
+      versions land). A store whose history matters should either
+      set ``keep_history_versions`` (rolling audit window, delayed
+      reclaim) or tag the versions that matter (`tag_snapshot` — GC
+      roots survive any vacuum, the designed audit anchor). The
+      CDC-export guard stays binding: a vacuum that would strand a
+      lagging export is recorded as ``vacuum_blocked`` in the report
+      and SKIPPED — the scheduler never forces; catching the export
+      up (or an explicit force=True call outside the scheduler) is an
+      operator decision, exactly like IVF re-clustering.
 
     Crash contract: same as the index legs — no cross-store
     transaction; due-ness derives from each store's manifest, so a
@@ -292,9 +302,10 @@ def maintain_stores(
         if vacuum:
             m = layout.read_manifest(path)
             latest = max(layout._live_snapshot_ids(m))
+            before = max(1, latest - keep_history_versions)
             try:
                 r["vacuumed_files"] = len(
-                    layout.expire_snapshots(path, before=latest)
+                    layout.expire_snapshots(path, before=before)
                 )
             except ValueError as e:
                 if "strand CDC export" not in str(e):

@@ -72,6 +72,8 @@ def merge_changes(
     key: Sequence[str],
     op_col: str = "op",
     seq_col: Optional[str] = None,
+    allow_new_columns: bool = False,
+    partial_updates: bool = True,
 ) -> DataFrame:
     """Apply a CDC changeset to ``target``; returns the merged table.
 
@@ -80,7 +82,15 @@ def merge_changes(
     payload columns keep the target's value — partial update). A
     change column that is NOT a target column fails loudly: a typo'd
     payload name would otherwise silently update nothing while the
-    job reports success.
+    job reports success. ``allow_new_columns=True`` opts a REPLICATION
+    consumer into additive schema evolution instead: unknown change
+    columns are added to the target as typed NULLs before the merge
+    (the same alignment the store's own reads apply to pre-evolution
+    files), so a replica built from pre-evolution versions keeps
+    folding an evolved changelog — pre-evolution rows answer NULL for
+    the new column, exactly as the source store does. Loud stays the
+    default because outside a declared replication fold an unknown
+    column is far more likely a typo than an evolution.
 
     Unmatched-key semantics (pinned in tests/test_merge.py): a 'U' or
     'I' whose key is absent from the target INSERTS the row with the
@@ -88,6 +98,18 @@ def merge_changes(
     consumers — out-of-order create/update feeds still converge);
     payload columns the change doesn't carry are NULL on such rows. A
     'D' on an absent key is a no-op (the retraction already holds).
+
+    ``partial_updates=False`` switches a CARRIED payload column to
+    whole-value (state) semantics: an 'I'/'U' row's value is taken
+    verbatim, NULL included — a column the feed doesn't carry at all
+    still keeps the target's value. This is REQUIRED when folding a
+    log exported by `plans/layout.export_changes`: those change rows
+    are full STATES (snapshot_diff's new side), so a NULL there means
+    the value genuinely became NULL — the default coalesce would keep
+    the replica's stale pre-update value and silently diverge from the
+    source store (caught round 11; pinned in tests/test_merge.py). The
+    partial default matches Debezium-style intent feeds, where NULL
+    conventionally means "not provided".
     """
     if seq_col is not None:
         changes = latest_per_key(changes, key, seq_col, op_col)
@@ -161,27 +183,39 @@ def merge_changes(
             )
         ),
     )
-    payload = [c for c in target.columns if c not in key]
     change_payload = set(changes.columns) - set(key) - {op_col, seq_col}
     unknown = change_payload - set(target.columns)
     if unknown:
-        raise ValueError(
-            f"merge_changes: change column(s) {sorted(unknown)} do not "
-            "exist in the target — a typo'd payload name would silently "
-            "update nothing; fix the changeset schema"
-        )
+        if not allow_new_columns:
+            raise ValueError(
+                f"merge_changes: change column(s) {sorted(unknown)} do "
+                "not exist in the target — a typo'd payload name would "
+                "silently update nothing; fix the changeset schema, or "
+                "pass allow_new_columns=True if this fold must follow "
+                "the source's additive schema evolution"
+            )
+        chg_types = dict(changes.dtypes)
+        for c in sorted(unknown):
+            target = target.withColumn(c, F.lit(None).cast(chg_types[c]))
+    payload = [c for c in target.columns if c not in key]
     tgt = target.alias("t")
     chg = changes.alias("c")
     joined = tgt.join(chg, on=list(key), how="full_outer")
     keep = F.col(f"c.{op_col}").isNull() | (F.col(f"c.{op_col}") != "D")
-    cols = [
-        (
-            F.coalesce(F.col(f"c.{p}"), F.col(f"t.{p}"))
-            if p in change_payload
-            else F.col(f"t.{p}")
-        ).alias(p)
-        for p in payload
-    ]
+
+    def merged_col(p):
+        if p not in change_payload:
+            return F.col(f"t.{p}")
+        if partial_updates:
+            return F.coalesce(F.col(f"c.{p}"), F.col(f"t.{p}"))
+        # state semantics: a matched change row's value wins verbatim,
+        # NULL included (op is never NULL on a matched row — the op
+        # guard raised on NULL ops already)
+        return F.when(
+            F.col(f"c.{op_col}").isNotNull(), F.col(f"c.{p}")
+        ).otherwise(F.col(f"t.{p}"))
+
+    cols = [merged_col(p).alias(p) for p in payload]
     # on=list(key) coalesces the key columns of a full-outer join for us
     return joined.filter(keep).select(*key, *cols)
 

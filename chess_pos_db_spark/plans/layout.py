@@ -508,6 +508,7 @@ def upsert_rows(
     changes: DataFrame,
     op_col: str = "op",
     partitions: int = 8,
+    allow_new_columns: bool = False,
 ) -> dict:
     """MERGE a CDC batch into the versioned store copy-on-write — the
     store's UPDATE/INSERT verb, completing the lifecycle alongside
@@ -539,6 +540,16 @@ def upsert_rows(
     An empty batch returns version=None and writes nothing. Returns
     ``{"version", "rows_removed", "rows_upserted", "files_rewritten",
     "files_total"}``.
+
+    ``allow_new_columns=True`` opts the merge into ADDITIVE SCHEMA
+    EVOLUTION: change columns the store lacks become new store columns
+    on this version (rewritten and inserted rows carry them; untouched
+    files stay by reference and their rows answer typed NULL through
+    the union-schema read, exactly as append_versioned evolution does).
+    Loud rejection stays the default — outside a declared evolution an
+    unknown column is far more likely a typo'd payload name. This is
+    what lets a store-to-store replica (streaming/jobs.
+    store_apply_stream) keep folding a source that evolved.
     """
     from urllib.parse import unquote, urlparse
 
@@ -606,10 +617,17 @@ def upsert_rows(
         store_cols = src.columns
         unknown = set(chg.columns) - {op_col} - set(store_cols)
         if unknown:
-            raise ValueError(
-                f"upsert_rows: change column(s) {sorted(unknown)} do not "
-                "exist in the store — fix the changeset schema"
-            )
+            if not allow_new_columns:
+                raise ValueError(
+                    f"upsert_rows: change column(s) {sorted(unknown)} do "
+                    "not exist in the store — fix the changeset schema, "
+                    "or pass allow_new_columns=True for an additive "
+                    "schema evolution"
+                )
+            chg_types = dict(chg.dtypes)
+            for c in sorted(unknown):
+                src = src.withColumn(c, F.lit(None).cast(chg_types[c]))
+            store_cols = src.columns
         keys_df = chg.select(*key).distinct()
         hits = (
             src.join(F.broadcast(keys_df), on=list(key), how="left_semi")
@@ -631,13 +649,26 @@ def upsert_rows(
                 "directory disagree"
             )
         rows_removed = sum(int(r["n"]) for r in hits)
-        keep = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[os.path.join(path, r) for r in sorted(touched)])
-            .join(F.broadcast(keys_df), on=list(key), how="left_anti")
-            if touched
-            else None
-        )
+        if touched:
+            # align to the store schema: touched files can predate an
+            # additive evolution (other files carry columns these
+            # lack), and the batch itself may be evolving the schema —
+            # the rewritten rows answer typed NULL for columns their
+            # source files never had, exactly as the by-reference read
+            # would have
+            keep = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(path, r) for r in sorted(touched)]
+            )
+            have = dict(keep.dtypes)
+            src_types = dict(src.dtypes)
+            for c in store_cols:
+                if c not in have:
+                    keep = keep.withColumn(c, F.lit(None).cast(src_types[c]))
+            keep = keep.select(*store_cols).join(
+                F.broadcast(keys_df), on=list(key), how="left_anti"
+            )
+        else:
+            keep = None
     else:
         touched = set()
         rows_removed = 0
@@ -868,8 +899,43 @@ def expire_snapshots(path: str, before: int, force: bool = False) -> list[str]:
                 f"{sorted(lagging.values())}) — run export_changes first, "
                 "or pass force=True to abandon their replay history"
             )
-        for d in lagging:
+        for d, lv in lagging.items():
             manifest["exports"][d] = floor
+            # realign the export dir's own cursor too (atomic, like the
+            # exporter writes it): without this the next export_changes
+            # run resumes below the new floor and dies on a confusing
+            # "time travel expired", and wiping the cursor is worse —
+            # the restart loop begins at v1, also below the floor. The
+            # recorded forced_gap makes read_changes on a lost version
+            # fail with the real story. Best-effort: an unreachable
+            # (remote/deleted) export dir keeps its manifest
+            # registration advanced so the refusal never re-triggers,
+            # and its next run fails on its own stale cursor loudly.
+            try:
+                cursor_file = os.path.join(d, "_cursor.json")
+                if os.path.isdir(d):
+                    gap_from = lv + 1
+                    if os.path.isfile(cursor_file):
+                        with open(cursor_file) as f:
+                            prior = json.load(f).get("forced_gap")
+                        # a twice-forced export keeps its earliest loss:
+                        # the merged range only ever fires read_changes'
+                        # gap error for versions whose dir is MISSING,
+                        # so exported versions in between stay readable
+                        if prior is not None:
+                            gap_from = min(gap_from, prior[0])
+                    tmp = cursor_file + ".tmp"
+                    with open(tmp, "w") as f:
+                        json.dump(
+                            {
+                                "last_exported": floor,
+                                "forced_gap": [gap_from, floor],
+                            },
+                            f,
+                        )
+                    os.replace(tmp, cursor_file)
+            except OSError:
+                pass
     keep = _live_snapshot_ids(manifest, before) | {
         s["id"] for s in manifest["snapshots"] if s["id"] > before
     }
@@ -1058,6 +1124,7 @@ def export_changes(
     path: str,
     out_dir: str,
     key: Sequence[str],
+    scan: str = "auto",
 ) -> list[int]:
     """Incremental CDC EXPORT: emit each store version's changes exactly
     once — the store as a CHANGE SOURCE for downstream consumers (the
@@ -1071,7 +1138,11 @@ def export_changes(
     (key..., op ∈ I/U/D, payload columns) — exactly the shape
     operators/merge.merge_changes applies, so a consumer folding the
     change dirs in version order reproduces every snapshot (pinned in
-    tests). `changed` rows export the NEW payload as a 'U'.
+    tests). `changed` rows export the NEW payload as a 'U'. Fold with
+    ``merge_changes(..., partial_updates=False)``: exported rows are
+    full STATES (snapshot_diff's new side), so a NULL payload column
+    means the value genuinely became NULL — the partial-update default
+    would keep the replica's stale value and silently diverge.
 
     Exactly-once discipline: each version's dir is written with
     mode=overwrite, THEN the cursor file advances via atomic
@@ -1096,15 +1167,33 @@ def export_changes(
     with no join at all (pinned in tests/test_layout.py), a
     copy-on-write delete reads only the touched files; only a full
     compaction pays two snapshot scans, because every byte genuinely
-    changed.
+    changed. ``scan`` threads straight to snapshot_diff: pass 'full'
+    for a store that deliberately holds duplicate keys between
+    compactions (append_versioned never enforces key uniqueness, and
+    the delta-sized shortcut is only sound under one-live-row-per-key).
+
+    Schema evolution: each version dir carries its own ``_schema.json``
+    (the op-row schema AS OF that version), and the export-level
+    sidecar is refreshed whenever the schema changes — so an empty
+    delta after an additive evolution is answered with the schema its
+    version actually had, and consumers folding with
+    ``merge_changes(allow_new_columns=True)`` follow the evolution.
+
+    A vacuum forced past this export's cursor (`expire_snapshots`
+    force=True) rewrites ``_cursor.json`` with a ``forced_gap``: the
+    export resumes at the new floor, the gap's versions are
+    permanently unexportable (their snapshots are gone), and
+    `read_changes` on a gapped version fails with that explanation —
+    fold-from-empty consumers must re-seed from a live snapshot.
     """
     cursor_file = os.path.join(out_dir, "_cursor.json")
     os.makedirs(out_dir, exist_ok=True)
     try:
         with open(cursor_file) as f:
-            last = json.load(f)["last_exported"]
+            cursor = json.load(f)
     except FileNotFoundError:
-        last = 0
+        cursor = {}
+    last = cursor.get("last_exported", 0)
     manifest = read_manifest(path)
     latest = max(s["id"] for s in manifest["snapshots"])
     exported: list[int] = []
@@ -1118,29 +1207,44 @@ def export_changes(
                 *key, F.lit("I").alias("op"), *payload
             )
         else:
-            diff = snapshot_diff(spark, path, v - 1, v, key)
+            diff = snapshot_diff(spark, path, v - 1, v, key, scan=scan)
             op = (
                 F.when(F.col("change") == "added", F.lit("I"))
                 .when(F.col("change") == "removed", F.lit("D"))
                 .otherwise(F.lit("U"))
             )
             out = diff.select(*key, op.alias("op"), F.col("new.*"))
+        vdir = os.path.join(out_dir, "changes", f"to_version={v}")
+        out.write.mode("overwrite").parquet(vdir)
+        # op-row schema sidecars: an empty delta writes no part files,
+        # so read_changes needs these to answer the version as a typed
+        # empty DataFrame. The PER-VERSION sidecar records the schema
+        # as of this version (written after the overwrite so a crash
+        # replay rewrites it); the export-level one is refreshed on
+        # change so pre-sidecar consumers and the bootstrap read stay
+        # current (atomic replace, like the cursor).
+        schema_json = out.schema.json()
+        tmp = os.path.join(vdir, "_schema.json.tmp")
+        with open(tmp, "w") as f:
+            f.write(schema_json)
+        os.replace(tmp, os.path.join(vdir, "_schema.json"))
         schema_file = os.path.join(out_dir, "_schema.json")
-        if not os.path.isfile(schema_file):
-            # op-row schema sidecar: an empty delta writes no part
-            # files, so read_changes needs this to answer the version
-            # as a typed empty DataFrame (atomic like the cursor)
+        current = None
+        if os.path.isfile(schema_file):
+            with open(schema_file) as f:
+                current = f.read()
+        if current != schema_json:
             tmp = schema_file + ".tmp"
             with open(tmp, "w") as f:
-                f.write(out.schema.json())
+                f.write(schema_json)
             os.replace(tmp, schema_file)
-        (
-            out.write.mode("overwrite")
-            .parquet(os.path.join(out_dir, "changes", f"to_version={v}"))
-        )
+        # advance last_exported IN the cursor dict — a forced-vacuum
+        # gap marker (expire_snapshots force=True) must survive the
+        # export resuming, or read_changes loses the real story
+        cursor["last_exported"] = v
         tmp = cursor_file + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"last_exported": v}, f)
+            json.dump(cursor, f)
         os.replace(tmp, cursor_file)
         exported.append(v)
     # register/advance this export's cursor in the store manifest so
@@ -1162,10 +1266,30 @@ def read_changes(spark: SparkSession, out_dir: str, version: int) -> DataFrame:
 
     A version whose delta was empty holds no parquet files (parquet
     schema inference would fail); it answers as a typed empty DataFrame
-    from the export's ``_schema.json`` sidecar. A version that was
-    never exported still fails with Spark's own path error."""
+    from the version dir's ``_schema.json`` sidecar (the schema as of
+    THAT version — an evolution later in the log never rewrites an
+    earlier empty delta's answer), falling back to the export-level
+    sidecar for dirs exported before per-version sidecars existed. A
+    version lost to a forced vacuum (`expire_snapshots` force=True past
+    this export's cursor) fails with that explanation; a version that
+    was never exported still fails with Spark's own path error."""
     d = os.path.join(out_dir, "changes", f"to_version={version}")
-    schema_file = os.path.join(out_dir, "_schema.json")
+    if not os.path.isdir(d):
+        cursor_file = os.path.join(out_dir, "_cursor.json")
+        if os.path.isfile(cursor_file):
+            with open(cursor_file) as f:
+                cur = json.load(f)
+            gap = cur.get("forced_gap")
+            if gap is not None and gap[0] <= version <= gap[1]:
+                raise ValueError(
+                    f"read_changes: version {version} was never exported "
+                    f"— expire_snapshots(force=True) vacuumed versions "
+                    f"{gap[0]}..{gap[1]} past this export's cursor; "
+                    "re-seed consumers from a live snapshot"
+                )
+    schema_file = os.path.join(d, "_schema.json")
+    if not os.path.isfile(schema_file):
+        schema_file = os.path.join(out_dir, "_schema.json")
     if (
         os.path.isdir(d)
         and os.path.isfile(schema_file)

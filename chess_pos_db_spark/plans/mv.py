@@ -157,6 +157,7 @@ def advance_view(
     store_path: str,
     view_path: str,
     key: Sequence[str] = ("doc_id",),
+    scan: str = "auto",
 ) -> dict:
     """Catch a materialized view up to its base snapshot-store's latest
     live version — the view leg of the delete/retraction lifecycle (a
@@ -186,6 +187,11 @@ def advance_view(
     the view's pin, read_snapshot raises and the view needs a rebuild
     (vacuum cadence must not outrun view maintenance).
 
+    ``scan`` threads to snapshot_diff: the default 'auto' delta-sizing
+    is sound only under the store's keyed discipline (one live row per
+    key per snapshot); pass 'full' for a base store that deliberately
+    holds duplicate keys between compactions.
+
     Returns ``{"from": pinned, "to": latest, "advanced": bool}``.
     """
     from .layout import _live_snapshot_ids, read_manifest, snapshot_diff
@@ -207,7 +213,9 @@ def advance_view(
     view = spark.read.parquet(
         os.path.join(view_path, manifest.get("data_dir", "data"))
     )
-    diff = snapshot_diff(spark, store_path, pinned, latest, key).localCheckpoint(
+    diff = snapshot_diff(
+        spark, store_path, pinned, latest, key, scan=scan
+    ).localCheckpoint(
         eager=True
     )  # two downstream branches; and the source snapshot may be vacuumed later
     inserts = diff.filter(F.col("change").isin("added", "changed")).select(

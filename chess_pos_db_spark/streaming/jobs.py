@@ -613,11 +613,21 @@ def cdc_apply_stream(
     key: list[str],
     op_col: str = "op",
     seq_col: str | None = None,
+    allow_new_columns: bool = False,
+    partial_updates: bool = True,
 ) -> DataFrame:
     """Streaming CDC upsert: each micro-batch of change rows is applied
     to the store through operators/merge.merge_changes (the SAME plan
     batch MERGE INTO uses), producing a new immutable store version —
     read-side never sees a half-applied batch.
+    ``allow_new_columns=True`` opts the replica into the source's
+    additive schema evolution: change columns the replica lacks are
+    added as typed NULLs before the merge (merge_changes' evolution
+    mode) — without it the first evolved changeset fails the batch
+    loudly, by design. Pass ``partial_updates=False`` when the stream
+    carries full-STATE rows (an export_changes log shipped as files):
+    a NULL payload there means the value became NULL, and the default
+    intent-feed coalesce would keep the replica's stale value.
 
     Recovery contract: batch delivery is at-least-once across restarts;
     a CDC merge is idempotent by construction AND the shared harness
@@ -637,7 +647,9 @@ def cdc_apply_stream(
         store_dir,
         seed_write=lambda d: seed_df.write.mode("overwrite").parquet(d),
         apply_fn=lambda cur, batch: merge_changes(
-            cur, batch, key, op_col, seq_col
+            cur, batch, key, op_col, seq_col,
+            allow_new_columns=allow_new_columns,
+            partial_updates=partial_updates,
         ),
     )
 
@@ -717,6 +729,7 @@ def store_apply_stream(
     op_col: str = "op",
     seq_col: str | None = None,
     max_files_per_trigger: int | None = None,
+    allow_new_columns: bool = False,
 ) -> DataFrame:
     """Streaming CDC ingestion INTO the manifest-versioned store
     (plans/layout): each micro-batch of change rows merges via
@@ -724,7 +737,10 @@ def store_apply_stream(
     snapshot version per non-empty batch. The store keeps every
     capability it has in batch: snapshot isolation for concurrent
     readers, time travel, tags, export_changes downstream, scheduled
-    maintain_stores health.
+    maintain_stores health. ``allow_new_columns=True`` lets the replica
+    follow the source's additive schema evolution (upsert_rows'
+    evolution mode) — without it the first evolved batch fails loudly,
+    by design.
 
     A micro-batch can mix several logical versions of one key (the
     at-least-once file source bundles whatever arrived); with
@@ -762,7 +778,10 @@ def store_apply_stream(
                 .filter(F.col("_rn") == 1)
                 .drop("_rn", seq_col)
             )
-        layout.upsert_rows(spark, store_path, b, op_col=op_col)
+        layout.upsert_rows(
+            spark, store_path, b, op_col=op_col,
+            allow_new_columns=allow_new_columns,
+        )
 
     q = (
         changes.writeStream.foreachBatch(apply_batch)

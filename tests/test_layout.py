@@ -1133,39 +1133,63 @@ def test_export_changes_over_upsert_version(spark, tmp_path):
 
 def test_store_lifecycle_randomized_against_model(spark, tmp_path):
     """Model-based differential test of the WHOLE store lifecycle: for
-    several seeded random sequences of append / upsert / delete /
-    compact / tag+vacuum, the live snapshot must equal a plain dict
-    model after EVERY step; afterwards the exported change log folded
-    from an empty replica must equal the final model, and the
-    delta-sized snapshot_diff must equal the general form over random
-    version spans. This is the adversarial complement to the
-    scenario-pinned tests: the operations interleave in orders no
-    hand-written scenario covers."""
+    several seeded random sequences of append / upsert (including
+    update-to-NULL) / delete / compact / tag+vacuum / additive schema
+    EVOLUTION, the live snapshot must equal a plain dict model after
+    EVERY step; afterwards the exported change log folded from an
+    empty PRE-evolution replica (allow_new_columns=True,
+    partial_updates=False — state semantics) must equal the final
+    model, and the delta-sized snapshot_diff must equal the general
+    form over random version spans. This is the adversarial complement
+    to the scenario-pinned tests: the operations interleave in orders
+    no hand-written scenario covers."""
     import random
 
     from chess_pos_db_spark.operators.merge import merge_changes
 
     mk = lambda rows: spark.createDataFrame(rows, "k long, val long")
 
+    def snapshot_dict(df, extra_cols):
+        return {
+            r["k"]: (
+                r["val"],
+                tuple(r.asDict().get(c) for c in extra_cols),
+            )
+            for r in df.collect()
+        }
+
     for seed in range(4):
         rng = random.Random(seed)
         path = str(tmp_path / f"rand_store_{seed}")
         model: dict[int, int] = {}
+        # additive-evolution bookkeeping: column name -> {k: value};
+        # a key absent from a column's dict reads as NULL, exactly as
+        # the union-schema read answers pre-evolution rows
+        extra_cols: list[str] = []
+        extras: dict[str, dict[int, int]] = {}
         next_val = [0]
 
         def fresh_val():
             next_val[0] += 1
             return next_val[0]
 
+        def expected():
+            return {
+                k: (v, tuple(extras[c].get(k) for c in extra_cols))
+                for k, v in model.items()
+            }
+
         # seed version
         first = {k: fresh_val() for k in rng.sample(range(30), 5)}
         model.update(first)
         layout.append_versioned(mk(sorted(first.items())), path, ["k"])
-        tagged_versions: list[tuple[str, dict]] = []
+        tagged_versions: list[tuple[str, dict, list[str]]] = []
         out = str(tmp_path / f"rand_out_{seed}")
 
         for step in range(7):
-            op = rng.choice(["append", "upsert", "delete", "compact", "vacuum"])
+            op = rng.choice(
+                ["append", "upsert", "delete", "compact", "vacuum", "evolve"]
+            )
             if op == "append":
                 fresh = [
                     k for k in rng.sample(range(100), 6) if k not in model
@@ -1180,7 +1204,9 @@ def test_store_lifecycle_randomized_against_model(spark, tmp_path):
             elif op == "upsert":
                 rows = []
                 for k in rng.sample(sorted(model) or [0], min(2, len(model))):
-                    v = fresh_val()
+                    # update-to-NULL exercised ~1 in 4: the exported
+                    # 'U' must carry the NULL state through the fold
+                    v = None if rng.random() < 0.25 else fresh_val()
                     rows.append((k, v, "U"))
                     model[k] = v
                 for k in rng.sample(range(100, 140), 2):
@@ -1205,17 +1231,59 @@ def test_store_lifecycle_randomized_against_model(spark, tmp_path):
                         rows, "k long, val long, op string"
                     ),
                 )
+                # whole-row replacement: an upserted key's evolved
+                # columns reset to NULL (the batch doesn't carry them);
+                # a deleted key vanishes everywhere
+                for k, v, o in rows:
+                    for c in extra_cols:
+                        extras[c].pop(k, None)
             elif op == "delete":
                 m = rng.choice([3, 5, 7])
                 doomed = [k for k in model if k % m == 1]
                 res = layout.delete_rows(spark, path, f"k % {m} = 1")
                 for k in doomed:
                     model.pop(k)
+                    for c in extra_cols:
+                        extras[c].pop(k, None)
                 assert (res["rows_deleted"] > 0) == bool(doomed)
             elif op == "compact":
                 layout.compact_versioned(
                     spark, path, key=["k"], agg_spec={"val": "max"}
                 )
+                # the agg_spec lists only val: compaction DROPS evolved
+                # columns from the live state (the documented loud
+                # boundary is per-store, and this store declared the
+                # spec) — absent column ≡ all-NULL reads
+                for c in extra_cols:
+                    extras[c] = {}
+            elif op == "evolve":
+                col = f"x{len(extra_cols)}"
+                fresh = [
+                    k for k in rng.sample(range(200, 260), 3)
+                    if k not in model
+                ]
+                touched = rng.sample(
+                    sorted(model), min(1, len(model))
+                )
+                rows = [
+                    (k, model[k], fresh_val(), "U") for k in touched
+                ] + [(k, fresh_val(), fresh_val(), "I") for k in fresh]
+                if not rows:
+                    continue
+                layout.upsert_rows(
+                    spark, path,
+                    spark.createDataFrame(
+                        rows, f"k long, val long, {col} long, op string"
+                    ),
+                    allow_new_columns=True,
+                )
+                extra_cols.append(col)
+                extras[col] = {}
+                for k, v, x, o in rows:
+                    model[k] = v
+                    for c in extra_cols:
+                        extras[c].pop(k, None)
+                    extras[col][k] = x
             else:
                 # the export-cadence contract: export BEFORE vacuum so
                 # the changelog never loses replayable history (the
@@ -1227,33 +1295,44 @@ def test_store_lifecycle_randomized_against_model(spark, tmp_path):
                     layout.tag_snapshot(
                         path, f"t{step}", retag=True
                     )
-                    tagged_versions.append((f"t{step}", dict(model)))
+                    tagged_versions.append(
+                        (f"t{step}", expected(), list(extra_cols))
+                    )
                 layout.expire_snapshots(path, before=latest)
 
-            got = {
-                r["k"]: r["val"]
-                for r in layout.read_snapshot(spark, path).collect()
-            }
-            assert got == model, f"seed {seed} step {step} op {op}"
+            got = snapshot_dict(
+                layout.read_snapshot(spark, path), extra_cols
+            )
+            assert got == expected(), f"seed {seed} step {step} op {op}"
 
         # tagged reads reproduce their pinned states even after vacuums
-        for name, snap in tagged_versions:
-            got = {
-                r["k"]: r["val"]
-                for r in layout.read_snapshot(spark, path, tag=name).collect()
+        for name, snap, cols_then in tagged_versions:
+            got = snapshot_dict(
+                layout.read_snapshot(spark, path, tag=name), cols_then
+            )
+            # columns evolved AFTER the tag read as NULL through the
+            # union schema; compare on the columns that existed then
+            snap_then = {
+                k: (v, xs[: len(cols_then)]) for k, (v, xs) in snap.items()
             }
-            assert got == snap, f"seed {seed} tag {name}"
+            assert got == snap_then, f"seed {seed} tag {name}"
 
-        # the exported log folds from empty to the final model
+        # the exported log folds from an empty PRE-evolution replica to
+        # the final model: state semantics (update-to-NULL overwrites)
+        # + column alignment (the replica follows the evolution)
         layout.export_changes(spark, path, out, ["k"])
         man = layout.read_manifest(path)
         target = spark.createDataFrame([], "k long, val long")
         for v in range(1, max(s["id"] for s in man["snapshots"]) + 1):
             target = merge_changes(
-                target, layout.read_changes(spark, out, v), ["k"]
+                target,
+                layout.read_changes(spark, out, v),
+                ["k"],
+                allow_new_columns=True,
+                partial_updates=False,
             ).localCheckpoint(eager=True)
-        got = {r["k"]: r["val"] for r in target.collect()}
-        assert got == model, f"seed {seed} fold"
+        got = snapshot_dict(target, extra_cols)
+        assert got == expected(), f"seed {seed} fold"
 
         # delta diff == general diff over a random readable span
         ids = sorted(s["id"] for s in man["snapshots"])
@@ -1266,3 +1345,195 @@ def test_store_lifecycle_randomized_against_model(spark, tmp_path):
             full = sorted(map(str, layout.snapshot_diff(
                 spark, path, v_from, v_to, ["k"], scan="full").collect()))
             assert auto == full, f"seed {seed} diff v{v_from}->v{v_to}"
+
+
+def test_upsert_rows_additive_schema_evolution(spark, tmp_path):
+    """upsert_rows(allow_new_columns=True) evolves the store schema
+    additively: the batch's new column lands on rewritten/inserted
+    rows, untouched files stay by reference and answer typed NULL
+    through the union-schema read. The default stays loud, and a later
+    plain upsert whose touched files PREDATE the evolution still
+    aligns (the keep side reads the union schema, not just the touched
+    files' own columns)."""
+    path = str(tmp_path / "evo_store")
+    layout.append_versioned(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        ),
+        path,
+        ["k"],
+    )
+    evolved = spark.createDataFrame(
+        [(2, "b2", "en", "U"), (4, "d", "fr", "I")],
+        "k long, v string, lang string, op string",
+    )
+    with pytest.raises(ValueError, match="allow_new_columns"):
+        layout.upsert_rows(spark, path, evolved)
+    res = layout.upsert_rows(
+        spark, path, evolved, allow_new_columns=True
+    )
+    assert res["version"] == 2
+    got = {
+        r["k"]: (r["v"], r["lang"])
+        for r in layout.read_snapshot(spark, path).collect()
+    }
+    assert got == {
+        1: ("a", None), 2: ("b2", "en"), 3: ("c", None), 4: ("d", "fr"),
+    }
+    # touched file predates the evolution (k=1/3 live in the v1 run,
+    # which never carried lang): the keep-side alignment must inject a
+    # typed NULL, or the rewrite's union with the batch rows fails
+    res2 = layout.upsert_rows(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a2", "U")], "k long, v string, op string"),
+    )
+    assert res2["version"] == 3
+    got2 = {
+        r["k"]: (r["v"], r["lang"])
+        for r in layout.read_snapshot(spark, path).collect()
+    }
+    # whole-row replacement: k=1's lang is NULL (it never had one);
+    # k=3 shared the touched file and must survive with its NULL lang
+    assert got2 == {
+        1: ("a2", None), 2: ("b2", "en"), 3: ("c", None), 4: ("d", "fr"),
+    }
+
+
+def test_export_fold_across_schema_evolution(spark, tmp_path):
+    """The replication triangle ACROSS an additive evolution: v2's op
+    rows carry the new column, every version dir records its own
+    _schema.json (the export-level sidecar refreshes on change), an
+    empty post-evolution delta answers with the evolved schema, and a
+    replica seeded with the PRE-evolution schema folds the whole log
+    via merge_changes(allow_new_columns=True, partial_updates=False)
+    to exactly the live snapshot."""
+    import json
+    import os
+
+    from chess_pos_db_spark.operators.merge import merge_changes
+
+    path = str(tmp_path / "evo_src")
+    out = str(tmp_path / "evo_log")
+    layout.append_versioned(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        path,
+        ["k"],
+    )
+    layout.append_versioned(
+        spark.createDataFrame(
+            [(3, "c", "en"), (4, "d", "fr")], "k long, v string, lang string"
+        ),
+        path,
+        ["k"],
+    )
+    layout.delete_rows(spark, path, "k = 2")
+    # v4: an EMPTY delta after the evolution — its dir holds no part
+    # files, so read_changes must answer it from the sidecar, and that
+    # sidecar must carry the EVOLVED schema
+    layout.append_versioned(
+        spark.createDataFrame([], "k long, v string, lang string"),
+        path,
+        ["k"],
+    )
+    assert layout.export_changes(spark, path, out, ["k"]) == [1, 2, 3, 4]
+
+    # per-version sidecars: v1 pre-evolution, v2+ evolved
+    s = {}
+    for v in (1, 2, 4):
+        with open(
+            os.path.join(out, "changes", f"to_version={v}", "_schema.json")
+        ) as f:
+            s[v] = f.read()
+    assert "lang" not in s[1] and "lang" in s[2] and "lang" in s[4]
+    # export-level sidecar refreshed to the current (evolved) schema
+    with open(os.path.join(out, "_schema.json")) as f:
+        assert "lang" in f.read()
+    # the empty v4 delta answers as a typed empty frame WITH lang
+    ch4 = layout.read_changes(spark, out, 4)
+    assert ch4.count() == 0 and "lang" in ch4.columns
+
+    replica = spark.createDataFrame([], "k long, v string")
+    for v in range(1, 5):
+        replica = merge_changes(
+            replica,
+            layout.read_changes(spark, out, v),
+            ["k"],
+            allow_new_columns=True,
+            partial_updates=False,
+        )
+    got = sorted(tuple(r) for r in replica.collect())
+    live = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+    assert got == live == [(1, "a", None), (3, "c", "en"), (4, "d", "fr")]
+
+
+def test_export_fold_update_to_null_state_semantics(spark, tmp_path):
+    """Round-11 wrong-answer fix pinned end-to-end: a store update that
+    sets a payload column to NULL must survive the export → fold
+    round-trip. snapshot_diff reports the row as changed (struct
+    comparison orders NULL fields), the exported 'U' carries the NULL
+    state, and the fold applies it verbatim under
+    partial_updates=False — the old coalesce default silently kept the
+    replica's stale pre-update value."""
+    from chess_pos_db_spark.operators.merge import merge_changes
+
+    path = str(tmp_path / "null_src")
+    out = str(tmp_path / "null_log")
+    layout.append_versioned(
+        spark.createDataFrame([(1, 5), (2, 7)], "k long, val long"),
+        path,
+        ["k"],
+    )
+    layout.upsert_rows(
+        spark,
+        path,
+        spark.createDataFrame([(1, None, "U")], "k long, val long, op string"),
+    )
+    layout.export_changes(spark, path, out, ["k"])
+    replica = spark.createDataFrame([], "k long, val long")
+    for v in (1, 2):
+        replica = merge_changes(
+            replica,
+            layout.read_changes(spark, out, v),
+            ["k"],
+            partial_updates=False,
+        )
+    got = sorted((r["k"], r["val"]) for r in replica.collect())
+    assert got == [(1, None), (2, 7)]
+
+
+def test_forced_vacuum_realigns_export_cursor(spark, tmp_path):
+    """expire_snapshots(force=True) past an export's cursor must leave
+    the export RUNNABLE, not confusingly broken: the export dir's own
+    _cursor.json realigns to the floor with a recorded forced_gap, the
+    next export_changes resumes at floor+1 (no 'time travel expired'),
+    read_changes on a lost version explains the force, and the gap
+    marker survives later cursor advances."""
+    import json
+    import os
+
+    path = str(tmp_path / "force_src")
+    out = str(tmp_path / "force_log")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+    layout.append_versioned(mk([(1, "a")]), path, ["k"])
+    assert layout.export_changes(spark, path, out, ["k"]) == [1]
+    for r in [(2, "b"), (3, "c"), (4, "d")]:
+        layout.append_versioned(mk([r]), path, ["k"])
+
+    with pytest.raises(ValueError, match="strand CDC export"):
+        layout.expire_snapshots(path, before=3)
+    layout.expire_snapshots(path, before=3, force=True)
+    with open(os.path.join(out, "_cursor.json")) as f:
+        cur = json.load(f)
+    assert cur == {"last_exported": 3, "forced_gap": [2, 3]}
+
+    # resumes cleanly at floor+1 and keeps the gap marker
+    assert layout.export_changes(spark, path, out, ["k"]) == [4]
+    with open(os.path.join(out, "_cursor.json")) as f:
+        cur2 = json.load(f)
+    assert cur2 == {"last_exported": 4, "forced_gap": [2, 3]}
+
+    with pytest.raises(ValueError, match="force=True"):
+        layout.read_changes(spark, out, 2)
+    assert layout.read_changes(spark, out, 1).count() == 1
+    assert layout.read_changes(spark, out, 4).count() == 1

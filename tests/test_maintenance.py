@@ -413,3 +413,38 @@ def test_maintain_stores_idle_runs_zero_spark_jobs(spark, tmp_path):
         sc.setJobGroup("", "")
     assert rep[path]["compacted"] is False
     assert list(jobs) == [], f"idle store maintenance ran Spark jobs: {jobs}"
+
+
+def test_maintain_stores_retention_window(spark, tmp_path):
+    """keep_history_versions=N vacuums to latest-N instead of latest —
+    a rolling audit window for stores whose untagged time travel
+    matters. The trade is documented: right after a compaction the
+    window pins every pre-compaction file a latest-N read could need,
+    so nothing is reclaimable until N more versions land."""
+    from chess_pos_db_spark.llm import maintenance as M
+    from chess_pos_db_spark.plans import layout
+
+    path = str(tmp_path / "retained_store")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, cnt long")
+    for i in range(5):
+        layout.append_versioned(mk([(i, 1)]), path, ["k"])
+    layout.compact_versioned(spark, path, key=["k"], agg_spec={"cnt": "sum"})
+
+    rep = M.maintain_stores(
+        spark, {path: None}, keep_history_versions=2
+    )
+    assert rep[path]["vacuum_blocked"] is None
+    m = layout.read_manifest(path)
+    # floor is latest-2 = 4: v4 and v5 stay time-travelable...
+    assert m["min_time_travel"] == 4
+    assert layout.read_snapshot(spark, path, 4).count() == 4
+    with pytest.raises(ValueError, match="expired"):
+        layout.read_snapshot(spark, path, 3)
+    # ...and because v4/v5 liveness spans ALL the append files, the
+    # window reclaimed nothing yet — that's the documented trade
+    assert rep[path]["vacuumed_files"] == 0
+
+    # the default (0) vacuums to latest and reclaims the appends
+    rep2 = M.maintain_stores(spark, {path: None})
+    assert rep2[path]["vacuumed_files"] > 0
+    assert layout.read_snapshot(spark, path).count() == 5

@@ -301,3 +301,57 @@ def test_merge_rejects_unknown_ops(spark):
     )
     got = {r["k"]: r["price"] for r in merge_changes(target, ok, ["k"]).collect()}
     assert got == {2: 25.0}
+
+
+def test_merge_allow_new_columns_evolution(spark):
+    """Replication × schema evolution (round-11 seam): a changeset
+    carrying a column the target lacks folds with
+    allow_new_columns=True — the unknown column joins the target as
+    typed NULLs (pre-evolution rows answer NULL, exactly as the source
+    store's union-schema read does) — while the default stays loud."""
+    import pytest
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, name string"
+    )
+    evolved = spark.createDataFrame(
+        [(3, "I", "c", "en"), (2, "U", "b2", "fr")],
+        "k long, op string, name string, lang string",
+    )
+    with pytest.raises(ValueError, match="allow_new_columns"):
+        merge_changes(target, evolved, ["k"])
+    got = {
+        r["k"]: (r["name"], r["lang"])
+        for r in merge_changes(
+            target, evolved, ["k"], allow_new_columns=True
+        ).collect()
+    }
+    assert got == {1: ("a", None), 2: ("b2", "fr"), 3: ("c", "en")}
+
+
+def test_merge_state_semantics_update_to_null(spark):
+    """partial_updates=False (the export_changes fold mode): a carried
+    NULL payload value OVERWRITES — exported change rows are full
+    states, so NULL means "became NULL", not "unchanged". The partial
+    default keeps the coalesce (intent-feed semantics); both leave
+    columns the feed doesn't carry at the target's value."""
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, price double"
+    )
+    changes = spark.createDataFrame(
+        [(1, "U", None), (3, "I", 30.0)], "k long, op string, price double"
+    )
+    partial = {
+        r["k"]: (r["name"], r["price"])
+        for r in merge_changes(target, changes, ["k"]).collect()
+    }
+    assert partial == {1: ("a", 10.0), 2: ("b", 20.0), 3: (None, 30.0)}
+    state = {
+        r["k"]: (r["name"], r["price"])
+        for r in merge_changes(
+            target, changes, ["k"], partial_updates=False
+        ).collect()
+    }
+    # name isn't carried by the feed -> target's value survives even
+    # in state mode; price IS carried -> its NULL overwrites
+    assert state == {1: ("a", None), 2: ("b", 20.0), 3: (None, 30.0)}

@@ -491,3 +491,16 @@ def test_dump_response_backstop_never_emits_invalid_json():
     assert json.loads(server._dump_response({"ok": True, "v": 1.5})) == {
         "ok": True, "v": 1.5,
     }
+
+
+def test_responses_carry_protocol_version(spark, tmp_path):
+    """Every response (ok and error) carries the wire-format version so
+    clients can detect breaking changes like the round-10 tagged
+    non-finite-float form (protocol 2) instead of mis-parsing."""
+    from chess_pos_db_spark.app import server as srv
+
+    eng = srv.Engine(spark)
+    ok = eng.handle({"command": "stats"})
+    assert ok["protocol"] == srv.PROTOCOL_VERSION == 2
+    bad = eng.handle({"command": "no_such_command"})
+    assert bad["ok"] is False and bad["protocol"] == 2

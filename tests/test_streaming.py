@@ -522,3 +522,70 @@ def test_store_to_store_replication_via_export_log(spark, tmp_path):
     assert want == [(1, "a"), (2, "B"), (4, "d")]
     # B is a real store: its seed version still answers empty
     assert layout.read_snapshot(spark, b, 1).count() == 0
+
+
+def test_store_replication_follows_schema_evolution(spark, tmp_path):
+    """Round-11 seam pinned at the streaming consumer: source store A
+    evolves additively mid-history (v2's upsert carries a new `lang`
+    column), its exported log replays into replica store B via
+    store_apply_stream — with allow_new_columns=True B follows the
+    evolution (pre-evolution rows answer NULL), and WITHOUT it the
+    first evolved batch fails loudly instead of silently corrupting."""
+    from pyspark.sql import types as T
+
+    from chess_pos_db_spark.plans import layout
+    from chess_pos_db_spark.streaming import jobs
+
+    a = str(tmp_path / "evo_a")
+    b = str(tmp_path / "evo_b")
+    out = str(tmp_path / "evo_a_log")
+    layout.append_versioned(
+        spark.createDataFrame([(1, "t1"), (2, "t2")], "k long, txt string"),
+        a, ["k"],
+    )
+    layout.upsert_rows(
+        spark, a,
+        spark.createDataFrame(
+            [(2, "T2", "en", "U"), (3, "t3", "fr", "I")],
+            "k long, txt string, lang string, op string",
+        ),
+        allow_new_columns=True,
+    )
+    layout.delete_rows(spark, a, "k = 1")
+    assert layout.export_changes(spark, a, out, ["k"]) == [1, 2, 3]
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("txt", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("to_version", T.IntegerType()),
+        ]
+    )
+    # loud default: the evolved batch fails the stream, B untouched
+    layout.append_versioned(
+        spark.createDataFrame([], "k long, txt string"), b, ["k"]
+    )
+    with pytest.raises(Exception, match="allow_new_columns"):
+        jobs.store_apply_stream(
+            spark, f"{out}/changes", schema, b, ["k"],
+            seq_col="to_version",
+        )
+
+    b2 = str(tmp_path / "evo_b2")
+    layout.append_versioned(
+        spark.createDataFrame([], "k long, txt string"), b2, ["k"]
+    )
+    live = jobs.store_apply_stream(
+        spark, f"{out}/changes", schema, b2, ["k"],
+        seq_col="to_version", allow_new_columns=True,
+    )
+    got = sorted(
+        (r["k"], r["txt"], r["lang"]) for r in live.collect()
+    )
+    want = sorted(
+        (r["k"], r["txt"], r["lang"])
+        for r in layout.read_snapshot(spark, a).collect()
+    )
+    assert got == want == [(2, "T2", "en"), (3, "t3", "fr")]
