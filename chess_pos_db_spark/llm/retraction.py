@@ -43,15 +43,29 @@ def retract_documents(
     postings_prefix: str | None = None,
     lsh_prefix: str | None = None,
     view_paths: list[str] | None = None,
+    ivf_layout: tuple | None = None,
 ) -> dict:
     """Propagate a retraction feed through every structure given.
 
     Returns per-structure counts: ``{"requested": n, "store": n1,
-    "postings": n2, "lsh": n3, "views": {path: to_version}}`` where
-    each count is how many of the requested ids that structure still
-    held (and therefore deleted) — on a clean first run they all equal
-    ``requested``; on a recovery re-run the already-converged
-    structures report 0.
+    "postings": n2, "lsh": n3, "ivf": n4, "views": {path:
+    to_version}}`` where each count is how many of the requested ids
+    that structure still held (and therefore deleted) — on a clean
+    first run they all equal ``requested``; on a recovery re-run the
+    already-converged structures report 0.
+
+    ``ivf_layout`` is ``(layout_dir, centroids, cnorms)`` — an IVF
+    vector layout (llm/similarity.write_ivf_layout) whose ``vec_id``
+    IS the document id (the curation pipeline's convention: a document
+    and its embedding share one id; a pipeline with a separate id
+    space renames before calling). The batch's INDEXED embeddings are
+    fetched from the layout itself — a vec_id-pushed scan whose output
+    is batch-sized (row-group stats prune most files; the find is the
+    same O(corpus footers) bound as the store leg's pushed IN-scan) —
+    then `delete_from_ivf_layout` rewrites only the affected cells
+    with the frozen quantizer. Restricting to ids actually present
+    keeps this leg idempotent like the others (the underlying delete
+    fails loudly on absent ids by design).
 
     ``view_paths`` are materialized aggregate views (plans/mv) pinned
     to ``store_path``'s version ledger: after the store delete commits
@@ -117,6 +131,46 @@ def retract_documents(
         if n:
             DI.delete_from_lsh_index(spark, todo, lsh_prefix)
         out["lsh"] = n
+
+    if ivf_layout is not None:
+        import os
+
+        from . import similarity as SIM
+
+        layout_dir, centroids, cnorms = ivf_layout
+        # a layout whose every cell was already deleted holds no
+        # parquet (schema inference would fail) — that is "nothing
+        # live", not an error. Only an EXISTING-but-empty local dir
+        # short-circuits; a typo'd path still fails the read loudly.
+        if os.path.isdir(layout_dir) and not any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(layout_dir)
+            for f in fs
+        ):
+            out["ivf"] = 0
+            layout_dir = None
+    if ivf_layout is not None and layout_dir is not None:
+        # the batch's indexed embeddings, fetched from the layout
+        # (frozen-quantizer routing needs the vectors AS INDEXED —
+        # caller-supplied embeddings could be stale and route to the
+        # wrong cell); localCheckpoint: the delete overwrites the very
+        # files this plan reads
+        todo = (
+            spark.read.parquet(layout_dir)
+            .select("vec_id", "embedding")
+            .join(
+                ids.withColumnRenamed("doc_id", "vec_id"),
+                "vec_id",
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+        n = todo.count()
+        if n:
+            SIM.delete_from_ivf_layout(
+                spark, todo, layout_dir, centroids, cnorms
+            )
+        out["ivf"] = n
 
     if view_paths:
         # AFTER the store leg: the views consume the store's CDC, so

@@ -293,3 +293,247 @@ def test_spec_degenerate_values_fail_at_bind_time(spark):
         ]},
     )
     assert out.count() == 1  # one source, capped at 1
+
+
+def test_retraction_composite_randomized_against_model(spark, tmp_path):
+    """Round-11 model-based differential test of the MULTI-STRUCTURE
+    composite: seeded random interleavings of ingest / retract /
+    maintain across all five structures a curation pipeline keeps —
+    snapshot store, positional postings index, LSH near-dup index, IVF
+    vector layout (vec_id == doc_id, the pipeline convention), and a
+    count/sum materialized view — checked against a plain dict model
+    of live docs after EVERY step, with an end-of-run full differential
+    against fresh builds over the live corpus. The scenario tests pin
+    each seam once; this interleaves them in orders no scenario
+    enumerates (a retract between two ingests, maintenance compacting
+    tombstones mid-history, a vacuum after a retract...)."""
+    import random
+
+    import numpy as np
+
+    from chess_pos_db_spark.llm import maintenance as M
+    from chess_pos_db_spark.llm import similarity as SIM
+    from chess_pos_db_spark.plans import mv
+
+    WORDS = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+        "golf", "hotel", "india", "juliet", "kilo", "lima",
+    ]
+
+    def text_for(k):
+        return " ".join(WORDS[(k * 7 + i) % len(WORDS)] for i in range(10))
+
+    def source_for(k):
+        return f"s{k % 3}"
+
+    def emb_for(k):
+        c = k % 4
+        return [
+            1.0 if i == c else 0.01 * ((k + i) % 5) for i in range(4)
+        ]
+
+    def docs_df(ks):
+        return spark.createDataFrame(
+            [(k, source_for(k), text_for(k)) for k in ks],
+            "doc_id long, source string, text string",
+        )
+
+    def embs_df(ks):
+        return spark.createDataFrame(
+            [(k, emb_for(k)) for k in ks],
+            "vec_id long, embedding array<double>",
+        )
+
+    centroids = np.eye(4)
+    cnorms = np.ones(4)
+    dims, measures = ["source"], [("count", "*"), ("sum", "doc_id")]
+
+    def model_view(model):
+        agg: dict[str, tuple[int, int]] = {}
+        for k in model:
+            s = source_for(k)
+            c, t_ = agg.get(s, (0, 0))
+            agg[s] = (c + 1, t_ + k)
+        return agg
+
+    for seed in range(2):
+        rng = random.Random(seed)
+        tag = f"cmpr{seed}"
+        store = str(tmp_path / f"cmp_store_{seed}")
+        ivf_dir = str(tmp_path / f"cmp_ivf_{seed}")
+        view = str(tmp_path / f"cmp_view_{seed}")
+        ix, lsh = f"{tag}_ix", f"{tag}_lsh"
+        try:
+            first = list(range(20))
+            model = {k: text_for(k) for k in first}
+            layout.append_versioned(docs_df(first), store, ["doc_id"])
+            S.build_inverted_index(spark, docs_df(first), ix)
+            DI.build_lsh_index(spark, docs_df(first), lsh)
+            (
+                embs_df(first)
+                .join(
+                    SIM._cell_assignments(embs_df(first), centroids, cnorms),
+                    "vec_id",
+                )
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(ivf_dir)
+            )
+            mv.write_view(
+                mv.build_view(docs_df(first), dims, measures),
+                view, dims, measures, base_version=1,
+            )
+            next_id = [20]
+
+            def check(step, op):
+                live = layout.read_snapshot(spark, store)
+                got = {r["doc_id"]: r["text"] for r in live.collect()}
+                assert got == model, f"seed {seed} step {step} {op}: store"
+                want_ids = set(model)
+
+                pl = S._existing_doc_ids(spark, ix)
+                tombs = S._tombstone_ids(spark, ix, S._read_meta(spark, ix))
+                if tombs is not None:
+                    pl = pl.join(tombs, "doc_id", "left_anti")
+                assert {
+                    r["doc_id"] for r in pl.collect()
+                } == want_ids, f"seed {seed} step {step} {op}: postings"
+
+                assert {
+                    r["doc_id"]
+                    for r in DI.kept_doc_ids(spark, lsh).collect()
+                } == want_ids, f"seed {seed} step {step} {op}: lsh"
+
+                import os
+
+                has_parquet = any(
+                    f.endswith(".parquet")
+                    for _, _, fs in os.walk(ivf_dir)
+                    for f in fs
+                )
+                ivf_ids = (
+                    {
+                        r["vec_id"]
+                        for r in spark.read.parquet(ivf_dir)
+                        .select("vec_id")
+                        .collect()
+                    }
+                    if has_parquet
+                    else set()
+                )
+                assert ivf_ids == want_ids, (
+                    f"seed {seed} step {step} {op}: ivf"
+                )
+
+                mv.advance_view(spark, store, view)
+                vdf, _, _ = mv.read_view(spark, view)
+                got_view = {
+                    r["source"]: (r["m_count_star"], r["m_sum_doc_id"])
+                    for r in vdf.collect()
+                    if r["m_count_star"] > 0
+                }
+                assert got_view == model_view(model), (
+                    f"seed {seed} step {step} {op}: view"
+                )
+
+            check("init", "build")
+            for step in range(5):
+                op = rng.choice(["ingest", "retract", "maintain"])
+                if op == "ingest":
+                    batch = list(range(next_id[0], next_id[0] + 5))
+                    next_id[0] += 5
+                    layout.append_versioned(docs_df(batch), store, ["doc_id"])
+                    S.append_to_index(spark, docs_df(batch), ix)
+                    DI.append_to_lsh_index(spark, docs_df(batch), lsh)
+                    SIM.append_ivf_layout(
+                        embs_df(batch), ivf_dir, centroids, cnorms
+                    )
+                    model.update({k: text_for(k) for k in batch})
+                elif op == "retract":
+                    doomed = rng.sample(
+                        sorted(model), min(3, len(model))
+                    )
+                    res = retraction.retract_documents(
+                        spark,
+                        spark.createDataFrame(
+                            [(k,) for k in doomed], "doc_id long"
+                        ),
+                        store_path=store,
+                        postings_prefix=ix,
+                        lsh_prefix=lsh,
+                        view_paths=[view],
+                        ivf_layout=(ivf_dir, centroids, cnorms),
+                    )
+                    n = len(doomed)
+                    assert (
+                        res["store"], res["postings"],
+                        res["lsh"], res["ivf"],
+                    ) == (n, n, n, n)
+                    for k in doomed:
+                        model.pop(k)
+                else:
+                    M.maintain_indexes(
+                        spark,
+                        postings_prefixes=[ix],
+                        lsh_prefixes=[lsh],
+                        ivf_layouts=[ivf_dir],
+                        max_generations=2,
+                        max_tombstone_generations=1,
+                        max_masked_frac=0.1,
+                        max_files_per_cell=2,
+                    )
+                    M.maintain_stores(spark, {store: None})
+                check(step, op)
+
+            # end-of-run full differential: every structure answers as a
+            # fresh build over the live corpus
+            live_docs = docs_df(sorted(model))
+            S.build_inverted_index(spark, live_docs, f"{tag}_refix")
+            terms = [WORDS[0], WORDS[3], WORDS[7]]
+            assert [
+                tuple(r)
+                for r in S.search_indexed(spark, ix, terms).collect()
+            ] == [
+                tuple(r)
+                for r in S.search_indexed(
+                    spark, f"{tag}_refix", terms
+                ).collect()
+            ], f"seed {seed}: postings differential"
+
+            DI.build_lsh_index(spark, live_docs, f"{tag}_reflsh")
+            probe = docs_df(list(range(1000, 1012)))
+            assert sorted(
+                tuple(r)
+                for r in DI.probe_lsh_index(spark, probe, lsh).collect()
+            ) == sorted(
+                tuple(r)
+                for r in DI.probe_lsh_index(
+                    spark, probe, f"{tag}_reflsh"
+                ).collect()
+            ), f"seed {seed}: lsh differential"
+
+            if model:
+                fresh_ivf = str(tmp_path / f"cmp_ivf_ref_{seed}")
+                embs = embs_df(sorted(model))
+                (
+                    embs.join(
+                        SIM._cell_assignments(embs, centroids, cnorms),
+                        "vec_id",
+                    )
+                    .write.mode("overwrite")
+                    .partitionBy("cell")
+                    .parquet(fresh_ivf)
+                )
+                got_rows = sorted(
+                    (r["vec_id"], r["cell"], tuple(r["embedding"]))
+                    for r in spark.read.parquet(ivf_dir).collect()
+                )
+                want_rows = sorted(
+                    (r["vec_id"], r["cell"], tuple(r["embedding"]))
+                    for r in spark.read.parquet(fresh_ivf).collect()
+                )
+                assert got_rows == want_rows, (
+                    f"seed {seed}: ivf differential"
+                )
+        finally:
+            _drop(spark, tag)
