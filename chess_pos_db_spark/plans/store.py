@@ -691,3 +691,51 @@ def store_upsert_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "store_replication_lag",
+    oracle="""
+SELECT CAST(1 AS BIGINT) AS live_versions,
+       CAST(3 AS BIGINT) AS total_versions,
+       CAST(2 AS BIGINT) AS export_lag
+""",
+)
+def store_replication_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication-lag OBSERVABILITY as a registered query: how far a
+    CDC export (and therefore every replica folding its log) trails
+    the store's latest version — the number an operator alerts on
+    before `expire_snapshots` starts refusing vacuums on the export's
+    behalf. Lifecycle: v1 lands and is exported (cursor = 1), then an
+    append (v2) and a copy-on-write delete (v3) commit WITHOUT an
+    export run — the registered cursor now trails by exactly 2, the
+    live set is the single delete snapshot, and the manifest holds all
+    three versions. `store_version_pressure` derives all three numbers
+    from ONE manifest read — zero Spark jobs, the same zero-cost
+    due-check contract as the scheduler's idle legs — and the oracle
+    pins them as constants the lifecycle fully determines (corpus size
+    never enters). A fourth structure-level answer (which dirs, which
+    cursor file) lives in the manifest itself for the auditor."""
+    from ..llm.maintenance import store_version_pressure
+
+    def build(path: str, payload: DataFrame) -> None:
+        layout.append_versioned(
+            payload.filter(~F.expr(_DIFF_APPEND)), path, ["doc_id"]
+        )
+        layout.export_changes(
+            spark, path, os.path.join(path, "_cdc_export"), ["doc_id"]
+        )
+        layout.append_versioned(
+            payload.filter(F.expr(_DIFF_APPEND)), path, ["doc_id"]
+        )
+        res = layout.delete_rows(spark, path, _DIFF_DELETE)
+        if res["version"] is None:
+            raise ValueError("store_replication_lag: delete matched nothing")
+
+    path = _ensure_lifecycle_store(spark, sf_dir, "replag", build)
+    p = store_version_pressure(path)
+    (lag,) = p["export_lag"].values()
+    return spark.createDataFrame(
+        [(p["live_versions"], p["total_versions"], lag)],
+        "live_versions long, total_versions long, export_lag long",
+    )
