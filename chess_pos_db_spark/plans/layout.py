@@ -1185,6 +1185,13 @@ def export_changes(
     permanently unexportable (their snapshots are gone), and
     `read_changes` on a gapped version fails with that explanation —
     fold-from-empty consumers must re-seed from a live snapshot.
+
+    A FRESH export on a store whose early history was already vacuumed
+    starts with an INITIAL SNAPSHOT BASE (the Debezium shape): version
+    `floor` exports as the full snapshot in 'I' rows and the cursor
+    records ``initial_base`` — a from-empty fold starting there
+    converges exactly; versions below the base were never part of this
+    changelog and `read_changes` explains them.
     """
     cursor_file = os.path.join(out_dir, "_cursor.json")
     os.makedirs(out_dir, exist_ok=True)
@@ -1196,9 +1203,32 @@ def export_changes(
     last = cursor.get("last_exported", 0)
     manifest = read_manifest(path)
     latest = max(s["id"] for s in manifest["snapshots"])
+    floor = manifest.get("min_time_travel") or 0
     exported: list[int] = []
+    base = None
+    if last == 0 and floor > 1:
+        # a FRESH changelog on a store whose early history was already
+        # vacuumed: versions 1..floor-1 are physically gone, so neither
+        # "v1 as inserts" nor a diff below the floor can run (caught
+        # round 11 by the randomized export×vacuum test — the old code
+        # died on read_snapshot(1) "time travel expired"). The Debezium
+        # initial-snapshot shape instead: version `floor` exports as
+        # the FULL snapshot in 'I' rows, recorded as the changelog's
+        # `initial_base` — a from-empty fold starting there reproduces
+        # snapshot(floor) exactly and the diffs continue from floor+1.
+        # Versions below the base were never part of this changelog
+        # (read_changes explains them).
+        base = floor
+        cursor["initial_base"] = base
+        last = base - 1
     for v in range(last + 1, latest + 1):
-        if v == 1:
+        if v == base:
+            snap = read_snapshot(spark, path, v)
+            payload = [c for c in snap.columns if c not in key]
+            out = snap.select(
+                *key, F.lit("I").alias("op"), *payload
+            )
+        elif v == 1:
             # version 1 has no predecessor: its entire content exports
             # as inserts
             snap = read_snapshot(spark, path, 1)
@@ -1286,6 +1316,14 @@ def read_changes(spark: SparkSession, out_dir: str, version: int) -> DataFrame:
                     f"— expire_snapshots(force=True) vacuumed versions "
                     f"{gap[0]}..{gap[1]} past this export's cursor; "
                     "re-seed consumers from a live snapshot"
+                )
+            ib = cur.get("initial_base")
+            if ib is not None and version < ib:
+                raise ValueError(
+                    f"read_changes: version {version} predates this "
+                    f"changelog's initial snapshot base (v{ib}) — the "
+                    "export began on an already-vacuumed store; fold "
+                    f"from empty starting at v{ib}"
                 )
     schema_file = os.path.join(d, "_schema.json")
     if not os.path.isfile(schema_file):

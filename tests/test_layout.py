@@ -1537,3 +1537,207 @@ def test_forced_vacuum_realigns_export_cursor(spark, tmp_path):
         layout.read_changes(spark, out, 2)
     assert layout.read_changes(spark, out, 1).count() == 1
     assert layout.read_changes(spark, out, 4).count() == 1
+
+
+def test_export_vacuum_lifecycle_randomized_against_model(spark, tmp_path):
+    """Model-based differential test of the EXPORT × VACUUM interplay:
+    seeded random interleavings of append / delete / export / vacuum /
+    FORCED vacuum, against a model of the changelog (registration,
+    cursor, forced gap, initial base). Invariants after every step: the
+    guard refuses a strand only for a REGISTERED lagging export; a
+    forced vacuum realigns the export's cursor to the floor with the
+    gap recorded; a FRESH export on an already-vacuumed store starts
+    with the initial snapshot base instead of dying on 'time travel
+    expired' (the seam this test found); export always RESUMES
+    cleanly; read_changes answers every exported version and explains
+    every gapped/pre-base one; and at the end a replica (from-empty
+    when the log is complete or base-anchored, re-seeded from the
+    snapshot at the gap's edge after a force) equals the live state."""
+    import json
+    import os
+    import random
+
+    from chess_pos_db_spark.operators.merge import merge_changes
+
+    mk = lambda rows: spark.createDataFrame(rows, "k long, val long")
+
+    for seed in range(3):
+        rng = random.Random(100 + seed)
+        path = str(tmp_path / f"ev_store_{seed}")
+        out = str(tmp_path / f"ev_log_{seed}")
+        model: dict[int, int] = {}
+        nxt = [0]
+
+        def fresh():
+            nxt[0] += 1
+            return nxt[0]
+
+        first = {k: fresh() for k in range(5)}
+        model.update(first)
+        layout.append_versioned(mk(sorted(first.items())), path, ["k"])
+        latest = 1
+        registered = False  # has export_changes ever run on this store
+        cursor = 0          # model of the export's last_exported
+        gap_hi = 0          # versions 1..gap_hi lost to force (0 = none)
+        init_base = 0       # first export began here on a vacuumed store
+        floor_model = 0     # model of min_time_travel
+
+        for step in range(8):
+            op = rng.choice(
+                ["append", "delete", "export", "vacuum", "force_vacuum"]
+            )
+            if op == "append":
+                batch = {
+                    k: fresh()
+                    for k in rng.sample(range(10, 80), 3)
+                    if k not in model
+                }
+                if not batch:
+                    continue
+                model.update(batch)
+                layout.append_versioned(mk(sorted(batch.items())), path, ["k"])
+                latest += 1
+            elif op == "delete":
+                m = rng.choice([3, 5])
+                doomed = [k for k in model if k % m == 2]
+                res = layout.delete_rows(spark, path, f"k % {m} = 2")
+                if res["version"] is None:
+                    assert not doomed
+                    continue
+                for k in doomed:
+                    model.pop(k)
+                latest += 1
+            elif op == "export":
+                got = layout.export_changes(spark, path, out, ["k"])
+                if not registered and floor_model > 1:
+                    # fresh export on a vacuumed store: initial base
+                    init_base = floor_model
+                    assert got == list(range(init_base, latest + 1))
+                    with open(os.path.join(out, "_cursor.json")) as f:
+                        assert json.load(f)["initial_base"] == init_base
+                else:
+                    assert got == list(range(cursor + 1, latest + 1))
+                registered = True
+                cursor = latest
+            elif op == "vacuum":
+                before = rng.randint(1, latest)
+                if registered and cursor < min(before, latest):
+                    with pytest.raises(ValueError, match="strand"):
+                        layout.expire_snapshots(path, before=before)
+                    continue
+                layout.expire_snapshots(path, before=before)
+                floor_model = max(floor_model, min(before, latest))
+            else:  # force_vacuum past the cursor (when it would strand)
+                before = rng.randint(1, latest)
+                floor = min(before, latest)
+                if not registered or cursor >= floor:
+                    layout.expire_snapshots(path, before=before)
+                    floor_model = max(floor_model, floor)
+                    continue
+                layout.expire_snapshots(path, before=before, force=True)
+                floor_model = max(floor_model, floor)
+                gap_hi = floor
+                cursor = floor
+                with open(os.path.join(out, "_cursor.json")) as f:
+                    cur = json.load(f)
+                assert cur["last_exported"] == floor
+                assert cur["forced_gap"][1] == floor
+
+            # live state always equals the model
+            got = {
+                r["k"]: r["val"]
+                for r in layout.read_snapshot(spark, path).collect()
+            }
+            assert got == model, f"seed {seed} step {step} op {op}"
+
+        # drain the export, then check the changelog's answers
+        got = layout.export_changes(spark, path, out, ["k"])
+        if not registered and floor_model > 1:
+            init_base = floor_model
+        for v in range(1, latest + 1):
+            if os.path.isdir(os.path.join(out, "changes", f"to_version={v}")):
+                layout.read_changes(spark, out, v).count()
+            elif v <= gap_hi:
+                with pytest.raises(ValueError, match="force=True"):
+                    layout.read_changes(spark, out, v)
+            elif v < init_base:
+                with pytest.raises(ValueError, match="initial snapshot base"):
+                    layout.read_changes(spark, out, v)
+            else:
+                raise AssertionError(
+                    f"seed {seed}: version {v} has no dir and no reason"
+                )
+
+        # replication: from empty when the log is complete or
+        # base-anchored; re-seeded after a force (the documented
+        # consumer contract) — from the snapshot at the CURRENT floor,
+        # which is always readable and at or past the gap's edge (later
+        # vacuums may have expired the gap-edge snapshot itself)
+        if gap_hi:
+            seed_v = max(gap_hi, floor_model)
+            replica = layout.read_snapshot(spark, path, seed_v)
+            start = seed_v + 1
+        else:
+            replica = spark.createDataFrame([], "k long, val long")
+            start = init_base if init_base else 1
+        for v in range(start, latest + 1):
+            replica = merge_changes(
+                replica,
+                layout.read_changes(spark, out, v),
+                ["k"],
+                partial_updates=False,
+            ).localCheckpoint(eager=True)
+        got = {r["k"]: r["val"] for r in replica.collect()}
+        assert got == model, f"seed {seed} fold"
+
+
+def test_fresh_export_on_vacuumed_store_starts_at_base(spark, tmp_path):
+    """A changelog ADDED to a store whose early history was already
+    vacuumed cannot export v1 (its files are gone). Pin the initial-
+    snapshot-base shape: the first run exports snapshot(floor) whole as
+    'I' rows at to_version=floor, records initial_base, diffs continue
+    from floor+1, read_changes explains pre-base versions, and a
+    from-empty fold starting at the base equals the live state."""
+    import json
+    import os
+
+    from chess_pos_db_spark.operators.merge import merge_changes
+
+    path = str(tmp_path / "vac_first")
+    out = str(tmp_path / "vac_first_log")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+    layout.append_versioned(mk([(1, "a"), (2, "b")]), path, ["k"])
+    layout.append_versioned(mk([(3, "c")]), path, ["k"])
+    layout.delete_rows(spark, path, "k = 1")          # v3
+    layout.expire_snapshots(path, before=3)            # floor = 3
+    layout.append_versioned(mk([(4, "d")]), path, ["k"])  # v4
+
+    assert layout.export_changes(spark, path, out, ["k"]) == [3, 4]
+    with open(os.path.join(out, "_cursor.json")) as f:
+        cur = json.load(f)
+    assert cur == {"last_exported": 4, "initial_base": 3}
+
+    # the base version is the full snapshot(3) as inserts
+    ch3 = layout.read_changes(spark, out, 3)
+    assert sorted(
+        (r["k"], r["op"], r["v"]) for r in ch3.collect()
+    ) == [(2, "I", "b"), (3, "I", "c")]
+    for v in (1, 2):
+        with pytest.raises(ValueError, match="initial snapshot base"):
+            layout.read_changes(spark, out, v)
+
+    replica = spark.createDataFrame([], "k long, v string")
+    for v in (3, 4):
+        replica = merge_changes(
+            replica, layout.read_changes(spark, out, v), ["k"],
+            partial_updates=False,
+        )
+    got = sorted(tuple(r) for r in replica.collect())
+    live = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+    assert got == live == [(2, "b"), (3, "c"), (4, "d")]
+
+    # a later run resumes with ordinary diffs
+    layout.append_versioned(mk([(5, "e")]), path, ["k"])
+    assert layout.export_changes(spark, path, out, ["k"]) == [5]
+    with open(os.path.join(out, "_cursor.json")) as f:
+        assert json.load(f)["initial_base"] == 3
