@@ -589,3 +589,129 @@ def test_store_replication_follows_schema_evolution(spark, tmp_path):
         for r in layout.read_snapshot(spark, a).collect()
     )
     assert got == want == [(2, "T2", "en"), (3, "t3", "fr")]
+
+
+def test_store_replication_randomized_against_source(spark, tmp_path):
+    """Randomized end-to-end replication: source store A runs a seeded
+    random lifecycle (appends, whole-row upserts including
+    update-to-NULL, deletes, an additive evolution), exports its
+    delta-sized log, and ONE store_apply_stream run folds the log into
+    empty replica B (to_version as the seq column — availableNow
+    bundles the whole history into one batch, so latest-state-per-key
+    resolution must equal the sequential fold). B's live state must
+    equal A's exactly, evolved column included. Complements the
+    batch-side randomized fold in test_layout with the streaming
+    consumer path."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from chess_pos_db_spark.plans import layout
+    from chess_pos_db_spark.streaming import jobs
+
+    for seed in range(2):
+        rng = random.Random(1000 + seed)
+        a = str(tmp_path / f"rsrc_{seed}")
+        b = str(tmp_path / f"rdst_{seed}")
+        out = str(tmp_path / f"rlog_{seed}")
+        model: dict[int, tuple] = {}  # k -> (val, x)
+        nxt = [0]
+
+        def fresh():
+            nxt[0] += 1
+            return nxt[0]
+
+        first = {k: (fresh(), None) for k in range(6)}
+        model.update(first)
+        layout.append_versioned(
+            spark.createDataFrame(
+                [(k, v) for k, (v, _) in sorted(first.items())],
+                "k long, val long",
+            ),
+            a,
+            ["k"],
+        )
+        evolved = False
+        for _ in range(6):
+            op = rng.choice(["append", "upsert", "delete", "evolve"])
+            if op == "append":
+                ks = [
+                    k for k in rng.sample(range(10, 60), 3) if k not in model
+                ]
+                if not ks:
+                    continue
+                for k in ks:
+                    model[k] = (fresh(), None)
+                layout.append_versioned(
+                    spark.createDataFrame(
+                        [(k, model[k][0]) for k in sorted(ks)],
+                        "k long, val long",
+                    ),
+                    a,
+                    ["k"],
+                )
+            elif op == "upsert":
+                rows = []
+                for k in rng.sample(sorted(model), min(2, len(model))):
+                    v = None if rng.random() < 0.3 else fresh()
+                    rows.append((k, v, "U"))
+                    model[k] = (v, None)  # whole-row: evolved col resets
+                layout.upsert_rows(
+                    spark,
+                    a,
+                    spark.createDataFrame(rows, "k long, val long, op string"),
+                )
+            elif op == "delete":
+                m = rng.choice([4, 5])
+                doomed = [k for k in model if k % m == 1]
+                res = layout.delete_rows(spark, a, f"k % {m} = 1")
+                assert (res["version"] is not None) == bool(doomed)
+                for k in doomed:
+                    model.pop(k)
+            else:
+                if not model:
+                    continue
+                k = rng.choice(sorted(model))
+                x = fresh()
+                model[k] = (model[k][0], x)
+                layout.upsert_rows(
+                    spark,
+                    a,
+                    spark.createDataFrame(
+                        [(k, model[k][0], x, "U")],
+                        "k long, val long, x long, op string",
+                    ),
+                    allow_new_columns=True,
+                )
+                evolved = True
+
+        layout.export_changes(spark, a, out, ["k"])
+        layout.append_versioned(
+            spark.createDataFrame([], "k long, val long"), b, ["k"]
+        )
+        fields = [
+            T.StructField("k", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("val", T.LongType()),
+        ]
+        if evolved:
+            fields.append(T.StructField("x", T.LongType()))
+        fields.append(T.StructField("to_version", T.IntegerType()))
+        live_b = jobs.store_apply_stream(
+            spark, f"{out}/changes", T.StructType(fields), b, ["k"],
+            seq_col="to_version", allow_new_columns=True,
+        )
+        cols = ["k", "val", "x"] if evolved else ["k", "val"]
+        got = sorted(
+            tuple(r.asDict().get(c) for c in cols)
+            for r in live_b.collect()
+        )
+        want_live = sorted(
+            tuple(r.asDict().get(c) for c in cols)
+            for r in layout.read_snapshot(spark, a).collect()
+        )
+        want_model = sorted(
+            (k, v, x) if evolved else (k, v)
+            for k, (v, x) in model.items()
+        )
+        assert got == want_live == want_model, f"seed {seed}"
