@@ -14,6 +14,7 @@ changes WHERE rows live, never what a query answers.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 from urllib.parse import urlparse
@@ -739,3 +740,67 @@ def store_replication_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(p["live_versions"], p["total_versions"], lag)],
         "live_versions long, total_versions long, export_lag long",
     )
+
+
+@register(
+    "store_rebased_changelog",
+    oracle=f"""
+SELECT doc_id, source, CAST(LENGTH(text) AS BIGINT) AS text_len
+FROM documents
+WHERE NOT ({_DIFF_DELETE})
+ORDER BY doc_id
+""",
+)
+def store_rebased_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A changelog ADDED AFTER history was vacuumed, externally
+    verified (round-11 seam: the old export died on v1 'time travel
+    expired'). Lifecycle: v1 lands, v2 appends, the store is vacuumed
+    to v2 (v1's files gone — no export registered yet, so no guard
+    applies), v3 deletes copy-on-write, and only THEN the first
+    export runs: it emits the Debezium initial-snapshot base —
+    snapshot(2) whole as 'I' rows at to_version=2, `initial_base`
+    recorded — plus v3's ordinary delta. A replica folded FROM EMPTY
+    starting at the base (state semantics) must equal the live
+    snapshot; the oracle enumerates it from the corpus directly.
+    Scale: the base export is one snapshot scan (paid once, exactly
+    what a new replica would bootstrap-copy anyway); every later
+    version stays delta-sized."""
+    from ..operators.merge import merge_changes
+
+    def build(path: str, payload: DataFrame) -> None:
+        layout.append_versioned(
+            payload.filter(~F.expr(_DIFF_APPEND)), path, ["doc_id"]
+        )
+        layout.append_versioned(
+            payload.filter(F.expr(_DIFF_APPEND)), path, ["doc_id"]
+        )
+        layout.expire_snapshots(path, before=2)
+        res = layout.delete_rows(spark, path, _DIFF_DELETE)
+        if res["version"] is None:
+            raise ValueError("store_rebased_changelog: delete matched nothing")
+        layout.export_changes(
+            spark, path, os.path.join(path, "_cdc_export"), ["doc_id"]
+        )
+
+    path = _ensure_lifecycle_store(spark, sf_dir, "rebased", build)
+    out = os.path.join(path, "_cdc_export")
+    latest = max(
+        s["id"] for s in layout.read_manifest(path)["snapshots"]
+    )
+    with open(os.path.join(out, "_cursor.json")) as f:
+        base = json.load(f)["initial_base"]
+    replica = spark.createDataFrame(
+        [], "doc_id long, source string, text string"
+    )
+    for v in range(base, latest + 1):
+        replica = merge_changes(
+            replica,
+            layout.read_changes(spark, out, v),
+            ["doc_id"],
+            partial_updates=False,
+        )
+    return replica.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("text_len"),
+    ).orderBy("doc_id")
