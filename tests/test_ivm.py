@@ -392,3 +392,46 @@ def test_versioned_apply_stream_rejects_remote_store(spark, tmp_path):
             spark, str(tmp_path / "src"), schema,
             "s3a://bucket/view", base, ["k"], "v",
         )
+
+
+def test_ivm_multi_round_randomized_equals_recompute(spark):
+    """Long-horizon IVM: the view maintained through SEEDED RANDOM
+    sequences of insert/delete batches must equal recompute over the
+    evolving base after EVERY round — the single-batch property test
+    can't see cumulative effects (a guard misfiring after many
+    combines, a group resurrected after full retraction). Integer
+    values keep ± exact, so equality is strict, not rounded. Each
+    round's view is localCheckpointed: maintenance must depend only on
+    the PREVIOUS view + the delta, exactly as a stored view would."""
+    import random
+
+    for seed in range(3):
+        rng = random.Random(10 + seed)
+        keys = ["a", "b", "c", "d"]
+        rows: list[tuple[str, int]] = [
+            (rng.choice(keys), rng.randint(1, 9)) for _ in range(8)
+        ]
+        mk = lambda rs: spark.createDataFrame(rs, "k string, v long")
+        view = agg_view(mk(rows), ["k"], "v").localCheckpoint(eager=True)
+
+        for step in range(6):
+            ins = [
+                (rng.choice(keys), rng.randint(1, 9))
+                for _ in range(rng.randint(0, 3))
+            ]
+            n_del = rng.randint(0, min(3, len(rows)))
+            del_idx = rng.sample(range(len(rows)), n_del)
+            dels = [rows[i] for i in del_idx]
+            # a delete batch must reference actual base rows (the
+            # negative-count guard exists to catch anything else)
+            rows = [r for i, r in enumerate(rows) if i not in del_idx]
+            rows += ins
+            view = maintain_agg_view(
+                view,
+                ["k"],
+                "v",
+                inserts=mk(ins) if ins else None,
+                deletes=mk(dels) if dels else None,
+            ).localCheckpoint(eager=True)
+            want = _rows(agg_view(mk(rows), ["k"], "v")) if rows else []
+            assert _rows(view) == want, f"seed {seed} step {step}"
