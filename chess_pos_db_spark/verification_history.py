@@ -47,7 +47,10 @@ ROUND3_VERIFIED: frozenset[str] = frozenset({
 })
 
 # the 50 queries covered by CORRECTNESS_r01.json and CORRECTNESS_r02.json
-ROUND12_VERIFIED: frozenset[str] = frozenset({
+# (named for rounds 1-AND-2 — renamed from the ambiguous ROUND12_VERIFIED
+# at the start of the actual round 12 so the real per-round names stay
+# collision-free)
+ROUND1_2_VERIFIED: frozenset[str] = frozenset({
     "agg_approx_distinct", "agg_cube", "agg_distinct", "agg_groupcount",
     "agg_having", "agg_minmax_by", "agg_multi", "agg_pivot",
     "agg_pivot_rates", "agg_rollup", "agg_sum_avg", "agg_twolevel",
@@ -240,24 +243,50 @@ ROUND10_VERIFIED: frozenset[str] = frozenset({
     "udaf_grouped", "udf_scalar", "udtf_expand",
 })
 
-# ROUND-12 SESSION TODO (fold timing): CORRECTNESS_r11 will be
-# generated at the END of round 11 against round-11 final HEAD — fold
-# that file's names as ROUND11_VERIFIED (and extend
-# DRIVER_VERIFIED/_VERIFIED_BY_ROUND) at the START of round 12,
-# exactly as ROUND10_VERIFIED was folded at the start of round 11.
+# the 50 queries covered by CORRECTNESS_r11.json (driver gate, round
+# 11): all 50 hash-exact (rows/schema/hash True, err None for every
+# row) — the 3 round-11 store-replication registrations
+# (store_replicated_evolved, store_replication_lag,
+# store_rebased_changelog) plus the 47 least-recently-verified
+# r6/r7-era greens the rotation surfaced.  Folded at the START of
+# round 12 per the standing fold-timing rule.
+ROUND11_VERIFIED: frozenset[str] = frozenset({
+    "array_suite", "dedup_embedding_cosine", "dedup_minhash_cluster",
+    "dedup_ngram_jaccard", "dedup_simhash", "er_resolve",
+    "explode_join", "filter_compound", "filter_notnull", "join_anti",
+    "join_asof", "join_asof_nearest", "join_bloom_semi",
+    "join_broadcast_lookup", "join_dim_chain", "join_full_outer",
+    "join_fuzzy_levenshtein", "join_left_outer", "join_range_theta",
+    "join_semi", "join_shuffle_hash_hint", "join_sortmerge",
+    "null_handling", "project_compute", "sample_hash", "sample_quota",
+    "sample_stratified", "sample_weighted", "select_training_docs",
+    "self_join", "similarity_ann_lsh", "similarity_ivf",
+    "similarity_topk", "store_rebased_changelog",
+    "store_replicated_evolved", "store_replication_lag",
+    "stream_session", "stream_sliding", "stream_tumbling",
+    "text_fingerprint", "text_lang_id", "text_quality", "text_tfidf",
+    "text_token_count_bpe", "text_token_stats", "text_top_tokens",
+    "win_lag_lead", "win_rank", "win_row_number", "win_topk_per_group",
+})
+
+# ROUND-13 SESSION TODO (fold timing): CORRECTNESS_r12 will be
+# generated at the END of round 12 against round-12 final HEAD — fold
+# that file's names as ROUND12_VERIFIED (and extend
+# DRIVER_VERIFIED/_VERIFIED_BY_ROUND) at the START of round 13,
+# exactly as ROUND11_VERIFIED was folded at the start of round 12.
 
 # union of everything any driver CORRECTNESS gate has verified so far
 DRIVER_VERIFIED: frozenset[str] = (
-    ROUND12_VERIFIED | ROUND3_VERIFIED | ROUND4_VERIFIED | ROUND5_VERIFIED
+    ROUND1_2_VERIFIED | ROUND3_VERIFIED | ROUND4_VERIFIED | ROUND5_VERIFIED
     | ROUND6_VERIFIED | ROUND7_VERIFIED | ROUND8_VERIFIED
-    | ROUND9_VERIFIED | ROUND10_VERIFIED
+    | ROUND9_VERIFIED | ROUND10_VERIFIED | ROUND11_VERIFIED
 )
 
 # round of each name's most recent green driver row (r1 and r2 covered
 # the identical first-50 slate, so their names carry round 2).  Later
 # rounds overwrite earlier ones.
 _VERIFIED_BY_ROUND: tuple[tuple[int, frozenset[str]], ...] = (
-    (2, ROUND12_VERIFIED),
+    (2, ROUND1_2_VERIFIED),
     (3, ROUND3_VERIFIED),
     (4, ROUND4_VERIFIED),
     (5, ROUND5_VERIFIED),
@@ -266,6 +295,7 @@ _VERIFIED_BY_ROUND: tuple[tuple[int, frozenset[str]], ...] = (
     (8, ROUND8_VERIFIED),
     (9, ROUND9_VERIFIED),
     (10, ROUND10_VERIFIED),
+    (11, ROUND11_VERIFIED),
 )
 
 LAST_VERIFIED_ROUND: dict[str, int] = {}

@@ -74,7 +74,7 @@ def test_rotation_history_names_are_registered():
     from chess_pos_db_spark import verification_history as vh
 
     for label, names in (
-        ("ROUND12_VERIFIED", vh.ROUND12_VERIFIED),
+        ("ROUND1_2_VERIFIED", vh.ROUND1_2_VERIFIED),
         ("ROUND3_VERIFIED", vh.ROUND3_VERIFIED),
         ("ROUND4_VERIFIED", vh.ROUND4_VERIFIED),
         ("ROUND5_VERIFIED", vh.ROUND5_VERIFIED),
@@ -83,6 +83,7 @@ def test_rotation_history_names_are_registered():
         ("ROUND8_VERIFIED", vh.ROUND8_VERIFIED),
         ("ROUND9_VERIFIED", vh.ROUND9_VERIFIED),
         ("ROUND10_VERIFIED", vh.ROUND10_VERIFIED),
+        ("ROUND11_VERIFIED", vh.ROUND11_VERIFIED),
         ("ROUND1_REGISTRY", vh.ROUND1_REGISTRY),
     ):
         missing = set(names) - set(QUERIES)
