@@ -158,7 +158,10 @@ class Engine:
             fn = getattr(self, f"cmd_{op}", None)
             if fn is None:
                 raise ValueError(f"unknown command {op!r}")
-            return {"ok": True, "protocol": PROTOCOL_VERSION, **(fn(cmd) or {})}
+            # handler payload spread FIRST so the envelope keys always
+            # win — a handler that ever returned an 'ok'/'protocol' key
+            # used to silently override the envelope
+            return {**(fn(cmd) or {}), "ok": True, "protocol": PROTOCOL_VERSION}
         except Exception as exc:  # protocol errors must not kill the server
             return {
                 "ok": False,

@@ -153,16 +153,19 @@ def retract_documents(
         # the batch's indexed embeddings, fetched from the layout
         # (frozen-quantizer routing needs the vectors AS INDEXED —
         # caller-supplied embeddings could be stale and route to the
-        # wrong cell); localCheckpoint: the delete overwrites the very
-        # files this plan reads
+        # wrong cell). The id list is collected driver-side (bounded by
+        # the retraction batch, like the store leg's) and filtered with
+        # a pushed IN-predicate: Spark does NOT push semi-join keys
+        # into parquet row-group filters, so the previous left_semi
+        # form read every row group — isin() reaches the scan and
+        # row-group stats prune the files that hold no retracted id.
+        # localCheckpoint: the delete overwrites the very files this
+        # plan reads.
+        id_list = [r["doc_id"] for r in ids.collect()]
         todo = (
             spark.read.parquet(layout_dir)
             .select("vec_id", "embedding")
-            .join(
-                ids.withColumnRenamed("doc_id", "vec_id"),
-                "vec_id",
-                "left_semi",
-            )
+            .filter(F.col("vec_id").isin(id_list))
             .localCheckpoint(eager=True)
         )
         n = todo.count()

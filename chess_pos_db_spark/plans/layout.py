@@ -31,6 +31,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import merge as merge_ops
+
 MANIFEST_NAME = "_meta.json"
 FORMAT_NAME = "spark-sorted-runs"
 FORMAT_VERSION = 1
@@ -628,6 +630,18 @@ def upsert_rows(
             for c in sorted(unknown):
                 src = src.withColumn(c, F.lit(None).cast(chg_types[c]))
             store_cols = src.columns
+        # type-guard carried columns (keys included) BEFORE the keys_df
+        # semi-join below — a mistyped key would otherwise implicitly
+        # coerce inside the join; a mistyped payload would silently
+        # retype the store column on this version (or abort mid-write
+        # with a raw CAST error). Safe widenings cast up to the store's
+        # type; everything else raises (operators/merge docstring).
+        chg = merge_ops.align_change_types(
+            chg,
+            dict(src.dtypes),
+            (set(chg.columns) - {op_col}) - unknown,
+            "upsert_rows",
+        )
         keys_df = chg.select(*key).distinct()
         hits = (
             src.join(F.broadcast(keys_df), on=list(key), how="left_semi")
@@ -899,43 +913,8 @@ def expire_snapshots(path: str, before: int, force: bool = False) -> list[str]:
                 f"{sorted(lagging.values())}) — run export_changes first, "
                 "or pass force=True to abandon their replay history"
             )
-        for d, lv in lagging.items():
+        for d in lagging:
             manifest["exports"][d] = floor
-            # realign the export dir's own cursor too (atomic, like the
-            # exporter writes it): without this the next export_changes
-            # run resumes below the new floor and dies on a confusing
-            # "time travel expired", and wiping the cursor is worse —
-            # the restart loop begins at v1, also below the floor. The
-            # recorded forced_gap makes read_changes on a lost version
-            # fail with the real story. Best-effort: an unreachable
-            # (remote/deleted) export dir keeps its manifest
-            # registration advanced so the refusal never re-triggers,
-            # and its next run fails on its own stale cursor loudly.
-            try:
-                cursor_file = os.path.join(d, "_cursor.json")
-                if os.path.isdir(d):
-                    gap_from = lv + 1
-                    if os.path.isfile(cursor_file):
-                        with open(cursor_file) as f:
-                            prior = json.load(f).get("forced_gap")
-                        # a twice-forced export keeps its earliest loss:
-                        # the merged range only ever fires read_changes'
-                        # gap error for versions whose dir is MISSING,
-                        # so exported versions in between stay readable
-                        if prior is not None:
-                            gap_from = min(gap_from, prior[0])
-                    tmp = cursor_file + ".tmp"
-                    with open(tmp, "w") as f:
-                        json.dump(
-                            {
-                                "last_exported": floor,
-                                "forced_gap": [gap_from, floor],
-                            },
-                            f,
-                        )
-                    os.replace(tmp, cursor_file)
-            except OSError:
-                pass
     keep = _live_snapshot_ids(manifest, before) | {
         s["id"] for s in manifest["snapshots"] if s["id"] > before
     }
@@ -1019,6 +998,48 @@ def expire_snapshots(path: str, before: int, force: bool = False) -> list[str]:
         manifest.get("min_time_travel") or 0, min(before, latest)
     )
     _dump_manifest(path, manifest)
+    # realign each forced-past export dir's own cursor (atomic, like
+    # the exporter writes it): without this the next export_changes run
+    # resumes below the new floor and dies on a confusing "time travel
+    # expired", and wiping the cursor is worse — the restart loop
+    # begins at v1, also below the floor. The recorded forced_gap makes
+    # read_changes on a lost version fail with the real story. Ordered
+    # AFTER the deletion + manifest commit on purpose: rewriting first
+    # opened a crash window where the export believed versions
+    # lv+1..floor were gone while their snapshots still existed, and a
+    # resumed export silently skipped still-exportable versions (a
+    # crash HERE instead merely leaves a stale cursor the next vacuum
+    # or export run realigns/refuses loudly). The existing cursor JSON
+    # is updated IN PLACE so unknown/future keys — initial_base
+    # especially — survive a forced vacuum on a base-seeded export.
+    # Best-effort: an unreachable (remote/deleted) export dir keeps
+    # its manifest registration advanced so the refusal never
+    # re-triggers, and its next run fails on its own stale cursor
+    # loudly.
+    for d, lv in lagging.items():
+        try:
+            cursor_file = os.path.join(d, "_cursor.json")
+            if os.path.isdir(d):
+                gap_from = lv + 1
+                cursor = {}
+                if os.path.isfile(cursor_file):
+                    with open(cursor_file) as f:
+                        cursor = json.load(f)
+                    prior = cursor.get("forced_gap")
+                    # a twice-forced export keeps its earliest loss:
+                    # the merged range only ever fires read_changes'
+                    # gap error for versions whose dir is MISSING,
+                    # so exported versions in between stay readable
+                    if prior is not None:
+                        gap_from = min(gap_from, prior[0])
+                cursor["last_exported"] = floor
+                cursor["forced_gap"] = [gap_from, floor]
+                tmp = cursor_file + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(cursor, f)
+                os.replace(tmp, cursor_file)
+        except OSError:
+            pass
     return deleted
 
 

@@ -1097,6 +1097,71 @@ def test_upsert_rows_guards_fail_loudly(spark, tmp_path):
     ) == snap
 
 
+def test_upsert_rows_type_conflict_is_loud(spark, tmp_path):
+    """Round-12 brief item #1 (upsert twin): a carried change column
+    whose dtype conflicts with the store's raises a typed ValueError
+    before any job runs — both the castable probe (STRING "99" into a
+    BIGINT column would silently retype the store column) and the
+    non-castable one ("abc" would abort mid-write with a raw CAST
+    error); a mistyped KEY is guarded identically; nothing commits."""
+    path = str(tmp_path / "type_upsert")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, n long")
+    layout.append_versioned(mk([(1, 10), (2, 20)]), path, ["k"])
+    snap = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+
+    for val in ("99", "abc"):  # castable and non-castable, same guard
+        chg = spark.createDataFrame(
+            [(1, val, "U")], "k long, n string, op string"
+        )
+        with pytest.raises(
+            ValueError, match=r"n \(change string, target bigint\)"
+        ):
+            layout.upsert_rows(spark, path, chg)
+    bad_key = spark.createDataFrame(
+        [("1", 99, "U")], "k string, n long, op string"
+    )
+    with pytest.raises(
+        ValueError, match=r"k \(change string, target bigint\)"
+    ):
+        layout.upsert_rows(spark, path, bad_key)
+    m = layout.read_manifest(path)
+    assert max(s["id"] for s in m["snapshots"]) == 1
+    assert sorted(
+        tuple(r) for r in layout.read_snapshot(spark, path).collect()
+    ) == snap
+
+
+def test_upsert_rows_safe_widening_accepted(spark, tmp_path):
+    """The documented widening policy on the store path: an INT feed
+    into a BIGINT store column (and an uncast all-NULL VOID column)
+    cast up to the store's types — the committed snapshot's schema is
+    exactly the store's, no drift."""
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "widen_upsert")
+    store = spark.createDataFrame(
+        [(1, 10, 1.5), (2, 20, 2.5)], "k long, n long, f double"
+    )
+    layout.append_versioned(store, path, ["k"])
+    chg = spark.createDataFrame(
+        [(1, "U", 99, None), (3, "I", 30, None)],
+        T.StructType(
+            [
+                T.StructField("k", T.IntegerType()),
+                T.StructField("op", T.StringType()),
+                T.StructField("n", T.IntegerType()),
+                T.StructField("f", T.NullType()),
+            ]
+        ),
+    )
+    res = layout.upsert_rows(spark, path, chg)
+    assert res["rows_upserted"] == 2
+    live = layout.read_snapshot(spark, path)
+    assert dict(live.dtypes) == {"k": "bigint", "n": "bigint", "f": "double"}
+    got = {r["k"]: (r["n"], r["f"]) for r in live.collect()}
+    assert got == {1: (99, None), 2: (20, 2.5), 3: (30, None)}
+
+
 def test_export_changes_over_upsert_version(spark, tmp_path):
     """An upsert version's export carries genuine 'U' ops (the changed
     rows' NEW payload), 'D' for removals and 'I' for inserts — and the
@@ -1188,9 +1253,25 @@ def test_store_lifecycle_randomized_against_model(spark, tmp_path):
 
         for step in range(7):
             op = rng.choice(
-                ["append", "upsert", "delete", "compact", "vacuum", "evolve"]
+                ["append", "upsert", "delete", "compact", "vacuum",
+                 "evolve", "typebad"]
             )
-            if op == "append":
+            if op == "typebad":
+                # round-12: a change batch carrying an existing column
+                # RETYPED (val as string — castable or not) must fail
+                # the dtype guard loudly and commit NOTHING; the model
+                # is untouched so the post-step equality check below
+                # doubles as the no-commit assertion
+                bad_val = rng.choice(["99", "abc"])
+                bad = spark.createDataFrame(
+                    [(rng.randrange(300, 310), bad_val, "I")],
+                    "k long, val string, op string",
+                )
+                with pytest.raises(
+                    ValueError, match="type\\(s\\) conflict"
+                ):
+                    layout.upsert_rows(spark, path, bad)
+            elif op == "append":
                 fresh = [
                     k for k in rng.sample(range(100), 6) if k not in model
                 ]
@@ -1537,6 +1618,75 @@ def test_forced_vacuum_realigns_export_cursor(spark, tmp_path):
         layout.read_changes(spark, out, 2)
     assert layout.read_changes(spark, out, 1).count() == 1
     assert layout.read_changes(spark, out, 4).count() == 1
+
+
+def test_forced_vacuum_preserves_initial_base_and_orders_commit(
+    spark, tmp_path, monkeypatch
+):
+    """Round-12 ADVICE pins on the forced-vacuum cursor rewrite:
+
+    (a) the rewrite updates the existing cursor JSON IN PLACE — a
+        base-seeded export (initial_base from a fresh export on an
+        already-vacuumed store) keeps its base through a later forced
+        vacuum, so read_changes below the base still gives the
+        initial-snapshot-base explanation instead of a generic path
+        error;
+    (b) the rewrite happens AFTER the manifest commit — a crash during
+        the vacuum (manifest dump fails) leaves the export dir's
+        cursor untouched, so a resumed export never silently skips
+        still-exportable versions."""
+    import json
+    import os
+
+    path = str(tmp_path / "base_force_src")
+    out = str(tmp_path / "base_force_log")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+    layout.append_versioned(mk([(1, "a")]), path, ["k"])
+    layout.append_versioned(mk([(2, "b")]), path, ["k"])
+    # vacuum BEFORE the export exists -> the fresh export base-seeds
+    layout.expire_snapshots(path, before=2)
+    assert layout.export_changes(spark, path, out, ["k"]) == [2]
+    with open(os.path.join(out, "_cursor.json")) as f:
+        assert json.load(f) == {"last_exported": 2, "initial_base": 2}
+
+    for r in [(3, "c"), (4, "d"), (5, "e")]:
+        layout.append_versioned(mk([r]), path, ["k"])
+
+    # (b) crash injection: the manifest dump dies mid-vacuum — the
+    # export cursor must NOT have been rewritten yet
+    real_dump = layout._dump_manifest
+    monkeypatch.setattr(
+        layout, "_dump_manifest",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("disk gone")),
+    )
+    with pytest.raises(OSError, match="disk gone"):
+        layout.expire_snapshots(path, before=4, force=True)
+    monkeypatch.setattr(layout, "_dump_manifest", real_dump)
+    with open(os.path.join(out, "_cursor.json")) as f:
+        assert json.load(f) == {"last_exported": 2, "initial_base": 2}, (
+            "cursor was rewritten before the manifest commit — the "
+            "crash window the ADVICE flagged"
+        )
+    # versions 3..4 are still exportable after the crashed vacuum
+    assert layout.export_changes(spark, path, out, ["k"]) == [3, 4, 5]
+
+    # (a) now a real forced vacuum past the cursor: initial_base and
+    # the forced_gap coexist in the rewritten cursor
+    layout.append_versioned(mk([(6, "f")]), path, ["k"])
+    layout.append_versioned(mk([(7, "g")]), path, ["k"])
+    layout.expire_snapshots(path, before=7, force=True)
+    with open(os.path.join(out, "_cursor.json")) as f:
+        cur = json.load(f)
+    assert cur == {
+        "last_exported": 7,
+        "initial_base": 2,
+        "forced_gap": [6, 7],
+    }
+    with pytest.raises(ValueError, match="initial snapshot base"):
+        layout.read_changes(spark, out, 1)
+    with pytest.raises(ValueError, match="force=True"):
+        layout.read_changes(spark, out, 6)
+    assert layout.read_changes(spark, out, 3).count() == 1
 
 
 def test_export_vacuum_lifecycle_randomized_against_model(spark, tmp_path):

@@ -504,3 +504,23 @@ def test_responses_carry_protocol_version(spark, tmp_path):
     assert ok["protocol"] == srv.PROTOCOL_VERSION == 2
     bad = eng.handle({"command": "no_such_command"})
     assert bad["ok"] is False and bad["protocol"] == 2
+
+
+def test_envelope_keys_win_over_handler_payload(spark, monkeypatch):
+    """ADVICE pin: the envelope spreads the handler payload FIRST, so a
+    handler that returns 'ok'/'protocol' keys can never override the
+    envelope's truth (previously {"ok": True, **payload} let a payload
+    ok=False masquerade as a protocol-level failure)."""
+    from chess_pos_db_spark.app import server as srv
+
+    eng = srv.Engine(spark)
+    monkeypatch.setattr(
+        srv.Engine,
+        "cmd_rogue",
+        lambda self, cmd: {"ok": False, "protocol": 99, "data": 7},
+        raising=False,
+    )
+    resp = eng.handle({"command": "rogue"})
+    assert resp["ok"] is True
+    assert resp["protocol"] == srv.PROTOCOL_VERSION
+    assert resp["data"] == 7
