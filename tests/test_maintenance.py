@@ -448,3 +448,230 @@ def test_maintain_stores_retention_window(spark, tmp_path):
     rep2 = M.maintain_stores(spark, {path: None})
     assert rep2[path]["vacuumed_files"] > 0
     assert layout.read_snapshot(spark, path).count() == 5
+
+
+def test_maintenance_crash_injection_randomized_converges(
+    spark, tmp_path, monkeypatch
+):
+    """Round-12 brief item #4: the scheduler's crash contract under a
+    RANDOMIZED adversary, not just the single-point deterministic pins
+    above. Per seed: build pressure on all four structures (postings
+    deltas+tombstones, LSH delta+masked deletes, IVF small files,
+    store live-version pressure), inject a kill at a random scheduler
+    leg (postings/LSH/IVF/store-compact/store-vacuum, before OR after
+    the leg's real action commits), rerun the schedulers to converge,
+    and require (a) every structure answers exactly as a FRESH BUILD
+    over the live content, (b) a further pass is a full no-op — the
+    "due-ness derives from live state, reruns repair any prefix"
+    contract (module docstring), across kill points no hand-written
+    scenario enumerates."""
+    import random
+
+    from chess_pos_db_spark.plans import layout
+
+    vocab = [f"w{i}" for i in range(20)]
+
+    def mk_docs(ids):
+        rows = []
+        for i in ids:
+            r = random.Random(91_000 + i)
+            rows.append((i, " ".join(r.choice(vocab) for _ in range(10))))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def mk_ids(ids):
+        return spark.createDataFrame([(d,) for d in ids], "doc_id long")
+
+    terms = ["w1", "w5", "w13"]
+    dims = sim._DIMS
+
+    for seed in range(3):
+        rng = random.Random(300 + seed)
+        px, lx = f"cr_ix_{seed}", f"cr_lsh_{seed}"
+        ivf_dir = str(tmp_path / f"cr_ivf_{seed}")
+        store = str(tmp_path / f"cr_store_{seed}")
+        try:
+            # --- postings: 2 delta gens + 1 tombstone gen (due) ---
+            live_docs = set(range(0, 10))
+            S.build_inverted_index(spark, mk_docs(sorted(live_docs)), px)
+            S.append_to_index(spark, mk_docs(range(10, 16)), px)
+            live_docs |= set(range(10, 16))
+            S.append_to_index(spark, mk_docs(range(16, 20)), px)
+            live_docs |= set(range(16, 20))
+            doomed = rng.sample(sorted(live_docs), 3)
+            S.delete_from_index(spark, mk_ids(doomed), px)
+            live_docs -= set(doomed)
+
+            # --- LSH: 1 delta gen + masked deletes over 5% (due) ---
+            live_lsh = set(range(0, 12))
+            DI.build_lsh_index(spark, mk_docs(sorted(live_lsh)), lx)
+            DI.append_to_lsh_index(spark, mk_docs(range(12, 18)), lx)
+            live_lsh |= set(range(12, 18))
+            dl = rng.sample(sorted(live_lsh), 3)
+            DI.delete_from_lsh_index(spark, mk_ids(dl), lx)
+            live_lsh -= set(dl)
+
+            # --- IVF: appends pile small files per cell (due); one
+            # random delete keeps the frozen-quantizer path honest ---
+            rows = []
+            for i in range(20):
+                v = np.zeros(dims)
+                v[i % 2] = 1.0
+                v[2 + (i % 5)] = 0.25 + 0.01 * i
+                rows.append((i, [float(x) for x in v]))
+            emb = spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>"
+            )
+            centroids, cnorms = sim._ivf_centroids(spark, "", k=2, emb=emb)
+            live_vec = set(range(0, 12))
+            base = emb.filter(F.col("vec_id") < 12)
+            (
+                base.join(
+                    sim._cell_assignments(base, centroids, cnorms), "vec_id"
+                )
+                .write.mode("overwrite").partitionBy("cell").parquet(ivf_dir)
+            )
+            for lo in (12, 14, 16, 18):
+                batch = emb.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 2)
+                )
+                sim.append_ivf_layout(batch, ivf_dir, centroids, cnorms)
+                live_vec |= {lo, lo + 1}
+            vd = rng.sample(sorted(live_vec), 2)
+            sim.delete_from_ivf_layout(
+                spark, emb.filter(F.col("vec_id").isin(vd)),
+                ivf_dir, centroids, cnorms,
+            )
+            live_vec -= set(vd)
+
+            # --- store: 4 live versions (due at max_live_versions=2) ---
+            model: dict[int, int] = {}
+            mk_store = lambda rows: spark.createDataFrame(
+                rows, "k long, val long"
+            )
+            for j in range(4):
+                batch = {10 * j + i: 100 * j + i for i in range(3)}
+                model.update(batch)
+                layout.append_versioned(
+                    mk_store(sorted(batch.items())), store, ["k"]
+                )
+
+            def run_all():
+                rep_i = M.maintain_indexes(
+                    spark,
+                    postings_prefixes=[px],
+                    lsh_prefixes=[lx],
+                    ivf_layouts=[ivf_dir],
+                    max_generations=2,
+                    max_masked_frac=0.05,
+                    max_files_per_cell=2,
+                )
+                rep_s = M.maintain_stores(
+                    spark, {store: {"val": "max"}}, max_live_versions=2
+                )
+                return rep_i, rep_s
+
+            # --- inject ONE kill at a random leg, before/after its
+            # real action commits ---
+            targets = {
+                "postings": (S, "compact_index"),
+                "lsh": (DI, "compact_lsh_index"),
+                "ivf": (M, "compact_ivf_cells"),
+                "store_compact": (layout, "compact_versioned"),
+                "store_vacuum": (layout, "expire_snapshots"),
+            }
+            leg = rng.choice(sorted(targets))
+            mode = rng.choice(["before", "after"])
+            mod, fname = targets[leg]
+            real = getattr(mod, fname)
+
+            def boom(*a, __real=real, __mode=mode, **k):
+                if __mode == "after":
+                    __real(*a, **k)
+                raise RuntimeError("injected crash")
+
+            monkeypatch.setattr(mod, fname, boom)
+            with pytest.raises(RuntimeError, match="injected crash"):
+                run_all()
+            monkeypatch.undo()
+
+            # --- rerun-to-converge; a further pass is a full no-op ---
+            run_all()
+            rep_i3, rep_s3 = run_all()
+            assert rep_i3["postings"][px] == "ok", (seed, leg, mode)
+            assert rep_i3["lsh"][lx] == "ok", (seed, leg, mode)
+            assert rep_i3["ivf"][ivf_dir]["cells_compacted"] == 0
+            assert rep_s3[store]["compacted"] is False
+            assert rep_s3[store]["vacuumed_files"] == 0
+            assert rep_s3[store]["vacuum_blocked"] is None
+
+            # --- every structure ≡ a fresh build over live content ---
+            got_search = sorted(
+                tuple(r)
+                for r in S.search_indexed(spark, px, terms, k=15).collect()
+            )
+            S.build_inverted_index(
+                spark, mk_docs(sorted(live_docs)), f"cr_fresh_ix_{seed}"
+            )
+            want_search = sorted(
+                tuple(r)
+                for r in S.search_indexed(
+                    spark, f"cr_fresh_ix_{seed}", terms, k=15
+                ).collect()
+            )
+            assert got_search == want_search, (seed, leg, mode)
+            assert want_search
+
+            probes = mk_docs(range(5000, 5008))
+            got_probe = sorted(
+                tuple(r)
+                for r in DI.probe_lsh_index(spark, probes, lx).collect()
+            )
+            DI.build_lsh_index(
+                spark, mk_docs(sorted(live_lsh)), f"cr_fresh_lsh_{seed}"
+            )
+            want_probe = sorted(
+                tuple(r)
+                for r in DI.probe_lsh_index(
+                    spark, probes, f"cr_fresh_lsh_{seed}"
+                ).collect()
+            )
+            assert got_probe == want_probe, (seed, leg, mode)
+
+            qv = emb.filter(
+                F.col("vec_id") == sorted(live_vec)[0]
+            ).first().embedding
+            got_ann = [
+                tuple(r)
+                for r in sim.ivf_query_layout(
+                    spark, ivf_dir, centroids, cnorms, query_vec=qv
+                ).collect()
+            ]
+            fresh_ivf = str(tmp_path / f"cr_fresh_ivf_{seed}")
+            live_emb = emb.filter(
+                F.col("vec_id").isin(sorted(live_vec))
+            )
+            (
+                live_emb.join(
+                    sim._cell_assignments(live_emb, centroids, cnorms),
+                    "vec_id",
+                )
+                .write.mode("overwrite").partitionBy("cell")
+                .parquet(fresh_ivf)
+            )
+            want_ann = [
+                tuple(r)
+                for r in sim.ivf_query_layout(
+                    spark, fresh_ivf, centroids, cnorms, query_vec=qv
+                ).collect()
+            ]
+            assert got_ann == want_ann, (seed, leg, mode)
+            assert want_ann
+
+            got_store = {
+                r["k"]: r["val"]
+                for r in layout.read_snapshot(spark, store).collect()
+            }
+            assert got_store == model, (seed, leg, mode)
+        finally:
+            _drop(spark, f"cr_ix_{seed}", f"cr_lsh_{seed}",
+                  f"cr_fresh_ix_{seed}", f"cr_fresh_lsh_{seed}")
