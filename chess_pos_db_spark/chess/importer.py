@@ -732,7 +732,21 @@ def append_pgn(
 
     A retractions sidecar, when present, is appended to the same way —
     leaving it stale would silently undercount exact retraction queries
-    for positions reached by appended games."""
+    for positions reached by appended games.
+
+    Crash contract (round-12 audit note): games, entries and the
+    retractions sidecar commit INDEPENDENTLY, in that order — there is
+    no cross-table transaction (the same posture as llm/retraction.py
+    and the maintenance scheduler). A crash after the games append but
+    before the entries swap leaves the new games visible in the
+    dimension while the aggregate lags; unlike those orchestrators the
+    REPLAY here is NOT idempotent (games use mode=append), so recovery
+    is: restore/trim the games table to the pre-append state (its
+    pre-append max file ordinal is recorded in the return dict as
+    `file_idx_base`) and rerun, or re-derive entries from games with a
+    fresh import. The versioned store (plans/layout) is the engine's
+    transactional path; this directory layout mirrors the reference's
+    non-transactional create/append files †."""
     import os
     import shutil
 
@@ -753,9 +767,15 @@ def append_pgn(
     games = parse_games_chunked(
         spark, files, chunk_bytes, file_idx_base=next_file_idx
     ).cache()
+    # Replay parallelism must not be bound by the append's chunk count
+    # (a small appended file plans few chunks): spread games across
+    # cores before the python-side replay, exactly as import_pgn does —
+    # round-12 audit fix; ids are already assigned at parse, so the
+    # repartition cannot affect them.
+    replay_games = games.repartition(spark.sparkContext.defaultParallelism)
     pre = None
     if has_retr:
-        entries = explode_positions(games, include_eran=True)
+        entries = explode_positions(replay_games, include_eran=True)
         pre = (
             entries.groupBy(*AGG_KEY, "eran")
             .agg(
@@ -773,7 +793,7 @@ def append_pgn(
             F.max("last_game_id").alias("last_game_id"),
         )
     else:
-        agg = build_agg_entries(explode_positions(games))
+        agg = build_agg_entries(explode_positions(replay_games))
     # Match the database's fidelity mode: a store_moves database keeps
     # movetext for appended games too (otherwise export_pgn would
     # silently lose every appended game's moves); a header-only
@@ -827,7 +847,7 @@ def append_pgn(
         shutil.rmtree(retr_runs_dir, ignore_errors=True)
         pre.unpersist()
     games.unpersist()
-    return {"db_dir": db_dir}
+    return {"db_dir": db_dir, "file_idx_base": next_file_idx}
 
 
 def merge_databases(
