@@ -735,6 +735,153 @@ def upsert_rows(
     }
 
 
+def evolve_schema(
+    spark: SparkSession,
+    path: str,
+    renames: dict | None = None,
+    drops: Sequence[str] | None = None,
+    retypes: dict | None = None,
+    partitions: int = 8,
+) -> dict:
+    """NON-ADDITIVE schema evolution — rename / drop / retype columns —
+    as an explicit copy-on-write FULL REWRITE committing a new
+    SCHEMA-BREAK version.
+
+    Additive evolution (new nullable columns) is free in this store
+    (mergeSchema reads; `allow_new_columns` on the merge surface) and
+    never needs this verb. Renames, drops and retypes are different in
+    kind: they change what existing bytes MEAN, so the engine makes the
+    cost explicit — one full rewrite of the live snapshot, exactly the
+    Iceberg/Delta `ALTER TABLE` economics when the format cannot do
+    metadata-only renames (and honest even where it could: every
+    downstream consumer must re-learn the schema anyway).
+
+    Contract:
+    - all three specs name CURRENT (pre-evolution) columns; a column
+      may be both retyped and renamed (retype applies first);
+    - unknown columns, rename-target collisions, and dropping a
+      sort-key column fail loudly before any job runs; renaming a key
+      column updates the manifest's sort_key;
+    - retypes use try_cast with an IN-PLAN guard: a non-castable value
+      fails the rewrite with a typed error naming the value and column
+      (same woven-guard discipline as merge_changes' op checks — an
+      explicit retype request can only be value-checked at execution,
+      but it fails OUR way, not with a raw CAST error), and nothing
+      commits;
+    - the new version's manifest entry carries ``schema_break: True``
+      and supersedes every live snapshot. Time travel BELOW the break
+      still answers the old schema; `snapshot_diff` refuses to cross
+      the break; `export_changes` emits the break version as a REBASE
+      (full snapshot as 'I' rows + a ``_rebase.json`` marker) and
+      `replay_changelog` re-seeds its fold there — replication
+      consumers pay the same bootstrap copy a new replica would, which
+      is the honest minimum for a schema that genuinely changed shape.
+
+    Returns ``{"version", "renamed", "dropped", "retyped", "rows"}``.
+    """
+    renames = dict(renames or {})
+    drops = list(drops or [])
+    retypes = dict(retypes or {})
+    if not (renames or drops or retypes):
+        raise ValueError(
+            "evolve_schema: nothing to evolve — pass renames, drops "
+            "and/or retypes (additive column ADDs never need this verb: "
+            "use upsert_rows/append with allow_new_columns)"
+        )
+    manifest = read_manifest(path)
+    if not manifest["snapshots"]:
+        raise ValueError(f"evolve_schema: no snapshots at {path!r}")
+    key = manifest["sort_key"]
+    live = _live_snapshot_ids(manifest)
+    df = _read_dirs(spark, path, manifest, live)
+    cols = set(df.columns)
+
+    unknown = (set(renames) | set(drops) | set(retypes)) - cols
+    if unknown:
+        raise ValueError(
+            f"evolve_schema: column(s) {sorted(unknown)} do not exist "
+            f"in the store (columns: {sorted(cols)})"
+        )
+    dropped_keys = set(drops) & set(key)
+    if dropped_keys:
+        raise ValueError(
+            f"evolve_schema: cannot drop sort-key column(s) "
+            f"{sorted(dropped_keys)} — re-key the store explicitly if "
+            "the key must change"
+        )
+    overlap = set(renames) & set(drops)
+    if overlap:
+        raise ValueError(
+            f"evolve_schema: column(s) {sorted(overlap)} are both "
+            "renamed and dropped — pick one"
+        )
+    surviving = (cols - set(drops) - set(renames)) | set()
+    targets = list(renames.values())
+    collisions = sorted(
+        t for t in targets
+        if t in surviving or targets.count(t) > 1
+    )
+    if collisions:
+        raise ValueError(
+            f"evolve_schema: rename target(s) {sorted(set(collisions))} "
+            "collide with surviving columns or each other"
+        )
+
+    for c, typ in retypes.items():
+        new = F.col(c).try_cast(typ)
+        df = df.withColumn(
+            c,
+            F.when(
+                F.col(c).isNotNull() & new.isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"evolve_schema: value "),
+                        F.col(c).cast("string"),
+                        F.lit(f" in column {c!r} is not castable to {typ}"),
+                    )
+                ).cast(typ),
+            ).otherwise(new),
+        )
+    for old, new_name in renames.items():
+        df = df.withColumnRenamed(old, new_name)
+    if drops:
+        df = df.drop(*drops)
+    new_key = [renames.get(k, k) for k in key]
+
+    v = max(s["id"] for s in manifest["snapshots"]) + 1
+    vdir = f"v{v}"
+    (
+        df.repartitionByRange(partitions, *[F.col(k) for k in new_key])
+        .sortWithinPartitions(*new_key)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, vdir))
+    )
+    n_rows = spark.read.parquet(os.path.join(path, vdir)).count()
+    manifest["snapshots"].append(
+        {
+            "id": v,
+            "dirs": [vdir],
+            "supersedes": sorted(live),
+            "schema_break": True,
+            # the key AS OF this break, recorded per-version so a
+            # changelog export spanning multiple breaks uses each
+            # era's own key (the manifest's top-level sort_key only
+            # ever holds the latest)
+            "sort_key_after": new_key,
+        }
+    )
+    manifest["sort_key"] = new_key
+    manifest["schema"] = df.schema.json()
+    _dump_manifest(path, manifest)
+    return {
+        "version": v,
+        "renamed": renames,
+        "dropped": drops,
+        "retyped": retypes,
+        "rows": n_rows,
+    }
+
+
 def _live_snapshot_ids(manifest: dict, as_of: int | None = None) -> set[int]:
     """Snapshot ids visible at version `as_of` (default: latest):
     every id <= as_of not superseded by a compaction <= as_of."""
@@ -1100,6 +1247,24 @@ def snapshot_diff(
     if scan not in ("auto", "full"):
         raise ValueError(f"snapshot_diff: unknown scan mode {scan!r}")
     manifest = read_manifest(path)
+    # a diff never crosses a NON-ADDITIVE evolution (evolve_schema):
+    # columns were renamed/dropped/retyped there, so "old vs new
+    # payload" is not well-defined across the break — the union-schema
+    # alignment below would invent a column-set that neither era had.
+    # Diff within one era, or treat the break version as a REBASE
+    # (export_changes does; replay_changelog re-seeds there).
+    breaks = [
+        s["id"]
+        for s in manifest["snapshots"]
+        if s.get("schema_break") and v_from < s["id"] <= v_to
+    ]
+    if breaks:
+        raise ValueError(
+            f"snapshot_diff: v{v_from}..v{v_to} crosses non-additive "
+            f"schema evolution(s) at version(s) {breaks} — diff within "
+            "one schema era, or replay the changelog (the break version "
+            "exports as a rebase)"
+        )
     a = read_snapshot(spark, path, v_from)
     b = read_snapshot(spark, path, v_to)
     if scan == "auto":
@@ -1242,8 +1407,24 @@ def export_changes(
         base = floor
         cursor["initial_base"] = base
         last = base - 1
+    by_id = {s["id"]: s for s in manifest["snapshots"]}
     for v in range(last + 1, latest + 1):
-        if v == base:
+        is_rebase = bool(by_id.get(v, {}).get("schema_break"))
+        if is_rebase:
+            # a non-additive evolution (evolve_schema): the diff across
+            # the break is not well-defined (snapshot_diff refuses), so
+            # the version exports as a REBASE — the full new-schema
+            # snapshot in 'I' rows plus a marker; replay_changelog
+            # re-seeds its fold here, and the sort_key may itself have
+            # been renamed, so the key switches to the one the break
+            # version recorded (per-era, survives multiple breaks)
+            key = by_id[v]["sort_key_after"]
+            snap = read_snapshot(spark, path, v)
+            payload = [c for c in snap.columns if c not in key]
+            out = snap.select(
+                *key, F.lit("I").alias("op"), *payload
+            )
+        elif v == base:
             snap = read_snapshot(spark, path, v)
             payload = [c for c in snap.columns if c not in key]
             out = snap.select(
@@ -1279,6 +1460,17 @@ def export_changes(
         with open(tmp, "w") as f:
             f.write(schema_json)
         os.replace(tmp, os.path.join(vdir, "_schema.json"))
+        if is_rebase:
+            # marker for fold consumers: this version is a FULL
+            # re-seed (truncate-and-insert), not an incremental delta
+            # (written after the data, like the schema sidecar, so a
+            # crash replay rewrites both)
+            tmp = os.path.join(vdir, "_rebase.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"reason": "schema_break", "key": list(key)}, f
+                )
+            os.replace(tmp, os.path.join(vdir, "_rebase.json"))
         schema_file = os.path.join(out_dir, "_schema.json")
         current = None
         if os.path.isfile(schema_file):
@@ -1359,3 +1551,83 @@ def read_changes(spark: SparkSession, out_dir: str, version: int) -> DataFrame:
         with open(schema_file) as f:
             return spark.createDataFrame([], StructType.fromJson(json.load(f)))
     return spark.read.parquet(d)
+
+
+def replay_changelog(
+    spark: SparkSession,
+    out_dir: str,
+    key: Sequence[str],
+    to_version: int | None = None,
+) -> DataFrame:
+    """Fold an exported changelog into the state it describes at
+    ``to_version`` (default: everything exported) — the one consumer
+    that understands every recovery shape the log can carry:
+
+    - an ``initial_base`` (fresh export on an already-vacuumed store)
+      starts the fold there instead of v1;
+    - a REBASE version (non-additive evolve_schema break — marked with
+      ``_rebase.json``) RE-SEEDS the fold: the replica truncates and
+      rebuilds from that version's full 'I' snapshot, under the key
+      the marker recorded (the sort key itself may have been renamed);
+      only the LATEST rebase at or below the target matters, so the
+      fold never pays for history before it;
+    - additive evolutions mid-log follow via
+      ``merge_changes(allow_new_columns=True)``;
+    - state semantics throughout (``partial_updates=False``): exported
+      rows are full states, update-to-NULL overwrites;
+    - a version lost to a forced vacuum fails with read_changes' own
+      explanation (re-seed from a live snapshot).
+
+    Scale: this is the batch bootstrap/audit consumer (a production
+    replica tails the log with streaming/jobs.store_apply_stream); the
+    fold reads each version's delta once, and a rebase bounds the work
+    to one snapshot copy + the deltas after it — the same bootstrap
+    cost a brand-new replica pays.
+    """
+    cursor_file = os.path.join(out_dir, "_cursor.json")
+    if not os.path.isfile(cursor_file):
+        raise ValueError(
+            f"replay_changelog: no _cursor.json under {out_dir!r} — "
+            "not an export_changes changelog"
+        )
+    with open(cursor_file) as f:
+        cursor = json.load(f)
+    exported_to = cursor.get("last_exported", 0)
+    last = exported_to if to_version is None else to_version
+    if last > exported_to:
+        raise ValueError(
+            f"replay_changelog: version {last} not exported yet "
+            f"(cursor at {exported_to}) — run export_changes first"
+        )
+    start = cursor.get("initial_base", 1)
+    fold_key = list(key)
+    for v in range(last, start - 1, -1):
+        marker = os.path.join(
+            out_dir, "changes", f"to_version={v}", "_rebase.json"
+        )
+        if os.path.isfile(marker):
+            with open(marker) as f:
+                fold_key = list(json.load(f).get("key", fold_key))
+            start = v
+            break
+    from pyspark.sql.types import StructType
+
+    schema_file = os.path.join(
+        out_dir, "changes", f"to_version={start}", "_schema.json"
+    )
+    if not os.path.isfile(schema_file):
+        schema_file = os.path.join(out_dir, "_schema.json")
+    with open(schema_file) as f:
+        sch = StructType.fromJson(json.load(f))
+    replica = spark.createDataFrame(
+        [], StructType([fld for fld in sch.fields if fld.name != "op"])
+    )
+    for v in range(start, last + 1):
+        replica = merge_ops.merge_changes(
+            replica,
+            read_changes(spark, out_dir, v),
+            fold_key,
+            partial_updates=False,
+            allow_new_columns=True,
+        )
+    return replica

@@ -877,3 +877,49 @@ def store_type_conflict_rejected(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id_sum",
         )
     )
+
+
+@register(
+    "store_schema_renamed",
+    oracle=f"""
+SELECT doc_id, source AS origin
+FROM documents
+WHERE NOT ({_DIFF_DELETE})
+ORDER BY doc_id
+""",
+)
+def store_schema_renamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-ADDITIVE schema evolution externally verified (round 12 —
+    closes the last declared-out-of-scope seam: renames/drops were
+    neither supported nor guarded before). Lifecycle: v1 appends the
+    corpus, v2 deletes the %9==2 slice copy-on-write, v3 runs
+    `evolve_schema(renames={source: origin}, drops=[text])` — an
+    explicit schema-break full rewrite (the Iceberg/Delta ALTER TABLE
+    economics; the reference's formats fix schemas at compile time †,
+    so a generic engine must make the rewrite cost explicit). The
+    changelog then exports v3 as a REBASE (full new-schema snapshot as
+    'I' rows + _rebase.json), and the query answers with
+    `replay_changelog` — a from-empty fold that re-seeds at the break
+    — which must equal plain SQL over the corpus with the column
+    renamed and the slice gone. Time travel below the break still
+    answers the OLD schema and snapshot_diff refuses to cross it
+    (pinned in tests/test_layout.py). Scale: the rebase is one
+    snapshot copy — the bootstrap any consumer of a genuinely
+    re-shaped schema must pay — and every later version stays
+    delta-sized."""
+
+    def build(path: str, payload: DataFrame) -> None:
+        layout.append_versioned(payload, path, ["doc_id"])
+        res = layout.delete_rows(spark, path, _DIFF_DELETE)
+        if res["version"] is None:
+            raise ValueError("store_schema_renamed: delete matched nothing")
+        layout.evolve_schema(
+            spark, path, renames={"source": "origin"}, drops=["text"]
+        )
+        layout.export_changes(
+            spark, path, os.path.join(path, "_cdc_export"), ["doc_id"]
+        )
+
+    path = _ensure_lifecycle_store(spark, sf_dir, "renamed", build)
+    out = os.path.join(path, "_cdc_export")
+    return layout.replay_changelog(spark, out, ["doc_id"]).orderBy("doc_id")

@@ -1891,3 +1891,161 @@ def test_fresh_export_on_vacuumed_store_starts_at_base(spark, tmp_path):
     assert layout.export_changes(spark, path, out, ["k"]) == [5]
     with open(os.path.join(out, "_cursor.json")) as f:
         assert json.load(f)["initial_base"] == 3
+
+
+def test_evolve_schema_rewrite_and_guards(spark, tmp_path):
+    """Round-12 capability: NON-ADDITIVE evolution (rename/drop/retype)
+    as an explicit schema-break rewrite. Live state answers the new
+    schema; time travel below the break still answers the OLD one;
+    snapshot_diff refuses to cross the break; the guards (unknown
+    column, dropping a key, rename collisions, empty spec) are loud;
+    a non-castable retype fails in-plan with OUR typed message and
+    commits nothing; renaming a key column updates sort_key and the
+    store's verbs keep working."""
+    path = str(tmp_path / "evo_store")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, src string, txt string")
+    layout.append_versioned(mk([(1, "a", "t1"), (2, "b", "t2"), (3, "c", "t3")]), path, ["k"])
+    layout.delete_rows(spark, path, "k = 2")
+
+    for kwargs, msg in [
+        (dict(), "nothing to evolve"),
+        (dict(renames={"nope": "x"}), "do not exist"),
+        (dict(drops=["k"]), "sort-key column"),
+        (dict(renames={"src": "txt"}), "collide"),
+        (dict(renames={"src": "x", "txt": "x"}), "collide"),
+        (dict(renames={"src": "y"}, drops=["src"]), "renamed and dropped"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            layout.evolve_schema(spark, path, **kwargs)
+
+    res = layout.evolve_schema(
+        spark, path, renames={"src": "origin"}, drops=["txt"]
+    )
+    assert res["version"] == 3 and res["rows"] == 2
+    live = layout.read_snapshot(spark, path)
+    assert live.columns == ["k", "origin"]
+    assert sorted(tuple(r) for r in live.collect()) == [(1, "a"), (3, "c")]
+    old = layout.read_snapshot(spark, path, 2)
+    assert old.columns == ["k", "src", "txt"]
+    m = layout.read_manifest(path)
+    entry = [s for s in m["snapshots"] if s["id"] == 3][0]
+    assert entry["schema_break"] is True
+    assert entry["sort_key_after"] == ["k"]
+    with pytest.raises(ValueError, match="non-additive"):
+        layout.snapshot_diff(spark, path, 1, 3, ["k"])
+    # same-era diffs still answer on both sides of the break
+    layout.append_versioned(
+        spark.createDataFrame([(9, "z")], "k long, origin string"), path, ["k"]
+    )
+    d = layout.snapshot_diff(spark, path, 3, 4, ["k"])
+    assert [(r["k"], r["change"]) for r in d.collect()] == [(9, "added")]
+
+    # non-castable retype: typed in-plan error, nothing committed
+    p2 = str(tmp_path / "evo_badtype")
+    layout.append_versioned(
+        spark.createDataFrame([(1, "10"), (2, "xx")], "k long, n string"),
+        p2, ["k"],
+    )
+    with pytest.raises(Exception, match="not castable to int"):
+        layout.evolve_schema(spark, p2, retypes={"n": "int"})
+    assert max(
+        s["id"] for s in layout.read_manifest(p2)["snapshots"]
+    ) == 1
+    # castable retype (optionally combined with a rename) rewrites
+    p3 = str(tmp_path / "evo_retype")
+    layout.append_versioned(
+        spark.createDataFrame([(1, "10"), (2, "20")], "k long, n string"),
+        p3, ["k"],
+    )
+    layout.evolve_schema(spark, p3, retypes={"n": "int"}, renames={"n": "num"})
+    live3 = layout.read_snapshot(spark, p3)
+    assert dict(live3.dtypes) == {"k": "bigint", "num": "int"}
+    assert sorted(tuple(r) for r in live3.collect()) == [(1, 10), (2, 20)]
+
+    # key rename: sort_key follows, upsert on the new key works
+    p4 = str(tmp_path / "evo_key")
+    layout.append_versioned(
+        spark.createDataFrame([(1, "a")], "k long, v string"), p4, ["k"]
+    )
+    layout.evolve_schema(spark, p4, renames={"k": "id"})
+    assert layout.read_manifest(p4)["sort_key"] == ["id"]
+    layout.upsert_rows(
+        spark, p4,
+        spark.createDataFrame([(2, "b", "I")], "id long, v string, op string"),
+    )
+    assert sorted(
+        tuple(r) for r in layout.read_snapshot(spark, p4).collect()
+    ) == [(1, "a"), (2, "b")]
+
+
+def test_changelog_rebase_across_schema_break(spark, tmp_path):
+    """The CDC side of evolve_schema: the break version exports as a
+    REBASE (full new-schema snapshot as 'I' rows + _rebase.json), and
+    replay_changelog re-seeds its fold there — a from-empty replay to
+    the head equals the live state (new schema), a replay pinned BELOW
+    the break reproduces the old era, post-break deltas stay
+    delta-sized, and a rebase on a RENAMED KEY folds under the marker's
+    recorded key."""
+    import json
+    import os
+
+    path = str(tmp_path / "rb_store")
+    out = str(tmp_path / "rb_log")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, src string, txt string")
+    layout.append_versioned(mk([(1, "a", "t1"), (2, "b", "t2"), (3, "c", "t3")]), path, ["k"])
+    layout.delete_rows(spark, path, "k = 2")
+    layout.evolve_schema(spark, path, renames={"src": "origin"}, drops=["txt"])
+    assert layout.export_changes(spark, path, out, ["k"]) == [1, 2, 3]
+    marker = os.path.join(out, "changes", "to_version=3", "_rebase.json")
+    with open(marker) as f:
+        assert json.load(f) == {"reason": "schema_break", "key": ["k"]}
+    # rebase rows are the full snapshot as inserts
+    v3 = layout.read_changes(spark, out, 3)
+    assert sorted(
+        (r["k"], r["op"], r["origin"]) for r in v3.collect()
+    ) == [(1, "I", "a"), (3, "I", "c")]
+
+    rep = layout.replay_changelog(spark, out, ["k"])
+    assert rep.columns == ["k", "origin"]
+    assert sorted(tuple(r) for r in rep.collect()) == [(1, "a"), (3, "c")]
+    old = layout.replay_changelog(spark, out, ["k"], to_version=2)
+    assert old.columns == ["k", "src", "txt"]
+    assert sorted(tuple(r) for r in old.collect()) == [
+        (1, "a", "t1"), (3, "c", "t3"),
+    ]
+    with pytest.raises(ValueError, match="not exported yet"):
+        layout.replay_changelog(spark, out, ["k"], to_version=9)
+
+    # post-break lifecycle keeps exporting plain deltas
+    layout.append_versioned(
+        spark.createDataFrame([(9, "z")], "k long, origin string"), path, ["k"]
+    )
+    layout.delete_rows(spark, path, "k = 1")
+    assert layout.export_changes(spark, path, out, ["k"]) == [4, 5]
+    assert not os.path.isfile(
+        os.path.join(out, "changes", "to_version=4", "_rebase.json")
+    )
+    rep2 = layout.replay_changelog(spark, out, ["k"])
+    want = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+    assert sorted(tuple(r) for r in rep2.collect()) == want == [
+        (3, "c"), (9, "z"),
+    ]
+
+    # key-renaming break: the fold switches to the marker's key
+    p2 = str(tmp_path / "rb_key_store")
+    out2 = str(tmp_path / "rb_key_log")
+    layout.append_versioned(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        p2, ["k"],
+    )
+    layout.evolve_schema(spark, p2, renames={"k": "id"})
+    layout.upsert_rows(
+        spark, p2,
+        spark.createDataFrame([(2, "B", "U")], "id long, v string, op string"),
+    )
+    assert layout.export_changes(spark, p2, out2, ["k"]) == [1, 2, 3]
+    with open(os.path.join(out2, "changes", "to_version=2", "_rebase.json")) as f:
+        assert json.load(f)["key"] == ["id"]
+    rep3 = layout.replay_changelog(spark, out2, ["k"])
+    assert rep3.columns == ["id", "v"]
+    assert sorted(tuple(r) for r in rep3.collect()) == [(1, "a"), (2, "B")]

@@ -715,3 +715,42 @@ def test_store_replication_randomized_against_source(spark, tmp_path):
             for k, (v, x) in model.items()
         )
         assert got == want_live == want_model, f"seed {seed}"
+
+
+def test_store_apply_stream_type_conflict_fails_loudly(spark, tmp_path):
+    """Round-12 type guard pinned at the streaming consumer: a change
+    batch whose carried column arrives RETYPED (val as BIGINT against a
+    STRING store column) must fail the stream with the typed plan-build
+    error — never the silent coerce-and-retype or a raw mid-batch CAST
+    abort — and the replica store must stay at its pre-batch version."""
+    from pyspark.sql import types as T
+
+    from chess_pos_db_spark.plans import layout
+    from chess_pos_db_spark.streaming import jobs
+
+    store = str(tmp_path / "type_stream_store")
+    src = str(tmp_path / "type_stream_chg")
+    layout.append_versioned(
+        spark.createDataFrame([(1, "a")], "k long, val string"),
+        store, ["k"],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("val", T.LongType()),  # retyped vs store STRING
+            T.StructField("op", T.StringType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    spark.createDataFrame(
+        [(1, 99, "U", 1)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(Exception, match="type\\(s\\) conflict"):
+        jobs.store_apply_stream(
+            spark, src, schema, store, ["k"], seq_col="seq"
+        )
+    m = layout.read_manifest(store)
+    assert max(s["id"] for s in m["snapshots"]) == 1
+    assert sorted(
+        tuple(r) for r in layout.read_snapshot(spark, store).collect()
+    ) == [(1, "a")]
