@@ -730,6 +730,7 @@ def store_apply_stream(
     seq_col: str | None = None,
     max_files_per_trigger: int | None = None,
     allow_new_columns: bool = False,
+    rebase_floor: int | None = None,
 ) -> DataFrame:
     """Streaming CDC ingestion INTO the manifest-versioned store
     (plans/layout): each micro-batch of change rows merges via
@@ -741,6 +742,19 @@ def store_apply_stream(
     follow the source's additive schema evolution (upsert_rows'
     evolution mode) — without it the first evolved batch fails loudly,
     by design.
+
+    NON-additive evolution cannot stream through an upsert fold: a
+    schema-break REBASE version (layout.evolve_schema → export_changes
+    `_rebase.json` marker) carries full 'I' snapshots whose upsert
+    against a pre-break replica would leave the renamed/dropped
+    columns' stale values in place — a silently mixed-schema replica.
+    The stream therefore REFUSES TO START when the source directory
+    contains a rebase marker, with the recovery recipe in the error:
+    re-seed the replica (`layout.replay_changelog` folds rebases in
+    batch) and resume with ``rebase_floor=<break version>``, which
+    declares markers at or below that version already folded into the
+    seed. The same posture as a forced-gap re-seed: a log that changed
+    shape is a bootstrap event, not a delta.
 
     A micro-batch can mix several logical versions of one key (the
     at-least-once file source bundles whatever arrived); with
@@ -756,9 +770,32 @@ def store_apply_stream(
     _LATEST pointer is needed: the manifest IS the commit record.
     Returns the live store DataFrame after draining (availableNow).
     """
+    import glob
+    import os
+    import re as _re
+
     from pyspark.sql.window import Window
 
-    from ..plans import layout
+    if "://" not in src_dir:
+        rebases = []
+        for m in glob.glob(
+            os.path.join(src_dir, "to_version=*", "_rebase.json")
+        ):
+            mt = _re.search(r"to_version=(\d+)", m)
+            if mt:
+                rebases.append(int(mt.group(1)))
+        pending = sorted(
+            v for v in rebases if rebase_floor is None or v > rebase_floor
+        )
+        if pending:
+            raise ValueError(
+                f"store_apply_stream: changelog at {src_dir!r} contains "
+                f"schema-break rebase version(s) {pending} — an upsert "
+                "fold across a rebase silently leaves pre-break column "
+                "values in place. Re-seed the replica from the rebase "
+                "(layout.replay_changelog handles it in batch) and "
+                f"resume with rebase_floor={max(pending)}"
+            )
 
     reader = spark.readStream.schema(changes_schema)
     if max_files_per_trigger is not None:

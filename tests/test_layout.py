@@ -1692,31 +1692,37 @@ def test_forced_vacuum_preserves_initial_base_and_orders_commit(
 def test_export_vacuum_lifecycle_randomized_against_model(spark, tmp_path):
     """Model-based differential test of the EXPORT × VACUUM interplay:
     seeded random interleavings of append / delete / export / vacuum /
-    FORCED vacuum, against a model of the changelog (registration,
-    cursor, forced gap, initial base). Invariants after every step: the
+    FORCED vacuum / non-additive EVOLVE (round 12: schema-break rename,
+    exported as a rebase), against a model of the changelog
+    (registration, cursor, forced gap, initial base, rebase versions).
+    Invariants after every step: the
     guard refuses a strand only for a REGISTERED lagging export; a
     forced vacuum realigns the export's cursor to the floor with the
     gap recorded; a FRESH export on an already-vacuumed store starts
     with the initial snapshot base instead of dying on 'time travel
     expired' (the seam this test found); export always RESUMES
     cleanly; read_changes answers every exported version and explains
-    every gapped/pre-base one; and at the end a replica (from-empty
-    when the log is complete or base-anchored, re-seeded from the
-    snapshot at the gap's edge after a force) equals the live state."""
+    every gapped/pre-base one; and at the end a replica equals the
+    live state — via replay_changelog (which must re-seed at the
+    latest exported rebase) when the log is complete, base-anchored or
+    rebase-anchored past the gap, and via the documented snapshot
+    re-seed fold when a forced gap swallowed every rebase."""
     import json
     import os
     import random
 
     from chess_pos_db_spark.operators.merge import merge_changes
 
-    mk = lambda rows: spark.createDataFrame(rows, "k long, val long")
-
-    for seed in range(3):
+    for seed in range(4):
         rng = random.Random(100 + seed)
         path = str(tmp_path / f"ev_store_{seed}")
         out = str(tmp_path / f"ev_log_{seed}")
         model: dict[int, int] = {}
         nxt = [0]
+        val_col = "val"
+
+        def mk(rows):
+            return spark.createDataFrame(rows, f"k long, {val_col} long")
 
         def fresh():
             nxt[0] += 1
@@ -1731,12 +1737,22 @@ def test_export_vacuum_lifecycle_randomized_against_model(spark, tmp_path):
         gap_hi = 0          # versions 1..gap_hi lost to force (0 = none)
         init_base = 0       # first export began here on a vacuumed store
         floor_model = 0     # model of min_time_travel
+        rebases: list[int] = []  # evolve_schema break versions
 
         for step in range(8):
             op = rng.choice(
-                ["append", "delete", "export", "vacuum", "force_vacuum"]
+                ["append", "delete", "export", "vacuum", "force_vacuum",
+                 "evolve"]
             )
-            if op == "append":
+            if op == "evolve":
+                new_col = f"val_s{step}"
+                layout.evolve_schema(
+                    spark, path, renames={val_col: new_col}
+                )
+                val_col = new_col
+                latest += 1
+                rebases.append(latest)
+            elif op == "append":
                 batch = {
                     k: fresh()
                     for k in rng.sample(range(10, 80), 3)
@@ -1795,7 +1811,7 @@ def test_export_vacuum_lifecycle_randomized_against_model(spark, tmp_path):
 
             # live state always equals the model
             got = {
-                r["k"]: r["val"]
+                r["k"]: r[val_col]
                 for r in layout.read_snapshot(spark, path).collect()
             }
             assert got == model, f"seed {seed} step {step} op {op}"
@@ -1805,8 +1821,13 @@ def test_export_vacuum_lifecycle_randomized_against_model(spark, tmp_path):
         if not registered and floor_model > 1:
             init_base = floor_model
         for v in range(1, latest + 1):
-            if os.path.isdir(os.path.join(out, "changes", f"to_version={v}")):
+            vd = os.path.join(out, "changes", f"to_version={v}")
+            if os.path.isdir(vd):
                 layout.read_changes(spark, out, v).count()
+                # every EXPORTED break version carries its rebase marker
+                assert os.path.isfile(
+                    os.path.join(vd, "_rebase.json")
+                ) == (v in rebases), f"seed {seed}: v{v} marker mismatch"
             elif v <= gap_hi:
                 with pytest.raises(ValueError, match="force=True"):
                     layout.read_changes(spark, out, v)
@@ -1818,26 +1839,25 @@ def test_export_vacuum_lifecycle_randomized_against_model(spark, tmp_path):
                     f"seed {seed}: version {v} has no dir and no reason"
                 )
 
-        # replication: from empty when the log is complete or
-        # base-anchored; re-seeded after a force (the documented
-        # consumer contract) — from the snapshot at the CURRENT floor,
-        # which is always readable and at or past the gap's edge (later
-        # vacuums may have expired the gap-edge snapshot itself)
-        if gap_hi:
+        # replication. replay_changelog covers every shape except a
+        # forced gap that swallowed all rebases: it re-seeds at the
+        # latest EXPORTED rebase (marker on disk), which exists iff
+        # some rebase landed past the gap; otherwise the documented
+        # consumer contract is a snapshot re-seed at the floor.
+        max_reb = max(rebases) if rebases else 0
+        if gap_hi == 0 or max_reb > gap_hi:
+            replica = layout.replay_changelog(spark, out, ["k"])
+        else:
             seed_v = max(gap_hi, floor_model)
             replica = layout.read_snapshot(spark, path, seed_v)
-            start = seed_v + 1
-        else:
-            replica = spark.createDataFrame([], "k long, val long")
-            start = init_base if init_base else 1
-        for v in range(start, latest + 1):
-            replica = merge_changes(
-                replica,
-                layout.read_changes(spark, out, v),
-                ["k"],
-                partial_updates=False,
-            ).localCheckpoint(eager=True)
-        got = {r["k"]: r["val"] for r in replica.collect()}
+            for v in range(seed_v + 1, latest + 1):
+                replica = merge_changes(
+                    replica,
+                    layout.read_changes(spark, out, v),
+                    ["k"],
+                    partial_updates=False,
+                ).localCheckpoint(eager=True)
+        got = {r["k"]: r[val_col] for r in replica.collect()}
         assert got == model, f"seed {seed} fold"
 
 
