@@ -4,10 +4,15 @@ Images/audio/video are opaque `BinaryType` columns with typed metadata
 (the same philosophy as the reference's CompressedPosition: an opaque
 fixed encoding plus interpretable key columns). The Spark-side
 plumbing — schema, Arrow batch shape, mapInPandas signatures,
-partition sizing — is real and tested; the codec itself is stubbed
-behind `decode_image`, because no image/audio libraries exist in this
-container. Swapping in a real decoder (PIL/librosa/ffmpeg) changes ONE
-function.
+partition sizing — is real and tested. The codec seam is ONE function
+per modality (`decode_image` / `decode_audio`): as of round 12 both
+carry REAL stdlib+numpy decoders for the self-describing formats —
+PNG (8-bit, all scanline filters), BMP (uncompressed 24/32-bit),
+binary PGM/PPM, and RIFF/WAVE PCM (8/16/32-bit, downmixed mono) —
+with the deterministic pseudo-content fake as the documented fallback
+for formats that need codec libraries this container lacks (JPEG,
+MP3, video containers). Swapping the fallback for PIL/soundfile/ffmpeg
+still changes only that one function.
 
 Scale notes: featurization streams per Arrow batch (`mapInPandas`), so
 peak memory is one batch of blobs per core, never a partition of
@@ -52,14 +57,191 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(blob: bytes) -> np.ndarray:
-    """STUB — no imaging libraries in this container.
+def _png_decode(blob: bytes) -> np.ndarray:
+    """Minimal real PNG decoder (stdlib zlib + numpy): 8-bit depth,
+    grayscale / gray+alpha / RGB / RGBA, non-interlaced. Full filter
+    reconstruction (None/Sub/Up/Average/Paeth). Raises ValueError on
+    anything outside that envelope so the caller falls back loudly-
+    documented rather than mis-decoding."""
+    import zlib
 
-    A real deployment replaces this body with e.g. PIL.Image.open.
-    The deterministic fake derives a pseudo-pixel array from the blob
-    bytes so downstream plumbing (shapes, dtypes, batching) is
-    exercised honestly.
+    pos = 8  # past signature
+    width = height = None
+    bitdepth = colortype = interlace = None
+    idat = []
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bitdepth, colortype, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(colortype)
+    if (
+        width is None
+        or channels is None
+        or bitdepth != 8
+        or interlace != 0
+        or not idat
+    ):
+        raise ValueError("unsupported PNG variant")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("corrupt PNG raster")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if f == 0:
+            recon = row
+        elif f == 2:  # Up
+            recon = (row + prev) % 256
+        elif f == 1:  # Sub: per channel-phase cumulative sum mod 256
+            recon = row.copy()
+            for c in range(bpp):
+                recon[c::bpp] = np.cumsum(row[c::bpp]) % 256
+        elif f == 3:  # Average (left-sequential)
+            recon = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = recon[x - bpp] if x >= bpp else 0
+                recon[x] = (row[x] + (left + int(prev[x])) // 2) % 256
+        elif f == 4:  # Paeth (left-sequential)
+            recon = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = recon[x - bpp] if x >= bpp else 0
+                b = int(prev[x])
+                c = int(out[y - 1, x - bpp]) if (x >= bpp and y > 0) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                recon[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = recon.astype(np.uint8)
+        prev = out[y]
+    px = out.reshape(height, width, channels).astype(np.float32)
+    if channels == 1:
+        return px[:, :, 0]
+    if channels == 2:  # gray + alpha
+        return px[:, :, 0]
+    # RGB(A) -> Rec.601 luma, alpha ignored
+    return (
+        0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    ).astype(np.float32)
+
+
+def _bmp_decode(blob: bytes) -> np.ndarray:
+    """Minimal real BMP decoder: uncompressed 24/32-bit BITMAPINFOHEADER
+    (the interchange baseline), bottom-up or top-down. Raises
+    ValueError outside that envelope."""
+    if len(blob) < 54:
+        raise ValueError("truncated BMP")
+    (data_off,) = struct.unpack("<I", blob[10:14])
+    width, height = struct.unpack("<ii", blob[18:26])
+    (bits,) = struct.unpack("<H", blob[28:30])
+    (compression,) = struct.unpack("<I", blob[30:34])
+    if bits not in (24, 32) or compression != 0 or width <= 0:
+        raise ValueError("unsupported BMP variant")
+    flip = height > 0  # positive height = bottom-up storage
+    height = abs(height)
+    bytepp = bits // 8
+    stride = ((width * bytepp + 3) // 4) * 4
+    need = data_off + stride * height
+    if len(blob) < need:
+        raise ValueError("truncated BMP raster")
+    rows = (
+        np.frombuffer(blob, dtype=np.uint8, count=stride * height,
+                      offset=data_off)
+        .reshape(height, stride)[:, : width * bytepp]
+        .reshape(height, width, bytepp)
+        .astype(np.float32)
+    )
+    if flip:
+        rows = rows[::-1]
+    # BMP stores BGR(A)
+    return (
+        0.299 * rows[:, :, 2] + 0.587 * rows[:, :, 1] + 0.114 * rows[:, :, 0]
+    ).astype(np.float32)
+
+
+def _pnm_decode(blob: bytes) -> np.ndarray:
+    """Minimal real binary PGM/PPM (P5/P6) decoder, maxval <= 255,
+    '#' header comments handled."""
+    tokens: list[bytes] = []
+    i = 2  # past magic
+    while len(tokens) < 3 and i < len(blob):
+        ch = blob[i : i + 1]
+        if ch == b"#":
+            while i < len(blob) and blob[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif ch.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(blob) and not blob[j : j + 1].isspace():
+                j += 1
+            tokens.append(blob[i:j])
+            i = j
+    if len(tokens) < 3:
+        raise ValueError("truncated PNM header")
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255 or width <= 0 or height <= 0:
+        raise ValueError("unsupported PNM variant")
+    i += 1  # single whitespace after maxval
+    channels = 3 if blob[:2] == b"P6" else 1
+    need = width * height * channels
+    if len(blob) < i + need:
+        raise ValueError("truncated PNM raster")
+    px = (
+        np.frombuffer(blob, dtype=np.uint8, count=need, offset=i)
+        .reshape(height, width, channels)
+        .astype(np.float32)
+    )
+    if channels == 1:
+        return px[:, :, 0]
+    return (
+        0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    ).astype(np.float32)
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_image(blob: bytes) -> np.ndarray:
+    """Image blob → float32 grayscale H×W in [0, 255].
+
+    REAL decode paths (round 12 — stdlib + numpy only, no imaging
+    libraries needed): PNG (8-bit gray/gray+alpha/RGB/RGBA,
+    non-interlaced, all five scanline filters), BMP (uncompressed
+    24/32-bit), binary PGM/PPM. Color reduces to Rec.601 luma.
+
+    Formats needing codec libraries this container lacks (JPEG, WebP,
+    GIF, ...) — and unparseable/synthetic blobs — fall back to the
+    DETERMINISTIC PSEUDO-PIXEL fake (sha256-derived 16×16), which keeps
+    every downstream pipeline (featurize, phash, resize, near-dup)
+    exercised honestly on fixture blobs; a real deployment swaps the
+    fallback for PIL.Image.open — still one function.
     """
+    try:
+        if blob[:8] == _PNG_MAGIC:
+            return _png_decode(blob)
+        if blob[:2] == b"BM":
+            return _bmp_decode(blob)
+        if blob[:2] in (b"P5", b"P6"):
+            return _pnm_decode(blob)
+    except ValueError:
+        pass  # unsupported variant -> deterministic fallback below
     h = hashlib.sha256(blob).digest()
     arr = np.frombuffer((h * 8)[:256], dtype=np.uint8).astype(np.float32)
     return arr.reshape(16, 16)
@@ -210,16 +392,53 @@ AUDIO_FRAME_SCHEMA = T.StructType(
 )
 
 
-def decode_audio(blob: bytes, duration_ms: int) -> np.ndarray:
-    """STUB — no audio libraries in this container.
+def _wav_decode(blob: bytes) -> np.ndarray:
+    """Minimal real WAV decoder (stdlib `wave` + numpy): PCM 8/16/32
+    bit, any channel count (downmixed to mono by mean) → float32
+    waveform in [-1, 1]. Raises on non-PCM/exotic containers so the
+    caller falls back."""
+    import io
+    import wave as wave_mod
 
-    A real deployment replaces this body with e.g. soundfile.read.
-    The deterministic fake synthesizes a waveform (float32 in [-1, 1],
-    8 samples/ms) from POSITION-CHAINED blob digests — tiling one
-    digest would make the wave periodic (every window identical),
-    which degenerates window-level ops like fingerprinting; chained
-    blocks give each window honest distinct content.
+    with wave_mod.open(io.BytesIO(blob), "rb") as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if sw == 1:  # unsigned 8-bit
+        x = (
+            np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0
+        ) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if nch > 1:
+        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return x.astype(np.float32)
+
+
+def decode_audio(blob: bytes, duration_ms: int) -> np.ndarray:
+    """Audio blob → float32 mono waveform in [-1, 1].
+
+    REAL decode path (round 12 — stdlib `wave` + numpy, no audio
+    libraries needed): RIFF/WAVE PCM at 8/16/32-bit, multi-channel
+    downmixed to mono; ``duration_ms`` is ignored for real WAVs (the
+    container knows its own length). Compressed formats (MP3, OGG,
+    FLAC, ...) — and synthetic fixture blobs — fall back to the
+    DETERMINISTIC FAKE below (float32 in [-1, 1], 8 samples/ms) built
+    from POSITION-CHAINED blob digests — tiling one digest would make
+    the wave periodic (every window identical), which degenerates
+    window-level ops like fingerprinting; chained blocks give each
+    window honest distinct content. A real deployment swaps the
+    fallback for soundfile.read — still one function.
     """
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        try:
+            return _wav_decode(blob)
+        except Exception:
+            pass  # malformed/exotic RIFF -> deterministic fallback
     n = max(1, duration_ms * 8)
     n_blocks = (n * 4) // 32 + 1
     seed = hashlib.sha256(blob).digest()
