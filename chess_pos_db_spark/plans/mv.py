@@ -213,11 +213,24 @@ def advance_view(
     view = spark.read.parquet(
         os.path.join(view_path, manifest.get("data_dir", "data"))
     )
-    diff = snapshot_diff(
-        spark, store_path, pinned, latest, key, scan=scan
-    ).localCheckpoint(
-        eager=True
-    )  # two downstream branches; and the source snapshot may be vacuumed later
+    try:
+        diff = snapshot_diff(
+            spark, store_path, pinned, latest, key, scan=scan
+        ).localCheckpoint(
+            eager=True
+        )  # two downstream branches; source snapshot may be vacuumed later
+    except ValueError as e:
+        if "non-additive" not in str(e):
+            raise
+        # the generic diff error suggests replaying the changelog —
+        # wrong recipe for a VIEW, whose dims/measures may reference
+        # renamed/dropped columns: the honest recovery is a rebuild
+        raise ValueError(
+            f"advance_view: the base store evolved non-additively past "
+            f"this view's pin (v{pinned}) — its dims/measures may "
+            "reference renamed or dropped columns; rebuild the view "
+            "(write_view) against the current schema"
+        ) from e
     inserts = diff.filter(F.col("change").isin("added", "changed")).select(
         *key, "new.*"
     )

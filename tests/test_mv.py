@@ -622,3 +622,39 @@ def test_view_advance_randomized_against_rebuild(spark, tmp_path):
                     build_view(layout.read_snapshot(spark, store), dims, ms)
                 )
                 assert _rows(view) == want, f"seed {seed} step {step} {op}"
+
+
+def test_advance_view_refuses_nonadditive_evolution(spark, tmp_path):
+    """A view pinned below an evolve_schema break cannot advance through
+    the diff (columns were renamed/dropped) — the error names the VIEW
+    recovery (rebuild), not the changelog one, and the view's pin and
+    data are untouched."""
+    import pytest
+
+    from chess_pos_db_spark.plans import layout, mv
+
+    store = str(tmp_path / "nv_store")
+    view = str(tmp_path / "nv_view")
+    layout.append_versioned(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "doc_id long, src string, n long"
+        ),
+        store, ["doc_id"],
+    )
+    mv.write_view(
+        mv.build_view(
+            layout.read_snapshot(spark, store), ["src"], [("sum", "n")]
+        ),
+        view,
+        ["src"],
+        [("sum", "n")],
+        base_version=1,
+    )
+    layout.evolve_schema(spark, store, renames={"src": "origin"})
+    with pytest.raises(ValueError, match="rebuild the view"):
+        mv.advance_view(spark, store, view, key=["doc_id"])
+    import json
+    import os
+
+    with open(os.path.join(view, "_mv_manifest.json")) as f:
+        assert json.load(f)["base_version"] == 1
