@@ -1200,24 +1200,26 @@ def test_store_lifecycle_randomized_against_model(spark, tmp_path):
     """Model-based differential test of the WHOLE store lifecycle: for
     several seeded random sequences of append / upsert (including
     update-to-NULL) / delete / compact / tag+vacuum / additive schema
-    EVOLUTION, the live snapshot must equal a plain dict model after
+    EVOLUTION / non-additive RENAME (round 12: evolve_schema break,
+    interleaved with everything else), the live snapshot must equal a
+    plain dict model after
     EVERY step; afterwards the exported change log folded from an
     empty PRE-evolution replica (allow_new_columns=True,
-    partial_updates=False — state semantics) must equal the final
+    partial_updates=False — state semantics; replay_changelog when a
+    rename made the log rebase) must equal the final
     model, and the delta-sized snapshot_diff must equal the general
-    form over random version spans. This is the adversarial complement
+    form over random version spans (a span crossing a break must
+    refuse instead). This is the adversarial complement
     to the scenario-pinned tests: the operations interleave in orders
     no hand-written scenario covers."""
     import random
 
     from chess_pos_db_spark.operators.merge import merge_changes
 
-    mk = lambda rows: spark.createDataFrame(rows, "k long, val long")
-
-    def snapshot_dict(df, extra_cols):
+    def snapshot_dict(df, extra_cols, vcol="val"):
         return {
             r["k"]: (
-                r["val"],
+                r[vcol],
                 tuple(r.asDict().get(c) for c in extra_cols),
             )
             for r in df.collect()
@@ -1227,6 +1229,12 @@ def test_store_lifecycle_randomized_against_model(spark, tmp_path):
         rng = random.Random(seed)
         path = str(tmp_path / f"rand_store_{seed}")
         model: dict[int, int] = {}
+        val_col = "val"
+        breaks: list[int] = []  # evolve_schema break versions
+
+        def mk(rows):
+            return spark.createDataFrame(rows, f"k long, {val_col} long")
+
         # additive-evolution bookkeeping: column name -> {k: value};
         # a key absent from a column's dict reads as NULL, exactly as
         # the union-schema read answers pre-evolution rows
@@ -1254,7 +1262,7 @@ def test_store_lifecycle_randomized_against_model(spark, tmp_path):
         for step in range(7):
             op = rng.choice(
                 ["append", "upsert", "delete", "compact", "vacuum",
-                 "evolve", "typebad"]
+                 "evolve", "typebad", "rename"]
             )
             if op == "typebad":
                 # round-12: a change batch carrying an existing column
@@ -1265,12 +1273,24 @@ def test_store_lifecycle_randomized_against_model(spark, tmp_path):
                 bad_val = rng.choice(["99", "abc"])
                 bad = spark.createDataFrame(
                     [(rng.randrange(300, 310), bad_val, "I")],
-                    "k long, val string, op string",
+                    f"k long, {val_col} string, op string",
                 )
                 with pytest.raises(
                     ValueError, match="type\\(s\\) conflict"
                 ):
                     layout.upsert_rows(spark, path, bad)
+            elif op == "rename":
+                # round-12: NON-additive rename of the value column —
+                # a schema-break rewrite interleaved with everything
+                # else; evolved extra columns must survive it
+                new_name = f"val_r{step}"
+                layout.evolve_schema(
+                    spark, path, renames={val_col: new_name}
+                )
+                val_col = new_name
+                breaks.append(
+                    max(layout._live_snapshot_ids(layout.read_manifest(path)))
+                )
             elif op == "append":
                 fresh = [
                     k for k in rng.sample(range(100), 6) if k not in model
@@ -1309,7 +1329,7 @@ def test_store_lifecycle_randomized_against_model(spark, tmp_path):
                 layout.upsert_rows(
                     spark, path,
                     spark.createDataFrame(
-                        rows, "k long, val long, op string"
+                        rows, f"k long, {val_col} long, op string"
                     ),
                 )
                 # whole-row replacement: an upserted key's evolved
@@ -1329,7 +1349,7 @@ def test_store_lifecycle_randomized_against_model(spark, tmp_path):
                 assert (res["rows_deleted"] > 0) == bool(doomed)
             elif op == "compact":
                 layout.compact_versioned(
-                    spark, path, key=["k"], agg_spec={"val": "max"}
+                    spark, path, key=["k"], agg_spec={val_col: "max"}
                 )
                 # the agg_spec lists only val: compaction DROPS evolved
                 # columns from the live state (the documented loud
@@ -1354,7 +1374,8 @@ def test_store_lifecycle_randomized_against_model(spark, tmp_path):
                 layout.upsert_rows(
                     spark, path,
                     spark.createDataFrame(
-                        rows, f"k long, val long, {col} long, op string"
+                        rows,
+                        f"k long, {val_col} long, {col} long, op string",
                     ),
                     allow_new_columns=True,
                 )
@@ -1377,19 +1398,23 @@ def test_store_lifecycle_randomized_against_model(spark, tmp_path):
                         path, f"t{step}", retag=True
                     )
                     tagged_versions.append(
-                        (f"t{step}", expected(), list(extra_cols))
+                        (f"t{step}", expected(), list(extra_cols), val_col)
                     )
                 layout.expire_snapshots(path, before=latest)
 
             got = snapshot_dict(
-                layout.read_snapshot(spark, path), extra_cols
+                layout.read_snapshot(spark, path), extra_cols, val_col
             )
             assert got == expected(), f"seed {seed} step {step} op {op}"
 
         # tagged reads reproduce their pinned states even after vacuums
-        for name, snap, cols_then in tagged_versions:
+        # (under the value-column NAME of their era — a later rename
+        # never rewrites a tagged version)
+        for name, snap, cols_then, vcol_then in tagged_versions:
             got = snapshot_dict(
-                layout.read_snapshot(spark, path, tag=name), cols_then
+                layout.read_snapshot(spark, path, tag=name),
+                cols_then,
+                vcol_then,
             )
             # columns evolved AFTER the tag read as NULL through the
             # union schema; compare on the columns that existed then
@@ -1400,32 +1425,46 @@ def test_store_lifecycle_randomized_against_model(spark, tmp_path):
 
         # the exported log folds from an empty PRE-evolution replica to
         # the final model: state semantics (update-to-NULL overwrites)
-        # + column alignment (the replica follows the evolution)
+        # + column alignment (the replica follows the evolution). A
+        # rename mid-history makes the log REBASE — replay_changelog
+        # must re-seed there; otherwise the raw primitive loop is kept
+        # under test
         layout.export_changes(spark, path, out, ["k"])
         man = layout.read_manifest(path)
-        target = spark.createDataFrame([], "k long, val long")
-        for v in range(1, max(s["id"] for s in man["snapshots"]) + 1):
-            target = merge_changes(
-                target,
-                layout.read_changes(spark, out, v),
-                ["k"],
-                allow_new_columns=True,
-                partial_updates=False,
-            ).localCheckpoint(eager=True)
-        got = snapshot_dict(target, extra_cols)
+        if breaks:
+            target = layout.replay_changelog(spark, out, ["k"])
+        else:
+            target = spark.createDataFrame([], "k long, val long")
+            for v in range(1, max(s["id"] for s in man["snapshots"]) + 1):
+                target = merge_changes(
+                    target,
+                    layout.read_changes(spark, out, v),
+                    ["k"],
+                    allow_new_columns=True,
+                    partial_updates=False,
+                ).localCheckpoint(eager=True)
+        got = snapshot_dict(target, extra_cols, val_col)
         assert got == expected(), f"seed {seed} fold"
 
-        # delta diff == general diff over a random readable span
+        # delta diff == general diff over a random readable span; a
+        # span crossing a break must REFUSE in both scan modes
         ids = sorted(s["id"] for s in man["snapshots"])
         floor = man.get("min_time_travel") or 0
         readable = [i for i in ids if i >= floor]
         if len(readable) >= 2:
             v_from, v_to = sorted(rng.sample(readable, 2))
-            auto = sorted(map(str, layout.snapshot_diff(
-                spark, path, v_from, v_to, ["k"]).collect()))
-            full = sorted(map(str, layout.snapshot_diff(
-                spark, path, v_from, v_to, ["k"], scan="full").collect()))
-            assert auto == full, f"seed {seed} diff v{v_from}->v{v_to}"
+            if any(v_from < b <= v_to for b in breaks):
+                for mode in ("auto", "full"):
+                    with pytest.raises(ValueError, match="non-additive"):
+                        layout.snapshot_diff(
+                            spark, path, v_from, v_to, ["k"], scan=mode
+                        )
+            else:
+                auto = sorted(map(str, layout.snapshot_diff(
+                    spark, path, v_from, v_to, ["k"]).collect()))
+                full = sorted(map(str, layout.snapshot_diff(
+                    spark, path, v_from, v_to, ["k"], scan="full").collect()))
+                assert auto == full, f"seed {seed} diff v{v_from}->v{v_to}"
 
 
 def test_upsert_rows_additive_schema_evolution(spark, tmp_path):
