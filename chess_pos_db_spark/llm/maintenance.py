@@ -240,6 +240,7 @@ def maintain_stores(
     max_live_versions: int = 8,
     vacuum: bool = True,
     keep_history_versions: int = 0,
+    compact_changelog_over: int | None = None,
 ) -> dict:
     """Scheduled health for versioned snapshot stores — the corpus-side
     sibling of the index legs above. ``stores`` maps store path →
@@ -271,14 +272,28 @@ def maintain_stores(
       up (or an explicit force=True call outside the scheduler) is an
       operator decision, exactly like IVF re-clustering.
 
+    - CHANGELOG COMPACTION (round 12, opt-in via
+      ``compact_changelog_over=N``): each export registered in the
+      store manifest whose changes/ directory holds more than N
+      version dirs is folded into a rebase base
+      (`layout.compact_changelog`) — the export side's reclaim,
+      bounding every new consumer's bootstrap fold. Due-check is a
+      directory listing (the scheduler's zero-job idle economics).
+      Skipped with a report entry when the export's cursor trails a
+      schema-break version still recorded in the manifest (the
+      pre-break era's fold key is not the manifest's current
+      sort_key; export first, then compact).
+
     Crash contract: same as the index legs — no cross-store
     transaction; due-ness derives from each store's manifest, so a
     crash mid-list leaves finished stores no longer due and the rerun
     completes the rest (pinned in tests/test_maintenance.py).
 
     Returns ``{path: {"live_versions_before", "compacted",
-    "vacuumed_files", "vacuum_blocked"}}``.
+    "vacuumed_files", "vacuum_blocked", "changelogs_compacted"}}``.
     """
+    import glob as _glob
+
     from ..plans import layout
 
     report: dict = {}
@@ -311,5 +326,25 @@ def maintain_stores(
                 if "strand CDC export" not in str(e):
                     raise
                 r["vacuum_blocked"] = str(e)
+        if compact_changelog_over is not None:
+            r["changelogs_compacted"] = {}
+            m = layout.read_manifest(path)
+            breaks = [
+                s["id"] for s in m["snapshots"] if s.get("schema_break")
+            ]
+            for d, cursor_v in m.get("exports", {}).items():
+                if not os.path.isdir(os.path.join(d, "changes")):
+                    continue
+                if any(b > cursor_v for b in breaks):
+                    r["changelogs_compacted"][d] = "skipped_rebase_pending"
+                    continue
+                n_dirs = len(
+                    _glob.glob(os.path.join(d, "changes", "to_version=*"))
+                )
+                if n_dirs > compact_changelog_over:
+                    res = layout.compact_changelog(
+                        spark, d, m["sort_key"]
+                    )
+                    r["changelogs_compacted"][d] = res["base_version"]
         report[path] = r
     return report

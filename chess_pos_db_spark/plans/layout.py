@@ -863,10 +863,11 @@ def evolve_schema(
             "dirs": [vdir],
             "supersedes": sorted(live),
             "schema_break": True,
-            # the key AS OF this break, recorded per-version so a
-            # changelog export spanning multiple breaks uses each
+            # the key on each side of this break, recorded per-version
+            # so a changelog export spanning multiple breaks uses each
             # era's own key (the manifest's top-level sort_key only
             # ever holds the latest)
+            "sort_key_before": list(key),
             "sort_key_after": new_key,
         }
     )
@@ -1530,6 +1531,14 @@ def read_changes(spark: SparkSession, out_dir: str, version: int) -> DataFrame:
                     f"{gap[0]}..{gap[1]} past this export's cursor; "
                     "re-seed consumers from a live snapshot"
                 )
+            ct = cur.get("compacted_to")
+            if ct is not None and version < ct:
+                raise ValueError(
+                    f"read_changes: version {version} was folded into "
+                    f"this changelog's compacted base (v{ct}, "
+                    "compact_changelog) — fold from empty starting at "
+                    f"v{ct}; replay_changelog does this automatically"
+                )
             ib = cur.get("initial_base")
             if ib is not None and version < ib:
                 raise ValueError(
@@ -1551,6 +1560,107 @@ def read_changes(spark: SparkSession, out_dir: str, version: int) -> DataFrame:
         with open(schema_file) as f:
             return spark.createDataFrame([], StructType.fromJson(json.load(f)))
     return spark.read.parquet(d)
+
+
+def compact_changelog(
+    spark: SparkSession,
+    out_dir: str,
+    key: Sequence[str],
+    through_version: int | None = None,
+) -> dict:
+    """LOG COMPACTION for an exported changelog (the Kafka
+    compacted-topic analogue): collapse every exported version up to
+    ``through_version`` (default: everything exported) into ONE
+    rebase-marked base — the folded state as 'I' rows — and delete the
+    superseded version dirs.
+
+    Why: a changelog grows one dir per store version forever; a NEW
+    consumer's bootstrap fold (and its disk) should cost the LIVE
+    state plus the post-base deltas, not the whole history. The
+    store's own vacuum reclaims snapshots; this is the export side's
+    matching reclaim, and it needs nothing from the store — the base
+    is folded from the log's own contents (`replay_changelog`), so the
+    log stays self-contained.
+
+    Mechanics: the folded state overwrites ``to_version=V``'s dir as
+    'I' rows with a ``_rebase.json`` marker (``reason:
+    log_compaction``) — `replay_changelog` then starts there with NO
+    new logic (a marked base is a marked base), and `store_apply_
+    stream`'s rebase refusal keeps protecting un-reseeded streaming
+    consumers. The cursor records ``compacted_to``; `read_changes` on
+    a version below it explains the compaction. Versions ABOVE V are
+    untouched deltas.
+
+    Crash contract, in commit order: (1) the base dir overwrite +
+    marker (idempotent — a replay rewrites the same fold), (2) the
+    atomic cursor update, (3) best-effort deletion of superseded dirs
+    (a crash leaves stale dirs a re-run or the next compaction
+    sweeps; readers already start at the marker). Idempotent: a rerun
+    with the same V folds the marked base alone and rewrites it.
+
+    A changelog with a FORCED GAP below ``through_version`` and no
+    rebase past it cannot be compacted from its own contents (the
+    fold would need the vacuumed versions) — the fold's read raises
+    with the gap explanation; re-seed consumers from a live snapshot
+    first. Returns ``{"base_version", "dirs_removed", "rows"}``.
+    """
+    import shutil
+
+    cursor_file = os.path.join(out_dir, "_cursor.json")
+    if not os.path.isfile(cursor_file):
+        raise ValueError(
+            f"compact_changelog: no _cursor.json under {out_dir!r} — "
+            "not an export_changes changelog"
+        )
+    with open(cursor_file) as f:
+        cursor = json.load(f)
+    exported_to = cursor.get("last_exported", 0)
+    v = exported_to if through_version is None else through_version
+    if v > exported_to:
+        raise ValueError(
+            f"compact_changelog: version {v} not exported yet "
+            f"(cursor at {exported_to})"
+        )
+    if v < 1:
+        raise ValueError("compact_changelog: nothing to compact")
+    folded = replay_changelog(spark, out_dir, key, to_version=v)
+    # the fold key may have been renamed by a schema-break rebase at or
+    # below V — recover it the same way replay_changelog did
+    fold_key = list(key)
+    for w in range(v, 0, -1):
+        marker = os.path.join(
+            out_dir, "changes", f"to_version={w}", "_rebase.json"
+        )
+        if os.path.isfile(marker):
+            with open(marker) as f:
+                fold_key = list(json.load(f).get("key", fold_key))
+            break
+    payload = [c for c in folded.columns if c not in fold_key]
+    base = folded.select(*fold_key, F.lit("I").alias("op"), *payload)
+    vdir = os.path.join(out_dir, "changes", f"to_version={v}")
+    base.write.mode("overwrite").parquet(vdir)
+    n_rows = spark.read.parquet(vdir).count()
+    schema_json = base.schema.json()
+    tmp = os.path.join(vdir, "_schema.json.tmp")
+    with open(tmp, "w") as f:
+        f.write(schema_json)
+    os.replace(tmp, os.path.join(vdir, "_schema.json"))
+    tmp = os.path.join(vdir, "_rebase.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"reason": "log_compaction", "key": fold_key}, f)
+    os.replace(tmp, os.path.join(vdir, "_rebase.json"))
+    cursor["compacted_to"] = max(int(cursor.get("compacted_to") or 0), v)
+    tmp = cursor_file + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cursor, f)
+    os.replace(tmp, cursor_file)
+    removed = 0
+    for w in range(1, v):
+        d = os.path.join(out_dir, "changes", f"to_version={w}")
+        if os.path.isdir(d):
+            shutil.rmtree(d, ignore_errors=True)
+            removed += 1
+    return {"base_version": v, "dirs_removed": removed, "rows": int(n_rows)}
 
 
 def replay_changelog(

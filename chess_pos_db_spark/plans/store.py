@@ -923,3 +923,57 @@ def store_schema_renamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ensure_lifecycle_store(spark, sf_dir, "renamed", build)
     out = os.path.join(path, "_cdc_export")
     return layout.replay_changelog(spark, out, ["doc_id"]).orderBy("doc_id")
+
+
+@register(
+    "store_compacted_changelog",
+    oracle=f"""
+SELECT doc_id, source, CAST(LENGTH(text) AS BIGINT) AS text_len
+FROM documents
+WHERE NOT ({_DIFF_DELETE})
+ORDER BY doc_id
+""",
+)
+def store_compacted_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog LOG COMPACTION externally verified (round 12 — the
+    Kafka compacted-topic analogue, the export side's reclaim matching
+    the store's vacuum). Lifecycle: v1 appends most of the corpus, v2
+    appends the %4==3 slice, v3 deletes the %9==2 slice, the changelog
+    exports all three, and `compact_changelog` folds v1..v2 into ONE
+    rebase-marked base (v1's dir deleted, read_changes explains it) —
+    so a NEW consumer's bootstrap fold costs the state at v2 plus v3's
+    delta, never the whole history. The query answers with
+    `replay_changelog` over the COMPACTED log (re-seeds at the base
+    with no special logic — a marked base is a marked base), which
+    must equal plain SQL over the corpus minus the deleted slice.
+    Scale: the base is one fold of the log's own contents written
+    once; every version after it stays delta-sized; the due-check the
+    scheduler runs (`maintain_stores(compact_changelog_over=N)`) is a
+    directory listing."""
+
+    def build(path: str, payload: DataFrame) -> None:
+        _diff_lifecycle_build(spark, "store_compacted_changelog")(
+            path, payload
+        )
+        out = os.path.join(path, "_cdc_export")
+        layout.export_changes(spark, path, out, ["doc_id"])
+        res = layout.compact_changelog(
+            spark, out, ["doc_id"], through_version=2
+        )
+        if res["dirs_removed"] != 1:
+            raise ValueError(
+                "store_compacted_changelog: expected exactly v1's dir "
+                f"removed, got {res}"
+            )
+
+    path = _ensure_lifecycle_store(spark, sf_dir, "logcompact", build)
+    out = os.path.join(path, "_cdc_export")
+    return (
+        layout.replay_changelog(spark, out, ["doc_id"])
+        .select(
+            "doc_id",
+            "source",
+            F.length("text").cast("long").alias("text_len"),
+        )
+        .orderBy("doc_id")
+    )

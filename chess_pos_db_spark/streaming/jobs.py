@@ -790,11 +790,12 @@ def store_apply_stream(
         if pending:
             raise ValueError(
                 f"store_apply_stream: changelog at {src_dir!r} contains "
-                f"schema-break rebase version(s) {pending} — an upsert "
-                "fold across a rebase silently leaves pre-break column "
-                "values in place. Re-seed the replica from the rebase "
-                "(layout.replay_changelog handles it in batch) and "
-                f"resume with rebase_floor={max(pending)}"
+                f"rebase version(s) {pending} (schema break or log "
+                "compaction) — an upsert fold across a rebase is not a "
+                "delta apply (a schema break would silently leave "
+                "pre-break column values in place). Re-seed the replica "
+                "from the rebase (layout.replay_changelog handles it in "
+                f"batch) and resume with rebase_floor={max(pending)}"
             )
 
     reader = spark.readStream.schema(changes_schema)

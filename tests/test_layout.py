@@ -2108,3 +2108,77 @@ def test_changelog_rebase_across_schema_break(spark, tmp_path):
     rep3 = layout.replay_changelog(spark, out2, ["k"])
     assert rep3.columns == ["id", "v"]
     assert sorted(tuple(r) for r in rep3.collect()) == [(1, "a"), (2, "B")]
+
+
+def test_compact_changelog_bounds_replay(spark, tmp_path):
+    """Log compaction (round 12): versions up to V fold into ONE
+    rebase-marked base; superseded dirs are deleted with a read_changes
+    explanation; replay_changelog needs no new logic (a marked base is
+    a marked base) and equals the live state; a rerun converges; later
+    exports keep appending deltas and a head-compaction subsumes the
+    old base; compaction composes with a schema-break rebase below it
+    (the base folds under the era's key)."""
+    import json
+    import os
+
+    path = str(tmp_path / "lc_store")
+    out = str(tmp_path / "lc_log")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+    layout.append_versioned(mk([(1, "a"), (2, "b"), (3, "c")]), path, ["k"])
+    layout.upsert_rows(
+        spark, path,
+        spark.createDataFrame(
+            [(2, "B", "U"), (4, "d", "I")], "k long, v string, op string"
+        ),
+    )
+    layout.delete_rows(spark, path, "k = 3")
+    assert layout.export_changes(spark, path, out, ["k"]) == [1, 2, 3]
+
+    res = layout.compact_changelog(spark, out, ["k"], through_version=2)
+    assert res == {"base_version": 2, "dirs_removed": 1, "rows": 4}
+    with pytest.raises(ValueError, match="compacted base"):
+        layout.read_changes(spark, out, 1)
+    # the base reflects state AT v2 (k=3 still present; v3's D applies
+    # on replay), marked as a log-compaction rebase
+    with open(os.path.join(out, "changes", "to_version=2", "_rebase.json")) as f:
+        assert json.load(f) == {"reason": "log_compaction", "key": ["k"]}
+    assert sorted(
+        (r["k"], r["op"], r["v"])
+        for r in layout.read_changes(spark, out, 2).collect()
+    ) == [(1, "I", "a"), (2, "I", "B"), (3, "I", "c"), (4, "I", "d")]
+    want = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+    assert sorted(
+        tuple(r) for r in layout.replay_changelog(spark, out, ["k"]).collect()
+    ) == want
+
+    # idempotent rerun; then more history and a head compaction
+    assert layout.compact_changelog(
+        spark, out, ["k"], through_version=2
+    )["base_version"] == 2
+    layout.append_versioned(mk([(9, "z")]), path, ["k"])
+    assert layout.export_changes(spark, path, out, ["k"]) == [4]
+    res2 = layout.compact_changelog(spark, out, ["k"])
+    assert res2["base_version"] == 4 and res2["dirs_removed"] == 2
+    want2 = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+    assert sorted(
+        tuple(r) for r in layout.replay_changelog(spark, out, ["k"]).collect()
+    ) == want2
+    with pytest.raises(ValueError, match="not exported yet"):
+        layout.compact_changelog(spark, out, ["k"], through_version=9)
+
+    # composes with a schema-break rebase below the compaction point
+    p2 = str(tmp_path / "lc_break_store")
+    o2 = str(tmp_path / "lc_break_log")
+    layout.append_versioned(mk([(1, "a"), (2, "b")]), p2, ["k"])
+    layout.evolve_schema(spark, p2, renames={"v": "w"})
+    layout.upsert_rows(
+        spark, p2,
+        spark.createDataFrame([(3, "c", "I")], "k long, w string, op string"),
+    )
+    assert layout.export_changes(spark, p2, o2, ["k"]) == [1, 2, 3]
+    layout.compact_changelog(spark, o2, ["k"])
+    rep = layout.replay_changelog(spark, o2, ["k"])
+    assert rep.columns == ["k", "w"]
+    assert sorted(tuple(r) for r in rep.collect()) == sorted(
+        tuple(r) for r in layout.read_snapshot(spark, p2).collect()
+    )

@@ -675,3 +675,61 @@ def test_maintenance_crash_injection_randomized_converges(
         finally:
             _drop(spark, f"cr_ix_{seed}", f"cr_lsh_{seed}",
                   f"cr_fresh_ix_{seed}", f"cr_fresh_lsh_{seed}")
+
+
+def test_maintain_stores_compacts_changelogs(spark, tmp_path):
+    """The scheduler's changelog-compaction leg (opt-in): an export
+    whose changes/ dir holds more version dirs than the threshold is
+    folded into a rebase base; a converged pass no-ops; an export whose
+    cursor trails a schema break is SKIPPED with a report entry (the
+    pre-break era's fold key is not the current sort_key)."""
+    from chess_pos_db_spark.plans import layout
+
+    path = str(tmp_path / "clc_store")
+    out = str(tmp_path / "clc_log")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+    layout.append_versioned(mk([(1, "a")]), path, ["k"])
+    for i in range(2, 5):
+        layout.append_versioned(mk([(i, f"v{i}")]), path, ["k"])
+    layout.export_changes(spark, path, out, ["k"])
+
+    rep = M.maintain_stores(
+        spark, {path: None}, vacuum=False, compact_changelog_over=2
+    )
+    import os
+
+    assert rep[path]["changelogs_compacted"] == {os.path.abspath(out): 4}
+    want = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+    assert sorted(
+        tuple(r) for r in layout.replay_changelog(spark, out, ["k"]).collect()
+    ) == want
+    # converged: one base dir remains, under threshold -> no-op
+    rep2 = M.maintain_stores(
+        spark, {path: None}, vacuum=False, compact_changelog_over=2
+    )
+    assert rep2[path]["changelogs_compacted"] == {}
+
+    # a pending (unexported) schema break blocks compaction loudly
+    layout.evolve_schema(spark, path, renames={"v": "w"})
+    for i in range(20, 23):
+        layout.append_versioned(
+            spark.createDataFrame([(i, f"w{i}")], "k long, w string"),
+            path, ["k"],
+        )
+    rep3 = M.maintain_stores(
+        spark, {path: None}, vacuum=False, compact_changelog_over=0
+    )
+    assert rep3[path]["changelogs_compacted"] == {
+        os.path.abspath(out): "skipped_rebase_pending"
+    }
+    # export the break, then compaction proceeds under the marker's key
+    layout.export_changes(spark, path, out, ["k"])
+    rep4 = M.maintain_stores(
+        spark, {path: None}, vacuum=False, compact_changelog_over=2
+    )
+    assert rep4[path]["changelogs_compacted"] == {os.path.abspath(out): 8}
+    rep_df = layout.replay_changelog(spark, out, ["k"])
+    assert rep_df.columns == ["k", "w"]
+    assert sorted(tuple(r) for r in rep_df.collect()) == sorted(
+        tuple(r) for r in layout.read_snapshot(spark, path).collect()
+    )
