@@ -555,6 +555,19 @@ def test_maintenance_crash_injection_randomized_converges(
                     mk_store(sorted(batch.items())), store, ["k"]
                 )
 
+            # --- changelog: 4 exported version dirs (compaction due
+            # at compact_changelog_over=2) on a second store ---
+            clc = str(tmp_path / f"cr_clc_{seed}")
+            clc_log = str(tmp_path / f"cr_clc_log_{seed}")
+            clc_model: dict[int, int] = {}
+            for j in range(4):
+                batch = {10 * j + i: 500 * j + i for i in range(2)}
+                clc_model.update(batch)
+                layout.append_versioned(
+                    mk_store(sorted(batch.items())), clc, ["k"]
+                )
+            layout.export_changes(spark, clc, clc_log, ["k"])
+
             def run_all():
                 rep_i = M.maintain_indexes(
                     spark,
@@ -568,7 +581,11 @@ def test_maintenance_crash_injection_randomized_converges(
                 rep_s = M.maintain_stores(
                     spark, {store: {"val": "max"}}, max_live_versions=2
                 )
-                return rep_i, rep_s
+                rep_c = M.maintain_stores(
+                    spark, {clc: None}, vacuum=False,
+                    compact_changelog_over=2,
+                )
+                return rep_i, rep_s, rep_c
 
             # --- inject ONE kill at a random leg, before/after its
             # real action commits ---
@@ -578,6 +595,7 @@ def test_maintenance_crash_injection_randomized_converges(
                 "ivf": (M, "compact_ivf_cells"),
                 "store_compact": (layout, "compact_versioned"),
                 "store_vacuum": (layout, "expire_snapshots"),
+                "changelog_compact": (layout, "compact_changelog"),
             }
             leg = rng.choice(sorted(targets))
             mode = rng.choice(["before", "after"])
@@ -596,13 +614,14 @@ def test_maintenance_crash_injection_randomized_converges(
 
             # --- rerun-to-converge; a further pass is a full no-op ---
             run_all()
-            rep_i3, rep_s3 = run_all()
+            rep_i3, rep_s3, rep_c3 = run_all()
             assert rep_i3["postings"][px] == "ok", (seed, leg, mode)
             assert rep_i3["lsh"][lx] == "ok", (seed, leg, mode)
             assert rep_i3["ivf"][ivf_dir]["cells_compacted"] == 0
             assert rep_s3[store]["compacted"] is False
             assert rep_s3[store]["vacuumed_files"] == 0
             assert rep_s3[store]["vacuum_blocked"] is None
+            assert rep_c3[clc]["changelogs_compacted"] == {}, (seed, leg, mode)
 
             # --- every structure ≡ a fresh build over live content ---
             got_search = sorted(
@@ -672,6 +691,15 @@ def test_maintenance_crash_injection_randomized_converges(
                 for r in layout.read_snapshot(spark, store).collect()
             }
             assert got_store == model, (seed, leg, mode)
+
+            # the compacted changelog still replays to the live state
+            got_clc = {
+                r["k"]: r["val"]
+                for r in layout.replay_changelog(
+                    spark, clc_log, ["k"]
+                ).collect()
+            }
+            assert got_clc == clc_model, (seed, leg, mode)
         finally:
             _drop(spark, f"cr_ix_{seed}", f"cr_lsh_{seed}",
                   f"cr_fresh_ix_{seed}", f"cr_fresh_lsh_{seed}")
