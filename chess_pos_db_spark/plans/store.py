@@ -977,3 +977,54 @@ def store_compacted_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "store_changelog_time_travel",
+    oracle=f"""
+SELECT doc_id, source, CAST(LENGTH(text) AS BIGINT) AS text_len
+FROM documents
+WHERE NOT ({_DIFF_DELETE})
+ORDER BY doc_id
+""",
+)
+def store_changelog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The changelog answers HISTORY, not just the head: replaying the
+    `store_schema_renamed` lifecycle's log pinned to a PRE-BREAK
+    version reproduces that era's state UNDER THAT ERA'S SCHEMA —
+    `replay_changelog(to_version=2)` folds v1..v2 only (the rename at
+    v3 never applies), so the answer carries the original `source` and
+    `text` columns even though the live store has neither. This is
+    time travel through the LOG alone — a consumer that never had
+    snapshot access audits any exported version (the store-side twin
+    is `store_time_travel`; the reference's immutable runs answer old
+    states by construction †). Shares the 'renamed' lifecycle store —
+    whichever query runs first builds for both. Scale: the fold reads
+    exactly the deltas up to the pin; a pin at or past a rebase starts
+    there instead (bounded by one base + its tail either way)."""
+
+    def build(path: str, payload: DataFrame) -> None:
+        layout.append_versioned(payload, path, ["doc_id"])
+        res = layout.delete_rows(spark, path, _DIFF_DELETE)
+        if res["version"] is None:
+            raise ValueError(
+                "store_changelog_time_travel: delete matched nothing"
+            )
+        layout.evolve_schema(
+            spark, path, renames={"source": "origin"}, drops=["text"]
+        )
+        layout.export_changes(
+            spark, path, os.path.join(path, "_cdc_export"), ["doc_id"]
+        )
+
+    path = _ensure_lifecycle_store(spark, sf_dir, "renamed", build)
+    out = os.path.join(path, "_cdc_export")
+    return (
+        layout.replay_changelog(spark, out, ["doc_id"], to_version=2)
+        .select(
+            "doc_id",
+            "source",
+            F.length("text").cast("long").alias("text_len"),
+        )
+        .orderBy("doc_id")
+    )
