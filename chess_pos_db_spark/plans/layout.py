@@ -1710,6 +1710,19 @@ def replay_changelog(
             f"(cursor at {exported_to}) — run export_changes first"
         )
     start = cursor.get("initial_base", 1)
+    anchor = max(start, int(cursor.get("compacted_to") or 0))
+    if last < anchor:
+        # a target below the fold anchor: the log HAS no content for
+        # it (versions below an initial base were never part of this
+        # changelog; versions below a compacted base were deleted) —
+        # an empty replica here would silently masquerade as "state
+        # was empty", which is a wrong answer, not a boundary
+        raise ValueError(
+            f"replay_changelog: version {last} predates this "
+            f"changelog's fold anchor (v{anchor}: initial base or "
+            "compacted base) — the log cannot answer pre-anchor "
+            "state; read the store's own snapshot instead"
+        )
     fold_key = list(key)
     for v in range(last, start - 1, -1):
         marker = os.path.join(

@@ -2182,3 +2182,38 @@ def test_compact_changelog_bounds_replay(spark, tmp_path):
     assert sorted(tuple(r) for r in rep.collect()) == sorted(
         tuple(r) for r in layout.read_snapshot(spark, p2).collect()
     )
+
+
+def test_replay_changelog_refuses_pre_anchor_targets(spark, tmp_path):
+    """A replay target below the fold anchor (initial base or compacted
+    base) must REFUSE — an empty replica would silently masquerade as
+    'state was empty'. At or above the anchor still answers."""
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+
+    # initial-base anchor: store vacuumed before the first export
+    p1 = str(tmp_path / "anchor_ib")
+    o1 = str(tmp_path / "anchor_ib_log")
+    layout.append_versioned(mk([(1, "a")]), p1, ["k"])
+    layout.append_versioned(mk([(2, "b")]), p1, ["k"])
+    layout.expire_snapshots(p1, before=2)
+    assert layout.export_changes(spark, p1, o1, ["k"]) == [2]
+    with pytest.raises(ValueError, match="fold anchor"):
+        layout.replay_changelog(spark, o1, ["k"], to_version=1)
+    assert sorted(
+        tuple(r)
+        for r in layout.replay_changelog(spark, o1, ["k"], to_version=2).collect()
+    ) == [(1, "a"), (2, "b")]
+
+    # compacted-base anchor
+    p2 = str(tmp_path / "anchor_lc")
+    o2 = str(tmp_path / "anchor_lc_log")
+    for i in range(1, 4):
+        layout.append_versioned(mk([(i, f"v{i}")]), p2, ["k"])
+    layout.export_changes(spark, p2, o2, ["k"])
+    layout.compact_changelog(spark, o2, ["k"], through_version=2)
+    with pytest.raises(ValueError, match="fold anchor"):
+        layout.replay_changelog(spark, o2, ["k"], to_version=1)
+    assert sorted(
+        tuple(r)
+        for r in layout.replay_changelog(spark, o2, ["k"], to_version=2).collect()
+    ) == [(1, "v1"), (2, "v2")]
