@@ -269,17 +269,45 @@ ROUND11_VERIFIED: frozenset[str] = frozenset({
     "win_lag_lead", "win_rank", "win_row_number", "win_topk_per_group",
 })
 
-# ROUND-13 SESSION TODO (fold timing): CORRECTNESS_r12 will be
-# generated at the END of round 12 against round-12 final HEAD — fold
-# that file's names as ROUND12_VERIFIED (and extend
-# DRIVER_VERIFIED/_VERIFIED_BY_ROUND) at the START of round 13,
-# exactly as ROUND11_VERIFIED was folded at the start of round 12.
+# the 50 queries covered by CORRECTNESS_r12.json (driver gate, round
+# 12): all 50 hash-exact (rows/schema/hash True, err None for every
+# row) — the 4 round-12 class-0 registrations
+# (store_type_conflict_rejected, store_schema_renamed,
+# store_compacted_changelog, store_changelog_time_travel) plus the 46
+# least-recently-verified greens the rotation surfaced.  Folded at the
+# START of round 13 per the standing fold-timing rule.
+ROUND12_VERIFIED: frozenset[str] = frozenset({
+    "agg_equidepth_histogram", "agg_histogram", "agg_percentile_disc",
+    "agg_sample_estimate", "agg_unpivot", "agg_view_ivm",
+    "events_anomaly", "events_basket_lift", "events_ewma",
+    "events_funnel", "events_path_trigrams",
+    "events_purchase_attribution", "events_resample_ffill",
+    "events_retention", "events_sessionize", "events_time_rollup",
+    "join_interval_overlap", "join_lateral_topn", "join_scd2_temporal",
+    "json_variant", "merge_into_cdc", "scd2_build",
+    "search_bm25_incremental", "search_bm25_postings",
+    "search_phrase_postings", "search_proximity_postings",
+    "set_distinct", "set_except", "set_except_all", "set_intersect",
+    "set_intersect_all", "set_union_all", "sort_global",
+    "sort_merge_compact", "sort_topk", "store_changelog_time_travel",
+    "store_compacted_changelog", "store_schema_renamed",
+    "store_type_conflict_rejected", "tpch_q1", "tpch_q10", "tpch_q14",
+    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "win_first_last",
+    "win_ntile", "win_running_sum", "win_time_range_frame",
+})
+
+# ROUND-14 SESSION TODO (fold timing): CORRECTNESS_r13 will be
+# generated at the END of round 13 against round-13 final HEAD — fold
+# that file's names as ROUND13_VERIFIED (and extend
+# DRIVER_VERIFIED/_VERIFIED_BY_ROUND) at the START of round 14,
+# exactly as ROUND12_VERIFIED was folded at the start of round 13.
 
 # union of everything any driver CORRECTNESS gate has verified so far
 DRIVER_VERIFIED: frozenset[str] = (
     ROUND1_2_VERIFIED | ROUND3_VERIFIED | ROUND4_VERIFIED | ROUND5_VERIFIED
     | ROUND6_VERIFIED | ROUND7_VERIFIED | ROUND8_VERIFIED
     | ROUND9_VERIFIED | ROUND10_VERIFIED | ROUND11_VERIFIED
+    | ROUND12_VERIFIED
 )
 
 # round of each name's most recent green driver row (r1 and r2 covered
@@ -296,6 +324,7 @@ _VERIFIED_BY_ROUND: tuple[tuple[int, frozenset[str]], ...] = (
     (9, ROUND9_VERIFIED),
     (10, ROUND10_VERIFIED),
     (11, ROUND11_VERIFIED),
+    (12, ROUND12_VERIFIED),
 )
 
 LAST_VERIFIED_ROUND: dict[str, int] = {}

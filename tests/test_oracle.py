@@ -84,6 +84,7 @@ def test_rotation_history_names_are_registered():
         ("ROUND9_VERIFIED", vh.ROUND9_VERIFIED),
         ("ROUND10_VERIFIED", vh.ROUND10_VERIFIED),
         ("ROUND11_VERIFIED", vh.ROUND11_VERIFIED),
+        ("ROUND12_VERIFIED", vh.ROUND12_VERIFIED),
         ("ROUND1_REGISTRY", vh.ROUND1_REGISTRY),
     ):
         missing = set(names) - set(QUERIES)
