@@ -240,8 +240,15 @@ def decode_image(blob: bytes) -> np.ndarray:
             return _bmp_decode(blob)
         if blob[:2] in (b"P5", b"P6"):
             return _pnm_decode(blob)
-    except ValueError:
-        pass  # unsupported variant -> deterministic fallback below
+    except Exception:
+        # Unsupported variant OR malformed blob -> deterministic
+        # fallback below. Broad by design: a blob with a valid magic
+        # can still die deep in the decoder with struct.error
+        # (truncated chunk), zlib.error (corrupt IDAT), or an index/
+        # shape error — the contract is that NO blob content can fail
+        # the surrounding mapInPandas task (decode_audio's WAV path
+        # makes the same promise).
+        pass
     h = hashlib.sha256(blob).digest()
     arr = np.frombuffer((h * 8)[:256], dtype=np.uint8).astype(np.float32)
     return arr.reshape(16, 16)

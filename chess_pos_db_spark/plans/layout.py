@@ -28,7 +28,7 @@ import json
 import os
 from typing import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import merge as merge_ops
@@ -757,9 +757,11 @@ def evolve_schema(
     downstream consumer must re-learn the schema anyway).
 
     Contract:
-    - all three specs name CURRENT (pre-evolution) columns; a column
-      may be both retyped and renamed (retype applies first);
-    - unknown columns, rename-target collisions, and dropping a
+    - all three specs name CURRENT (pre-evolution) columns and apply
+      SIMULTANEOUSLY (one projection): a column may be both retyped
+      and renamed, ``renames={'a': 'b'}`` with ``drops=['b']``
+      replaces b with a's data, and swap renames are well-defined;
+    - unknown columns, duplicate FINAL column names, and dropping a
       sort-key column fail loudly before any job runs; renaming a key
       column updates the manifest's sort_key;
     - retypes use try_cast with an IN-PLAN guard: a non-castable value
@@ -815,48 +817,60 @@ def evolve_schema(
             f"evolve_schema: column(s) {sorted(overlap)} are both "
             "renamed and dropped — pick one"
         )
-    surviving = (cols - set(drops) - set(renames)) | set()
-    targets = list(renames.values())
-    collisions = sorted(
-        t for t in targets
-        if t in surviving or targets.count(t) > 1
-    )
-    if collisions:
+
+    # All three specs apply SIMULTANEOUSLY (one select-with-aliases),
+    # not sequentially: renames={'a':'b'} with drops=['b'] replaces b
+    # with a's data, and swap-shaped renames {'a':'b','b':'a'} are
+    # well-defined — the sequential withColumnRenamed/drop formulation
+    # silently destroyed the renamed column in the first case (drop('b')
+    # removed BOTH the dropped original and the rename product).
+    # Collisions are therefore judged on the FINAL output names: any
+    # duplicate is an error.
+    final_names = [renames.get(c, c) for c in df.columns if c not in set(drops)]
+    dup = sorted({n for n in final_names if final_names.count(n) > 1})
+    if dup:
         raise ValueError(
-            f"evolve_schema: rename target(s) {sorted(set(collisions))} "
-            "collide with surviving columns or each other"
+            f"evolve_schema: rename target(s) {dup} collide with "
+            "surviving columns or each other"
         )
 
-    for c, typ in retypes.items():
-        new = F.col(c).try_cast(typ)
-        df = df.withColumn(
-            c,
-            F.when(
+    def _out(c: str):
+        if c in retypes:
+            typ = retypes[c]
+            new = F.col(c).try_cast(typ)
+            return F.when(
                 F.col(c).isNotNull() & new.isNull(),
                 F.raise_error(
                     F.concat(
-                        F.lit(f"evolve_schema: value "),
+                        F.lit("evolve_schema: value "),
                         F.col(c).cast("string"),
                         F.lit(f" in column {c!r} is not castable to {typ}"),
                     )
                 ).cast(typ),
-            ).otherwise(new),
-        )
-    for old, new_name in renames.items():
-        df = df.withColumnRenamed(old, new_name)
-    if drops:
-        df = df.drop(*drops)
+            ).otherwise(new)
+        return F.col(c)
+
+    df = df.select(
+        *[_out(c).alias(renames.get(c, c)) for c in df.columns
+          if c not in set(drops)]
+    )
     new_key = [renames.get(k, k) for k in key]
 
     v = max(s["id"] for s in manifest["snapshots"]) + 1
     vdir = f"v{v}"
+    # row count observed during the rewrite job itself — no second
+    # scan. The observe node sits ABOVE the range exchange: below it,
+    # repartitionByRange's boundary-sampling pass would run the child a
+    # second time and double the count.
+    obs = Observation()
     (
         df.repartitionByRange(partitions, *[F.col(k) for k in new_key])
         .sortWithinPartitions(*new_key)
+        .observe(obs, F.count(F.lit(1)).alias("rows"))
         .write.mode("overwrite")
         .parquet(os.path.join(path, vdir))
     )
-    n_rows = spark.read.parquet(os.path.join(path, vdir)).count()
+    n_rows = obs.get["rows"]
     manifest["snapshots"].append(
         {
             "id": v,
@@ -1379,6 +1393,13 @@ def export_changes(
     records ``initial_base`` — a from-empty fold starting there
     converges exactly; versions below the base were never part of this
     changelog and `read_changes` explains them.
+
+    Across NON-additive breaks (evolve_schema) the sort key itself may
+    change; ``key`` is only trusted for eras no break describes — each
+    exported version uses its ERA's key, reconstructed from the break
+    versions' recorded ``sort_key_before``/``sort_key_after``, so a
+    fresh export over broken history works whichever era's key the
+    caller passes.
     """
     cursor_file = os.path.join(out_dir, "_cursor.json")
     os.makedirs(out_dir, exist_ok=True)
@@ -1409,8 +1430,35 @@ def export_changes(
         cursor["initial_base"] = base
         last = base - 1
     by_id = {s["id"]: s for s in manifest["snapshots"]}
+    # Per-ERA sort key: history spanning schema breaks has a different
+    # key in each era, and the caller can only ever hand us ONE key
+    # (usually the manifest's current, post-break one). Each break
+    # version records the key on both of its sides (sort_key_before/
+    # after, written by evolve_schema), so every version's era key is
+    # derivable from the manifest: the first break ABOVE v names the
+    # key v's era used; with no break above, the last break at-or-below
+    # v names it; a break-free history trusts the caller. Without this,
+    # a fresh export over broken history failed loudly on every
+    # pre-break version whatever key the caller passed (round-13 ADVICE
+    # fix — sort_key_before was recorded but never read).
+    _break_ids = sorted(
+        s["id"] for s in manifest["snapshots"] if s.get("schema_break")
+    )
+
+    def _era_key(v: int) -> list[str]:
+        for b in _break_ids:
+            if b > v and by_id[b].get("sort_key_before"):
+                return list(by_id[b]["sort_key_before"])
+        for b in reversed(_break_ids):
+            if b <= v and by_id[b].get("sort_key_after"):
+                return list(by_id[b]["sort_key_after"])
+        return list(key)
+
     for v in range(last + 1, latest + 1):
         is_rebase = bool(by_id.get(v, {}).get("schema_break"))
+        ekey = (
+            list(by_id[v]["sort_key_after"]) if is_rebase else _era_key(v)
+        )
         if is_rebase:
             # a non-additive evolution (evolve_schema): the diff across
             # the break is not well-defined (snapshot_diff refuses), so
@@ -1419,34 +1467,33 @@ def export_changes(
             # re-seeds its fold here, and the sort_key may itself have
             # been renamed, so the key switches to the one the break
             # version recorded (per-era, survives multiple breaks)
-            key = by_id[v]["sort_key_after"]
             snap = read_snapshot(spark, path, v)
-            payload = [c for c in snap.columns if c not in key]
+            payload = [c for c in snap.columns if c not in ekey]
             out = snap.select(
-                *key, F.lit("I").alias("op"), *payload
+                *ekey, F.lit("I").alias("op"), *payload
             )
         elif v == base:
             snap = read_snapshot(spark, path, v)
-            payload = [c for c in snap.columns if c not in key]
+            payload = [c for c in snap.columns if c not in ekey]
             out = snap.select(
-                *key, F.lit("I").alias("op"), *payload
+                *ekey, F.lit("I").alias("op"), *payload
             )
         elif v == 1:
             # version 1 has no predecessor: its entire content exports
             # as inserts
             snap = read_snapshot(spark, path, 1)
-            payload = [c for c in snap.columns if c not in key]
+            payload = [c for c in snap.columns if c not in ekey]
             out = snap.select(
-                *key, F.lit("I").alias("op"), *payload
+                *ekey, F.lit("I").alias("op"), *payload
             )
         else:
-            diff = snapshot_diff(spark, path, v - 1, v, key, scan=scan)
+            diff = snapshot_diff(spark, path, v - 1, v, ekey, scan=scan)
             op = (
                 F.when(F.col("change") == "added", F.lit("I"))
                 .when(F.col("change") == "removed", F.lit("D"))
                 .otherwise(F.lit("U"))
             )
-            out = diff.select(*key, op.alias("op"), F.col("new.*"))
+            out = diff.select(*ekey, op.alias("op"), F.col("new.*"))
         vdir = os.path.join(out_dir, "changes", f"to_version={v}")
         out.write.mode("overwrite").parquet(vdir)
         # op-row schema sidecars: an empty delta writes no part files,
@@ -1469,7 +1516,7 @@ def export_changes(
             tmp = os.path.join(vdir, "_rebase.json.tmp")
             with open(tmp, "w") as f:
                 json.dump(
-                    {"reason": "schema_break", "key": list(key)}, f
+                    {"reason": "schema_break", "key": list(ekey)}, f
                 )
             os.replace(tmp, os.path.join(vdir, "_rebase.json"))
         schema_file = os.path.join(out_dir, "_schema.json")
@@ -1505,6 +1552,41 @@ def export_changes(
     return exported
 
 
+def _recover_compact_swap(out_dir: str) -> None:
+    """Finish (or sweep) a `compact_changelog` swap interrupted between
+    its two renames.
+
+    The swap's only non-atomic window leaves the version dir MISSING
+    while the fully-staged base (rebase marker present — it is written
+    last, so its presence means staging completed) sits in a
+    ``.__compact_tmp`` sibling: commit it by finishing the rename. A
+    staging dir WITHOUT its marker (crash mid-staging) coexists with an
+    intact version dir and is swept; a ``.__compact_old`` leftover
+    (crash after the swap completed) is swept once the version dir is
+    back. Idempotent; called on entry by compact_changelog,
+    replay_changelog and read_changes.
+    """
+    import shutil
+
+    changes = os.path.join(out_dir, "changes")
+    if not os.path.isdir(changes):
+        return
+    for name in os.listdir(changes):
+        p = os.path.join(changes, name)
+        if name.endswith(".__compact_tmp"):
+            vdir = p[: -len(".__compact_tmp")]
+            if not os.path.isdir(vdir) and os.path.isfile(
+                os.path.join(p, "_rebase.json")
+            ):
+                os.rename(p, vdir)
+            elif os.path.isdir(vdir):
+                shutil.rmtree(p, ignore_errors=True)
+        elif name.endswith(".__compact_old"):
+            vdir = p[: -len(".__compact_old")]
+            if os.path.isdir(vdir):
+                shutil.rmtree(p, ignore_errors=True)
+
+
 def read_changes(spark: SparkSession, out_dir: str, version: int) -> DataFrame:
     """One exported version's change rows (merge_changes-shaped).
 
@@ -1517,20 +1599,19 @@ def read_changes(spark: SparkSession, out_dir: str, version: int) -> DataFrame:
     version lost to a forced vacuum (`expire_snapshots` force=True past
     this export's cursor) fails with that explanation; a version that
     was never exported still fails with Spark's own path error."""
+    _recover_compact_swap(out_dir)
     d = os.path.join(out_dir, "changes", f"to_version={version}")
     if not os.path.isdir(d):
         cursor_file = os.path.join(out_dir, "_cursor.json")
         if os.path.isfile(cursor_file):
             with open(cursor_file) as f:
                 cur = json.load(f)
-            gap = cur.get("forced_gap")
-            if gap is not None and gap[0] <= version <= gap[1]:
-                raise ValueError(
-                    f"read_changes: version {version} was never exported "
-                    f"— expire_snapshots(force=True) vacuumed versions "
-                    f"{gap[0]}..{gap[1]} past this export's cursor; "
-                    "re-seed consumers from a live snapshot"
-                )
+            # compacted-base check FIRST: any version below the base is
+            # answerable by replaying from it — the right guidance even
+            # for a version inside a forced gap (the gap error's
+            # "re-seed from a live snapshot" is stale once a compaction
+            # folded past the gap; seam found by the round-13
+            # randomized differential)
             ct = cur.get("compacted_to")
             if ct is not None and version < ct:
                 raise ValueError(
@@ -1538,6 +1619,14 @@ def read_changes(spark: SparkSession, out_dir: str, version: int) -> DataFrame:
                     f"this changelog's compacted base (v{ct}, "
                     "compact_changelog) — fold from empty starting at "
                     f"v{ct}; replay_changelog does this automatically"
+                )
+            gap = cur.get("forced_gap")
+            if gap is not None and gap[0] <= version <= gap[1]:
+                raise ValueError(
+                    f"read_changes: version {version} was never exported "
+                    f"— expire_snapshots(force=True) vacuumed versions "
+                    f"{gap[0]}..{gap[1]} past this export's cursor; "
+                    "re-seed consumers from a live snapshot"
                 )
             ib = cur.get("initial_base")
             if ib is not None and version < ib:
@@ -1591,12 +1680,19 @@ def compact_changelog(
     a version below it explains the compaction. Versions ABOVE V are
     untouched deltas.
 
-    Crash contract, in commit order: (1) the base dir overwrite +
-    marker (idempotent — a replay rewrites the same fold), (2) the
-    atomic cursor update, (3) best-effort deletion of superseded dirs
-    (a crash leaves stale dirs a re-run or the next compaction
-    sweeps; readers already start at the marker). Idempotent: a rerun
-    with the same V folds the marked base alone and rewrites it.
+    Crash contract, in commit order: (1) the complete base — parquet,
+    schema sidecar, rebase marker LAST — staged in a ``.__compact_tmp``
+    sibling, so V's original delta is never destroyed before its
+    replacement fully exists and a replay NEVER sees a folded state
+    without its marker (an unmarked base would fold as an ordinary 'I'
+    delta and resurrect rows deleted at V); (2) the two-rename swap —
+    the only non-atomic window leaves V's dir briefly missing, which
+    fails replay LOUDLY and is finished by `_recover_compact_swap` on
+    the next entry to any changelog verb; (3) the atomic cursor
+    update; (4) best-effort deletion of superseded dirs (a crash
+    leaves stale dirs a re-run or the next compaction sweeps; readers
+    already start at the marker). Idempotent: a rerun with the same V
+    folds the marked base alone and rewrites it.
 
     A changelog with a FORCED GAP below ``through_version`` and no
     rebase past it cannot be compacted from its own contents (the
@@ -1606,6 +1702,7 @@ def compact_changelog(
     """
     import shutil
 
+    _recover_compact_swap(out_dir)
     cursor_file = os.path.join(out_dir, "_cursor.json")
     if not os.path.isfile(cursor_file):
         raise ValueError(
@@ -1638,17 +1735,35 @@ def compact_changelog(
     payload = [c for c in folded.columns if c not in fold_key]
     base = folded.select(*fold_key, F.lit("I").alias("op"), *payload)
     vdir = os.path.join(out_dir, "changes", f"to_version={v}")
-    base.write.mode("overwrite").parquet(vdir)
-    n_rows = spark.read.parquet(vdir).count()
+    # The base REPLACES a delta consumers can already replay, so the
+    # swap must never expose a folded state WITHOUT its rebase marker —
+    # replay would fold it as an ordinary 'I' delta and rows deleted AT
+    # v would silently resurrect (round-13 ADVICE fix). Stage the
+    # complete base (parquet + schema sidecar + marker, marker LAST so
+    # its presence means "staging complete") in a sibling temp dir,
+    # then swap with two renames. The only non-atomic window is between
+    # the renames: vdir is briefly MISSING, which fails replay loudly,
+    # and `_recover_compact_swap` (run on entry here and by
+    # read_changes) finishes the swap from the committed staging dir.
+    tmpdir = vdir + ".__compact_tmp"
+    olddir = vdir + ".__compact_old"
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    base.write.parquet(tmpdir)
+    n_rows = spark.read.parquet(tmpdir).count()
     schema_json = base.schema.json()
-    tmp = os.path.join(vdir, "_schema.json.tmp")
+    tmp = os.path.join(tmpdir, "_schema.json.tmp")
     with open(tmp, "w") as f:
         f.write(schema_json)
-    os.replace(tmp, os.path.join(vdir, "_schema.json"))
-    tmp = os.path.join(vdir, "_rebase.json.tmp")
+    os.replace(tmp, os.path.join(tmpdir, "_schema.json"))
+    tmp = os.path.join(tmpdir, "_rebase.json.tmp")
     with open(tmp, "w") as f:
         json.dump({"reason": "log_compaction", "key": fold_key}, f)
-    os.replace(tmp, os.path.join(vdir, "_rebase.json"))
+    os.replace(tmp, os.path.join(tmpdir, "_rebase.json"))
+    shutil.rmtree(olddir, ignore_errors=True)
+    if os.path.isdir(vdir):
+        os.rename(vdir, olddir)
+    os.rename(tmpdir, vdir)
+    shutil.rmtree(olddir, ignore_errors=True)
     cursor["compacted_to"] = max(int(cursor.get("compacted_to") or 0), v)
     tmp = cursor_file + ".tmp"
     with open(tmp, "w") as f:
@@ -1661,6 +1776,13 @@ def compact_changelog(
             shutil.rmtree(d, ignore_errors=True)
             removed += 1
     return {"base_version": v, "dirs_removed": removed, "rows": int(n_rows)}
+
+
+# replay_changelog cuts its fold lineage every this-many merge_changes
+# layers: deep enough to amortize the checkpoint materialization, small
+# enough that the analyzer never sees more than ~8 stacked
+# full-outer-joins.
+_FOLD_CHECKPOINT_EVERY = 8
 
 
 def replay_changelog(
@@ -1694,6 +1816,7 @@ def replay_changelog(
     to one snapshot copy + the deltas after it — the same bootstrap
     cost a brand-new replica pays.
     """
+    _recover_compact_swap(out_dir)
     cursor_file = os.path.join(out_dir, "_cursor.json")
     if not os.path.isfile(cursor_file):
         raise ValueError(
@@ -1745,7 +1868,13 @@ def replay_changelog(
     replica = spark.createDataFrame(
         [], StructType([fld for fld in sch.fields if fld.name != "op"])
     )
-    for v in range(start, last + 1):
+    # Each fold layers one merge_changes full-outer-join onto the plan;
+    # a long-uncompacted log (hundreds of versions) would blow up the
+    # Catalyst analyzer long before data size matters, so the lineage
+    # is cut every _FOLD_CHECKPOINT_EVERY folds (localCheckpoint, the
+    # same bounded-iteration pattern as pagerank in llm/similarity.py)
+    # — plan depth stays O(K) whatever the version count.
+    for i, v in enumerate(range(start, last + 1), 1):
         replica = merge_ops.merge_changes(
             replica,
             read_changes(spark, out_dir, v),
@@ -1753,4 +1882,6 @@ def replay_changelog(
             partial_updates=False,
             allow_new_columns=True,
         )
+        if i % _FOLD_CHECKPOINT_EVERY == 0 and v < last:
+            replica = replica.localCheckpoint(eager=True)
     return replica

@@ -770,33 +770,43 @@ def store_apply_stream(
     _LATEST pointer is needed: the manifest IS the commit record.
     Returns the live store DataFrame after draining (availableNow).
     """
-    import glob
-    import os
     import re as _re
 
     from pyspark.sql.window import Window
 
-    if "://" not in src_dir:
-        rebases = []
-        for m in glob.glob(
-            os.path.join(src_dir, "to_version=*", "_rebase.json")
-        ):
-            mt = _re.search(r"to_version=(\d+)", m)
+    # Rebase scan through the Hadoop FileSystem API so the refusal
+    # fires for OBJECT-STORE changelogs too (s3a://, abfs://, ...) —
+    # a local-only os.glob silently streamed remote rebases through,
+    # producing exactly the mixed-schema replica this guard exists to
+    # prevent (round-13 ADVICE fix). The same code path serves local
+    # paths (RawLocalFileSystem).
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    rebases = []
+    if fs.exists(hpath):
+        statuses = fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(
+                src_dir.rstrip("/") + "/to_version=*/_rebase.json"
+            )
+        )
+        for st in statuses or []:
+            mt = _re.search(r"to_version=(\d+)", st.getPath().toString())
             if mt:
                 rebases.append(int(mt.group(1)))
-        pending = sorted(
-            v for v in rebases if rebase_floor is None or v > rebase_floor
+    pending = sorted(
+        v for v in rebases if rebase_floor is None or v > rebase_floor
+    )
+    if pending:
+        raise ValueError(
+            f"store_apply_stream: changelog at {src_dir!r} contains "
+            f"rebase version(s) {pending} (schema break or log "
+            "compaction) — an upsert fold across a rebase is not a "
+            "delta apply (a schema break would silently leave "
+            "pre-break column values in place). Re-seed the replica "
+            "from the rebase (layout.replay_changelog handles it in "
+            f"batch) and resume with rebase_floor={max(pending)}"
         )
-        if pending:
-            raise ValueError(
-                f"store_apply_stream: changelog at {src_dir!r} contains "
-                f"rebase version(s) {pending} (schema break or log "
-                "compaction) — an upsert fold across a rebase is not a "
-                "delta apply (a schema break would silently leave "
-                "pre-break column values in place). Re-seed the replica "
-                "from the rebase (layout.replay_changelog handles it in "
-                f"batch) and resume with rebase_floor={max(pending)}"
-            )
 
     reader = spark.readStream.schema(changes_schema)
     if max_files_per_trigger is not None:

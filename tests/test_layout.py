@@ -1732,8 +1732,10 @@ def test_export_vacuum_lifecycle_randomized_against_model(spark, tmp_path):
     """Model-based differential test of the EXPORT × VACUUM interplay:
     seeded random interleavings of append / delete / export / vacuum /
     FORCED vacuum / non-additive EVOLVE (round 12: schema-break rename,
-    exported as a rebase), against a model of the changelog
-    (registration, cursor, forced gap, initial base, rebase versions).
+    exported as a rebase) / LOG COMPACTION (round 13: compact_changelog
+    at a random exported version), against a model of the changelog
+    (registration, cursor, forced gap, initial base, rebase versions,
+    compacted base, which version dirs exist).
     Invariants after every step: the
     guard refuses a strand only for a REGISTERED lagging export; a
     forced vacuum realigns the export's cursor to the floor with the
@@ -1743,16 +1745,18 @@ def test_export_vacuum_lifecycle_randomized_against_model(spark, tmp_path):
     cleanly; read_changes answers every exported version and explains
     every gapped/pre-base one; and at the end a replica equals the
     live state — via replay_changelog (which must re-seed at the
-    latest exported rebase) when the log is complete, base-anchored or
-    rebase-anchored past the gap, and via the documented snapshot
-    re-seed fold when a forced gap swallowed every rebase."""
+    latest exported rebase OR compacted base) when the model says the
+    fold is anchored past any gap, and via the documented snapshot
+    re-seed fold otherwise; and replay targets below the compaction
+    anchor REFUSE while targets at it answer that era exactly."""
     import json
     import os
     import random
 
     from chess_pos_db_spark.operators.merge import merge_changes
 
-    for seed in range(4):
+    logcompact_fired = 0
+    for seed in range(6):
         rng = random.Random(100 + seed)
         path = str(tmp_path / f"ev_store_{seed}")
         out = str(tmp_path / f"ev_log_{seed}")
@@ -1773,17 +1777,73 @@ def test_export_vacuum_lifecycle_randomized_against_model(spark, tmp_path):
         latest = 1
         registered = False  # has export_changes ever run on this store
         cursor = 0          # model of the export's last_exported
-        gap_hi = 0          # versions 1..gap_hi lost to force (0 = none)
+        gap_hi = 0          # forced-gap upper bound (0 = none)
+        gap_lo = 0          # forced-gap lower bound (merged across forces)
         init_base = 0       # first export began here on a vacuumed store
         floor_model = 0     # model of min_time_travel
         rebases: list[int] = []  # evolve_schema break versions
+        compacted_to = 0    # compact_changelog's base version (0 = none)
+        exported_dirs: set[int] = set()  # version dirs present on disk
 
-        for step in range(8):
+        def fold_ok(v: int) -> tuple[bool, str]:
+            """Model replay_changelog(to_version=v): (feasible, why-not).
+            The fold anchors at max(initial base, compacted base) and
+            re-seeds at the latest surviving rebase marker <= v; it is
+            feasible iff every version from that seed to v has a dir."""
+            anchor = max(init_base or 1, compacted_to)
+            if v < anchor:
+                return False, "anchor"
+            seeds = [r for r in rebases if r <= v and r in exported_dirs]
+            if compacted_to and compacted_to <= v:
+                seeds.append(compacted_to)
+            if init_base and init_base <= v:
+                seeds.append(init_base)
+            s = max(seeds) if seeds else 1
+            if any(w not in exported_dirs for w in range(s, v + 1)):
+                return False, "missing"
+            return True, ""
+
+        for step in range(10):
             op = rng.choice(
                 ["append", "delete", "export", "vacuum", "force_vacuum",
-                 "evolve"]
+                 "evolve", "logcompact"]
             )
-            if op == "evolve":
+            if op == "logcompact":
+                if not registered or cursor < 1:
+                    continue
+                v = rng.randint(1, cursor)
+                ok, why = fold_ok(v)
+                if not ok:
+                    match = "fold anchor" if why == "anchor" else None
+                    with pytest.raises(ValueError, match=match):
+                        layout.compact_changelog(
+                            spark, out, ["k"], through_version=v
+                        )
+                    logcompact_fired += 1
+                    continue
+                layout.compact_changelog(spark, out, ["k"], through_version=v)
+                logcompact_fired += 1
+                compacted_to = max(compacted_to, v)
+                exported_dirs -= set(range(1, v))
+                anchor = max(init_base or 1, compacted_to)
+                # below-anchor pins refuse; an at-anchor pin answers
+                # that era exactly (when the store can still check it)
+                if anchor > 1:
+                    with pytest.raises(ValueError, match="fold anchor"):
+                        layout.replay_changelog(
+                            spark, out, ["k"], to_version=anchor - 1
+                        )
+                if v >= floor_model:
+                    era = layout.replay_changelog(
+                        spark, out, ["k"], to_version=v
+                    )
+                    want_era = layout.read_snapshot(spark, path, v)
+                    assert sorted(
+                        tuple(r) for r in era.collect()
+                    ) == sorted(tuple(r) for r in want_era.collect()), (
+                        f"seed {seed} step {step}: at-anchor era mismatch"
+                    )
+            elif op == "evolve":
                 new_col = f"val_s{step}"
                 layout.evolve_schema(
                     spark, path, renames={val_col: new_col}
@@ -1824,6 +1884,7 @@ def test_export_vacuum_lifecycle_randomized_against_model(spark, tmp_path):
                     assert got == list(range(cursor + 1, latest + 1))
                 registered = True
                 cursor = latest
+                exported_dirs.update(got)
             elif op == "vacuum":
                 before = rng.randint(1, latest)
                 if registered and cursor < min(before, latest):
@@ -1841,6 +1902,7 @@ def test_export_vacuum_lifecycle_randomized_against_model(spark, tmp_path):
                     continue
                 layout.expire_snapshots(path, before=before, force=True)
                 floor_model = max(floor_model, floor)
+                gap_lo = min(gap_lo or (cursor + 1), cursor + 1)
                 gap_hi = floor
                 cursor = floor
                 with open(os.path.join(out, "_cursor.json")) as f:
@@ -1859,15 +1921,24 @@ def test_export_vacuum_lifecycle_randomized_against_model(spark, tmp_path):
         got = layout.export_changes(spark, path, out, ["k"])
         if not registered and floor_model > 1:
             init_base = floor_model
+        exported_dirs.update(got)
         for v in range(1, latest + 1):
             vd = os.path.join(out, "changes", f"to_version={v}")
             if os.path.isdir(vd):
                 layout.read_changes(spark, out, v).count()
-                # every EXPORTED break version carries its rebase marker
+                # every EXPORTED break version carries its rebase
+                # marker; so does a compacted base
                 assert os.path.isfile(
                     os.path.join(vd, "_rebase.json")
-                ) == (v in rebases), f"seed {seed}: v{v} marker mismatch"
-            elif v <= gap_hi:
+                ) == (v in rebases or v == compacted_to), (
+                    f"seed {seed}: v{v} marker mismatch"
+                )
+            elif v < compacted_to:
+                # compacted-base explanation wins even inside a forced
+                # gap — the base answers the version via replay
+                with pytest.raises(ValueError, match="compacted base"):
+                    layout.read_changes(spark, out, v)
+            elif gap_lo and gap_lo <= v <= gap_hi:
                 with pytest.raises(ValueError, match="force=True"):
                     layout.read_changes(spark, out, v)
             elif v < init_base:
@@ -1878,13 +1949,13 @@ def test_export_vacuum_lifecycle_randomized_against_model(spark, tmp_path):
                     f"seed {seed}: version {v} has no dir and no reason"
                 )
 
-        # replication. replay_changelog covers every shape except a
-        # forced gap that swallowed all rebases: it re-seeds at the
-        # latest EXPORTED rebase (marker on disk), which exists iff
-        # some rebase landed past the gap; otherwise the documented
-        # consumer contract is a snapshot re-seed at the floor.
-        max_reb = max(rebases) if rebases else 0
-        if gap_hi == 0 or max_reb > gap_hi:
+        # replication. replay_changelog covers every shape the model
+        # says is anchored past any gap (latest exported rebase marker
+        # or compacted base or initial base with every dir from there);
+        # otherwise the documented consumer contract is a snapshot
+        # re-seed at the floor.
+        ok, _ = fold_ok(latest)
+        if ok:
             replica = layout.replay_changelog(spark, out, ["k"])
         else:
             seed_v = max(gap_hi, floor_model)
@@ -1898,6 +1969,10 @@ def test_export_vacuum_lifecycle_randomized_against_model(spark, tmp_path):
                 ).localCheckpoint(eager=True)
         got = {r["k"]: r[val_col] for r in replica.collect()}
         assert got == model, f"seed {seed} fold"
+    # the newest machinery must actually be exercised by the seeds
+    assert logcompact_fired >= 4, (
+        f"logcompact op fired only {logcompact_fired} times — reseed"
+    )
 
 
 def test_fresh_export_on_vacuumed_store_starts_at_base(spark, tmp_path):
@@ -2217,3 +2292,208 @@ def test_replay_changelog_refuses_pre_anchor_targets(spark, tmp_path):
         tuple(r)
         for r in layout.replay_changelog(spark, o2, ["k"], to_version=2).collect()
     ) == [(1, "v1"), (2, "v2")]
+
+
+def test_evolve_schema_simultaneous_rename_drop(spark, tmp_path):
+    """Round-13 ADVICE regression: renames/drops/retypes apply as ONE
+    simultaneous projection. renames={'a': 'b'} with drops=['b'] —
+    which the sequential formulation silently destroyed (the rename
+    product was dropped together with the original) — now replaces b
+    with a's data; swap renames are well-defined; and the reported row
+    count (observed in-flight, no post-write rescan) is exact."""
+    path = str(tmp_path / "evo_replace")
+    layout.append_versioned(
+        spark.createDataFrame(
+            [(1, "old1", "new1"), (2, "old2", "new2")],
+            "k long, b string, a string",
+        ),
+        path, ["k"],
+    )
+    res = layout.evolve_schema(spark, path, renames={"a": "b"}, drops=["b"])
+    assert res["rows"] == 2
+    live = layout.read_snapshot(spark, path)
+    assert live.columns == ["k", "b"]
+    assert sorted(tuple(r) for r in live.collect()) == [
+        (1, "new1"), (2, "new2"),
+    ]
+
+    # swap renames: each final column carries the OTHER's data
+    p2 = str(tmp_path / "evo_swap")
+    layout.append_versioned(
+        spark.createDataFrame([(1, "x", "y")], "k long, a string, b string"),
+        p2, ["k"],
+    )
+    layout.evolve_schema(spark, p2, renames={"a": "b", "b": "a"})
+    row = layout.read_snapshot(spark, p2).collect()[0]
+    assert row["b"] == "x" and row["a"] == "y"
+
+    # duplicate FINAL names still refuse loudly (rename into a survivor)
+    with pytest.raises(ValueError, match="collide"):
+        layout.evolve_schema(spark, p2, renames={"a": "b"})
+
+
+def test_compact_changelog_swap_crash_windows(spark, tmp_path, monkeypatch):
+    """Round-13 ADVICE regression: the compacted base commits via a
+    staged temp dir + two-rename swap, so NO crash window can expose a
+    folded state without its rebase marker (the old overwrite-then-mark
+    order let replay fold an unmarked base as an ordinary 'I' delta and
+    silently resurrect rows deleted at V). Windows exercised: (a) crash
+    mid-staging — original delta untouched, replay unchanged, rerun
+    sweeps the partial staging; (b) crash between the two renames —
+    version dir briefly missing, recovery finishes the swap from the
+    committed staging on the next changelog verb."""
+    import os
+
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+    path = str(tmp_path / "cw_store")
+    out = str(tmp_path / "cw_log")
+    layout.append_versioned(mk([(1, "a"), (2, "b"), (3, "c")]), path, ["k"])
+    layout.delete_rows(spark, path, "k = 2")  # D exported at v2
+    layout.append_versioned(mk([(9, "z")]), path, ["k"])
+    assert layout.export_changes(spark, path, out, ["k"]) == [1, 2, 3]
+    want = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+    vdir = os.path.join(out, "changes", "to_version=2")
+
+    # (a) crash while staging, BEFORE the marker lands in the temp dir
+    real_replace = os.replace
+
+    def die_on_marker(src, dst):
+        if dst.endswith("_rebase.json") and ".__compact_tmp" in dst:
+            raise RuntimeError("injected crash before marker")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", die_on_marker)
+    with pytest.raises(RuntimeError, match="injected"):
+        layout.compact_changelog(spark, out, ["k"], through_version=2)
+    monkeypatch.setattr(os, "replace", real_replace)
+    # original delta intact: v2 still holds the D, replay == model,
+    # and rows deleted at v2 did NOT resurrect
+    assert os.path.isdir(vdir)
+    assert not os.path.isfile(os.path.join(vdir, "_rebase.json"))
+    got = sorted(
+        tuple(r) for r in layout.replay_changelog(spark, out, ["k"]).collect()
+    )
+    assert got == want and (2, "b") not in got
+    # rerun sweeps the partial staging and completes
+    res = layout.compact_changelog(spark, out, ["k"], through_version=2)
+    assert res["base_version"] == 2
+    assert not os.path.isdir(vdir + ".__compact_tmp")
+
+    # (b) crash BETWEEN the two renames on a later compaction
+    layout.delete_rows(spark, path, "k = 3")
+    assert layout.export_changes(spark, path, out, ["k"]) == [4]
+    want2 = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+    vdir4 = os.path.join(out, "changes", "to_version=4")
+    real_rename = os.rename
+
+    def die_between_renames(src, dst):
+        if src.endswith(".__compact_tmp"):
+            raise RuntimeError("injected crash between renames")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", die_between_renames)
+    with pytest.raises(RuntimeError, match="injected"):
+        layout.compact_changelog(spark, out, ["k"], through_version=4)
+    monkeypatch.setattr(os, "rename", real_rename)
+    # the version dir is missing but the staging is COMPLETE (marker
+    # present) — any changelog verb recovers it, and the recovered base
+    # answers exactly
+    assert not os.path.isdir(vdir4)
+    assert os.path.isfile(
+        os.path.join(vdir4 + ".__compact_tmp", "_rebase.json")
+    )
+    got2 = sorted(
+        tuple(r) for r in layout.replay_changelog(spark, out, ["k"]).collect()
+    )
+    assert got2 == want2
+    assert os.path.isdir(vdir4) and os.path.isfile(
+        os.path.join(vdir4, "_rebase.json")
+    )
+    # rerun after recovery converges (cursor catch-up + dir sweep)
+    res2 = layout.compact_changelog(spark, out, ["k"], through_version=4)
+    assert res2["base_version"] == 4
+
+
+def test_export_changes_accepts_any_era_key(spark, tmp_path):
+    """Round-13 ADVICE regression: a fresh export over history
+    containing schema breaks derives each version's ERA key from the
+    breaks' recorded sort_key_before/after — passing the manifest's
+    CURRENT (post-break) key used to fail loudly on every pre-break
+    version because sort_key_before was recorded but never read.
+    Both era keys produce byte-identical changelogs."""
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+    path = str(tmp_path / "era_store")
+    layout.append_versioned(mk([(1, "a"), (2, "b")]), path, ["k"])
+    layout.delete_rows(spark, path, "k = 2")
+    layout.evolve_schema(spark, path, renames={"k": "id"})
+    layout.upsert_rows(
+        spark, path,
+        spark.createDataFrame([(5, "e", "I")], "id long, v string, op string"),
+    )
+    want = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+
+    # fresh export with the POST-break key (the manifest's current one)
+    out_new = str(tmp_path / "era_log_newkey")
+    assert layout.export_changes(
+        spark, path, out_new, layout.read_manifest(path)["sort_key"]
+    ) == [1, 2, 3, 4]
+    rep = layout.replay_changelog(spark, out_new, ["id"])
+    assert sorted(tuple(r) for r in rep.collect()) == want
+
+    # fresh export with the PRE-break key converges identically
+    out_old = str(tmp_path / "era_log_oldkey")
+    assert layout.export_changes(spark, path, out_old, ["k"]) == [1, 2, 3, 4]
+    rep2 = layout.replay_changelog(spark, out_old, ["k"])
+    assert sorted(tuple(r) for r in rep2.collect()) == want
+    # pre-break delta exported under the OLD era's key either way
+    v2 = layout.read_changes(spark, out_new, 2)
+    assert v2.columns[0] == "k"
+
+
+def test_replay_changelog_deep_log_bounded_plan(spark, tmp_path):
+    """Round-13 brief #1: a long-uncompacted changelog (50+ versions)
+    replays in bounded wall-time with a BOUNDED plan — the fold cuts
+    lineage every _FOLD_CHECKPOINT_EVERY merges (localCheckpoint), so
+    the analyzer never sees more than ~one checkpoint-window of stacked
+    full-outer-joins, whatever the version count. Final state ≡ the
+    store's live snapshot; an intermediate target answers its era."""
+    import time
+
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v long")
+    path = str(tmp_path / "deep_store")
+    out = str(tmp_path / "deep_log")
+    n = 52
+    layout.append_versioned(mk([(0, 0)]), path, ["k"])
+    for i in range(1, n):
+        # churn: every version upserts one key and rewrites another,
+        # so the fold genuinely merges (not pure appends)
+        layout.upsert_rows(
+            spark, path,
+            spark.createDataFrame(
+                [(i, i, "I"), (i // 2, i * 10, "U")],
+                "k long, v long, op string",
+            ),
+        )
+    assert layout.export_changes(spark, path, out, ["k"]) == list(
+        range(1, n + 1)
+    )
+    t0 = time.monotonic()
+    rep = layout.replay_changelog(spark, out, ["k"])
+    plan = rep._jdf.queryExecution().analyzed().toString()
+    joins = plan.count("Join")
+    assert joins <= 2 * layout._FOLD_CHECKPOINT_EVERY, (
+        f"fold plan carries {joins} joins — lineage not being cut"
+    )
+    got = sorted(tuple(r) for r in rep.collect())
+    elapsed = time.monotonic() - t0
+    want = sorted(tuple(r) for r in layout.read_snapshot(spark, path).collect())
+    assert got == want
+    # generous ceiling: without the checkpoint the analyzer alone
+    # takes minutes at this depth
+    assert elapsed < 120, f"52-version replay took {elapsed:.0f}s"
+    # an intermediate target still answers exactly
+    mid = layout.replay_changelog(spark, out, ["k"], to_version=7)
+    assert sorted(tuple(r) for r in mid.collect()) == sorted(
+        tuple(r)
+        for r in layout.read_snapshot(spark, path, 7).collect()
+    )

@@ -393,6 +393,35 @@ def test_decode_image_fallback_still_deterministic():
     assert c.shape == (16, 16)
 
 
+def test_decode_image_malformed_real_headers_fall_back():
+    """Round-13 ADVICE regression: a blob with a VALID magic that dies
+    deep in the decoder (struct.error on a truncated chunk, zlib.error
+    on a corrupt IDAT, short BMP header) must hit the deterministic
+    fallback, not escape and fail the whole mapInPandas task — the
+    documented contract is that no blob content can kill the job."""
+    import numpy as np
+
+    from chess_pos_db_spark.llm import multimodal as MM
+
+    gray = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 251
+    good = _png_encode(gray.astype(np.float32), filters=[0, 1, 2, 3, 4])
+    # truncated mid-chunk: the length word promises bytes that are gone
+    truncated = good[: len(good) // 2]
+    # corrupt IDAT payload: valid chunk framing, garbage zlib stream
+    idat = good.find(b"IDAT")
+    corrupted = good[: idat + 4] + bytes(
+        (b ^ 0xFF) for b in good[idat + 4 : idat + 12]
+    ) + good[idat + 12 :]
+    # BMP magic with a header too short to parse
+    short_bmp = b"BM\x01\x02\x03"
+    # PNM with a non-numeric dimension token
+    bad_pnm = b"P5\n12 xx\n255\n\x00"
+    for blob in (truncated, corrupted, short_bmp, bad_pnm):
+        out = MM.decode_image(blob)
+        assert out.shape == (16, 16)
+        assert np.array_equal(out, MM.decode_image(blob))
+
+
 def test_decode_audio_real_wav_pcm():
     """The WAV path is a REAL decoder: 16-bit PCM round-trips with
     correct normalization, stereo downmixes to mono by mean, 8-bit
