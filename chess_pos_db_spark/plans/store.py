@@ -1028,3 +1028,86 @@ def store_changelog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "store_multi_era_changelog",
+    oracle="""
+SELECT 'head' AS era, doc_id AS key_id, source,
+       CAST(LENGTH(text) AS BIGINT) AS text_len
+FROM documents
+WHERE NOT (doc_id % 9 = 2) AND NOT (doc_id % 11 = 5)
+  AND NOT (doc_id % 13 = 7)
+UNION ALL
+SELECT 'mid' AS era, doc_id AS key_id, source,
+       CAST(LENGTH(text) AS BIGINT) AS text_len
+FROM documents
+WHERE NOT (doc_id % 9 = 2) AND NOT (doc_id % 11 = 5)
+UNION ALL
+SELECT 'pre' AS era, doc_id AS key_id, source,
+       CAST(LENGTH(text) AS BIGINT) AS text_len
+FROM documents
+WHERE NOT (doc_id % 9 = 2)
+ORDER BY era, key_id
+""",
+)
+def store_multi_era_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A changelog spanning TWO schema breaks, replayed in THREE eras
+    (round 13 — pins per-break era-key reconstruction externally; the
+    single-break machinery was `store_schema_renamed`). Lifecycle: v1
+    appends the corpus keyed on doc_id, v2 deletes the %9==2 slice,
+    v3 RENAMES THE KEY doc_id→id (break 1), v4 deletes the %11==5
+    slice under the new key, v5 renames id→doc_key (break 2), v6
+    deletes the %13==7 slice. The export is asked for with the
+    manifest's CURRENT (post-both-breaks) key — each version derives
+    its ERA's key from the breaks' recorded sort_key_before/after
+    (round-13 fix: a fresh export over broken history used to fail on
+    every pre-break version). The query replays the log at v2 (pre —
+    original doc_id schema), v4 (mid — keyed id, fold re-seeded at
+    break 1's rebase) and the head (keyed doc_key, re-seeded at break
+    2), unioning the three eras under uniform names; it must equal
+    plain SQL applying each era's deletes cumulatively. Scale: each
+    replay is bounded by its era's one rebase snapshot + that era's
+    deltas — never the whole multi-break history — and the fold cuts
+    lineage every few merges so plan depth stays O(1) in version
+    count."""
+
+    def build(path: str, payload: DataFrame) -> None:
+        layout.append_versioned(payload, path, ["doc_id"])
+        for pred, evolve in [
+            ("doc_id % 9 = 2", {"doc_id": "id"}),
+            ("id % 11 = 5", {"id": "doc_key"}),
+            ("doc_key % 13 = 7", None),
+        ]:
+            res = layout.delete_rows(spark, path, pred)
+            if res["version"] is None:
+                raise ValueError(
+                    f"store_multi_era_changelog: {pred!r} matched nothing"
+                )
+            if evolve:
+                layout.evolve_schema(spark, path, renames=evolve)
+        layout.export_changes(
+            spark, path, os.path.join(path, "_cdc_export"),
+            layout.read_manifest(path)["sort_key"],
+        )
+
+    path = _ensure_lifecycle_store(spark, sf_dir, "multiera", build)
+    out = os.path.join(path, "_cdc_export")
+
+    def era(label: str, key_col: str, to_version: int | None) -> DataFrame:
+        rep = layout.replay_changelog(
+            spark, out, ["doc_id"], to_version=to_version
+        )
+        return rep.select(
+            F.lit(label).alias("era"),
+            F.col(key_col).cast("long").alias("key_id"),
+            "source",
+            F.length("text").cast("long").alias("text_len"),
+        )
+
+    return (
+        era("pre", "doc_id", 2)
+        .unionAll(era("mid", "id", 4))
+        .unionAll(era("head", "doc_key", None))
+        .orderBy("era", "key_id")
+    )
