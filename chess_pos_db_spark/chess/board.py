@@ -308,6 +308,19 @@ class Position:
                 file += 1
         if file != 8 or rank != 0:
             raise ValueError(f"bad FEN placement shape: {fen!r}")
+        # side / castling validated HERE, loudly: an unknown side char
+        # would otherwise silently play as Black (every `us == WHITE`
+        # comparison fails), and a malformed castling field would
+        # surface as a raw KeyError deep in key() — or worse, duplicate
+        # chars XOR-cancel into the key of a position WITHOUT that
+        # right (round-13 hardening sweep)
+        if side not in (WHITE, BLACK):
+            raise ValueError(f"bad FEN side {side!r}: {fen!r}")
+        if castling != "-" and (
+            any(c not in "KQkq" for c in castling)
+            or len(set(castling)) != len(castling)
+        ):
+            raise ValueError(f"bad FEN castling field {castling!r}: {fen!r}")
         return cls(
             board=board,
             side=side,

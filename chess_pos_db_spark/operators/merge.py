@@ -56,6 +56,17 @@ from ..tables import t
 # CAST_INVALID_INPUT on the first non-castable value (round-11 judge
 # probe). The reference never faces this because its formats fix entry
 # types at compile time (SURVEY §1.3 †); a generic engine must check.
+#
+# CONSIDERED AND REJECTED (round 13): DECIMAL(p,s) -> DECIMAL(p',s)
+# with p' > p is value-preserving in principle, but dtype strings
+# carry the (p,s) pair and a scale mismatch silently rounds — parsing
+# and partially whitelisting decimals would make "safe" depend on two
+# numbers the error message would then have to explain; a changeset
+# producer who controls precision can cast explicitly. DATE ->
+# TIMESTAMP is lossless too but changes SEMANTICS (a day becomes its
+# midnight instant; comparisons against the target's other timestamps
+# shift by time zone) — both stay LOUD conflicts by design, and both
+# casts succeed explicitly on the changeset when intended.
 _SAFE_WIDENINGS: dict[str, frozenset] = {
     "tinyint": frozenset({"smallint", "int", "bigint"}),
     "smallint": frozenset({"int", "bigint"}),

@@ -601,6 +601,31 @@ def test_from_fen_rejects_malformed_rows():
         Position.from_fen("9/8/8/8/8/8/8/8 w - -")
 
 
+def test_from_fen_rejects_bad_side_and_castling():
+    """Round-13 hardening: an unknown side char silently played as
+    Black (every `us == WHITE` comparison fails), and a malformed
+    castling field either raised a raw KeyError deep in key() or —
+    for duplicate chars — XOR-cancelled into the key of a position
+    WITHOUT that right. Both must fail at parse time."""
+    import pytest
+
+    from chess_pos_db_spark.chess.board import Position
+
+    base = "rnbqkbnr/pppppppp/8/8/8/8/PPPPPPPP/RNBQKBNR"
+    with pytest.raises(ValueError, match="side"):
+        Position.from_fen(f"{base} x KQkq -")
+    with pytest.raises(ValueError, match="side"):
+        Position.from_fen(f"{base} W KQkq -")
+    with pytest.raises(ValueError, match="castling"):
+        Position.from_fen(f"{base} w KX -")
+    with pytest.raises(ValueError, match="castling"):
+        Position.from_fen(f"{base} w KKQk -")  # duplicate cancels in key()
+    # non-canonical ORDER stays accepted (key() folds per char)
+    a = Position.from_fen(f"{base} w QKkq -")
+    b = Position.from_fen(f"{base} w KQkq -")
+    assert a.key() == b.key()
+
+
 def test_compress_masks_phantom_ep():
     """compress() masks non-capturable ep exactly like key(): one
     logical position must map to ONE pos_cmp, or the EPD dump splits
