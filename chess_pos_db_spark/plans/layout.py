@@ -877,6 +877,7 @@ def evolve_schema(
             "dirs": [vdir],
             "supersedes": sorted(live),
             "schema_break": True,
+            "break_kind": "evolve",
             # the key on each side of this break, recorded per-version
             # so a changelog export spanning multiple breaks uses each
             # era's own key (the manifest's top-level sort_key only
@@ -893,6 +894,115 @@ def evolve_schema(
         "renamed": renames,
         "dropped": drops,
         "retyped": retypes,
+        "rows": n_rows,
+    }
+
+
+def rekey_store(
+    spark: SparkSession,
+    path: str,
+    new_key: Sequence[str],
+    partitions: int = 8,
+) -> dict:
+    """RE-KEY the store: change its sort key (the clustering the layout
+    prunes on AND the identity every merge/diff/CDC fold joins on) —
+    the verb evolve_schema's dropped-key guard directs users to.
+
+    Columns and values are untouched; what changes is PHYSICAL layout
+    (one honest full rewrite, range-partitioned and sorted on the new
+    key — the Delta OPTIMIZE ZORDER-BY economics: re-clustering always
+    rewrites every byte) and LOGICAL identity (upsert/delete/diff now
+    resolve rows by the new key). Because the fold identity changed,
+    the new version commits as a SCHEMA-BREAK in the manifest and rides
+    the evolve_schema rebase machinery with NO new consumer logic:
+    snapshot_diff refuses to cross it, export_changes emits it as a
+    full 'I' rebase whose marker records the new key, replay_changelog
+    re-seeds there, and store_apply_stream refuses to stream through it
+    without a re-seed. Downstream replicas pay one bootstrap copy —
+    the honest minimum when every row's identity was re-declared.
+
+    Guards: the new key's columns must exist, the key must actually
+    change, and every live row must be UNIQUE under the new key —
+    silently collapsing distinct rows into one identity would corrupt
+    every later upsert/delete (checked in the same rewrite job via an
+    observed duplicate count; the rewrite commits nothing on failure
+    only in the sense that the manifest never records it — rerun-safe
+    like every other verb here). Returns ``{"version", "old_key",
+    "new_key", "rows"}``.
+    """
+    new_key = list(new_key)
+    manifest = read_manifest(path)
+    if not manifest["snapshots"]:
+        raise ValueError(f"rekey_store: no snapshots at {path!r}")
+    old_key = list(manifest["sort_key"])
+    if not new_key:
+        raise ValueError("rekey_store: new key must name at least one column")
+    if new_key == old_key:
+        raise ValueError(
+            f"rekey_store: store is already keyed by {old_key} — nothing "
+            "to do"
+        )
+    live = _live_snapshot_ids(manifest)
+    df = _read_dirs(spark, path, manifest, live)
+    missing = [c for c in new_key if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"rekey_store: key column(s) {missing} do not exist in the "
+            f"store (columns: {sorted(df.columns)})"
+        )
+
+    # duplicate-identity pre-check: one partial-agg shuffle on the new
+    # key BEFORE any byte is rewritten (an in-rewrite window check
+    # would hash-exchange AFTER the range partitioning and destroy the
+    # sorted layout the rewrite exists to produce). Failing examples
+    # are named in the error.
+    dup = (
+        df.groupBy(*new_key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    sample = dup.limit(3).collect()
+    if sample:
+        shown = ", ".join(
+            "(" + ", ".join(f"{k}={r[k]!r}" for k in new_key)
+            + f") x{r['n']}" for r in sample
+        )
+        raise ValueError(
+            f"rekey_store: live rows are not unique under {new_key} "
+            f"(e.g. {shown}) — a non-unique identity would corrupt "
+            "every later upsert/delete/diff; deduplicate first or pick "
+            "a wider key"
+        )
+
+    v = max(s["id"] for s in manifest["snapshots"]) + 1
+    vdir = f"v{v}"
+    obs = Observation()
+    (
+        df.repartitionByRange(partitions, *[F.col(k) for k in new_key])
+        .sortWithinPartitions(*new_key)
+        .observe(obs, F.count(F.lit(1)).alias("rows"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, vdir))
+    )
+    n_rows = int(obs.get["rows"])
+    manifest["snapshots"].append(
+        {
+            "id": v,
+            "dirs": [vdir],
+            "supersedes": sorted(live),
+            "schema_break": True,
+            "break_kind": "rekey",
+            "sort_key_before": old_key,
+            "sort_key_after": new_key,
+        }
+    )
+    manifest["sort_key"] = new_key
+    manifest["schema"] = df.schema.json()
+    _dump_manifest(path, manifest)
+    return {
+        "version": v,
+        "old_key": old_key,
+        "new_key": new_key,
         "rows": n_rows,
     }
 

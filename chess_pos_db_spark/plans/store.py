@@ -1111,3 +1111,65 @@ def store_multi_era_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(era("head", "doc_key", None))
         .orderBy("era", "key_id")
     )
+
+
+@register(
+    "store_rekeyed",
+    oracle="""
+SELECT source, doc_id,
+       CAST(LENGTH(CASE WHEN doc_id % 7 = 3 THEN source ELSE text END)
+            AS BIGINT) AS text_len
+FROM documents
+WHERE NOT (doc_id % 9 = 2)
+ORDER BY source, doc_id
+""",
+)
+def store_rekeyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-KEYING externally verified (round 13 — `rekey_store`, the
+    verb evolve_schema's dropped-key guard always pointed at but which
+    did not exist). Lifecycle: v1 appends the corpus keyed doc_id, v2
+    deletes the %9==2 slice, v3 REKEYS to the composite (source,
+    doc_id) — one honest re-clustering rewrite; the fold identity
+    changed, so the version commits as a schema break and rides the
+    rebase machinery with no new consumer logic — then v4 upserts
+    UNDER THE NEW COMPOSITE KEY (text := source for the %7==3 slice).
+    The query answers with `replay_changelog` over the export, so the
+    gate pins the whole chain: rekey rebase marker carrying the new
+    key, re-seeded fold, post-rekey composite-key upsert. Must equal
+    plain SQL applying the delete and the conditional rewrite. Scale:
+    the rekey is the one full rewrite re-clustering always costs
+    (Delta OPTIMIZE ZORDER economics); the uniqueness pre-check is one
+    partial-agg shuffle; every surrounding version stays delta-sized."""
+
+    def build(path: str, payload: DataFrame) -> None:
+        layout.append_versioned(payload, path, ["doc_id"])
+        res = layout.delete_rows(spark, path, _DIFF_DELETE)
+        if res["version"] is None:
+            raise ValueError("store_rekeyed: delete matched nothing")
+        layout.rekey_store(spark, path, ["source", "doc_id"])
+        batch = (
+            layout.read_snapshot(spark, path)
+            .filter(F.col("doc_id") % 7 == 3)
+            .select(
+                "source", "doc_id",
+                F.col("source").alias("text"),
+                F.lit("U").alias("op"),
+            )
+        )
+        layout.upsert_rows(spark, path, batch)
+        layout.export_changes(
+            spark, path, os.path.join(path, "_cdc_export"),
+            layout.read_manifest(path)["sort_key"],
+        )
+
+    path = _ensure_lifecycle_store(spark, sf_dir, "rekeyed", build)
+    out = os.path.join(path, "_cdc_export")
+    return (
+        layout.replay_changelog(spark, out, ["doc_id"])
+        .select(
+            "source",
+            "doc_id",
+            F.length("text").cast("long").alias("text_len"),
+        )
+        .orderBy("source", "doc_id")
+    )

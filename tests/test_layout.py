@@ -2497,3 +2497,197 @@ def test_replay_changelog_deep_log_bounded_plan(spark, tmp_path):
         tuple(r)
         for r in layout.read_snapshot(spark, path, 7).collect()
     )
+
+
+def test_rekey_store_changes_identity_and_rides_rebase(spark, tmp_path):
+    """Round-13 capability: rekey_store — the verb evolve_schema's
+    dropped-key guard directs users to. Values unchanged, layout
+    re-clustered, manifest sort_key updated; the fold identity changed
+    so the version commits as a schema break and rides the rebase
+    machinery: snapshot_diff refuses to cross it, the export emits a
+    full 'I' rebase recording the NEW key, replay re-seeds there, and
+    upsert/delete resolve on the new key afterwards. Guards: same key,
+    unknown column, and a non-unique new key (named examples) all
+    refuse before committing anything."""
+    import json
+    import os
+
+    path = str(tmp_path / "rk_store")
+    out = str(tmp_path / "rk_log")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k long, src string, v long"
+    )
+    layout.append_versioned(
+        mk([(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)]),
+        path, ["k"],
+    )
+    layout.delete_rows(spark, path, "k = 2")
+
+    for kwargs, msg in [
+        (dict(new_key=["k"]), "already keyed"),
+        (dict(new_key=[]), "at least one column"),
+        (dict(new_key=["nope"]), "do not exist"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            layout.rekey_store(spark, path, **kwargs)
+
+    res = layout.rekey_store(spark, path, ["src", "k"])
+    assert res == {
+        "version": 3, "old_key": ["k"], "new_key": ["src", "k"], "rows": 3,
+    }
+    m = layout.read_manifest(path)
+    assert m["sort_key"] == ["src", "k"]
+    entry = [s for s in m["snapshots"] if s["id"] == 3][0]
+    assert entry["schema_break"] is True
+    assert entry["break_kind"] == "rekey"
+    assert entry["sort_key_before"] == ["k"]
+    assert entry["sort_key_after"] == ["src", "k"]
+    # values untouched, time travel below the break intact
+    want = [(1, "a", 10), (3, "c", 30), (4, "d", 40)]
+    assert sorted(
+        tuple(r) for r in layout.read_snapshot(spark, path).collect()
+    ) == want
+    assert sorted(
+        tuple(r) for r in layout.read_snapshot(spark, path, 1).collect()
+    ) == [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)]
+    with pytest.raises(ValueError, match="non-additive|rebase"):
+        layout.snapshot_diff(spark, path, 1, 3, ["k"])
+
+    # upsert resolves on the NEW composite key
+    layout.upsert_rows(
+        spark, path,
+        spark.createDataFrame(
+            [("a", 1, 11, "U"), ("e", 9, 90, "I")],
+            "src string, k long, v long, op string",
+        ),
+    )
+    assert sorted(
+        tuple(r) for r in layout.read_snapshot(spark, path).collect()
+    ) == [(1, "a", 11), (3, "c", 30), (4, "d", 40), (9, "e", 90)]
+
+    # changelog: the rekey version exports as a rebase under the new
+    # key, and a from-empty replay equals the live state
+    got = layout.export_changes(
+        spark, path, out, layout.read_manifest(path)["sort_key"]
+    )
+    assert got == [1, 2, 3, 4]
+    with open(os.path.join(out, "changes", "to_version=3", "_rebase.json")) as f:
+        assert json.load(f)["key"] == ["src", "k"]
+    live = layout.read_snapshot(spark, path)
+    # the changelog's op-row shape is KEY-FIRST, so the replica's
+    # column order is (src, k, v) while the store reads (k, src, v) —
+    # align by name before comparing
+    rep = layout.replay_changelog(spark, out, ["k"]).select(*live.columns)
+    assert sorted(tuple(r) for r in rep.collect()) == sorted(
+        tuple(r) for r in live.collect()
+    )
+    # pre-break era still answers under the old key
+    pre = layout.replay_changelog(spark, out, ["k"], to_version=2)
+    assert sorted(tuple(r) for r in pre.collect()) == [
+        (1, "a", 10), (3, "c", 30), (4, "d", 40),
+    ]
+
+    # non-unique new key refuses with named examples, commits nothing
+    p2 = str(tmp_path / "rk_dup")
+    layout.append_versioned(
+        mk([(1, "a", 10), (2, "a", 20), (3, "b", 30)]), p2, ["k"]
+    )
+    with pytest.raises(ValueError, match="not unique.*src='a'"):
+        layout.rekey_store(spark, p2, ["src"])
+    assert max(s["id"] for s in layout.read_manifest(p2)["snapshots"]) == 1
+    assert layout.read_manifest(p2)["sort_key"] == ["k"]
+
+
+def test_rekey_lifecycle_randomized_against_model(spark, tmp_path):
+    """Model-based differential for REKEY interleavings: seeded random
+    sequences of append / upsert / delete / REKEY (sort key toggling
+    among ['a'], ['b'], ['b','a']) / export. Rows carry two stable
+    unique identities (b = a + 1000), so every batch is valid under
+    whichever key is current while the model stays keyed by 'a'.
+    Invariants: live state equals the model after every step; rekey
+    preserves values exactly; the manifest's sort_key always matches
+    the last rekey; and the final changelog replay (re-seeded at the
+    newest rekey's rebase) equals the model."""
+    import random
+
+    key_choices = [["a"], ["b"], ["b", "a"]]
+    for seed in range(4):
+        rng = random.Random(700 + seed)
+        path = str(tmp_path / f"rkr_store_{seed}")
+        out = str(tmp_path / f"rkr_log_{seed}")
+        model: dict[int, int] = {}
+        cur_key = ["a"]
+        nxt = [0]
+
+        def fresh():
+            nxt[0] += 1
+            return nxt[0]
+
+        def mk(ks):
+            return spark.createDataFrame(
+                sorted((k, k + 1000, model[k]) for k in ks),
+                "a long, b long, v long",
+            )
+
+        first = rng.sample(range(50), 5)
+        for k in first:
+            model[k] = fresh()
+        layout.append_versioned(mk(first), path, cur_key)
+
+        for step in range(8):
+            op = rng.choice(["append", "upsert", "delete", "rekey", "export"])
+            if op == "rekey":
+                new_key = rng.choice(
+                    [kc for kc in key_choices if kc != cur_key]
+                )
+                res = layout.rekey_store(spark, path, new_key)
+                assert res["old_key"] == cur_key
+                assert res["rows"] == len(model)
+                cur_key = new_key
+                assert layout.read_manifest(path)["sort_key"] == new_key
+            elif op == "append":
+                fresh_ks = [
+                    k for k in rng.sample(range(200), 4) if k not in model
+                ]
+                if not fresh_ks:
+                    continue
+                for k in fresh_ks:
+                    model[k] = fresh()
+                layout.append_versioned(mk(fresh_ks), path, cur_key)
+            elif op == "upsert":
+                rows = []
+                for k in rng.sample(sorted(model), min(2, len(model))):
+                    model[k] = fresh()
+                    rows.append((k, k + 1000, model[k], "U"))
+                for k in rng.sample(range(300, 340), 1):
+                    if k not in model:
+                        model[k] = fresh()
+                        rows.append((k, k + 1000, model[k], "I"))
+                layout.upsert_rows(
+                    spark, path,
+                    spark.createDataFrame(
+                        rows, "a long, b long, v long, op string"
+                    ),
+                )
+            elif op == "delete":
+                m = rng.choice([3, 5])
+                layout.delete_rows(spark, path, f"a % {m} = 2")
+                for k in [k for k in model if k % m == 2]:
+                    model.pop(k)
+            else:
+                layout.export_changes(spark, path, out, cur_key)
+
+            got = {
+                r["a"]: (r["b"], r["v"])
+                for r in layout.read_snapshot(spark, path).collect()
+            }
+            assert got == {
+                k: (k + 1000, v) for k, v in model.items()
+            }, f"seed {seed} step {step} op {op}"
+
+        layout.export_changes(spark, path, out, cur_key)
+        rep = layout.replay_changelog(spark, out, ["a"])
+        got = {r["a"]: (r["b"], r["v"]) for r in rep.collect()}
+        assert got == {
+            k: (k + 1000, v) for k, v in model.items()
+        }, f"seed {seed} replay"

@@ -819,3 +819,45 @@ def test_store_apply_stream_refuses_rebase_log_until_reseeded(spark, tmp_path):
         tuple(r) for r in layout.read_snapshot(spark, a).collect()
     )
     assert sorted(tuple(r) for r in live.select("k", "origin").collect()) == want
+
+
+def test_store_apply_stream_refuses_rekey_log(spark, tmp_path):
+    """Round-13: a REKEY break (rekey_store) rides the same rebase
+    machinery, so its changelog marker must trigger the same streaming
+    refusal — an upsert fold keyed on the OLD identity would silently
+    diverge. The refusal names the rekey's version; rebase_floor
+    past it lifts the guard."""
+    from chess_pos_db_spark.plans import layout
+    from chess_pos_db_spark.streaming import jobs
+    from pyspark.sql import types as T
+
+    a = str(tmp_path / "rk_src")
+    out = str(tmp_path / "rk_log")
+    b = str(tmp_path / "rk_replica")
+    layout.append_versioned(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, src string, v long"
+        ),
+        a, ["k"],
+    )
+    layout.rekey_store(spark, a, ["src", "k"])
+    assert layout.export_changes(spark, a, out, ["k"]) == [1, 2]
+
+    schema = T.StructType(
+        [
+            T.StructField("src", T.StringType()),
+            T.StructField("k", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("to_version", T.IntegerType()),
+        ]
+    )
+    layout.append_versioned(
+        spark.createDataFrame([], "src string, k long, v long"),
+        b, ["src", "k"],
+    )
+    with pytest.raises(ValueError, match=r"rebase version\(s\) \[2\]"):
+        jobs.store_apply_stream(
+            spark, f"{out}/changes", schema, b, ["src", "k"],
+            seq_col="to_version",
+        )
