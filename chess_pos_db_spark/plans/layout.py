@@ -937,6 +937,10 @@ def rekey_store(
     old_key = list(manifest["sort_key"])
     if not new_key:
         raise ValueError("rekey_store: new key must name at least one column")
+    if len(set(new_key)) != len(new_key):
+        raise ValueError(
+            f"rekey_store: new key {new_key} repeats a column"
+        )
     if new_key == old_key:
         raise ValueError(
             f"rekey_store: store is already keyed by {old_key} — nothing "

@@ -2527,6 +2527,7 @@ def test_rekey_store_changes_identity_and_rides_rebase(spark, tmp_path):
         (dict(new_key=["k"]), "already keyed"),
         (dict(new_key=[]), "at least one column"),
         (dict(new_key=["nope"]), "do not exist"),
+        (dict(new_key=["src", "src"]), "repeats"),
     ]:
         with pytest.raises(ValueError, match=msg):
             layout.rekey_store(spark, path, **kwargs)
