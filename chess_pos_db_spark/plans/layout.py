@@ -36,6 +36,10 @@ from ..operators import merge as merge_ops
 MANIFEST_NAME = "_meta.json"
 FORMAT_NAME = "spark-sorted-runs"
 FORMAT_VERSION = 1
+# branches (plans/branch.py) live INSIDE the store dir: each is a
+# child store whose manifest references the parent's version dirs by
+# relative path. expire_snapshots knows the name for its GC-root scan.
+BRANCHES_DIR = "_branches"
 
 
 def write_sorted_run(
@@ -441,7 +445,7 @@ def delete_rows(
             "files_rewritten": 0, "files_total": 0,
         }
     src = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, r) for r in rels]
+        *[os.path.normpath(os.path.join(path, r)) for r in rels]
     )
     hits = (
         src.filter(pred)
@@ -472,7 +476,7 @@ def delete_rows(
     key = manifest["sort_key"]
     keep = (
         spark.read.option("mergeSchema", "true")
-        .parquet(*[os.path.join(path, r) for r in sorted(touched)])
+        .parquet(*[os.path.normpath(os.path.join(path, r)) for r in sorted(touched)])
         .filter(~F.coalesce(pred, F.lit(False)))
     )
     v = (max(s["id"] for s in manifest["snapshots"])) + 1
@@ -614,7 +618,7 @@ def upsert_rows(
     store_cols = None
     if rels:
         src = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(path, r) for r in rels]
+            *[os.path.normpath(os.path.join(path, r)) for r in rels]
         )
         store_cols = src.columns
         unknown = set(chg.columns) - {op_col} - set(store_cols)
@@ -671,7 +675,7 @@ def upsert_rows(
             # source files never had, exactly as the by-reference read
             # would have
             keep = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(path, r) for r in sorted(touched)]
+                *[os.path.normpath(os.path.join(path, r)) for r in sorted(touched)]
             )
             have = dict(keep.dtypes)
             src_types = dict(src.dtypes)
@@ -1058,7 +1062,7 @@ def _read_dirs(spark, path, manifest, ids) -> DataFrame:
     # (the Iceberg/Delta add-column semantic; footer union is per-file
     # metadata work, not data). Rename/retype still require a rewrite.
     return spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, r) for r in rels]
+        *[os.path.normpath(os.path.join(path, r)) for r in rels]
     )
 
 
@@ -1199,6 +1203,29 @@ def expire_snapshots(path: str, before: int, force: bool = False) -> list[str]:
     # delete_tag releases it
     for tv in manifest.get("tags", {}).values():
         keep |= _live_snapshot_ids(manifest, tv)
+    # live BRANCHES are GC roots at their fork version (create_branch,
+    # plans/branch.py): a branch manifest references THIS store's
+    # version dirs by relative path, so everything live at its fork
+    # must survive a parent vacuum or every branch read silently dies
+    # on missing files. Below-fork history still expires — each
+    # branch's own min_time_travel is advanced after the commit (same
+    # after-the-commit ordering as the export cursors below) so a
+    # branch time-travel below the new floor fails with the floor
+    # error, not a missing-file surprise. delete_branch releases the
+    # root; the next vacuum reclaims.
+    branch_forks: dict[str, int] = {}
+    branches_home = os.path.join(path, BRANCHES_DIR)
+    if os.path.isdir(branches_home):
+        for bname in sorted(os.listdir(branches_home)):
+            try:
+                bman = read_manifest(os.path.join(branches_home, bname))
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue
+            info = bman.get("branch_of")
+            if info:
+                branch_forks[bname] = int(info["fork_version"])
+    for fv in branch_forks.values():
+        keep |= _live_snapshot_ids(manifest, fv)
     doomed = [s for s in manifest["snapshots"] if s["id"] not in keep]
     # Delete snapshots share files ACROSS version directories (their
     # `files` lists reference untouched files inside superseded
@@ -1215,6 +1242,14 @@ def expire_snapshots(path: str, before: int, force: bool = False) -> list[str]:
     deleted = []
     for s in doomed:
         for d in s["dirs"]:
+            # a BRANCH manifest (plans/branch.py) references its
+            # parent's version dirs as '../../vN' — those files are
+            # the PARENT's to reclaim, never the branch's: a branch
+            # vacuum expires them from the branch manifest (the floor
+            # advances normally) but must not touch the bytes, or it
+            # destroys parent history every other reader still needs.
+            if d.startswith(".."):
+                continue
             full = os.path.join(path, d)
             if not os.path.isdir(full):
                 deleted.append(d)
@@ -1244,7 +1279,7 @@ def expire_snapshots(path: str, before: int, force: bool = False) -> list[str]:
         # (isfile guard); files a kept snapshot still references are in
         # `referenced` and stay.
         for rel in s.get("files", []):
-            if rel in referenced:
+            if rel in referenced or rel.startswith(".."):
                 continue
             full = os.path.join(path, rel)
             if os.path.isfile(full):
@@ -1261,6 +1296,44 @@ def expire_snapshots(path: str, before: int, force: bool = False) -> list[str]:
             ):
                 shutil.rmtree(dfull)
                 deleted.append(d)
+    # supersedes chains must survive the prune: a GC-rooted snapshot
+    # (tag / branch fork) can be OLDER than an expired link in the
+    # chain that killed it — e.g. tag v1, upsert v2 (supersedes 1),
+    # compact v3 (supersedes 2), expire to v3: dropping v2's entry
+    # silently erased "1 is dead", and the latest live set became
+    # {v1, v3} — every pre-upsert row RESURRECTED next to its
+    # replacement (wrong answer, found by the branch-vacuum test
+    # round 13). Fold each doomed entry's supersedes transitively
+    # into the kept entries that supersede it.
+    doomed_sup = {
+        s["id"]: set(s.get("supersedes", [])) for s in doomed
+    }
+    changed = True
+    while changed:
+        changed = False
+        for sups in doomed_sup.values():
+            extra = {
+                j
+                for d in sups
+                if d in doomed_sup
+                for j in doomed_sup[d]
+            }
+            if not extra <= sups:
+                sups |= extra
+                changed = True
+    for s in manifest["snapshots"]:
+        if s["id"] not in keep:
+            continue
+        inherited = {
+            j
+            for d in s.get("supersedes", [])
+            if d in doomed_sup
+            for j in doomed_sup[d]
+        }
+        if inherited:
+            s["supersedes"] = sorted(
+                (set(s.get("supersedes", [])) | inherited) & keep
+            )
     manifest["snapshots"] = [
         s for s in manifest["snapshots"] if s["id"] in keep
     ]
@@ -1316,6 +1389,22 @@ def expire_snapshots(path: str, before: int, force: bool = False) -> list[str]:
                 os.replace(tmp, cursor_file)
         except OSError:
             pass
+    # advance each branch's OWN time-travel floor (after the commit,
+    # like the export cursors above): parent history below
+    # min(parent_floor, fork) is gone for the branch too, and without
+    # this a branch read below it fails on missing files instead of
+    # the floor error. Branch-local versions (> fork) are untouched.
+    parent_floor = manifest["min_time_travel"]
+    for bname, fv in branch_forks.items():
+        try:
+            bpath = os.path.join(branches_home, bname)
+            bman = read_manifest(bpath)
+            bman["min_time_travel"] = max(
+                bman.get("min_time_travel") or 0, min(parent_floor, fv)
+            )
+            _dump_manifest(bpath, bman)
+        except (FileNotFoundError, OSError):
+            pass
     return deleted
 
 
@@ -1330,7 +1419,7 @@ def _restrict_to_files(
     if not rels:
         return full.filter(F.lit(False))
     df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, r) for r in sorted(rels)]
+        *[os.path.normpath(os.path.join(path, r)) for r in sorted(rels)]
     )
     have = dict(df.dtypes)
     for c, t in full.dtypes:
@@ -1432,6 +1521,34 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .select(*key, "change", "old", "new")
     )
+
+
+def era_sort_key(
+    manifest: dict, v: int, fallback: Sequence[str]
+) -> list[str]:
+    """The sort key version ``v``'s schema ERA used. History spanning
+    schema breaks has a different key in each era, and a caller can
+    only ever hand us ONE key (usually the manifest's current,
+    post-break one). Each break version records the key on both of its
+    sides (``sort_key_before``/``sort_key_after``, written by
+    evolve_schema/rekey_store), so every version's era key is derivable
+    from the manifest: the first break ABOVE v names the key v's era
+    used; with no break above, the last break at-or-below v names it;
+    a break-free history trusts the caller's ``fallback``. Shared by
+    export_changes (round-13 ADVICE fix — sort_key_before was recorded
+    but never read) and create_branch (a branch forked below a break
+    must fold on its own era's key)."""
+    by_id = {s["id"]: s for s in manifest["snapshots"]}
+    break_ids = sorted(
+        s["id"] for s in manifest["snapshots"] if s.get("schema_break")
+    )
+    for b in break_ids:
+        if b > v and by_id[b].get("sort_key_before"):
+            return list(by_id[b]["sort_key_before"])
+    for b in reversed(break_ids):
+        if b <= v and by_id[b].get("sort_key_after"):
+            return list(by_id[b]["sort_key_after"])
+    return list(fallback)
 
 
 def export_changes(
@@ -1544,34 +1661,13 @@ def export_changes(
         cursor["initial_base"] = base
         last = base - 1
     by_id = {s["id"]: s for s in manifest["snapshots"]}
-    # Per-ERA sort key: history spanning schema breaks has a different
-    # key in each era, and the caller can only ever hand us ONE key
-    # (usually the manifest's current, post-break one). Each break
-    # version records the key on both of its sides (sort_key_before/
-    # after, written by evolve_schema), so every version's era key is
-    # derivable from the manifest: the first break ABOVE v names the
-    # key v's era used; with no break above, the last break at-or-below
-    # v names it; a break-free history trusts the caller. Without this,
-    # a fresh export over broken history failed loudly on every
-    # pre-break version whatever key the caller passed (round-13 ADVICE
-    # fix — sort_key_before was recorded but never read).
-    _break_ids = sorted(
-        s["id"] for s in manifest["snapshots"] if s.get("schema_break")
-    )
-
-    def _era_key(v: int) -> list[str]:
-        for b in _break_ids:
-            if b > v and by_id[b].get("sort_key_before"):
-                return list(by_id[b]["sort_key_before"])
-        for b in reversed(_break_ids):
-            if b <= v and by_id[b].get("sort_key_after"):
-                return list(by_id[b]["sort_key_after"])
-        return list(key)
 
     for v in range(last + 1, latest + 1):
         is_rebase = bool(by_id.get(v, {}).get("schema_break"))
         ekey = (
-            list(by_id[v]["sort_key_after"]) if is_rebase else _era_key(v)
+            list(by_id[v]["sort_key_after"])
+            if is_rebase
+            else era_sort_key(manifest, v, key)
         )
         if is_rebase:
             # a non-additive evolution (evolve_schema): the diff across

@@ -1173,3 +1173,85 @@ def store_rekeyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "doc_id")
     )
+
+
+@register(
+    "store_branch_merged",
+    oracle="""
+SELECT doc_id, source,
+       CAST(LENGTH(CASE WHEN doc_id % 7 = 3 THEN source
+                        WHEN doc_id % 13 = 4 THEN source || '!'
+                        ELSE text END) AS BIGINT) AS text_len
+FROM documents
+WHERE NOT (doc_id % 9 = 2)
+  AND (NOT (doc_id % 11 = 5) OR doc_id % 7 = 3)
+ORDER BY doc_id
+""",
+)
+def store_branch_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRANCH + THREE-WAY MERGE externally verified (round 13,
+    plans/branch.py). Lifecycle: v1 appends the corpus; a zero-copy
+    branch forks at v1; the BRANCH deletes the %9==2 slice and
+    rewrites text := source for %7==3 (the what-if cleaning pipeline)
+    while the PARENT concurrently deletes %11==5 and rewrites
+    text := source||'!' for %13==4; merge_branch folds the branch back
+    under on_conflict='theirs' (%7==3 ∩ %13==4 keys are TRUE
+    conflicts — branch wins; %9==2 ∩ %11==5 deletes converge
+    silently); the merged head then exports through the ordinary CDC
+    changelog and the query answers via replay_changelog — so the gate
+    pins the whole chain: fork isolation, both-sided divergence,
+    conflict classification, policy resolution, and a merge commit
+    that downstream replicas fold as a NORMAL delta with zero new
+    logic. Must equal plain SQL applying the three-way rule. Scale:
+    the fork is manifest-only; both diffs are file-set symmetric
+    differences (delta-sized); the merge writes only touched files."""
+    from . import branch as branchmod
+
+    def build(path: str, payload: DataFrame) -> None:
+        layout.append_versioned(payload, path, ["doc_id"])
+        bp = branchmod.create_branch(spark, path, "clean")["path"]
+        layout.delete_rows(spark, bp, "doc_id % 9 = 2")
+        b_batch = (
+            layout.read_snapshot(spark, bp)
+            .filter("doc_id % 7 = 3")
+            .select(
+                "doc_id", "source",
+                F.col("source").alias("text"),
+                F.lit("U").alias("op"),
+            )
+        )
+        layout.upsert_rows(spark, bp, b_batch)
+        layout.delete_rows(spark, path, "doc_id % 11 = 5")
+        p_batch = (
+            layout.read_snapshot(spark, path)
+            .filter("doc_id % 13 = 4")
+            .select(
+                "doc_id", "source",
+                F.concat("source", F.lit("!")).alias("text"),
+                F.lit("U").alias("op"),
+            )
+        )
+        layout.upsert_rows(spark, path, p_batch)
+        res = branchmod.merge_branch(
+            spark, path, "clean", on_conflict="theirs"
+        )
+        if res["version"] is None or res["conflicts"] == 0:
+            raise ValueError(
+                f"store_branch_merged: expected a conflicted merge, "
+                f"got {res}"
+            )
+        branchmod.delete_branch(path, "clean")
+        layout.export_changes(
+            spark, path, os.path.join(path, "_cdc_export"), ["doc_id"]
+        )
+
+    path = _ensure_lifecycle_store(spark, sf_dir, "branch_merged", build)
+    out = os.path.join(path, "_cdc_export")
+    return (
+        layout.replay_changelog(spark, out, ["doc_id"])
+        .select(
+            "doc_id", "source",
+            F.length("text").cast("long").alias("text_len"),
+        )
+        .orderBy("doc_id")
+    )

@@ -397,6 +397,62 @@ def test_zonemap_prunes_date_keys(spark, sf_dir, tmp_path):
     assert dread < dtotal
 
 
+def test_expire_vacuum_keeps_supersedes_chain_for_gc_roots(
+    spark, tmp_path
+):
+    """Regression (round 13, found by the branch-vacuum test): a
+    GC-rooted snapshot (tag or branch fork) can be OLDER than an
+    expired link in the supersedes chain that killed it. Tag v1,
+    upsert to v2 (supersedes 1), compact to v3 (supersedes 2), expire
+    to v3: dropping v2's manifest entry erased "1 is dead" and the
+    latest live set became {v1, v3} — every pre-upsert row silently
+    RESURRECTED next to its replacement. expire_snapshots now folds
+    doomed entries' supersedes transitively into their kept
+    superseders."""
+    path = str(tmp_path / "chain_store")
+    layout.append_versioned(
+        spark.createDataFrame(
+            [(k, k * 10) for k in range(6)], "k long, v long"
+        ),
+        path, ["k"],
+    )
+    layout.tag_snapshot(path, "base", version=1)
+    layout.upsert_rows(
+        spark, path,
+        spark.createDataFrame([(0, 1, "U")], "k long, v long, op string"),
+    )
+    v3 = layout.compact_versioned(spark, path, ["k"], {"v": "max"})
+    layout.expire_snapshots(path, before=v3)
+    got = sorted(
+        (r["k"], r["v"])
+        for r in layout.read_snapshot(spark, path).collect()
+    )
+    assert got == [(0, 1)] + [(k, k * 10) for k in range(1, 6)]
+    # the tagged base still answers its own state exactly
+    assert sorted(
+        (r["k"], r["v"])
+        for r in layout.read_snapshot(spark, path, tag="base").collect()
+    ) == [(k, k * 10) for k in range(6)]
+    # and a THREE-link doomed chain folds transitively
+    layout.upsert_rows(
+        spark, path,
+        spark.createDataFrame([(1, 2, "U")], "k long, v long, op string"),
+    )
+    layout.upsert_rows(
+        spark, path,
+        spark.createDataFrame([(2, 3, "U")], "k long, v long, op string"),
+    )
+    v6 = layout.compact_versioned(spark, path, ["k"], {"v": "max"})
+    layout.expire_snapshots(path, before=v6)
+    got = sorted(
+        (r["k"], r["v"])
+        for r in layout.read_snapshot(spark, path).collect()
+    )
+    assert got == [(0, 1), (1, 2), (2, 3)] + [
+        (k, k * 10) for k in range(3, 6)
+    ]
+
+
 def test_expire_snapshots_floor_never_regresses(spark, sf_dir, tmp_path):
     """A later expire with a SMALLER `before` must not lower the
     time-travel floor — that would let read_snapshot silently return
