@@ -288,6 +288,28 @@ def test_branch_fork_below_additive_evolution_gets_era_schema(
         branch.merge_branch(spark, path, "old")
 
 
+def test_branch_is_a_full_store_for_the_changelog(spark, tmp_path):
+    """A branch path speaks the CDC surface too: export_changes on the
+    branch walks its copied history plus local commits, and
+    replay_changelog rebuilds exactly the branch head — divergence on
+    the parent stays invisible to the branch's changelog."""
+    path = _seed(spark, tmp_path, "store", n=8)
+    branch.create_branch(spark, path, "cdc")
+    bp = branch.branch_path(path, "cdc")
+    _upsert(spark, bp, [(0, 1, "U"), (100, 2, "I")])
+    layout.delete_rows(spark, bp, F.col("k") == 3)
+    _upsert(spark, path, [(5, 500, "U")])  # parent-side noise
+    out = str(tmp_path / "branch_log")
+    layout.export_changes(spark, path + "/_branches/cdc", out, ["k"])
+    got = {
+        r["k"]: r["v"]
+        for r in layout.replay_changelog(spark, out, ["k"]).collect()
+    }
+    assert got == _state(spark, bp)
+    assert got[0] == 1 and got[100] == 2 and 3 not in got
+    assert got[5] == 50  # the parent's 500 never leaked in
+
+
 def test_branch_randomized_two_lineage_differential(spark, tmp_path):
     """Seeded random divergence on both lineages, then merge under
     'theirs' and 'ours', each compared against the dict-model
@@ -346,6 +368,17 @@ def test_branch_randomized_two_lineage_differential(spark, tmp_path):
 
         rand_ops(path, ours, "o")
         rand_ops(bp, theirs, "t")
+        # half the seeds also compact + vacuum the PARENT mid-
+        # divergence: the merge base must stay readable via the
+        # branch's GC root and the supersedes chain-fold must keep
+        # the live set exact (the round-13 resurrection regression)
+        if seed % 2 == 0:
+            layout.compact_versioned(spark, path, ["k"], {"v": "max"})
+            head = max(
+                s["id"] for s in layout.read_manifest(path)["snapshots"]
+            )
+            layout.expire_snapshots(path, head)
+            assert _state(spark, path) == ours, f"seed {seed} vacuum"
 
         def model_merge(policy):
             out = {}
