@@ -60,19 +60,33 @@ def classify_sans(sans: list[str]) -> tuple[str, int]:
     return best
 
 
+# NULL-in → NULL-out on every UDF (the SQL scalar-function contract):
+# pandas delivers SQL NULLs as None, and an unguarded .map dies deep in
+# the parser with a raw AttributeError/TypeError that fails the WHOLE
+# task — a NULL fen in one row killing a million-row batch is the
+# opposite of the malformed-row discipline. MALFORMED non-null input
+# stays LOUD (from_fen raises) — that is validation-by-parsing, and the
+# one function sold as validation (_san_line_fen) maps it to NULL
+# explicitly.
+
+
 @pandas_udf(T.LongType())
 def _fen_key(fens: pd.Series) -> pd.Series:
-    return fens.map(lambda f: Position.from_fen(f).key())
+    return fens.map(lambda f: None if f is None else Position.from_fen(f).key())
 
 
 @pandas_udf(T.BinaryType())
 def _fen_compress(fens: pd.Series) -> pd.Series:
-    return fens.map(lambda f: Position.from_fen(f).compress())
+    return fens.map(
+        lambda f: None if f is None else Position.from_fen(f).compress()
+    )
 
 
 @pandas_udf(T.StringType())
 def _decompress_fen(blobs: pd.Series) -> pd.Series:
-    return blobs.map(lambda b: Position.decompress(bytes(b)).fen())
+    return blobs.map(
+        lambda b: None if b is None else Position.decompress(bytes(b)).fen()
+    )
 
 
 @pandas_udf(T.StringType())
@@ -80,7 +94,9 @@ def _san_line_fen(sans: pd.Series) -> pd.Series:
     """Space-separated SAN line from the start position → resulting FEN
     (NULL on illegal lines — validation-by-parsing)."""
 
-    def run(line: str):
+    def run(line):
+        if line is None:
+            return None
         pos = Position.from_fen(
             "rnbqkbnr/pppppppp/8/8/8/8/PPPPPPPP/RNBQKBNR w KQkq - 0 1"
         )
@@ -96,7 +112,9 @@ def _san_line_fen(sans: pd.Series) -> pd.Series:
 
 @pandas_udf(T.StringType())
 def _eco_code(sans: pd.Series) -> pd.Series:
-    return sans.map(lambda line: classify_sans(line.split())[0])
+    return sans.map(
+        lambda line: None if line is None else classify_sans(line.split())[0]
+    )
 
 
 def register_chess_udfs(spark: SparkSession) -> None:

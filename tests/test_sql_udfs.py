@@ -93,3 +93,32 @@ def test_events_anomaly_zero_variance_type(spark, sf_dir, tmp_path):
     flat.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     rows = engine.get_queries()["events_anomaly"](spark, str(tmp_path)).collect()
     assert len(rows) == 10  # ran to completion, no DIVIDE_BY_ZERO
+
+
+def test_chess_udfs_null_in_null_out(spark):
+    """Every registered chess UDF propagates SQL NULL instead of
+    failing the task with a raw AttributeError/TypeError deep in the
+    parser (round-13 sweep finding): one NULL fen in a batch must not
+    kill the million-row scan around it. Malformed NON-null input
+    stays loud (validation-by-parsing), except _san_line_fen whose
+    documented contract maps illegal lines to NULL."""
+    from chess_pos_db_spark.chess.sql_udfs import register_chess_udfs
+
+    register_chess_udfs(spark)
+    row = spark.sql(
+        """
+        SELECT fen_key(CAST(NULL AS STRING))        AS k,
+               fen_compress(CAST(NULL AS STRING))   AS c,
+               decompress_fen(CAST(NULL AS BINARY)) AS d,
+               san_line_fen(CAST(NULL AS STRING))   AS s,
+               eco_code(CAST(NULL AS STRING))       AS e
+        """
+    ).first()
+    assert all(row[x] is None for x in ("k", "c", "d", "s", "e"))
+    # mixed batch: NULLs coexist with real values in one Arrow batch
+    start = "rnbqkbnr/pppppppp/8/8/8/8/PPPPPPPP/RNBQKBNR w KQkq - 0 1"
+    got = spark.createDataFrame(
+        [(start,), (None,), (start,)], "fen string"
+    ).selectExpr("fen_key(fen) AS k").collect()
+    assert got[0]["k"] == got[2]["k"] and got[0]["k"] is not None
+    assert got[1]["k"] is None
