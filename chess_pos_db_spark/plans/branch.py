@@ -281,6 +281,14 @@ def merge_branch(
     when the branch changed nothing that was not already in the
     parent. The branch itself is left intact; delete_branch when done.
 
+    The fork point never advances (no merge-base bookkeeping as in
+    git): re-merging an already-merged branch re-applies its FULL
+    delta against the original fork — a no-op while the parent kept
+    the merged values (same-final convergence), but under
+    on_conflict='theirs' it re-litigates keys the parent changed
+    AFTER the first merge. Delete the branch once merged; fork a
+    fresh one to continue the work.
+
     Refusals: schema break (evolve/rekey) after the fork on either
     side — row identity or shape was re-declared, a key-join merge
     would be meaningless; column/type drift between the heads — apply

@@ -288,6 +288,24 @@ def test_branch_fork_below_additive_evolution_gets_era_schema(
         branch.merge_branch(spark, path, "old")
 
 
+def test_branch_remerge_relitigates_from_original_fork(spark, tmp_path):
+    """Documented contract: the fork never advances, so re-merging an
+    already-merged branch under 'theirs' re-applies the branch value
+    over a LATER parent change to the same key (and is a no-op under
+    same-final convergence — pinned in the lifecycle test). The recipe
+    is delete-after-merge; this pin keeps the behavior intentional."""
+    path = _seed(spark, tmp_path, "store", n=6)
+    branch.create_branch(spark, path, "r")
+    bp = branch.branch_path(path, "r")
+    _upsert(spark, bp, [(3, 111, "U")])
+    branch.merge_branch(spark, path, "r")
+    assert _state(spark, path)[3] == 111
+    _upsert(spark, path, [(3, 555, "U")])       # parent moves on
+    res = branch.merge_branch(spark, path, "r", on_conflict="theirs")
+    assert res["conflicts"] == 1
+    assert _state(spark, path)[3] == 111        # branch re-won
+
+
 def test_branch_is_a_full_store_for_the_changelog(spark, tmp_path):
     """A branch path speaks the CDC surface too: export_changes on the
     branch walks its copied history plus local commits, and
