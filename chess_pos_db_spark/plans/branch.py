@@ -158,9 +158,24 @@ def create_branch(
         )
     bpath = branch_path(path, name)
     if os.path.isfile(os.path.join(bpath, layout.MANIFEST_NAME)):
+        # CRASH REPAIR, not just a collision guard: create commits in
+        # two steps (branch manifest, then the parent fork-pin tag). A
+        # crash between them leaves a valid branch whose merge base is
+        # unpinned — and a retry that blindly refused would strand it
+        # that way forever. Same fork → re-pin the tag and return
+        # (idempotent retry); different fork → a genuine collision.
+        existing = read_manifest(bpath)
+        efork = int(existing.get("branch_of", {}).get("fork_version", -1))
+        if efork == fork:
+            tag = f"__branch_{name}"
+            if manifest.get("tags", {}).get(tag) != efork:
+                manifest.setdefault("tags", {})[tag] = efork
+                _dump_manifest(path, manifest)
+            return {"name": name, "path": bpath, "fork_version": efork}
         raise ValueError(
             f"create_branch: branch {name!r} already exists at "
-            f"{path!r} — delete_branch it first or pick another name"
+            f"{path!r} (forked at v{efork}) — delete_branch it first "
+            "or pick another name"
         )
     up = os.path.join("..", "..")
     copied = []
@@ -244,13 +259,29 @@ def delete_branch(path: str, name: str) -> None:
     die; parent-owned files are untouched (they live outside the
     branch dir by construction). Releases the branch's vacuum GC root
     — the parent's next expire_snapshots can reclaim fork history no
-    other root keeps."""
-    _branch_manifest(path, name)  # raises the right error if absent
-    shutil.rmtree(branch_path(path, name))
+    other root keeps.
+
+    Crash-safe in the dir-then-tag order: a crash after the rmtree
+    leaves only the leaked fork-pin tag, and a RETRY releases it
+    (raising only when neither the branch nor its tag ever existed).
+    The reverse order would drop the GC root while the branch still
+    reads parent files — a vacuum could then pull them out from under
+    it."""
+    bpath = branch_path(path, name)
+    had_dir = os.path.isfile(os.path.join(bpath, layout.MANIFEST_NAME))
+    if had_dir:
+        _branch_manifest(path, name)  # typed error for non-branch dirs
+        shutil.rmtree(bpath)
     manifest = read_manifest(path)
-    if f"__branch_{name}" in manifest.get("tags", {}):
+    had_tag = f"__branch_{name}" in manifest.get("tags", {})
+    if had_tag:
         del manifest["tags"][f"__branch_{name}"]
         _dump_manifest(path, manifest)
+    if not had_dir and not had_tag:
+        raise ValueError(
+            f"no branch {name!r} at {path!r} — create_branch first "
+            f"(existing: {sorted(list_branches(path))})"
+        )
 
 
 def merge_branch(

@@ -139,6 +139,10 @@ def test_branch_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="invalid branch name"):
         branch.create_branch(spark, path, "../evil")
     branch.create_branch(spark, path, "a")
+    # same-fork re-create is an idempotent repair (crash-retry
+    # contract); a collision only raises once the forks differ
+    assert branch.create_branch(spark, path, "a")["fork_version"] == 1
+    _upsert(spark, path, [(0, 5, "U")])
     with pytest.raises(ValueError, match="already exists"):
         branch.create_branch(spark, path, "a")
     with pytest.raises(ValueError, match="nested branches"):
@@ -326,6 +330,59 @@ def test_branch_is_a_full_store_for_the_changelog(spark, tmp_path):
     assert got == _state(spark, bp)
     assert got[0] == 1 and got[100] == 2 and 3 not in got
     assert got[5] == 50  # the parent's 500 never leaked in
+
+
+def test_branch_create_and_delete_crash_windows_repair(
+    spark, tmp_path, monkeypatch
+):
+    """Both branch verbs commit in two steps; a crash between them
+    must leave a state a plain RETRY repairs. create: branch manifest
+    lands, parent fork-pin tag does not → the retried create re-pins
+    the tag and returns (and a DIFFERENT-fork create still refuses).
+    delete: the dir is gone, the tag leaks → the retried delete
+    releases it; only a never-existed branch raises."""
+    from chess_pos_db_spark.plans import branch as br
+
+    path = _seed(spark, tmp_path, "store")
+    # -- create crash: die after the branch-manifest commit
+    real_dump = br._dump_manifest
+    calls = {"n": 0}
+
+    def dying_dump(p, m, filename=layout.MANIFEST_NAME):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second dump = the parent tag pin
+            raise RuntimeError("crash before the fork-pin tag")
+        return real_dump(p, m, filename)
+
+    monkeypatch.setattr(br, "_dump_manifest", dying_dump)
+    with pytest.raises(RuntimeError, match="crash before"):
+        branch.create_branch(spark, path, "cw")
+    monkeypatch.setattr(br, "_dump_manifest", real_dump)
+    assert "__branch_cw" not in layout.read_manifest(path).get("tags", {})
+    info = branch.create_branch(spark, path, "cw")  # retry repairs
+    assert info["fork_version"] == 1
+    assert layout.read_manifest(path)["tags"]["__branch_cw"] == 1
+    # same-fork retry is idempotent; a different fork still collides
+    assert branch.create_branch(spark, path, "cw")["fork_version"] == 1
+    _upsert(spark, path, [(0, 5, "U")])  # v2: head moves past the fork
+    with pytest.raises(ValueError, match="already exists"):
+        branch.create_branch(spark, path, "cw")
+    # -- delete crash: dir removed, tag leaked
+    real_rm = br.shutil.rmtree
+
+    def dying_rm(p, *a, **k):
+        real_rm(p, *a, **k)
+        raise RuntimeError("crash after rmtree")
+
+    monkeypatch.setattr(br.shutil, "rmtree", dying_rm)
+    with pytest.raises(RuntimeError, match="crash after rmtree"):
+        branch.delete_branch(path, "cw")
+    monkeypatch.setattr(br.shutil, "rmtree", real_rm)
+    assert "__branch_cw" in layout.read_manifest(path)["tags"]
+    branch.delete_branch(path, "cw")  # retry releases the leaked tag
+    assert "__branch_cw" not in layout.read_manifest(path).get("tags", {})
+    with pytest.raises(ValueError, match="no branch 'cw'"):
+        branch.delete_branch(path, "cw")
 
 
 def test_branch_randomized_two_lineage_differential(spark, tmp_path):
