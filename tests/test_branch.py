@@ -507,3 +507,106 @@ def test_branch_randomized_two_lineage_differential(spark, tmp_path):
         assert _state(spark, path2) == model_merge("ours"), (
             f"seed {seed} ours"
         )
+
+
+def test_branch_interleaved_store_lifecycle_randomized(spark, tmp_path):
+    """Cross-feature randomized differential: the branch lifecycle
+    interleaved with the FULL parent verb set (append / upsert /
+    delete / compact / vacuum) against a dict model. At most one live
+    branch at a time; diverge ops hit the branch while parent verbs
+    keep mutating the parent; merges fold back under 'theirs'
+    (model: changed-side wins, both-changed goes to the branch);
+    vacuum mid-branch must keep the fork alive (GC root) and the
+    chain-fold must keep the live set exact. Live state equals the
+    model after EVERY step on both lineages."""
+    import random
+
+    for seed in range(4):
+        rng = random.Random(9100 + seed)
+        path = str(tmp_path / f"ib_{seed}")
+        parent = {k: k * 10 for k in rng.sample(range(80), 20)}
+        layout.append_versioned(_mk(spark, list(parent.items())), path, ["k"])
+        bmodel = None  # (name, base_dict, branch_dict)
+        nxt = [1000]
+
+        def fresh():
+            nxt[0] += 1
+            return nxt[0]
+
+        for step in range(10):
+            ops = ["append", "upsert", "delete", "compact", "vacuum"]
+            ops.append("bcreate" if bmodel is None else
+                       rng.choice(["bdiverge", "bmerge", "bdrop"]))
+            op = rng.choice(ops)
+            if op == "append":
+                ks = [k for k in rng.sample(range(200, 260), 3)
+                      if k not in parent]
+                if ks:
+                    for k in ks:
+                        parent[k] = fresh()
+                    layout.append_versioned(
+                        _mk(spark, [(k, parent[k]) for k in ks]),
+                        path, ["k"],
+                    )
+            elif op == "upsert" and parent:
+                ks = rng.sample(sorted(parent), min(3, len(parent)))
+                for k in ks:
+                    parent[k] = fresh()
+                _upsert(spark, path, [(k, parent[k], "U") for k in ks])
+            elif op == "delete" and parent:
+                m = rng.choice([5, 7])
+                layout.delete_rows(spark, path, f"k % {m} = 1")
+                for k in [k for k in parent if k % m == 1]:
+                    parent.pop(k)
+            elif op == "compact":
+                layout.compact_versioned(spark, path, ["k"], {"v": "max"})
+            elif op == "vacuum":
+                head = max(
+                    s["id"]
+                    for s in layout.read_manifest(path)["snapshots"]
+                )
+                layout.expire_snapshots(path, head)
+            elif op == "bcreate":
+                branch.create_branch(spark, path, "x")
+                bmodel = ("x", dict(parent), dict(parent))
+            elif op == "bdiverge":
+                name, base, bd = bmodel
+                bp = branch.branch_path(path, name)
+                if rng.random() < 0.5 and bd:
+                    ks = rng.sample(sorted(bd), min(2, len(bd)))
+                    for k in ks:
+                        bd[k] = fresh() + 50000
+                    _upsert(spark, bp, [(k, bd[k], "U") for k in ks])
+                elif bd:
+                    ks = rng.sample(sorted(bd), min(2, len(bd)))
+                    for k in ks:
+                        bd.pop(k)
+                    layout.delete_rows(spark, bp, F.col("k").isin(*ks))
+            elif op == "bmerge":
+                name, base, bd = bmodel
+                branch.merge_branch(spark, path, name,
+                                    on_conflict="theirs")
+                merged = {}
+                for k in set(base) | set(parent) | set(bd):
+                    b, o, tv = base.get(k), parent.get(k), bd.get(k)
+                    r = o if tv == b else (tv if o == b else
+                                           (o if o == tv else tv))
+                    if r is not None:
+                        merged[k] = r
+                parent.clear()
+                parent.update(merged)
+                branch.delete_branch(path, name)
+                bmodel = None
+            else:  # bdrop
+                branch.delete_branch(path, bmodel[0])
+                bmodel = None
+            assert _state(spark, path) == parent, (
+                f"seed {seed} step {step} op {op} (parent)"
+            )
+            if bmodel is not None:
+                got = _state(spark, branch.branch_path(path, bmodel[0]))
+                assert got == bmodel[2], (
+                    f"seed {seed} step {step} op {op} (branch)"
+                )
+        if bmodel is not None:
+            branch.delete_branch(path, bmodel[0])
