@@ -288,13 +288,17 @@ def _blob_feature(blob: bytes) -> np.ndarray:
 def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out_rows = []
-        for _, row in pdf.iterrows():
-            blob = bytes(row["blob"])
+        # direct column zip, not iterrows(): iterrows materializes a
+        # pandas Series per row, pure overhead for this access pattern
+        for media_id, kind, blob in zip(
+            pdf["media_id"], pdf["kind"], pdf["blob"]
+        ):
+            blob = bytes(blob)
             feat = _blob_feature(blob)
             out_rows.append(
                 {
-                    "media_id": row["media_id"],
-                    "kind": row["kind"],
+                    "media_id": media_id,
+                    "kind": kind,
                     "n_bytes": len(blob),
                     "content_digest": hashlib.sha256(blob).hexdigest(),
                     "feature": feat.tolist(),
@@ -304,8 +308,15 @@ def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 
 def featurize(media: DataFrame) -> DataFrame:
-    """Media table → per-item feature rows (Arrow-batched mapInPandas)."""
-    return media.mapInPandas(_featurize_batches, schema=FEATURE_SCHEMA)
+    """Media table → per-item feature rows (Arrow-batched mapInPandas).
+
+    Input is pruned to the three columns the batch function touches
+    (guide §4.2): mapInPandas is opaque to Catalyst, so without the
+    explicit select the scan would read and Arrow-serialize every media
+    column (width/height/duration_ms) into each Python worker."""
+    return media.select("media_id", "kind", "blob").mapInPandas(
+        _featurize_batches, schema=FEATURE_SCHEMA
+    )
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -342,8 +353,8 @@ def resize(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
-            for _, row in pdf.iterrows():
-                pixels = decode_image(bytes(row["blob"]))
+            for media_id, blob in zip(pdf["media_id"], pdf["blob"]):
+                pixels = decode_image(bytes(blob))
                 h, w = pixels.shape
                 # Images smaller than the target grid: edge-replicate up
                 # to (out_h, out_w) first — the block-mean reshape below
@@ -364,7 +375,7 @@ def resize(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
                 )
                 out.append(
                     {
-                        "media_id": row["media_id"],
+                        "media_id": media_id,
                         "out_w": out_w,
                         "out_h": out_h,
                         "pixels": pooled.ravel().tolist(),
@@ -372,8 +383,12 @@ def resize(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return media.filter(F.col("kind") == "image").mapInPandas(
-        batches, schema=RESIZED_SCHEMA
+    # select before mapInPandas (guide §4.2): only the id and the blob
+    # cross the Python boundary, not the whole media row.
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "blob")
+        .mapInPandas(batches, schema=RESIZED_SCHEMA)
     )
 
 
@@ -467,10 +482,10 @@ def audio_features(media: DataFrame, window: int = 2048) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
-            for _, row in pdf.iterrows():
-                wave = decode_audio(
-                    bytes(row["blob"]), int(row["duration_ms"])
-                )
+            for media_id, duration_ms, blob in zip(
+                pdf["media_id"], pdf["duration_ms"], pdf["blob"]
+            ):
+                wave = decode_audio(bytes(blob), int(duration_ms))
                 n_win = len(wave) // window
                 if n_win == 0:
                     continue
@@ -481,7 +496,7 @@ def audio_features(media: DataFrame, window: int = 2048) -> DataFrame:
                 out.append(
                     pd.DataFrame(
                         {
-                            "media_id": row["media_id"],
+                            "media_id": media_id,
                             "window_idx": np.arange(n_win, dtype=np.int32),
                             "rms": rms.astype(np.float32),
                             "zero_crossings": zc.astype(np.int32),
@@ -497,8 +512,11 @@ def audio_features(media: DataFrame, window: int = 2048) -> DataFrame:
                 )
             )
 
-    aud = media.filter(F.col("kind") == "audio").filter(
-        F.col("duration_ms") > 0
+    aud = (
+        media.filter(F.col("kind") == "audio")
+        .filter(F.col("duration_ms") > 0)
+        # prune to the columns the batch function touches (guide §4.2)
+        .select("media_id", "duration_ms", "blob")
     )
     return aud.mapInPandas(batches, schema=AUDIO_FRAME_SCHEMA)
 
@@ -637,18 +655,21 @@ def phash(media: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
-            for _, row in pdf.iterrows():
-                px = decode_image(bytes(row["blob"]))
+            for media_id, blob in zip(pdf["media_id"], pdf["blob"]):
+                px = decode_image(bytes(blob))
                 out.append(
                     {
-                        "media_id": row["media_id"],
+                        "media_id": media_id,
                         "phash": _phash_from_pixels(px),
                     }
                 )
             yield pd.DataFrame(out)
 
-    return media.filter(F.col("kind") == "image").mapInPandas(
-        batches, schema=PHASH_SCHEMA
+    # prune to (media_id, blob) before the Python boundary (guide §4.2)
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "blob")
+        .mapInPandas(batches, schema=PHASH_SCHEMA)
     )
 
 
@@ -760,9 +781,11 @@ def frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
-            for _, row in pdf.iterrows():
-                blob = bytes(row["blob"])
-                for ts in row["ts_list"]:
+            for media_id, blob, ts_list in zip(
+                pdf["media_id"], pdf["blob"], pdf["ts_list"]
+            ):
+                blob = bytes(blob)
+                for ts in ts_list:
                     px = decode_frame(blob, int(ts))
                     qh, qw = px.shape[0] // 2, px.shape[1] // 2
                     quad = [
@@ -773,7 +796,7 @@ def frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     ]
                     out.append(
                         {
-                            "media_id": row["media_id"],
+                            "media_id": media_id,
                             "frame_ts_ms": int(ts),
                             "quad": quad,
                         }
@@ -896,11 +919,9 @@ def media_embeddings(media: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
-            for _, row in pdf.iterrows():
-                emb = proj @ _blob_feature(bytes(row["blob"]))
-                out.append(
-                    {"media_id": row["media_id"], "embedding": emb.tolist()}
-                )
+            for media_id, blob in zip(pdf["media_id"], pdf["blob"]):
+                emb = proj @ _blob_feature(bytes(blob))
+                out.append({"media_id": media_id, "embedding": emb.tolist()})
             yield pd.DataFrame(out)
 
     schema = T.StructType(
@@ -909,7 +930,8 @@ def media_embeddings(media: DataFrame) -> DataFrame:
             T.StructField("embedding", T.ArrayType(T.FloatType()), False),
         ]
     )
-    return media.mapInPandas(batches, schema=schema)
+    # prune to (media_id, blob) before the Python boundary (guide §4.2)
+    return media.select("media_id", "blob").mapInPandas(batches, schema=schema)
 
 
 def cross_modal_topk(

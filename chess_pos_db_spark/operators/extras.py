@@ -56,6 +56,11 @@ GROUP BY l_returnflag
 """,
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MEASURED AND REJECTED (round 13): counts + cumulative-window exact
+    # percentile — see agg_median's note (operators/extras2.py) and
+    # tools/ab_median.py; the builtin's single exchange beats every
+    # multi-stage window reformulation at bench scale (0.861s vs
+    # 1.15–3.7s interleaved best-of-4 at sf0.1).
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("qty_median"),

@@ -34,6 +34,21 @@ GROUP BY l_returnflag
 """,
 )
 def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MEASURED AND REJECTED (round 13, do not retry): three exact-median
+    # reformulations aimed at replacing the ObjectHashAggregate
+    # partial_percentile map-merge — (1) counts + cumulative window per
+    # column, (2) the same over a melted (flag, col, value) frame,
+    # (3) row_number windows over raw rows with broadcast totals — all
+    # LOST to the builtin under interleaved noop-sink A/B at sf0.1 on an
+    # idle host: 0.861s builtin vs 1.15s (raw window, one exchange),
+    # 1.19s (one-pass dual window), 2.6s (melt) and 3.7s (two counts
+    # branches). The map-side partial percentile buffers are small here
+    # (50 distinct l_quantity, ~18k distinct l_extendedprice per task),
+    # so the single exchange + one-reducer merge beats every multi-stage
+    # window plan whose extra AQE stages and single-task sorts dominate
+    # at this data size. Harness: tools/ab_median.py (oracle-verified
+    # equal on all variants). At true 100 TB the counts+window variant
+    # bounds reducer state by DISTINCT values and would be revisited.
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.median("l_quantity"), 6).alias("qty_median"),

@@ -51,6 +51,18 @@ def get_spark(app_name: str = "chess_pos_db_spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    # Scale-dependent settings stay parameterised (guide §9 / cluster
+    # posture): any SPARK_GRAFT_CONF_<key with __ for .> env var is
+    # applied verbatim, so a cluster submit can raise e.g.
+    # spark.sql.files.maxPartitionBytes to 1g or set
+    # spark.sql.adaptive.advisoryPartitionSizeInBytes=256m without
+    # code edits — while the local defaults above keep the driver's
+    # bench comparable across rounds. Example:
+    #   SPARK_GRAFT_CONF_spark__sql__files__maxPartitionBytes=1g
+    for env_key, val in os.environ.items():
+        if env_key.startswith("SPARK_GRAFT_CONF_"):
+            conf_key = env_key[len("SPARK_GRAFT_CONF_"):].replace("__", ".")
+            builder = builder.config(conf_key, val)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
