@@ -565,7 +565,7 @@ def import_pgn(
     spark: SparkSession,
     files: list[tuple[str, str]],
     db_dir: str,
-    partitions: int = 8,
+    partitions: int | None = None,
     chunk_bytes: int = DEFAULT_CHUNK_BYTES,
     retractions: bool = False,
     store_moves: bool = False,
@@ -717,7 +717,7 @@ def append_pgn(
     spark: SparkSession,
     files: list[tuple[str, str]],
     db_dir: str,
-    partitions: int = 8,
+    partitions: int | None = None,
     chunk_bytes: int = DEFAULT_CHUNK_BYTES,
 ) -> dict:
     """`append` command: new files become new runs; a compaction merge
@@ -854,7 +854,7 @@ def merge_databases(
     spark: SparkSession,
     db_dirs: list[str],
     dest_dir: str,
-    partitions: int = 8,
+    partitions: int | None = None,
 ) -> dict:
     """`merge` command (reference §3.3 maintenance path): consolidate N
     databases into one, combining equal entry keys and keeping every

@@ -290,7 +290,7 @@ def merge_branch(
     name: str,
     on_conflict: str = "error",
     scan: str = "auto",
-    partitions: int = 8,
+    partitions: int | None = None,
 ) -> dict:
     """Three-way merge of branch `name` back into the parent store.
 

@@ -42,11 +42,39 @@ FORMAT_VERSION = 1
 BRANCHES_DIR = "_branches"
 
 
+def range_partitioned(df: DataFrame, key: Sequence, partitions: int | None) -> DataFrame:
+    """Range-partition ``df`` by ``key`` for a sorted-run write.
+
+    An explicit caller count always wins (bucket layouts, test
+    fixtures). The DEFAULT omits the partition count so AQE sizes the
+    write from the ACTUAL shuffle bytes (guide §2.2/§6 "coalesce on
+    write"): a fixture-sized store coalesces to one right-sized file,
+    a 100 TB one keeps thousands of partitions — instead of a constant
+    tuned for neither. AQE merges only ADJACENT range partitions, so
+    file key-ranges stay disjoint and zone-map/manifest pruning is
+    unaffected.
+
+    Deliberately NOT derived from the optimizer's size estimate: plans
+    containing opaque Python stages carry garbage stats — the PGN
+    import plan (mapInPandas replay) estimated ~412 GB for a 3k-row
+    store and an estimate-based sizing exploded the write into 3149
+    near-empty files (measured; tests/test_layout.py storage-density
+    gate caught it). Actual-bytes AQE coalescing has no such failure
+    mode. Cluster write posture: set
+    spark.sql.adaptive.coalescePartitions.parallelismFirst=false (+
+    advisoryPartitionSizeInBytes≈256m) via SPARK_GRAFT_CONF_* so the
+    coalesce targets file size, not core count (session.py)."""
+    cols = [F.col(k) if isinstance(k, str) else k for k in key]
+    if partitions is None:
+        return df.repartitionByRange(*cols)
+    return df.repartitionByRange(partitions, *cols)
+
+
 def write_sorted_run(
     df: DataFrame,
     path: str,
     key: Sequence[str],
-    partitions: int = 32,
+    partitions: int | None = None,
     mode: str = "overwrite",
     file_format: str = "parquet",
     options: dict | None = None,
@@ -59,7 +87,7 @@ def write_sorted_run(
     every container gets the manifest that read_manifest/pruned reads
     depend on."""
     writer = (
-        df.repartitionByRange(partitions, *[F.col(k) for k in key])
+        range_partitioned(df, key, partitions)
         .sortWithinPartitions(*key)
         .write.mode(mode)
     )
@@ -75,7 +103,7 @@ def compact_runs(
     out_path: str,
     key: Sequence[str],
     agg_spec: dict[str, str],
-    partitions: int = 32,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Aggregate-combining merge of N sorted runs → one sorted run.
 
@@ -196,7 +224,7 @@ def write_zorder_run(
     df: DataFrame,
     path: str,
     cols: Sequence[str],
-    partitions: int = 32,
+    partitions: int | None = None,
     bits: int = 16,
     mode: str = "overwrite",
 ) -> None:
@@ -209,7 +237,7 @@ def write_zorder_run(
     popularized by Delta/Databricks OPTIMIZE ZORDER)."""
     z = zorder_column(df, cols, bits)
     (
-        df.repartitionByRange(partitions, z)
+        range_partitioned(df, [z], partitions)
         .sortWithinPartitions(z)
         .write.mode(mode)
         .parquet(path)
@@ -263,7 +291,7 @@ def write_sorted_run_with_zonemap(
     df: DataFrame,
     path: str,
     key: Sequence[str],
-    partitions: int = 32,
+    partitions: int | None = None,
     mode: str = "overwrite",
 ) -> None:
     """write_sorted_run + per-file zone map on the leading key column."""
@@ -329,7 +357,7 @@ def read_run_pruned(
 
 
 def append_versioned(df: DataFrame, path: str, key: Sequence[str],
-                     partitions: int = 8) -> int:
+                     partitions: int | None = None) -> int:
     """Append `df` as a new snapshot version; returns the version id."""
     os.makedirs(path, exist_ok=True)
     try:
@@ -345,7 +373,7 @@ def append_versioned(df: DataFrame, path: str, key: Sequence[str],
     v = (max((s["id"] for s in snaps), default=0)) + 1
     vdir = f"v{v}"
     (
-        df.repartitionByRange(partitions, *[F.col(k) for k in key])
+        range_partitioned(df, key, partitions)
         .sortWithinPartitions(*key)
         .write.mode("overwrite")
         .parquet(os.path.join(path, vdir))
@@ -363,7 +391,7 @@ def compact_versioned(
     path: str,
     key: Sequence[str],
     agg_spec: dict[str, str],
-    partitions: int = 8,
+    partitions: int | None = None,
 ) -> int:
     """Aggregate-combining merge of every live version into ONE new
     version that supersedes them (the reference's `merge` command with
@@ -379,7 +407,7 @@ def compact_versioned(
     v = (max(s["id"] for s in manifest["snapshots"])) + 1
     vdir = f"v{v}"
     (
-        merged.repartitionByRange(partitions, *[F.col(k) for k in key])
+        range_partitioned(merged, key, partitions)
         .sortWithinPartitions(*key)
         .write.mode("overwrite")
         .parquet(os.path.join(path, vdir))
@@ -396,7 +424,7 @@ def delete_rows(
     spark: SparkSession,
     path: str,
     predicate,
-    partitions: int = 8,
+    partitions: int | None = None,
 ) -> dict:
     """Targeted row deletion from the versioned store — the
     right-to-be-forgotten operation a 100 TB training-data corpus must
@@ -482,7 +510,7 @@ def delete_rows(
     v = (max(s["id"] for s in manifest["snapshots"])) + 1
     vdir = f"v{v}"
     (
-        keep.repartitionByRange(partitions, *[F.col(k) for k in key])
+        range_partitioned(keep, key, partitions)
         .sortWithinPartitions(*key)
         .write.mode("overwrite")
         .parquet(os.path.join(path, vdir))
@@ -513,7 +541,7 @@ def upsert_rows(
     path: str,
     changes: DataFrame,
     op_col: str = "op",
-    partitions: int = 8,
+    partitions: int | None = None,
     allow_new_columns: bool = False,
 ) -> dict:
     """MERGE a CDC batch into the versioned store copy-on-write — the
@@ -715,7 +743,7 @@ def upsert_rows(
     v = (max(s["id"] for s in manifest["snapshots"])) + 1
     vdir = f"v{v}"
     (
-        out.repartitionByRange(partitions, *[F.col(k) for k in key])
+        range_partitioned(out, key, partitions)
         .sortWithinPartitions(*key)
         .write.mode("overwrite")
         .parquet(os.path.join(path, vdir))
@@ -745,7 +773,7 @@ def evolve_schema(
     renames: dict | None = None,
     drops: Sequence[str] | None = None,
     retypes: dict | None = None,
-    partitions: int = 8,
+    partitions: int | None = None,
 ) -> dict:
     """NON-ADDITIVE schema evolution — rename / drop / retype columns —
     as an explicit copy-on-write FULL REWRITE committing a new
@@ -868,7 +896,7 @@ def evolve_schema(
     # second time and double the count.
     obs = Observation()
     (
-        df.repartitionByRange(partitions, *[F.col(k) for k in new_key])
+        range_partitioned(df, new_key, partitions)
         .sortWithinPartitions(*new_key)
         .observe(obs, F.count(F.lit(1)).alias("rows"))
         .write.mode("overwrite")
@@ -906,7 +934,7 @@ def rekey_store(
     spark: SparkSession,
     path: str,
     new_key: Sequence[str],
-    partitions: int = 8,
+    partitions: int | None = None,
 ) -> dict:
     """RE-KEY the store: change its sort key (the clustering the layout
     prunes on AND the identity every merge/diff/CDC fold joins on) —
@@ -986,7 +1014,7 @@ def rekey_store(
     vdir = f"v{v}"
     obs = Observation()
     (
-        df.repartitionByRange(partitions, *[F.col(k) for k in new_key])
+        range_partitioned(df, new_key, partitions)
         .sortWithinPartitions(*new_key)
         .observe(obs, F.count(F.lit(1)).alias("rows"))
         .write.mode("overwrite")

@@ -93,7 +93,7 @@ DOCUMENTS_SCHEMA = T.StructType(
 
 
 def write_orc_run(
-    df: DataFrame, path: str, key: list[str], partitions: int = 8
+    df: DataFrame, path: str, key: list[str], partitions: int | None = None
 ) -> None:
     """Sorted ORC run — the alternate columnar container. ORC carries
     the same pruning machinery as Parquet (stripe-level min/max +

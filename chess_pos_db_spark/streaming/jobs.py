@@ -154,8 +154,11 @@ def incremental_ingest(
         # dropped by compact_runs' groupBy. Stale HIGHER epochs from a
         # wiped-checkpoint rerun are pruned first (see helper).
         _prune_stale_epochs(runs_dir, int(epoch_id))
+        # scale-adaptive run sizing (guide §2/§6): AQE sizes the
+        # per-epoch run from actual batch bytes instead of a constant
+        # tuned for fixture-sized micro-batches.
         (
-            agg.repartitionByRange(4, "user_id", "event_type")
+            layout.range_partitioned(agg, ["user_id", "event_type"], None)
             .sortWithinPartitions("user_id", "event_type")
             .write.mode("overwrite")
             .parquet(f"{runs_dir}/epoch={int(epoch_id)}")
@@ -180,7 +183,6 @@ def incremental_ingest(
             "first_event": "min",
             "last_event": "max",
         },
-        partitions=4,
     )
 
 
@@ -212,7 +214,11 @@ def stateful_running_stats(e: DataFrame) -> DataFrame:
             {"event_type": [key[0]], "cnt": [cnt], "sum_value": [sum_value]}
         )
 
-    return e.groupBy("event_type").applyInPandasWithState(
+    # prune to (event_type, value) before the Python boundary (guide
+    # §4.2): applyInPandasWithState is opaque to Catalyst, so without
+    # the select every event column (ts, user_id, page, ...) would be
+    # Arrow-shipped into the state function, which only reads `value`.
+    return e.select("event_type", "value").groupBy("event_type").applyInPandasWithState(
         update_fn,
         outputStructType="event_type string, cnt long, sum_value double",
         stateStructType="cnt long, sum_value double",
@@ -339,7 +345,9 @@ def stateful_running_stats_tws(e: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
-    return e.groupBy("event_type").transformWithStateInPandas(
+    # same §4.2 prune as stateful_running_stats: only (event_type,
+    # value) cross the Python boundary.
+    return e.select("event_type", "value").groupBy("event_type").transformWithStateInPandas(
         RunningStats(),
         outputStructType="event_type string, cnt long, sum_value double",
         outputMode="Update",

@@ -2748,3 +2748,45 @@ def test_rekey_lifecycle_randomized_against_model(spark, tmp_path):
         assert got == {
             k: (k + 1000, v) for k, v in model.items()
         }, f"seed {seed} replay"
+
+
+def test_adaptive_run_sizing(spark, entries, tmp_path):
+    """Sorted-run sinks size their output from ACTUAL shuffle bytes:
+    an explicit caller count always wins (N files), while the default
+    lets AQE coalesce adjacent range partitions, so a fixture-sized
+    run collapses to a handful of right-sized files instead of a
+    constant-32 spray of near-empty ones — and the coalesced run stays
+    key-clustered (file key ranges disjoint), so zone-map pruning is
+    unaffected."""
+    import glob
+    import os as _os
+
+    df = entries.select("l_orderkey", "l_partkey", "l_quantity")
+
+    exp = str(tmp_path / "explicit")
+    layout.write_sorted_run(df, exp, key=["l_orderkey"], partitions=7)
+    assert len(glob.glob(_os.path.join(exp, "*.parquet"))) == 7
+
+    ada = str(tmp_path / "adaptive")
+    layout.write_sorted_run(df, ada, key=["l_orderkey"])
+    files = sorted(glob.glob(_os.path.join(ada, "*.parquet")))
+    # ~300 KB of data: AQE coalesces far below the old constant 32;
+    # exact count depends on advisory sizing, so pin the bound.
+    assert 1 <= len(files) <= 4, files
+
+    # key-clustering survives coalescing: per-file ranges are disjoint
+    ranges = []
+    for f in files:
+        pf = spark.read.parquet(f)
+        r = pf.agg(
+            F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
+        ).collect()[0]
+        ranges.append((r["lo"], r["hi"]))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo
+
+    # same rows either way
+    assert (
+        spark.read.parquet(ada).count() == spark.read.parquet(exp).count()
+    )
