@@ -645,8 +645,14 @@ def import_pgn(
     )
     (pre if retractions else agg).unpersist()
 
-    n_games = games.count()
-    n_skipped = games.filter(F.col("result").isNull()).count()
+    # one pass over the cached games for both report counts (was two
+    # cache scans: .count() + .filter(...).count())
+    gstats = games.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("result").isNull().cast("long")).alias("skipped"),
+    ).first()
+    n_games = gstats["n"]
+    n_skipped = int(gstats["skipped"] or 0)
     stored_entries = spark.read.parquet(f"{db_dir}/entries")
     n_positions = stored_entries.agg(F.sum("cnt").alias("s")).first()["s"]
     # Games dropped for invalid/illegal moves must be VISIBLE in the
