@@ -23,7 +23,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -885,11 +885,22 @@ def merge_databases(
         _require_local(d, "merge_databases")
     bases: list[int] = []
     next_base = 0
+    n_games = 0
     games_parts = []
     for d in db_dirs:
         bases.append(next_base)
         g = spark.read.parquet(f"{d}/games")
-        mx = g.agg(F.max(F.shiftright("game_id", 32))).first()[0]
+        # per-source game count rides the base-computation agg that
+        # already scans this dimension — the merged count is exactly
+        # the sum (every game kept once, per the id-shift contract), so
+        # the old post-write re-read of dest_dir/games is a second full
+        # pass the report never needed
+        row = g.agg(
+            F.max(F.shiftright("game_id", 32)).alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        mx = row["mx"]
+        n_games += int(row["n"])
         next_base += int(mx) + 1 if mx is not None else 0
 
     def _shift(col: str, base: int):
@@ -957,7 +968,6 @@ def merge_databases(
             partitions=partitions,
         )
 
-    n_games = spark.read.parquet(f"{dest_dir}/games").count()
     return {"db_dir": dest_dir, "games": n_games, "sources": len(db_dirs)}
 
 
@@ -1033,10 +1043,17 @@ def export_pgn(
         .sortWithinPartitions("game_id")
         .mapInPandas(fmt, schema="game_id long, level string, text string")
     )
-    shaped.select("level", "text").write.partitionBy("level").mode(
-        "overwrite"
-    ).text(dest_dir)
-    n = games.count()
+    # Game count observed on the export write itself (the old separate
+    # games.count() was a SECOND full pass over the games dimension just
+    # for the report). fmt emits one row per game, so counting the
+    # mapInPandas output equals counting games — and the observe node
+    # sits ABOVE the range exchange, so the boundary-sampling pass
+    # (which re-runs only the exchange's child) cannot double-run it.
+    obs = Observation()
+    shaped.observe(obs, F.count(F.lit(1)).alias("games")).select(
+        "level", "text"
+    ).write.partitionBy("level").mode("overwrite").text(dest_dir)
+    n = int(obs.get["games"])
     # Stats via the Hadoop FileSystem API, not os.walk: the write above
     # goes through Spark and accepts any supported URI (file:/, s3a://,
     # hdfs://), so the stats pass must resolve the same way or a remote
