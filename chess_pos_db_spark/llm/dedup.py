@@ -1275,7 +1275,15 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     centroids, cnorms = _ivf_centroids(spark, sf_dir)
-    cells = _cell_assignments(emb, centroids, cnorms)
+    # (vec_id, cell) is consumed by BOTH sides of the self-join below;
+    # without a lineage cut each branch re-runs the full-corpus
+    # mapInPandas matmul (2 Python stages + 4 corpus scans in the
+    # physical plan). Materialize the 16-byte/row proxy once —
+    # triangle_counts' fan-out pattern — so the matmul runs once and
+    # each branch joins against the tiny checkpointed table.
+    cells = _cell_assignments(emb, centroids, cnorms).localCheckpoint(
+        eager=True
+    )
     sided = emb.join(cells, "vec_id")
     a = sided.select(
         F.col("vec_id").alias("id_a"),
