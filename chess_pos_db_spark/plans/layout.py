@@ -710,9 +710,17 @@ def upsert_rows(
             for c in store_cols:
                 if c not in have:
                     keep = keep.withColumn(c, F.lit(None).cast(src_types[c]))
+            # the USING-join form moves the join columns to the FRONT
+            # of the output even for semi/anti joins, so re-select the
+            # store's column order after it — otherwise an upsert on a
+            # store whose key is not its leading column(s) (any
+            # rekey_store'd store) silently reorders the committed
+            # schema. Masked before adaptive run sizing: multi-file
+            # stores kept untouched files in the old order and the
+            # mergeSchema read hid the drift.
             keep = keep.select(*store_cols).join(
                 F.broadcast(keys_df), on=list(key), how="left_anti"
-            )
+            ).select(*store_cols)
         else:
             keep = None
     else:

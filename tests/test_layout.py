@@ -855,8 +855,16 @@ def test_snapshot_diff_append_is_delta_sized(spark, tmp_path):
 
     path = str(tmp_path / "delta_store")
     mk = lambda rows: spark.createDataFrame(rows, "k long, val long")
-    layout.append_versioned(mk([(i, i * 10) for i in range(10)]), path, ["k"])
-    layout.append_versioned(mk([(i, i) for i in range(10, 16)]), path, ["k"])
+    # explicit partitions: the touched-files-only economics this test
+    # pins are only OBSERVABLE with several files per version — the
+    # adaptive default (correctly) coalesces a fixture-sized append to
+    # one file, where "subset of files" and "all files" coincide
+    layout.append_versioned(
+        mk([(i, i * 10) for i in range(10)]), path, ["k"], partitions=4
+    )
+    layout.append_versioned(
+        mk([(i, i) for i in range(10, 16)]), path, ["k"], partitions=4
+    )
 
     diff = layout.snapshot_diff(spark, path, 1, 2, ["k"])
     plan = diff._jdf.queryExecution().executedPlan().toString()
@@ -1073,8 +1081,15 @@ def test_upsert_rows_merges_copy_on_write(spark, tmp_path):
 
     path = str(tmp_path / "upsert_store")
     mk = lambda rows: spark.createDataFrame(rows, "k long, val string")
-    layout.append_versioned(mk([(i, f"v{i}") for i in range(0, 10)]), path, ["k"])
-    layout.append_versioned(mk([(i, f"v{i}") for i in range(10, 20)]), path, ["k"])
+    # explicit partitions: untouched-files-by-reference is only
+    # observable with several files per version (see
+    # test_snapshot_diff_append_is_delta_sized)
+    layout.append_versioned(
+        mk([(i, f"v{i}") for i in range(0, 10)]), path, ["k"], partitions=4
+    )
+    layout.append_versioned(
+        mk([(i, f"v{i}") for i in range(10, 20)]), path, ["k"], partitions=4
+    )
 
     chg = spark.createDataFrame(
         [(3, "V3", "U"), (11, "V11", "U"), (99, "V99", "I"),
@@ -1122,6 +1137,38 @@ def test_upsert_rows_merges_copy_on_write(spark, tmp_path):
     # empty batch is a no-op
     empty = spark.createDataFrame([], "k long, val string, op string")
     assert layout.upsert_rows(spark, path, empty)["version"] is None
+
+
+def test_upsert_preserves_column_order_with_non_leading_key(spark, tmp_path):
+    """Regression: upsert_rows' rewrite path drops matched rows with a
+    left_anti USING-join, and Spark moves the USING columns to the
+    FRONT of the join output even for semi/anti joins — so an upsert
+    on a store whose sort key is not its leading column (any
+    rekey_store'd store) silently reordered the committed schema until
+    the trailing re-select was added. Adaptive run sizing unmasked it:
+    a single-file store rewrites every row through that branch."""
+    import json as _json
+
+    path = str(tmp_path / "order_store")
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, "y"), (3, 30, "z")],
+        "a long, b long, v string",
+    )
+    layout.append_versioned(df, path, ["b"])
+    chg = spark.createDataFrame(
+        [(2, 20, "Y", "U"), (4, 40, "w", "I")],
+        "a long, b long, v string, op string",
+    )
+    layout.upsert_rows(spark, path, chg)
+    live = layout.read_snapshot(spark, path)
+    assert live.columns == ["a", "b", "v"]
+    names = [
+        f["name"]
+        for f in _json.loads(layout.read_manifest(path)["schema"])["fields"]
+    ]
+    assert names == ["a", "b", "v"]
+    got = {r["b"]: (r["a"], r["v"]) for r in live.collect()}
+    assert got == {10: (1, "x"), 20: (2, "Y"), 30: (3, "z"), 40: (4, "w")}
 
 
 def test_upsert_rows_guards_fail_loudly(spark, tmp_path):
