@@ -581,7 +581,10 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def paragraph_dedup(docs: DataFrame) -> DataFrame:
     """(doc_id, clean_text, n_paras_kept, n_paras_total) with corpus-wide
     first-occurrence paragraph dedup applied to every document."""
-    arr = F.split("text", " ")
+    # token array materialized before the transform: the slice lambda
+    # references it per paragraph, and interpreted HOFs re-evaluate an
+    # inline split() on every reference (see pipeline._shingles)
+    arr = F.col("_toks")
     n_paras = F.ceil(F.size(arr) / F.lit(PARA_TOKENS)).cast("int")
     paras = F.transform(
         F.sequence(F.lit(0), n_paras - 1),
@@ -589,9 +592,11 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
             " ", F.slice(arr, i * PARA_TOKENS + 1, PARA_TOKENS)
         ),
     )
-    ex = docs.select(
-        "doc_id", F.posexplode(paras).alias("para_idx", "para")
-    ).withColumn("para_idx", F.col("para_idx").cast("long"))
+    ex = (
+        docs.withColumn("_toks", F.split("text", " "))
+        .select("doc_id", F.posexplode(paras).alias("para_idx", "para"))
+        .withColumn("para_idx", F.col("para_idx").cast("long"))
+    )
     w = Window.partitionBy("para").orderBy("doc_id", "para_idx")
     ranked = ex.withColumn("keep", F.row_number().over(w) == 1)
     return ranked.groupBy("doc_id").agg(

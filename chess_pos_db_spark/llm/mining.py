@@ -66,7 +66,9 @@ LIMIT 50
 )
 def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    grams = docs.select("doc_id", F.explode(_shingles(_SUB_N)).alias("gram"))
+    grams = docs.withColumn("_toks", F.split("text", " ")).select(
+        "doc_id", F.explode(_shingles(_SUB_N, F.col("_toks"))).alias("gram")
+    )
     return (
         grams.groupBy("gram")
         .agg(
@@ -118,7 +120,9 @@ GROUP BY doc_id
 )
 def dedup_substring_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    grams = docs.select("doc_id", F.explode(_shingles(_SUB_N)).alias("gram"))
+    grams = docs.withColumn("_toks", F.split("text", " ")).select(
+        "doc_id", F.explode(_shingles(_SUB_N, F.col("_toks"))).alias("gram")
+    )
     per_pair = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
     with_df = per_pair.withColumn(
         "n_docs", F.count("*").over(Window.partitionBy("gram"))
@@ -195,7 +199,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("top_c"),
     )
     bc = (
-        docs.select("doc_id", F.explode(_shingles(2)).alias("bigram"))
+        docs.withColumn("_toks", F.split("text", " "))
+        .select("doc_id", F.explode(_shingles(2, F.col("_toks"))).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count("*").alias("c"))
     )

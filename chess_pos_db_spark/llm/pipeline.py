@@ -24,11 +24,22 @@ _EVAL_SOURCE = "src0"
 _SHINGLE_N = 5
 
 
-def _shingles(n: int):
-    """Column: array of n-token shingles of `text` (empty when the doc
-    is shorter than one shingle — sequence() DESCENDS for stop<start,
-    so the guard is load-bearing)."""
-    toks = F.split("text", " ")
+def _shingles(n: int, toks=None):
+    """Column: array of n-token shingles (empty when the doc is shorter
+    than one shingle — sequence() DESCENDS for stop<start, so the guard
+    is load-bearing).
+
+    `toks` is the token-ARRAY column to shingle. Pass a column that is
+    MATERIALIZED in a prior projection (e.g. withColumn("_toks",
+    split(...))): higher-order functions are interpreted (no codegen,
+    no common-subexpression elimination inside the lambda), so an
+    inline split() here is re-evaluated by every element_at — n
+    re-splits of the full text PER SHINGLE. Measured at sf0.1
+    (dedup_substring, noop sink): 8.5 s inline vs 0.93 s materialized.
+    The default (None) keeps the inline form for ad-hoc callers where
+    the expression is evaluated once (tests, tiny frames)."""
+    if toks is None:
+        toks = F.split("text", " ")
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -80,9 +91,15 @@ GROUP BY t.doc_id
 )
 def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", "source", F.explode(_shingles(_SHINGLE_N)).alias("shingle")
-    ).distinct()
+    sh = (
+        docs.withColumn("_toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(_shingles(_SHINGLE_N, F.col("_toks"))).alias("shingle"),
+        )
+        .distinct()
+    )
     eval_sh = (
         sh.filter(F.col("source") == _EVAL_SOURCE).select("shingle").distinct()
     )
@@ -160,7 +177,9 @@ LIMIT 20
 )
 def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    grams = docs.select(F.explode(_shingles(2)).alias("bigram"))
+    grams = docs.withColumn("_toks", F.split("text", " ")).select(
+        F.explode(_shingles(2, F.col("_toks"))).alias("bigram")
+    )
     return (
         grams.groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
@@ -633,9 +652,21 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("stop_ratio"),
     )
+    # explode the shingle expression DIRECTLY (no intermediate alias):
+    # exploding a materialized alias column lets InferFiltersFromGenerate
+    # add a size(shs)>0 filter on the attribute, which predicate pushdown
+    # then re-substitutes through the projection — re-evaluating the whole
+    # shingle transform (with inline re-splits) per row at BOTH scans.
+    # The rule skips non-cheap generator children, so the direct form
+    # keeps the transform evaluated exactly once (measured: 10.5 s vs
+    # 0.7 s for this query at sf0.1, noop).
     sh = (
-        docs.select("doc_id", "source", _shingles(_SHINGLE_N).alias("shs"))
-        .select("doc_id", "source", F.explode("shs").alias("shingle"))
+        docs.withColumn("_toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(_shingles(_SHINGLE_N, F.col("_toks"))).alias("shingle"),
+        )
         .distinct()
     )
     eval_sh = sh.filter(F.col("source") == _EVAL_SOURCE).select("shingle").distinct()

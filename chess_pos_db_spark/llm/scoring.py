@@ -83,7 +83,9 @@ GROUP BY doc_id
 )
 def text_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    g = docs.select("doc_id", F.explode(_shingles(2)).alias("bigram"))
+    g = docs.withColumn("_toks", F.split("text", " ")).select(
+        "doc_id", F.explode(_shingles(2, F.col("_toks"))).alias("bigram")
+    )
     cnt = g.withColumn(
         "corpus_cnt", F.count("*").over(Window.partitionBy("bigram"))
     )

@@ -109,11 +109,17 @@ def _gopher_gate(df: DataFrame, stage: dict) -> DataFrame:
 def _entropy_gate(df: DataFrame, stage: dict) -> DataFrame:
     from .quality import char_entropy_cols
 
-    _, ent = char_entropy_cols()
+    _, ent = char_entropy_cols(F.col("_chars"))
     # threshold the 4dp-ROUNDED entropy, exactly as the oracle-verified
     # text_char_entropy reports it — gating the raw value would drop a
-    # boundary doc the published operator keeps
-    return df.filter(F.round(ent, 4) >= float(stage["min_entropy"]))
+    # boundary doc the published operator keeps. The char array is
+    # materialized first (char_entropy_cols docstring: interpreted HOFs
+    # re-evaluate an inline split per distinct char).
+    return (
+        df.withColumn("_chars", F.split("text", ""))
+        .filter(F.round(ent, 4) >= float(stage["min_entropy"]))
+        .drop("_chars")
+    )
 
 
 def _exclude_ids(df: DataFrame, stage: dict) -> DataFrame:

@@ -725,32 +725,34 @@ LIMIT {_SG_TOP_K}
 """,
 )
 def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The pair multiset {(tok[i], tok[j]) : |i-j| <= W, i != j} is built
+    # as 2W shifted zips — for each offset d in 1..W, zip the array with
+    # itself shifted by d gives the forward pairs and their transposes
+    # give the backward ones. Same multiset as the per-position
+    # nested-window form, but with single-level lambdas over a
+    # MATERIALIZED token column: HOFs are interpreted (no codegen, no
+    # CSE inside lambdas), so the previous nested transform re-split the
+    # text per pair slot — measured 14.4 s -> ~1 s at sf0.1 (noop).
     docs = t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    toks = F.col("_toks")
     n = F.size(toks)
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), n - 1),
-            lambda i: F.filter(
-                F.transform(
-                    F.sequence(
-                        F.greatest(F.lit(0), i - _SG_WINDOW),
-                        F.least(n - 1, i + _SG_WINDOW),
-                    ),
-                    lambda j: F.when(
-                        j != i,
-                        F.struct(
-                            F.element_at(toks, i + 1).alias("center"),
-                            F.element_at(toks, j + 1).alias("context"),
-                        ),
-                    ),
-                ),
-                lambda s: s.isNotNull(),
-            ),
+    shifted = []
+    for d in range(1, _SG_WINDOW + 1):
+        fwd = F.zip_with(
+            F.slice(toks, 1, F.greatest(n - d, F.lit(0))),
+            F.slice(toks, d + 1, F.greatest(n - d, F.lit(0))),
+            lambda a, b: F.struct(a.alias("center"), b.alias("context")),
         )
-    )
+        bwd = F.zip_with(
+            F.slice(toks, d + 1, F.greatest(n - d, F.lit(0))),
+            F.slice(toks, 1, F.greatest(n - d, F.lit(0))),
+            lambda a, b: F.struct(a.alias("center"), b.alias("context")),
+        )
+        shifted.extend([fwd, bwd])
+    pairs = F.concat(*shifted)
     return (
-        docs.select(F.explode(pairs).alias("p"))
+        docs.withColumn("_toks", F.split("text", " "))
+        .select(F.explode(pairs).alias("p"))
         .select("p.center", "p.context")
         .groupBy("center", "context")
         .agg(F.count("*").alias("n"))
