@@ -450,6 +450,17 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_name",
         F.split("p_name", " ").getItem(0).alias("blk"),
     )
+    # The per-block pair expansion multiplies the probe side by the
+    # block size, so its parallelism is the PROBE SCAN's parallelism —
+    # a dimension table small enough to arrive as one split runs the
+    # whole quadratic verify in ONE task (measured: 29 s single-task vs
+    # 2.5 s spread at sf0.1). Spread the probe side across the cluster
+    # only when the scan under-parallelizes; at scale the scan already
+    # yields >= defaultParallelism splits and no extra exchange is paid.
+    # (Hash on the key, not round-robin: deterministic under task retry.)
+    par = spark.sparkContext.defaultParallelism
+    if p.rdd.getNumPartitions() < par:
+        p = p.repartition(par, "p_partkey")
     a = p.select(
         F.col("p_partkey").alias("partkey_a"),
         F.col("p_name").alias("name_a"),
