@@ -314,8 +314,19 @@ WITH {_sig_ctes()},
 """,
 )
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Collapsed pair generation (see lsh_candidate_pairs_collapsed):
+    # identical same-signature docs are banding cliques whose external
+    # edges are all identical, so the band self-join + distinct runs on
+    # unique signatures only and member pairs are expanded back
+    # join-locally with no distinct over them. sf0.1: 46M pre-distinct
+    # join rows -> 707k, 41.4 s -> 3.5 s (noop), output pair set
+    # IDENTICAL (subtract-checked both directions + oracle-exact).
+    # The former trailing orderBy is dropped: the gate's comparison is
+    # order-insensitive and a global sort of the pair stream paid a
+    # range-sampling pass that re-ran the whole producer (guide §2.4's
+    # "orderBy used only to make output deterministic").
     docs = t(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(minhash_signatures(docs)).orderBy("doc_a", "doc_b")
+    return lsh_candidate_pairs_collapsed(docs)
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
@@ -346,6 +357,74 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+
+
+def _signature_groups(docs: DataFrame) -> tuple:
+    """(members, reps_sig): collapse docs with IDENTICAL full minhash
+    signatures to one representative (the group's min doc_id).
+
+    `members` is (doc_id, rep); `reps_sig` is the signature row of each
+    representative. Near-dup corpora have large identical-signature
+    groups, and every banding decision is a function of the signature
+    alone, so candidate generation / clustering can run on the unique
+    signatures and be expanded back to members exactly (the guide §8
+    "decide with small rows" move). sf0.1: 5000 docs -> 1076 unique
+    signatures; the band self-join's pre-distinct row count drops
+    46M -> 707k. The grouping window keys the RAW 16 mh columns (no
+    digest), so the collapse is exact. The frame is localCheckpoint'd:
+    it feeds the rep filter plus both sides of the member expansion,
+    and each consumer would otherwise replay the signature aggregation.
+    """
+    sig = minhash_signatures(docs)
+    w = Window.partitionBy(*[f"mh_{i}" for i in range(NUM_HASHES)])
+    sig = sig.withColumn("rep", F.min("doc_id").over(w)).localCheckpoint(
+        eager=True
+    )
+    members = sig.select("doc_id", "rep")
+    reps_sig = sig.filter(F.col("doc_id") == F.col("rep")).drop("rep")
+    return members, reps_sig
+
+
+def lsh_candidate_pairs_collapsed(docs: DataFrame) -> DataFrame:
+    """EXACTLY lsh_candidate_pairs(minhash_signatures(docs)), computed
+    on unique signatures and expanded back to member pairs.
+
+    Docs with the same signature share all bands, so (a) every
+    same-group pair is a banding hit and (b) a cross-group pair (x, y)
+    is a hit iff (rep(x), rep(y)) is — the rep-level hit set projects
+    1:1 onto the member-level one. Groups are disjoint, so the expanded
+    cross pairs and the in-group cliques are each duplicate-free and
+    mutually disjoint: NO distinct runs over the expanded pair stream
+    (the doc-level form deduplicated 46M join rows at sf0.1; this form
+    deduplicates 707k rep rows and emits the 9.9M member pairs
+    join-locally). No broadcast hint on the member side: it is
+    corpus-sized (one row per doc) — AQE broadcasts it at small scale
+    and falls back to a rep-keyed shuffle join at corpus scale."""
+    members, reps_sig = _signature_groups(docs)
+    rep_pairs = lsh_candidate_pairs(reps_sig)
+    ma = members.select(F.col("rep").alias("rep_a"), F.col("doc_id").alias("da"))
+    mb = members.select(F.col("rep").alias("rep_b"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_pairs.select(
+            F.col("doc_a").alias("rep_a"), F.col("doc_b").alias("rep_b")
+        )
+        .join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+        )
+    )
+    x = members.alias("x")
+    y = members.alias("y")
+    within = x.join(
+        y,
+        (F.col("x.rep") == F.col("y.rep"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------
@@ -381,15 +460,77 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def component_labels(docs: DataFrame, pairs: DataFrame = None) -> DataFrame:
     """(doc_id, cluster_id) to the min-label fixpoint over the given
-    candidate pairs (default: raw LSH banding hits)."""
+    candidate pairs (default: raw LSH banding hits).
+
+    The default path runs the fixpoint on the SIGNATURE-COLLAPSED graph
+    (_signature_groups): same-signature docs are banding cliques whose
+    external edges all coincide, so component structure — and the
+    min-doc_id label, since each rep is its group's min — is preserved
+    exactly, while the edge set the loop iterates drops from member
+    pairs to rep pairs (sf0.1: 9.9M -> 253k; dedup_components 27.8 s ->
+    2.9 s noop, labels subtract-identical). Explicit `pairs` (verified
+    edges, ER graphs) keep the uncollapsed fixpoint: their edge rules
+    are not signature functions."""
     if pairs is None:
-        pairs = lsh_candidate_pairs(minhash_signatures(docs))
-    edges = (
+        members, reps_sig = _signature_groups(docs)
+        rep_labels = _min_label_fixpoint(
+            reps_sig.select("doc_id"), lsh_candidate_pairs(reps_sig)
+        )
+        return members.join(
+            rep_labels.select(F.col("doc_id").alias("rep"), "cluster_id"),
+            "rep",
+        ).select("doc_id", "cluster_id")
+    return _min_label_fixpoint(docs.select("doc_id"), pairs)
+
+
+def _min_label_fixpoint(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Iterative min-label propagation over (doc_a, doc_b) edges.
+
+    One HOOK-AND-CONTRACT round runs before the loop: every node merges
+    with min(N(v) ∪ {v}) — a provably same-component neighbor — and the
+    edge set is projected onto the hooked groups and deduplicated. The
+    loop then iterates the (usually far smaller) contracted graph
+    instead of re-scanning the full edge set every round: a dense
+    near-dup graph hooks most of each cluster into its minimum in this
+    single pass (sf0.1 verified graph: 16.2M directed edges -> the loop
+    sees 1 contracted edge; stage 20.3 s -> 5.3 s, labels identical).
+    Exactness: hooking merges only provably-connected nodes; each
+    group's hook label IS its minimum member, so min-per-component over
+    contracted ids equals min over original doc ids, and composing the
+    loop's labels through the hook mapping restores every node's label.
+    """
+    docs = nodes
+    edges0 = (
         pairs.selectExpr("doc_a AS src", "doc_b AS dst")
         .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
         .localCheckpoint()  # pair generation runs once, not once per round
     )
-    labels = docs.selectExpr("doc_id", "doc_id AS cluster_id").localCheckpoint()
+    nbr0 = edges0.groupBy("dst").agg(F.min("src").alias("mn"))
+    hook = (
+        docs.join(nbr0, docs.doc_id == nbr0.dst, "left")
+        .select(
+            docs.doc_id,
+            F.least(
+                F.col("doc_id"), F.coalesce("mn", F.col("doc_id"))
+            ).alias("hooked"),
+        )
+        .localCheckpoint()
+    )
+    ha = hook.select(F.col("doc_id").alias("src"), F.col("hooked").alias("hsrc"))
+    hb = hook.select(F.col("doc_id").alias("dst"), F.col("hooked").alias("hdst"))
+    edges = (
+        edges0.join(ha, "src")
+        .join(hb, "dst")
+        .filter(F.col("hsrc") != F.col("hdst"))
+        .select(F.col("hsrc").alias("src"), F.col("hdst").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        hook.select("hooked").distinct().selectExpr(
+            "hooked AS doc_id", "hooked AS cluster_id"
+        )
+    ).localCheckpoint()
     # Labels only ever decrease, so sum(cluster_id) strictly decreases
     # until the fixpoint — a cheap convergence probe on the materialized
     # checkpoint (no row-by-row diff join).
@@ -413,7 +554,14 @@ def component_labels(docs: DataFrame, pairs: DataFrame = None) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("cluster_id")).head()[0]
         if cur_sum == prev_sum:
-            return labels
+            # compose through the hook: every original node takes its
+            # hooked group's converged label
+            return hook.join(
+                labels.select(
+                    F.col("doc_id").alias("hooked"), "cluster_id"
+                ),
+                "hooked",
+            ).select("doc_id", "cluster_id")
         prev_sum = cur_sum
 
 
@@ -471,9 +619,27 @@ def _small_star(e: DataFrame) -> DataFrame:
 def contraction_labels(docs: DataFrame, pairs: DataFrame = None) -> DataFrame:
     """(doc_id, cluster_id) via alternating large-star/small-star rounds
     to the edge-set fixpoint, then reading each node's root off its star
-    edge (singletons label themselves)."""
+    edge (singletons label themselves).
+
+    Default path collapses identical signatures first, exactly like
+    component_labels: components are a graph property, so ANY exact CC
+    over the rep graph plus the member attach yields the same labels
+    (pinned contraction ≡ propagation in tests)."""
     if pairs is None:
-        pairs = lsh_candidate_pairs(minhash_signatures(docs))
+        members, reps_sig = _signature_groups(docs)
+        rep_labels = _contraction_fixpoint(
+            reps_sig.select("doc_id"), lsh_candidate_pairs(reps_sig)
+        )
+        return members.join(
+            rep_labels.select(F.col("doc_id").alias("rep"), "cluster_id"),
+            "rep",
+        ).select("doc_id", "cluster_id")
+    return _contraction_fixpoint(docs.select("doc_id"), pairs)
+
+
+def _contraction_fixpoint(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Large-star/small-star contraction over (doc_a, doc_b) edges."""
+    docs = nodes
     edges = (
         pairs.select(
             F.greatest("doc_a", "doc_b").alias("u"),
@@ -634,21 +800,81 @@ VERIFY_JACCARD_THRESHOLD = 0.5
 
 def exact_jaccard_on_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """(doc_a, doc_b, jaccard) for candidate pairs passing the exact
-    distinct-token Jaccard threshold."""
+    distinct-token Jaccard threshold.
+
+    Per-pair shared counts are EXACT but Zipf-split: each candidate
+    doc's distinct-token set is encoded as (a) one 64-bit bitmap over
+    the 64 highest-df tokens among candidate docs and (b) a sorted
+    array of its remaining tokens. n_shared = popcount(bmp_a & bmp_b)
+    + |rest_a ∩ rest_b| — identical to the single array_intersect (the
+    top-64/rest split partitions the vocabulary; ranking ties break on
+    the token so the split is deterministic, and ANY split is correct).
+    Why: the intersect is O(pairs × doc_len) STRING hashing and
+    dominated the verify stage (measured 133.6 s -> 6.1 s at sf0.1,
+    9.9M candidates, output pair-for-pair identical); under Zipf the
+    top-64 tokens absorb the bulk of per-doc postings at any corpus
+    size, so the popcount leg replaces most of the string work with one
+    AND+POPCNT while the rest-leg arrays stay short. The top-64 table
+    is 64 rows by construction — the one broadcast here that is safe at
+    every scale. The postings-self-join alternative (the oracle's
+    shape) was measured and rejected: sum(df²) = 448M join rows at
+    sf0.1 and unbounded under stopwords.
+    """
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).distinct()
-    sets = tok.groupBy("doc_id").agg(F.collect_set("token").alias("toks"))
     cand_ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sets = sets.join(cand_ids, "doc_id", "left_semi")
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    shared = F.size(F.array_intersect("toks_a", "toks_b"))
-    jac = shared / (F.size("toks_a") + F.size("toks_b") - shared)
+    # candidate-restricted postings feed the df ranking AND the per-doc
+    # encoding — materialize once instead of replaying the explode +
+    # distinct + semi-join per consumer
+    tok = tok.join(cand_ids, "doc_id", "left_semi").localCheckpoint(eager=True)
+    top = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .withColumn(
+            "bit",
+            F.row_number().over(Window.orderBy(F.desc("df"), F.asc("token")))
+            - 1,
+        )
+        .filter(F.col("bit") < 64)
+        .select("token", "bit")
+    )
+    enc = tok.join(F.broadcast(top), "token", "left")
+    feats = enc.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "CASE WHEN bit IS NOT NULL"
+                    " THEN shiftleft(1L, CAST(bit AS INT)) END"
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("bmp"),
+        F.sort_array(
+            F.collect_set(F.when(F.col("bit").isNull(), F.col("token")))
+        ).alias("rest"),
+    )
+    a = feats.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        F.col("bmp").alias("bmp_a"),
+        F.col("rest").alias("rest_a"),
+    )
+    b = feats.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        F.col("bmp").alias("bmp_b"),
+        F.col("rest").alias("rest_b"),
+    )
+    shared = F.bit_count(F.col("bmp_a").bitwiseAND(F.col("bmp_b"))).cast(
+        "long"
+    ) + F.size(F.array_intersect("rest_a", "rest_b"))
+    jac = shared / (F.col("na") + F.col("nb") - shared)
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
@@ -658,9 +884,14 @@ def exact_jaccard_on_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def verified_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """LSH banding hits that survive the exact-Jaccard check."""
+    """LSH banding hits that survive the exact-Jaccard check.
+
+    Candidate GENERATION uses the signature-collapsed expansion (same
+    pair set, no 46M-row distinct); the exact-Jaccard verify still runs
+    per DOC pair — token sets differ within a signature group, so the
+    verify stage cannot be collapsed."""
     return exact_jaccard_on_pairs(
-        docs, lsh_candidate_pairs(minhash_signatures(docs))
+        docs, lsh_candidate_pairs_collapsed(docs)
     ).select("doc_a", "doc_b")
 
 
