@@ -1315,7 +1315,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (at 100 TB the MinHash/LSH banding of dedup_near replaces it, with
     this as the verifier on candidates)."""
     docs = t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # token array materialized before the transform: the lambda
+    # references it per shingle element, and interpreted HOFs re-evaluate
+    # an inline split() on every reference (see pipeline._shingles)
+    toks = F.col("_toks")
     shingles = F.when(
         F.size(toks) >= 3,
         F.transform(
@@ -1331,7 +1334,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     sh = (
-        docs.select("doc_id", F.explode(shingles).alias("shingle"))
+        docs.withColumn("_toks", F.split("text", " "))
+        .select("doc_id", F.explode(shingles).alias("shingle"))
         .distinct()
         # three consumers (self-join sides + size rollup)
         .localCheckpoint(eager=True)

@@ -454,13 +454,11 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     # block size, so its parallelism is the PROBE SCAN's parallelism —
     # a dimension table small enough to arrive as one split runs the
     # whole quadratic verify in ONE task (measured: 29 s single-task vs
-    # 2.5 s spread at sf0.1). Spread the probe side across the cluster
-    # only when the scan under-parallelizes; at scale the scan already
-    # yields >= defaultParallelism splits and no extra exchange is paid.
-    # (Hash on the key, not round-robin: deterministic under task retry.)
-    par = spark.sparkContext.defaultParallelism
-    if p.rdd.getNumPartitions() < par:
-        p = p.repartition(par, "p_partkey")
+    # 2.0 s spread at sf0.1). spread_small_scan is scale-adaptive: no
+    # exchange once the scan yields enough splits.
+    from ..tables import spread_small_scan
+
+    p = spread_small_scan(spark, p, "p_partkey")
     a = p.select(
         F.col("p_partkey").alias("partkey_a"),
         F.col("p_name").alias("name_a"),

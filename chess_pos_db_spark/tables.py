@@ -69,6 +69,27 @@ def _ship_package(spark: SparkSession) -> None:
     _SHIPPED.add(app)
 
 
+def spread_small_scan(
+    spark: SparkSession, df: DataFrame, key: str
+) -> DataFrame:
+    """Repartition `df` by `key` to defaultParallelism — but ONLY when
+    its scan yields fewer partitions than that.
+
+    For operators whose per-row work dwarfs their input bytes (in-row
+    quadratic lambdas, per-block pair expansion), parallelism is capped
+    by the SCAN's split count: a table small enough to arrive as one
+    parquet split runs the whole computation in one task. The guard
+    makes this scale-adaptive: at corpus scale the scan already yields
+    >= defaultParallelism splits and NO extra exchange is paid; below
+    that the exchange moves (< splits x maxPartitionBytes) — trivially
+    small by the same condition that triggers it. Hash on a real key,
+    not round-robin, so retried tasks reproduce their assignment."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, key)
+    return df
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy parquet scan)."""
     if name not in TABLES:
