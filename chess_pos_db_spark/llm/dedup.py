@@ -1234,6 +1234,9 @@ def embedding_lsh_candidates(
             )
         ).alias("tb"),
     ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    # both self-join sides consume sig: materialize the (interpreted)
+    # L-table plane-dot fold once instead of replaying it per side
+    sig = sig.localCheckpoint(eager=True)
     return (
         sig.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
         .join(
@@ -1264,14 +1267,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset of this one (pinned in test_mining, which also pins recall
     against exact all-pairs ground truth).
     """
-    from .similarity import cosine
+    from .similarity import _dot
 
     emb = t(spark, sf_dir, "embeddings")
     cand = embedding_lsh_candidates(emb)
-    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # self-norms precomputed ONCE PER VECTOR and attached through the
+    # joins: cosine() evaluates three interpreted dot-product folds per
+    # pair, two of which (the norms) depend only on one side — per-pair
+    # work drops to the single cross dot (3.7 s -> 1.9 s at sf0.1).
+    # sqrt(dot(v, v)) is evaluated by the same expression as before,
+    # just once per vector, so the doubles are bit-identical.
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    ea = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        norm.alias("norm_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        norm.alias("norm_b"),
+    )
     pairs = cand.join(ea, "id_a").join(eb, "id_b")
-    cos = cosine(F.col("va"), F.col("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
     return (
         pairs.select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") > 0.45)
