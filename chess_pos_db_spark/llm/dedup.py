@@ -832,15 +832,25 @@ def exact_jaccard_on_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     # encoding — materialize once instead of replaying the explode +
     # distinct + semi-join per consumer
     tok = tok.join(cand_ids, "doc_id", "left_semi").localCheckpoint(eager=True)
+    # Top-64 selection is a classic top-k: orderBy().limit(64) plans as
+    # TakeOrderedAndProject (per-partition partial top-k, fully
+    # parallel). The previous row_number() over an UNPARTITIONED window
+    # was a SinglePartition exchange + one-task sort over the entire
+    # candidate vocabulary — 10^8+ rows through one task at corpus
+    # scale, for 64 surviving rows. Bit assignment then runs over just
+    # the 64-row result (the one single-partition step here, above a
+    # limit — the acceptable class); same (df DESC, token ASC) order,
+    # so the chosen tokens and their bit indices are unchanged.
     top = (
         tok.groupBy("token")
         .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(64)
         .withColumn(
             "bit",
             F.row_number().over(Window.orderBy(F.desc("df"), F.asc("token")))
             - 1,
         )
-        .filter(F.col("bit") < 64)
         .select("token", "bit")
     )
     enc = tok.join(F.broadcast(top), "token", "left")
@@ -859,6 +869,12 @@ def exact_jaccard_on_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             F.collect_set(F.when(F.col("bit").isNull(), F.col("token")))
         ).alias("rest"),
     )
+    # feats feeds BOTH self-join sides; without a cut the whole encoding
+    # subtree (df agg + top-64 + bitmap fold) is planned — and computed —
+    # twice. One eager cut halves the verify stage's upstream work; the
+    # checkpointed frame is one row per CANDIDATE doc (id, 2 longs, the
+    # short rest array), far smaller than the corpus at any scale.
+    feats = feats.localCheckpoint(eager=True)
     a = feats.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n").alias("na"),
