@@ -11,6 +11,19 @@ and the best time is reported ("timing": "best_of_N") — steady-state
 throughput, with per-plan analysis/codegen compile excluded, which is
 the regime that extrapolates to large inputs (a one-time ~1s codegen
 compile is noise over a 100 TB scan but would dominate a 600k-row one).
+
+Round 14, additions-only: the JSON line gains "sf_dir", "cpus" (env
+contract), "parallelism" (the session's actual defaultParallelism —
+demonstrates local[$SPARK_GRAFT_CPUS] was honored), effective
+"shuffle_partitions", and a SCALE_GROUP of five shuffle-heavy queries
+timed alongside the headliners ("scale_group_total_sec"); "value"
+still sums the original HEADLINE list only. Known confound for
+cross-core-count comparisons: shuffle.partitions is set to the core
+count (session.py), so an 8-core run schedules 4x fewer, larger tasks
+than a 32-core run — per-task work differs by construction, and the
+headliners' best-of-N floor at sf0.1 is dominated by fixed per-job
+submit cost (~0.1 s) rather than parallel compute. The SCALE_GROUP
+queries carry enough real work for core-count ratios to be meaningful.
 """
 
 from __future__ import annotations
@@ -56,6 +69,21 @@ HEADLINE = [
     "search_bm25_postings",
 ]
 
+# Round 14 (additions-only): a second tracked group — the round-13
+# rewrites that genuinely parallelize (unlike the overhead-bound
+# headliners, whose best-of-N floor at sf0.1 is fixed per-job cost), so
+# low-core/high-core scaling ratios on THEM are meaningful. They are
+# timed with the same methodology and reported as extra entries in
+# "queries"; the headline total ("value") still sums the original
+# HEADLINE list only, so round-over-round total comparisons stay valid.
+SCALE_GROUP = [
+    "dedup_near",
+    "dedup_verified_components",
+    "join_fuzzy_levenshtein",
+    "curation_funnel",
+    "text_skipgram_pairs",
+]
+
 
 def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -88,15 +116,34 @@ def main() -> None:
     # multi-second host-noise burst degrades one round of many queries
     # instead of every repeat of one query, so the per-query min survives.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4")))
-    timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
-    for _ in range(runs):
-        for name in HEADLINE:
-            start = time.perf_counter()
-            _run(queries[name](spark, sf_dir))
-            timings[name] = min(timings[name], time.perf_counter() - start)
+    # The HEADLINE loop runs first and alone — byte-identical methodology
+    # to every prior round, so its per-query floors stay comparable. The
+    # SCALE_GROUP then runs as its own interleaved loop: its queries are
+    # 1-12 s of real shuffle work each and would otherwise raise the
+    # headliners' best-of-N floors via GC/scheduler pressure (measured:
+    # +14% on the headline total when interleaved together).
+    timings: dict[str, float] = {
+        name: float("inf") for name in HEADLINE + SCALE_GROUP
+    }
+    for group in (HEADLINE, SCALE_GROUP):
+        for _ in range(runs):
+            for name in group:
+                start = time.perf_counter()
+                _run(queries[name](spark, sf_dir))
+                timings[name] = min(
+                    timings[name], time.perf_counter() - start
+                )
     timings = {name: round(t, 3) for name, t in timings.items()}
 
-    total = round(sum(timings.values()), 3)
+    # "value" sums the ORIGINAL headline list only (stable semantics
+    # across rounds); the scale group is reported per-query plus as its
+    # own additive total. Scaling-contract evidence (additive keys):
+    # cpus is the env contract, parallelism the session's actual
+    # defaultParallelism, shuffle_partitions the effective setting —
+    # note shuffle.partitions tracks the core count here, so a low-core
+    # run also schedules proportionally fewer/larger tasks (documented
+    # confound for cross-core-count comparisons at fixture scale).
+    total = round(sum(timings[n] for n in HEADLINE), 3)
     print(
         json.dumps(
             {
@@ -106,6 +153,15 @@ def main() -> None:
                 "timing": f"best_of_{runs}",
                 "queries": timings,
                 "sf": sf,
+                "sf_dir": sf_dir,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "parallelism": spark.sparkContext.defaultParallelism,
+                "shuffle_partitions": int(
+                    spark.conf.get("spark.sql.shuffle.partitions")
+                ),
+                "scale_group_total_sec": round(
+                    sum(timings[n] for n in SCALE_GROUP), 3
+                ),
             }
         )
     )
