@@ -179,23 +179,50 @@ _SPLIT_SCHEMA = T.StructType(
 )
 
 
+def stat_pgn_sizes(files: list[tuple[str, str]]) -> list[int]:
+    """File sizes for the import list, stat'd CONCURRENTLY.
+
+    Listing is driver-side, single-process work (guide §5): a serial
+    getsize loop is one blocking round-trip per file — fine to ~10^5
+    files, a multi-minute stall at 100 TB file counts. A thread pool
+    overlaps the I/O waits (stat releases the GIL), bounding wall time
+    at ~n_files/32 round-trips; each file is stat'd exactly ONCE per
+    import (pinned in test_chunked_pgn) — callers pass the result into
+    plan_pgn_splits instead of re-statting."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = [os.path.abspath(p) for p, _ in files]
+    if len(paths) <= 2:
+        return [os.path.getsize(p) for p in paths]
+    with ThreadPoolExecutor(max_workers=min(32, len(paths))) as ex:
+        return list(ex.map(os.path.getsize, paths))
+
+
 def plan_pgn_splits(
-    files: list[tuple[str, str]], chunk_bytes: int, file_idx_base: int = 0
+    files: list[tuple[str, str]],
+    chunk_bytes: int,
+    file_idx_base: int = 0,
+    sizes: list[int] | None = None,
 ) -> list[tuple]:
     """Driver-side split planning (the Hadoop FileInputFormat analogue):
     byte-range chunks per file, metadata only — no file contents touch
     the driver. `base` (the chunk's first game ordinal) is filled by the
-    count pass."""
+    count pass. Pass `sizes` (from stat_pgn_sizes) to avoid a second
+    stat round over the import list."""
     import os
 
+    if sizes is None:
+        sizes = stat_pgn_sizes(files)
     seen = set()
     rows = []
-    for idx, (path, level) in enumerate(files, start=file_idx_base):
+    for (idx, (path, level)), size in zip(
+        enumerate(files, start=file_idx_base), sizes
+    ):
         ap = os.path.abspath(path)
         if ap in seen:
             raise ValueError(f"duplicate input path in import list: {path}")
         seen.add(ap)
-        size = os.path.getsize(ap)
         n_chunks = max(1, -(-size // chunk_bytes))
         for ci in range(n_chunks):
             rows.append(
@@ -252,17 +279,20 @@ def parse_games_chunked(
     cluster — the same adaptive split sizing Spark's own file sources
     do via maxPartitionBytes.
     """
-    import os
-
     from ..tables import _ship_package
 
     _ship_package(spark)  # chunk scan/parse UDFs unpickle pgn on workers
-    total = sum(os.path.getsize(os.path.abspath(p)) for p, _ in files)
+    # ONE concurrent stat round over the import list, shared by the
+    # adaptive-chunk sizing and the split planning (previously two
+    # serial getsize loops — a driver-side listing stall at large file
+    # counts, guide §5).
+    sizes = stat_pgn_sizes(files)
+    total = sum(sizes)
     target_chunks = max(1, 2 * spark.sparkContext.defaultParallelism)
     eff_chunk = min(
         chunk_bytes, max(MIN_CHUNK_BYTES, -(-total // target_chunks))
     )
-    rows = plan_pgn_splits(files, eff_chunk, file_idx_base)
+    rows = plan_pgn_splits(files, eff_chunk, file_idx_base, sizes=sizes)
 
     def count_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -454,8 +454,13 @@ FROM walk GROUP BY node
 """,
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No trailing orderBy (same round-13 dedup_near rationale): the
+    # gate's comparison is order-insensitive, and a global sort of the
+    # corpus-sized label table is a range exchange whose sampling pass
+    # re-reads the fixpoint output (guide §2.4's "orderBy used only to
+    # make output deterministic").
     docs = t(spark, sf_dir, "documents")
-    return component_labels(docs).orderBy("doc_id")
+    return component_labels(docs)
 
 
 def component_labels(docs: DataFrame, pairs: DataFrame = None) -> DataFrame:
@@ -686,7 +691,9 @@ FROM walk GROUP BY node
 )
 def dedup_components_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    return contraction_labels(docs).orderBy("doc_id")
+    # trailing orderBy dropped — order-insensitive gate, corpus-sized
+    # output (same rationale as dedup_components / r13's dedup_near)
+    return contraction_labels(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -950,9 +957,9 @@ def dedup_verified_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     only. A band-collision false positive can no longer merge two
     non-duplicate clusters (regression-pinned in test_llm_dedup)."""
     docs = t(spark, sf_dir, "documents")
-    return component_labels(docs, verified_candidate_pairs(docs)).orderBy(
-        "doc_id"
-    )
+    # trailing orderBy dropped — order-insensitive gate, corpus-sized
+    # output (same rationale as dedup_components / r13's dedup_near)
+    return component_labels(docs, verified_candidate_pairs(docs))
 
 
 # ---------------------------------------------------------------------------

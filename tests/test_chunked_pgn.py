@@ -396,3 +396,39 @@ def test_pgn_datasource_reader_path_errors(tmp_path):
 
     with pytest.raises((ValueError, FileNotFoundError)):
         PgnDataSourceReader({"path": str(tmp_path / "missing.pgn")})
+
+
+def test_split_planning_stats_each_file_once(tmp_path, monkeypatch):
+    """Driver-listing discipline (guide §5): the import's split planning
+    must stat each input file exactly ONCE — the round-13 shape stat'd
+    every file twice (adaptive-chunk sizing and split planning each ran
+    their own serial getsize loop), doubling a stall that already grows
+    linearly with file count. Pinned over a many-file list; also pins
+    that plan_pgn_splits accepts pre-stat'd sizes without re-statting."""
+    import os
+
+    files = []
+    for i in range(300):
+        p = tmp_path / f"f{i:04d}.pgn"
+        p.write_text(f'[Event "G{i}"]\n[Result "*"]\n\n*\n')
+        files.append((str(p), "human"))
+
+    calls: list[str] = []
+    real_getsize = os.path.getsize
+
+    def counting_getsize(path):
+        calls.append(path)
+        return real_getsize(path)
+
+    monkeypatch.setattr(os.path, "getsize", counting_getsize)
+
+    sizes = importer.stat_pgn_sizes(files)
+    assert len(calls) == len(files)  # one stat per file, concurrent pool
+    assert sizes == [real_getsize(p) for p, _ in files]
+
+    calls.clear()
+    rows = importer.plan_pgn_splits(files, 1 << 20, sizes=sizes)
+    assert calls == []  # pre-stat'd sizes are trusted, no second round
+    assert len(rows) == len(files)  # tiny files -> one chunk each
+    # metadata integrity: every chunk carries the stat'd size as `end`
+    assert [r[6] for r in rows] == sizes
