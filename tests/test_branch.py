@@ -292,6 +292,7 @@ def test_branch_fork_below_additive_evolution_gets_era_schema(
         branch.merge_branch(spark, path, "old")
 
 
+@pytest.mark.slow
 def test_branch_remerge_relitigates_from_original_fork(spark, tmp_path):
     """Documented contract: the fork never advances, so re-merging an
     already-merged branch under 'theirs' re-applies the branch value
@@ -385,6 +386,7 @@ def test_branch_create_and_delete_crash_windows_repair(
         branch.delete_branch(path, "cw")
 
 
+@pytest.mark.slow
 def test_branch_randomized_two_lineage_differential(spark, tmp_path):
     """Seeded random divergence on both lineages, then merge under
     'theirs' and 'ours', each compared against the dict-model
@@ -509,6 +511,7 @@ def test_branch_randomized_two_lineage_differential(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_branch_interleaved_store_lifecycle_randomized(spark, tmp_path):
     """Cross-feature randomized differential: the branch lifecycle
     interleaved with the FULL parent verb set (append / upsert /

@@ -335,6 +335,7 @@ def test_merge_databases_equals_single_import(spark, tmp_path):
     assert rows("merged", "games") == rows("single", "games")
 
 
+@pytest.mark.slow
 def test_merge_databases_retraction_sidecars(spark, tmp_path):
     """When every source carries the ERAN sidecar, the merged database
     does too — identical to the single-shot import's sidecar."""
@@ -365,6 +366,7 @@ def test_merge_databases_retraction_sidecars(spark, tmp_path):
     assert rows("rm") == rows("rs")
 
 
+@pytest.mark.slow
 def test_append_updates_retraction_sidecar(spark, tmp_path):
     """Appending to a retractions-enabled database must bring the
     sidecar forward: afterwards it equals the sidecar of a single-shot

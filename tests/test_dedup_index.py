@@ -22,6 +22,7 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+@pytest.mark.slow
 def test_append_probe_equals_fresh_rebuild_and_compacts(spark, sf_dir):
     """A base+delta index must answer the probe EXACTLY like a fresh
     index over the union; compaction folds generations without changing
@@ -110,6 +111,7 @@ def test_probe_plan_never_shuffles_the_index_side(spark, sf_dir):
         _drop_prefix(spark, "lsht_plan")
 
 
+@pytest.mark.slow
 def test_stream_lsh_maintenance_appends_and_replays_idempotently(
     spark, sf_dir, tmp_path
 ):
@@ -180,6 +182,7 @@ def test_probe_of_already_indexed_docs_excludes_self_matches(spark, sf_dir):
         _drop_prefix(spark, "lsht_self")
 
 
+@pytest.mark.slow
 def test_stream_lsh_dedup_gate_greedy_semantics_and_replay(
     spark, sf_dir, tmp_path
 ):
@@ -309,6 +312,7 @@ def _stash_spark(spark):
         max_size=10,
     )
 )
+@pytest.mark.slow
 def test_probe_matches_pure_python_pipeline(texts):
     """For arbitrary tiny corpora, build-on-evens + probe-odds must
     return exactly the pure-python minhash/banding collision answer:
@@ -382,6 +386,7 @@ def test_mega_bucket_probe_is_bucket_bounded_and_exact(spark):
         _drop_prefix(spark, "lsht_mega")
 
 
+@pytest.mark.slow
 def test_append_crash_before_meta_commit_replays_cleanly(
     spark, sf_dir, monkeypatch
 ):
@@ -457,6 +462,7 @@ def test_compact_crash_between_swaps_fails_loudly_not_silently(
         _drop_prefix(spark, "lsht_cswap")
 
 
+@pytest.mark.slow
 def test_maybe_compact_threshold_cadence(spark, sf_dir):
     """maybe_compact runs only past the generation threshold, and the
     postings twin behaves identically — both preserve answers."""
@@ -488,6 +494,7 @@ def test_maybe_compact_threshold_cadence(spark, sf_dir):
                 spark.sql(f"DROP TABLE IF EXISTS {name.name}")
 
 
+@pytest.mark.slow
 def test_delete_probe_equals_fresh_build_on_live_corpus(spark, sf_dir):
     """Deleting a slice must make the probe answer EXACTLY like a fresh
     index over the live corpus — including matches whose only link was
@@ -591,6 +598,7 @@ def test_compact_purges_masked_members_on_single_generation(spark, sf_dir):
         _drop_prefix(spark, "lshdel_1g")
 
 
+@pytest.mark.slow
 def test_delete_bucket_minimum_recovers_third_member(spark):
     """Three identical docs share every bucket; deleting the stored
     minimum must surface the SECOND-smallest as the new min1 and the
@@ -636,6 +644,7 @@ def test_delete_bucket_minimum_recovers_third_member(spark):
         _drop_prefix(spark, "lshdel_min")
 
 
+@pytest.mark.slow
 def test_delete_crash_while_staging_is_invisible_and_replayable(
     spark, monkeypatch
 ):
@@ -695,6 +704,7 @@ def test_delete_crash_while_staging_is_invisible_and_replayable(
     ),
     del_mod=st.integers(min_value=2, max_value=4),
 )
+@pytest.mark.slow
 def test_delete_matches_pure_python_pipeline(texts, del_mod):
     """For arbitrary tiny corpora, build-on-evens + DELETE a slice +
     probe-odds must return exactly the pure-python collision answer
@@ -737,6 +747,7 @@ def test_delete_matches_pure_python_pipeline(texts, del_mod):
         _drop_prefix(spark, "lsht_hypd")
 
 
+@pytest.mark.slow
 def test_lsh_index_lifecycle_randomized_against_fresh_build(spark, tmp_path):
     """Model-based stress for the persistent LSH index: seeded random
     append / exact-delete / compact sequences over a synthetic corpus,

@@ -132,6 +132,7 @@ def test_ivm_stream_equals_recompute(spark, tmp_path):
     assert got == [("a", 1, 4), ("c", 2, 10)]
 
 
+@pytest.mark.slow
 def test_ivm_stream_replay_does_not_double_apply(spark, tmp_path):
     """At-least-once replay guard: re-running the SAME change batches
     against the SAME store (fresh checkpoint — every batch is
@@ -177,6 +178,7 @@ def test_ivm_stream_replay_does_not_double_apply(spark, tmp_path):
     assert replayed == first  # no double-apply, no vanished groups
 
 
+@pytest.mark.slow
 def test_ivm_stream_replay_with_new_data_fails_loudly(spark, tmp_path):
     """The epoch-only half of the replay guard is not enough: wipe the
     checkpoint (restart at epoch 0) AND land new change files, and the
@@ -223,6 +225,7 @@ def test_ivm_stream_replay_with_new_data_fails_loudly(spark, tmp_path):
         jobs.ivm_apply_stream(spark, src, schema, store, base, ["k"], "v")
 
 
+@pytest.mark.slow
 def test_ivm_stream_multi_epoch_checkpoint_wipe_recovers(spark, tmp_path):
     """The guard must NOT false-alarm on the documented recovery flow
     when the store applied MORE than one epoch: a wiped checkpoint
@@ -290,6 +293,7 @@ def test_ivm_stream_multi_epoch_checkpoint_wipe_recovers(spark, tmp_path):
     assert after == [("a", 1, 1), ("c", 1, 7), ("d", 1, 9), ("e", 1, 5)]
 
 
+@pytest.mark.slow
 def test_ivm_stream_pre_upgrade_pointer_fails_honestly(spark, tmp_path):
     """A store whose _LATEST predates fingerprint tracking has an
     UNKNOWN applied-file history. A post-upgrade apply must propagate
@@ -347,6 +351,7 @@ def test_ivm_stream_pre_upgrade_pointer_fails_honestly(spark, tmp_path):
         jobs.ivm_apply_stream(spark, src, schema, store, base, ["k"], "v")
 
 
+@pytest.mark.slow
 def test_ivm_stream_rejects_unknown_ops(spark, tmp_path):
     """A change row whose op is not 'I'/'D' (a CDC 'U', a NULL) would
     match NEITHER delta filter and silently drop from the view — the
@@ -394,6 +399,7 @@ def test_versioned_apply_stream_rejects_remote_store(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_ivm_multi_round_randomized_equals_recompute(spark):
     """Long-horizon IVM: the view maintained through SEEDED RANDOM
     sequences of insert/delete batches must equal recompute over the

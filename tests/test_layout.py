@@ -1299,6 +1299,7 @@ def test_export_changes_over_upsert_version(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_store_lifecycle_randomized_against_model(spark, tmp_path):
     """Model-based differential test of the WHOLE store lifecycle: for
     several seeded random sequences of append / upsert (including
@@ -1831,6 +1832,7 @@ def test_forced_vacuum_preserves_initial_base_and_orders_commit(
     assert layout.read_changes(spark, out, 3).count() == 1
 
 
+@pytest.mark.slow
 def test_export_vacuum_lifecycle_randomized_against_model(spark, tmp_path):
     """Model-based differential test of the EXPORT × VACUUM interplay:
     seeded random interleavings of append / delete / export / vacuum /
@@ -2215,6 +2217,7 @@ def test_evolve_schema_rewrite_and_guards(spark, tmp_path):
     ) == [(1, "a"), (2, "b")]
 
 
+@pytest.mark.slow
 def test_changelog_rebase_across_schema_break(spark, tmp_path):
     """The CDC side of evolve_schema: the break version exports as a
     REBASE (full new-schema snapshot as 'I' rows + _rebase.json), and
@@ -2435,6 +2438,7 @@ def test_evolve_schema_simultaneous_rename_drop(spark, tmp_path):
         layout.evolve_schema(spark, p2, renames={"a": "b"})
 
 
+@pytest.mark.slow
 def test_compact_changelog_swap_crash_windows(spark, tmp_path, monkeypatch):
     """Round-13 ADVICE regression: the compacted base commits via a
     staged temp dir + two-rename swap, so NO crash window can expose a
@@ -2553,6 +2557,7 @@ def test_export_changes_accepts_any_era_key(spark, tmp_path):
     assert v2.columns[0] == "k"
 
 
+@pytest.mark.slow
 def test_replay_changelog_deep_log_bounded_plan(spark, tmp_path):
     """Round-13 brief #1: a long-uncompacted changelog (50+ versions)
     replays in bounded wall-time with a BOUNDED plan — the fold cuts
@@ -2702,6 +2707,7 @@ def test_rekey_store_changes_identity_and_rides_rebase(spark, tmp_path):
     assert layout.read_manifest(p2)["sort_key"] == ["k"]
 
 
+@pytest.mark.slow
 def test_rekey_lifecycle_randomized_against_model(spark, tmp_path):
     """Model-based differential for REKEY interleavings: seeded random
     sequences of append / upsert / delete / REKEY (sort key toggling

@@ -201,6 +201,7 @@ def _label_partition(rows):
     return frozenset(frozenset(s) for s in by_label.values())
 
 
+@pytest.mark.slow
 def test_contraction_equals_propagation_on_graphs(spark):
     """Chain, star, diamond, singleton — contraction and min-label
     propagation must produce identical (doc_id, cluster_id) tables

@@ -47,6 +47,7 @@ def _mk_ivf(spark, tmp_path, n_appends=4):
     return emb, centroids, cnorms, out
 
 
+@pytest.mark.slow
 def test_maintain_runs_exactly_the_due_compactions(spark, sf_dir, tmp_path):
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
     try:
@@ -139,6 +140,7 @@ def test_maintain_runs_exactly_the_due_compactions(spark, sf_dir, tmp_path):
         _drop(spark, "mnt_ix", "mnt_lsh")
 
 
+@pytest.mark.slow
 def test_maintain_tombstone_pressure_alone_triggers_postings(spark, sf_dir):
     """Deletes without appends: tombstone generations over their own
     threshold make the postings index due even at zero delta gens —
@@ -173,6 +175,7 @@ def test_maintain_tombstone_pressure_alone_triggers_postings(spark, sf_dir):
         _drop(spark, "mnt_tomb")
 
 
+@pytest.mark.slow
 def test_maintain_crash_between_families_rerun_converges(
     spark, sf_dir, monkeypatch
 ):
@@ -450,6 +453,7 @@ def test_maintain_stores_retention_window(spark, tmp_path):
     assert layout.read_snapshot(spark, path).count() == 5
 
 
+@pytest.mark.slow
 def test_maintenance_crash_injection_randomized_converges(
     spark, tmp_path, monkeypatch
 ):

@@ -6,6 +6,8 @@ design depends on."""
 
 from __future__ import annotations
 
+import pytest
+
 import re
 
 import chess_pos_db_spark as engine
@@ -538,6 +540,7 @@ def test_spec_normalize_collapses_edge_tabs(spark):
     assert len(rows) == 1 and rows[0]["text"] == "a b c"
 
 
+@pytest.mark.slow
 def test_incremental_index_append_equals_full_build(spark, sf_dir):
     """Sorted-run lifecycle of the postings index: base build on a
     third of the corpus + TWO appended delta generations must answer
@@ -592,6 +595,7 @@ def test_incremental_index_append_equals_full_build(spark, sf_dir):
                 spark.sql(f"DROP TABLE IF EXISTS {name.name}")
 
 
+@pytest.mark.slow
 def test_phrase_indexed_token_semantics_and_generations(spark, sf_dir):
     """Positional-postings phrase walk: (a) equals the token-bigram
     ground truth computed straight from the corpus (NOT the substring
@@ -663,6 +667,7 @@ def test_phrase_indexed_token_semantics_and_generations(spark, sf_dir):
                 spark.sql(f"DROP TABLE IF EXISTS {name.name}")
 
 
+@pytest.mark.slow
 def test_stream_index_maintenance_appends_and_replays_idempotently(
     spark, sf_dir, tmp_path
 ):
@@ -805,6 +810,7 @@ def test_append_rejects_within_batch_duplicate_doc_ids(spark):
                 spark.sql(f"DROP TABLE IF EXISTS {name.name}")
 
 
+@pytest.mark.slow
 def test_search_indexed_never_drops_appended_generations(spark, sf_dir):
     """The single-generation fast path must DELEGATE when the index
     has live deltas: querying the base tables directly would silently
@@ -893,6 +899,7 @@ def test_index_stats_fold_into_single_meta_commit(spark, sf_dir):
                 spark.sql(f"DROP TABLE IF EXISTS {name.name}")
 
 
+@pytest.mark.slow
 def test_postings_append_crash_before_meta_commit_replays_cleanly(
     spark, sf_dir, monkeypatch
 ):
@@ -954,6 +961,7 @@ def test_postings_append_crash_before_meta_commit_replays_cleanly(
                 spark.sql(f"DROP TABLE IF EXISTS {name.name}")
 
 
+@pytest.mark.slow
 def test_delete_from_index_equals_fresh_build_on_live_corpus(spark, sf_dir):
     """Tombstone delete lifecycle of the postings index: deleting a
     slice must make EVERY query path (BM25 fast path, incremental,
@@ -1088,6 +1096,7 @@ def test_bm25_deleted_memo_matches_when_delete_slice_is_empty(
         shutil.rmtree(mydir, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_delete_then_append_and_crash_semantics(spark, sf_dir, monkeypatch):
     """(a) An append AFTER a pending delete must not resurrect the
     tombstoned docs in the corpus stats — base+delete+append answers
@@ -1150,6 +1159,7 @@ def test_delete_then_append_and_crash_semantics(spark, sf_dir, monkeypatch):
                 spark.sql(f"DROP TABLE IF EXISTS {name.name}")
 
 
+@pytest.mark.slow
 def test_postings_index_lifecycle_randomized_against_fresh_build(
     spark, tmp_path
 ):

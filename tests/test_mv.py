@@ -275,6 +275,7 @@ _batch = st.lists(
 
 @settings(max_examples=8, deadline=None)
 @given(_batch, _batch)
+@pytest.mark.slow
 def test_maintain_equals_rebuild_property(ins, dels):
     """Random insert batch + random delete batch (deletes drawn from
     base ∪ inserts so the scenario is well-formed): maintained
@@ -379,6 +380,7 @@ def test_route_group_expr_fallback_and_defect_not_masked(spark, sf_dir):
         )
 
 
+@pytest.mark.slow
 def test_advance_view_follows_store_deletes_and_appends(spark, tmp_path):
     """advance_view must catch a version-pinned view up to the store's
     latest version through the store's own CDC: after a copy-on-write
@@ -533,6 +535,7 @@ def test_advance_view_defers_old_dir_cleanup(spark, tmp_path):
     assert os.path.isdir(os.path.join(vp, "data_v3"))
 
 
+@pytest.mark.slow
 def test_view_advance_randomized_against_rebuild(spark, tmp_path):
     """Model-based stress for the delta view-maintenance path: a store
     evolves through seeded random append/upsert/delete/compact

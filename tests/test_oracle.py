@@ -20,15 +20,39 @@ def duck(sf_dir):
     con.close()
 
 
+def _assert_driver_hashable(name, df):
+    """The external gate canonicalizes results with pandas sort_values
+    over every column; a top-level ARRAY/MAP/STRUCT column is unhashable
+    there and errors the gate even when the answer is exact (round 5:
+    ``array_suite``). Checked on the SAME DataFrame the oracle/rows-only
+    tests already build — the former standalone 256-parameter sweep
+    rebuilt every query plan (re-running eager-checkpoint jobs) for a
+    static schema property, ~2 min of pure duplication per suite run."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name} returns complex-typed top-level column(s) {bad}; the "
+        "driver's pandas canonicalizer cannot hash these — serialize "
+        "them to scalars in the query"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_match(name, spark, sf_dir, duck):
     df = QUERIES[name](spark, sf_dir)
+    _assert_driver_hashable(name, df)
     compare(df, duck, ORACLES[name], name)
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_runs(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
+    _assert_driver_hashable(name, df)
     assert df.count() >= 0
     assert len(df.columns) > 0
 
@@ -42,29 +66,6 @@ def test_entry_smoke(spark):
 
 def test_every_oracle_key_has_query():
     assert set(ORACLES) <= set(QUERIES)
-
-
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_output_schema_driver_hashable(name, spark, sf_dir):
-    """The external gate canonicalizes results with pandas sort_values
-    over every column; a top-level ARRAY/MAP/STRUCT column is unhashable
-    there and errors the gate even when the answer is exact (round 5:
-    ``array_suite``).  Pin that every registered query's output schema
-    is scalar-only — serialize complex columns (array_join / to_json)
-    inside the query instead."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
-
-    df = QUERIES[name](spark, sf_dir)
-    bad = [
-        f.name
-        for f in df.schema.fields
-        if isinstance(f.dataType, (ArrayType, MapType, StructType))
-    ]
-    assert not bad, (
-        f"{name} returns complex-typed top-level column(s) {bad}; the "
-        "driver's pandas canonicalizer cannot hash these — serialize "
-        "them to scalars in the query"
-    )
 
 
 def test_rotation_history_names_are_registered():

@@ -32,6 +32,7 @@ def _drop(spark, *prefixes):
             spark.sql(f"DROP TABLE IF EXISTS {name.name}")
 
 
+@pytest.mark.slow
 def test_retraction_converges_every_structure(spark, sf_dir, tmp_path):
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 800)
     doomed = docs.filter(F.col("doc_id") % 13 == 5).select("doc_id")
@@ -85,6 +86,7 @@ def test_retraction_converges_every_structure(spark, sf_dir, tmp_path):
         _drop(spark, "retr_full", "retr_ref")
 
 
+@pytest.mark.slow
 def test_retraction_rerun_after_partial_failure_converges(
     spark, sf_dir, tmp_path, monkeypatch
 ):
@@ -295,6 +297,7 @@ def test_spec_degenerate_values_fail_at_bind_time(spark):
     assert out.count() == 1  # one source, capped at 1
 
 
+@pytest.mark.slow
 def test_retraction_composite_randomized_against_model(spark, tmp_path):
     """Round-11 model-based differential test of the MULTI-STRUCTURE
     composite: seeded random interleavings of ingest / retract /

@@ -147,6 +147,7 @@ def test_tcp_roundtrip(engine_db):
     assert not out[2]["ok"]
 
 
+@pytest.mark.slow
 def test_merge_command(spark, tmp_path):
     """merge over the wire protocol: two single-file databases →
     consolidated database, opened and queryable."""

@@ -5,6 +5,8 @@ sf0.01 embeddings — and training must be deterministic.
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 
 from chess_pos_db_spark.llm import similarity as sim
@@ -232,6 +234,7 @@ def test_ivf_trained_centroids_parameterized_k(spark, sf_dir):
     assert cells <= set(range(k))
 
 
+@pytest.mark.slow
 def test_lsh_candidate_cost_linear_with_sized_planes(spark):
     """SCALE.md "LSH/IVF sizing" evidence: with b = lsh_planes_for(n),
     candidate pairs per vector stay bounded by a constant as the corpus

@@ -265,6 +265,7 @@ def test_streaming_cms_equals_batch_sketch(spark, events_dir, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_stream_stream_left_outer_join_equals_batch(spark, sf_dir, tmp_path):
     """T8b: LEFT OUTER stream-stream interval join. Outer (null-padded)
     rows may only emit once the watermark PROVES no match can arrive,
@@ -475,6 +476,7 @@ def test_store_apply_stream_merges_into_manifest_store(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_store_to_store_replication_via_export_log(spark, tmp_path):
     """Full manifest-store replication: store A evolves through every
     lifecycle verb (append, copy-on-write upsert with a genuine U,
@@ -591,6 +593,7 @@ def test_store_replication_follows_schema_evolution(spark, tmp_path):
     assert got == want == [(2, "T2", "en"), (3, "t3", "fr")]
 
 
+@pytest.mark.slow
 def test_store_replication_randomized_against_source(spark, tmp_path):
     """Randomized end-to-end replication: source store A runs a seeded
     random lifecycle (appends, whole-row upserts including
@@ -756,6 +759,7 @@ def test_store_apply_stream_type_conflict_fails_loudly(spark, tmp_path):
     ) == [(1, "a")]
 
 
+@pytest.mark.slow
 def test_store_apply_stream_refuses_rebase_log_until_reseeded(spark, tmp_path):
     """A changelog carrying a schema-break REBASE (evolve_schema) must
     refuse to stream into an upsert fold — the rebase's 'I' rows would

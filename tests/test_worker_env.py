@@ -12,6 +12,8 @@ bug (its workers inherit the repo cwd).
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import subprocess
 import sys
@@ -60,6 +62,7 @@ print("WORKER_ENV_OK")
 """
 
 
+@pytest.mark.slow
 def test_python_worker_queries_from_foreign_cwd():
     proc = subprocess.run(
         [sys.executable, "-c", _PROBE.format(repo=REPO)],
