@@ -1511,13 +1511,9 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline: cheap signature → bucket join → exact verify; recall is
     traded by bucket count exactly as in similarity_ann_lsh.
     """
-    from .similarity import cosine, sign_lsh_bucket
+    from .similarity import cosine, sign_lsh_bucketed
 
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "embedding",
-        sign_lsh_bucket(F.col("embedding")).alias("bucket"),
-    )
+    emb = sign_lsh_bucketed(t(spark, sf_dir, "embeddings"))
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),

@@ -164,6 +164,61 @@ def sign_lsh_bucket(
     return bucket
 
 
+def sign_lsh_bucketed(emb, table: int = 0, n_planes: int | None = None):
+    """(vec_id, embedding, bucket): the single-table sign-LSH bucket
+    assignment as ONE batched numpy matmul per Arrow batch (guide §4.2).
+
+    Bucket-for-bucket identical to ``sign_lsh_bucket`` (the per-plane
+    JVM expression, kept above for the oracle-CTE derivation and the
+    bit-prefix pin): the round-to-6dp-before-sign guard absorbs
+    fold-order ulp differences between the BLAS sum and the JVM
+    sequential fold — the same discipline that pins Spark against
+    DuckDB's unordered SUM. Why: b interpreted zip_with+aggregate
+    folds per row (HOFs are not codegen'd) dominated the ANN-family
+    signature stages (measured at sf0.1: dedup_embedding_ann
+    1.66 → 0.57 s, see OPTIMIZATION_r14.md §12). Only
+    (vec_id, embedding) crosses the boundary; embedding is passed
+    through untouched so verifiers keep using it JVM-side."""
+    import numpy as np
+
+    if n_planes is None:
+        n_planes = _N_PLANES
+    planes_mat = np.array(
+        [_plane(table * n_planes + p) for p in range(n_planes)],
+        dtype=np.float64,
+    ).T  # (dims, n_planes)
+    fields = dict(emb.dtypes)
+
+    def _bucket_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        shifts = np.arange(planes_mat.shape[1], dtype=np.int64)
+        for batch in batches:
+            arr = batch.column("embedding")
+            n = len(arr)
+            if n == 0:
+                continue
+            flat = np.asarray(arr.flatten(), dtype=np.float64)
+            dots = flat.reshape(n, -1) @ planes_mat
+            bits = (np.round(dots, 6) > 0).astype(np.int64)
+            buckets = (bits << shifts).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id"),
+                    batch.column("embedding"),
+                    pa.array(buckets),
+                ],
+                names=["vec_id", "embedding", "bucket"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        _bucket_batches,
+        f"vec_id {fields['vec_id']}, embedding {fields['embedding']}, "
+        "bucket long",
+    )
+
+
 def _buckets_cte_sql() -> str:
     """The sign-LSH bucket-assignment CTE chain (planes/dots/buckets),
     shared by every oracle that buckets the corpus (similarity_ann_lsh
@@ -220,9 +275,7 @@ LIMIT {_TOP_K}
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k restricted to the query's sign-LSH bucket (ANN scale path)."""
     emb = t(spark, sf_dir, "embeddings")
-    bucketed = emb.select(
-        "vec_id", "embedding", sign_lsh_bucket(F.col("embedding")).alias("bucket")
-    )
+    bucketed = sign_lsh_bucketed(emb)
     q = bucketed.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("embedding").alias("qv"), F.col("bucket").alias("q_bucket")
     )
@@ -1027,9 +1080,7 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = t(spark, sf_dir, "embeddings")
-    bucketed = emb.select(
-        "vec_id", "embedding", sign_lsh_bucket(F.col("embedding")).alias("bucket")
-    )
+    bucketed = sign_lsh_bucketed(emb)
     a = bucketed.select(
         F.col("vec_id").alias("src"),
         F.col("embedding").alias("emb_a"),
