@@ -17,13 +17,18 @@ contract), "parallelism" (the session's actual defaultParallelism —
 demonstrates local[$SPARK_GRAFT_CPUS] was honored), effective
 "shuffle_partitions", and a SCALE_GROUP of five shuffle-heavy queries
 timed alongside the headliners ("scale_group_total_sec"); "value"
-still sums the original HEADLINE list only. Known confound for
-cross-core-count comparisons: shuffle.partitions is set to the core
-count (session.py), so an 8-core run schedules 4x fewer, larger tasks
-than a 32-core run — per-task work differs by construction, and the
-headliners' best-of-N floor at sf0.1 is dominated by fixed per-job
-submit cost (~0.1 s) rather than parallel compute. The SCALE_GROUP
-queries carry enough real work for core-count ratios to be meaningful.
+still sums the original HEADLINE list only. Known confounds for
+cross-core-count comparisons at fixture scale: (a) shuffle.partitions
+is set to the core count (session.py), so an 8-core run schedules 4x
+fewer, larger tasks than a 32-core run; (b) AQE coalesces sub-GB
+shuffle intermediates to a BYTE-targeted task count that is the same
+at either core count, so byte-bound queries show ratios near 1.0 by
+construction (measured: join_fuzzy_levenshtein, whose pair expansion
+is CPU-bound behind an explicit defaultParallelism repartition, scales
+2.49x from 8 to 32 cores; the other four scale-group queries are
+byte-bound at sf0.1). The headliners' best-of-N floor is additionally
+dominated by fixed per-job submit cost (~0.1 s). The "parallelism" key
+is the direct evidence that local[$SPARK_GRAFT_CPUS] is honored.
 """
 
 from __future__ import annotations
