@@ -837,7 +837,16 @@ def exact_jaccard_on_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
     # candidate-restricted postings feed the df ranking AND the per-doc
     # encoding — materialize once instead of replaying the explode +
-    # distinct + semi-join per consumer
+    # distinct + semi-join per consumer. Measured and REJECTED (r14),
+    # both flat-to-worse at sf0.1 with no local win to justify them:
+    # (a) eagerly checkpointing `pairs` to deduplicate its two
+    # consumers (materializing the 9.9M-row pair stream costs at least
+    # as much as re-planning its expansion, which is join-local off the
+    # already-checkpointed signature groups); (b) semi-joining docs to
+    # candidates BEFORE the explode+distinct (the optimizer's
+    # PushDownLeftSemiAntiJoin already places the restriction below
+    # the distinct, and the manual form serializes the explode behind
+    # the full pair expansion instead of letting both run together).
     tok = tok.join(cand_ids, "doc_id", "left_semi").localCheckpoint(eager=True)
     # Top-64 selection is a classic top-k: orderBy().limit(64) plans as
     # TakeOrderedAndProject (per-partition partial top-k, fully
